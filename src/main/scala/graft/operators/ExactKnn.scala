@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
+
+/** Brute-force k-nearest-neighbor over an embedding column — the exact
+  * ground-truth path (SURVEY.md §7 M1; reference analog: recall truth from
+  * precomputed ivecs, `/root/reference/crates/cli/src/main.rs:63-75`).
+  *
+  * Scale shape: queries are the SMALL side — broadcast them and stream the
+  * base table once (no shuffle of base). The distance fan-out (n·q rows) is
+  * immediately collapsed by the map-side top-k aggregator, so the only
+  * shuffled data is ≤ k rows per (query, input partition).
+  */
+object ExactKnn {
+
+  // sqrt form (not squared): matches DuckDB's list_distance bit-for-bit so
+  // oracle rank comparisons can't diverge on near-ties
+  private val l2 = udf((a: Seq[Float], b: Seq[Float]) => math.sqrt(VectorOps.l2sq(a.toArray, b.toArray)))
+  private val cos = udf((a: Seq[Float], b: Seq[Float]) => VectorOps.cosine(a.toArray, b.toArray))
+
+  /** Top-k by squared L2. Output: (query_id, neighbor_id, dist, rank). */
+  def l2TopK(base: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val scored = base
+      .crossJoin(broadcast(queries))
+      .select(
+        col("query_id"),
+        col("vec_id"),
+        l2(col("qvec"), col("embedding")).as("dist"))
+    TopK.perGroup(scored, "query_id", "vec_id", "dist", k,
+      outId = "neighbor_id", outScore = "dist")
+  }
+
+  /** Top-k by cosine similarity (largest first). Output:
+    * (query_id, neighbor_id, sim, rank).
+    */
+  def cosineTopK(base: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val scored = base
+      .crossJoin(broadcast(queries))
+      .select(
+        col("query_id"),
+        col("vec_id"),
+        (-cos(col("qvec"), col("embedding"))).as("negsim"))
+    TopK.perGroup(scored, "query_id", "vec_id", "negsim", k,
+      outId = "neighbor_id", outScore = "negsim")
+      .withColumn("sim", -col("negsim"))
+      .drop("negsim")
+  }
+
+  /** First `n` embeddings (by vec_id) as a query set (query_id, qvec). */
+  def queriesFromEmbeddings(emb: DataFrame, n: Int): DataFrame =
+    emb.filter(col("vec_id") < n)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+
+  /** recall@k of `result` vs `truth`, both (query_id, neighbor_id, rank≤k)
+    * (Q16, `/root/reference/src/utils.rs:367-379`). Returns a 1-row DF.
+    */
+  def recall(result: DataFrame, truth: DataFrame, k: Int): DataFrame = {
+    val r = result.filter(col("rank") <= k).select("query_id", "neighbor_id")
+    val t = truth.filter(col("rank") <= k).select("query_id", "neighbor_id")
+    val hits = r.join(t, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count("*").as("hits"))
+    val nq = t.select("query_id").distinct()
+    nq.join(hits, Seq("query_id"), "left")
+      .agg((sum(coalesce(col("hits"), lit(0L))) / (count("*") * k)).as("recall"))
+  }
+}

@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import graft.functions.VectorOps
+
+/** Index-build parameters. `seed` drives rotation, k-means init, and the
+  * quantizer dither — the reference leaves all three unseeded / per-load
+  * (`/root/reference/src/utils.rs:17,38`, `/root/reference/src/rabitq.rs:119`);
+  * we seed and persist them so builds are reproducible (SURVEY.md §7 hard
+  * part b).
+  */
+case class RabitqParams(dim: Int, padDim: Int, numClusters: Int, seed: Long)
+
+/** Small driver-side model state, broadcast to executors at use sites:
+  * rotation (padDim×padDim, row-major, orthogonal), ROTATED padded
+  * centroids (numClusters × padDim), and the per-dimension dither bias.
+  * Everything per-vector lives in the index DataFrame, never on the driver.
+  */
+case class RabitqModel(
+    params: RabitqParams,
+    rotation: Array[Array[Float]],
+    centroids: Array[Array[Float]],
+    bias: Array[Float])
+
+/** IVF-RaBitQ index build as one Catalyst plan (SURVEY.md §2.2 B1–B12).
+  *
+  * Output index DataFrame (one row per vector):
+  *   vec_id: long, cluster_id: int, code: array<long> (padDim/64 words),
+  *   factor_ip/factor_ppc/error_bound/cds: float
+  *
+  * The reference's CSR layout (`/root/reference/src/rabitq.rs:231-252`)
+  * becomes `write.partitionBy("cluster_id")` — probe selection turns into
+  * Catalyst partition pruning instead of offset slices.
+  */
+object RabitqIndex {
+
+  /** Seeded random orthogonal rotation (B2): QR of a Gaussian matrix with
+    * column signs fixed by diag(R) > 0 so Q is unique.
+    * (Reference: `/root/reference/src/utils.rs:16-20`, unseeded.)
+    */
+  def randomOrthogonal(dim: Int, seed: Long): Array[Array[Float]] = {
+    import breeze.linalg.{DenseMatrix, qr, diag}
+    val rnd = new java.util.Random(seed)
+    val g = DenseMatrix.fill[Double](dim, dim)(rnd.nextGaussian())
+    val decomp = qr(g)
+    val q = decomp.q
+    val signs = (0 until dim).map(j => if (decomp.r(j, j) < 0) -1.0 else 1.0)
+    Array.tabulate(dim)(i => Array.tabulate(dim)(j => (q(i, j) * signs(j)).toFloat))
+  }
+
+  /** Per-dimension dither bias in [0,1), seeded and persisted with the
+    * model (the reference regenerates it every load,
+    * `/root/reference/src/rabitq.rs:119`).
+    */
+  def ditherBias(dim: Int, seed: Long): Array[Float] = {
+    val rnd = new java.util.Random(seed + 1)
+    Array.fill(dim)(rnd.nextFloat())
+  }
+
+  /** Train k-means (MLlib k-means‖, B5), rotate vectors, compute codes and
+    * factors (B6–B11). Returns the model plus the index DataFrame.
+    */
+  def build(spark: SparkSession, base: DataFrame, numClusters: Int, seed: Long): (RabitqModel, DataFrame) = {
+    val dim = base.select(size(col("embedding"))).head().getInt(0)
+    val padDim = ((dim + 63) / 64) * 64
+    val params = RabitqParams(dim, padDim, numClusters, seed)
+
+    val withVec = base.select(col("vec_id"), col("embedding"))
+      .withColumn("features", array_to_vector(col("embedding")))
+
+    val km = new KMeans()
+      .setK(numClusters).setSeed(seed).setMaxIter(25)
+      .setFeaturesCol("features").setPredictionCol("cluster_id")
+    val kmModel = km.fit(withVec)
+
+    val rotation = randomOrthogonal(padDim, seed)
+    val rawCentroids = kmModel.clusterCenters.map(_.toArray.map(_.toFloat))
+    val rotCentroids = rawCentroids.map(c => VectorOps.rotate(rotation, VectorOps.pad(c, 64)))
+    val model = RabitqModel(params, rotation, rotCentroids, ditherBias(padDim, seed))
+
+    val assigned = kmModel.transform(withVec).drop("features")
+
+    val bRot = spark.sparkContext.broadcast(rotation)
+    val bCent = spark.sparkContext.broadcast(rotCentroids)
+    // B1+B3+B6..B11 fused in one pass per row: pad → rotate → residual →
+    // code + factors. One UDF emitting a struct keeps it a single narrow
+    // projection (no intermediate shuffles or row explosions).
+    val encode = udf { (emb: Seq[Float], cluster: Int) =>
+      val rot = VectorOps.rotate(bRot.value, VectorOps.pad(emb.toArray, 64))
+      val residual = VectorOps.subtract(rot, bCent.value(cluster))
+      val code = VectorOps.binarizeU64(residual)
+      val (fip, fppc, err, cds) = VectorOps.factors(residual)
+      (code, fip, fppc, err, cds)
+    }
+
+    val index = assigned
+      .withColumn("enc", encode(col("embedding"), col("cluster_id")))
+      .select(
+        col("vec_id"),
+        col("cluster_id"),
+        col("enc._1").as("code"),
+        col("enc._2").as("factor_ip"),
+        col("enc._3").as("factor_ppc"),
+        col("enc._4").as("error_bound"),
+        col("enc._5").as("cds"))
+    (model, index)
+  }
+
+  /** Persist as a parquet directory (S6 analog of the reference's 5-file
+    * layout `/root/reference/src/rabitq.rs:128-156`): index partitioned by
+    * cluster_id (→ partition pruning on probes), model sidecar tables.
+    */
+  def save(spark: SparkSession, model: RabitqModel, index: DataFrame, dir: String): Unit = {
+    import spark.implicits._
+    index.write.mode("overwrite").partitionBy("cluster_id").parquet(s"$dir/index")
+    model.rotation.zipWithIndex.map { case (r, i) => (i, r.toSeq) }.toSeq
+      .toDF("row_id", "row").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/rotation")
+    model.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cluster_id", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    Seq((model.params.dim, model.params.padDim, model.params.numClusters,
+         model.params.seed, model.bias.toSeq))
+      .toDF("dim", "pad_dim", "num_clusters", "seed", "bias").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/params")
+  }
+
+  def load(spark: SparkSession, dir: String): (RabitqModel, DataFrame) = {
+    val p = spark.read.parquet(s"$dir/params").head()
+    val params = RabitqParams(p.getAs[Int]("dim"), p.getAs[Int]("pad_dim"),
+      p.getAs[Int]("num_clusters"), p.getAs[Long]("seed"))
+    val bias = p.getAs[Seq[Float]]("bias").toArray
+    val rotation = spark.read.parquet(s"$dir/rotation")
+      .orderBy("row_id").collect()
+      .map(r => r.getAs[Seq[Float]]("row").toArray)
+    val centroids = spark.read.parquet(s"$dir/centroids")
+      .orderBy("cluster_id").collect()
+      .map(r => r.getAs[Seq[Float]]("centroid").toArray)
+    (RabitqModel(params, rotation, centroids, bias), spark.read.parquet(s"$dir/index"))
+  }
+}

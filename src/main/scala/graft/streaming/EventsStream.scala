@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming ingest of the `events` table (north-star
+  * extension; the reference explicitly lacks ingest —
+  * `/root/reference/README.md:18` leaves insert/update/delete unchecked).
+  *
+  * Watermarked tumbling-window aggregation; the batch-equivalent plan is
+  * `graft.operators.Sessionize.windowedCounts`, which is what the DuckDB
+  * oracle checks. At scale this runs continuously with checkpointing; here
+  * `runOnce` drives the same plan over the parquet dir with
+  * Trigger.AvailableNow into a memory sink for deterministic tests.
+  */
+object EventsStream {
+
+  // ts read as raw nanos (the file is TIMESTAMP(NANOS); the session runs
+  // with nanosAsLong), converted to a µs timestamp in the stream
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** `path` may be a single parquet FILE; FileStreamSource wants a
+    * directory, so stream the parent dir with a glob filter on the name.
+    */
+  def windowedCountsStream(spark: SparkSession, path: String, minutes: Int): DataFrame = {
+    val f = new java.io.File(path)
+    val (dir, glob) =
+      if (f.isFile) (f.getParent, f.getName) else (path, "*")
+    spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", glob)
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), s"$minutes minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .cast("double").as("total_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("total_value"))
+  }
+
+  /** Run the streaming query to completion over the static dir, return the
+    * materialized result. `complete` output mode ⇒ all windows present
+    * regardless of watermark progress (deterministic for tests/oracle).
+    */
+  def runOnce(spark: SparkSession, path: String, minutes: Int, queryName: String): DataFrame = {
+    val q = windowedCountsStream(spark, path, minutes)
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+}

@@ -1,0 +1,209 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.operators._
+
+class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  val sf = "/root/testdata/sf0.001"
+
+  private def emb: DataFrame = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  // ---------------- top-k aggregator -----------------------------------
+  test("TopKAgg matches sort-based top-k on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val rows = (1 to 2000).map(i => (i % 7L, rnd.nextDouble(), i.toLong))
+    val df = rows.toDF("g", "score", "id")
+    val got = TopK.perGroup(df, "g", "id", "score", 5)
+      .select("g", "id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val expect = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      rs.sortBy(r => (r._2, r._3)).take(5).zipWithIndex
+        .map { case (r, i) => (g, r._3, i + 1L) }
+    }.toSet
+    assert(got == expect)
+  }
+
+  // ---------------- exact knn ------------------------------------------
+  test("exact kNN: rank 1 is self with distance 0") {
+    val q = ExactKnn.queriesFromEmbeddings(emb, 5)
+    val res = ExactKnn.l2TopK(emb, q, 3).collect()
+    val rank1 = res.filter(_.getAs[Long]("rank") == 1L)
+    assert(rank1.length == 5)
+    rank1.foreach { r =>
+      assert(r.getAs[Long]("query_id") == r.getAs[Long]("neighbor_id"))
+      assert(r.getAs[Double]("dist") == 0.0)
+    }
+  }
+
+  // ---------------- rabitq e2e -----------------------------------------
+  test("RaBitQ full-probe full-rerank equals brute force; partial probe recall >= 0.9") {
+    val (model, index) = RabitqIndex.build(spark, emb, numClusters = 16, seed = 42L)
+    index.persist()
+    val q = ExactKnn.queriesFromEmbeddings(emb, 20)
+    val truth = ExactKnn.l2TopK(emb, q, 10)
+
+    val full = RabitqQuery.topK(spark, model, index, emb, q,
+      nprobe = 16, topk = 10, rerank = 4096)
+    val rFull = ExactKnn.recall(full, truth, 10).head().getDouble(0)
+    assert(rFull == 1.0, s"full-probe recall $rFull != 1.0")
+
+    // tiny-scale caveat: with 500 points in 16 clusters a query's true
+    // 10-NN spans many clusters, so probe 12/16 (the reference's own
+    // defaults probe≥k at this scale — probe=100, cli/main.rs:27-31)
+    val part = RabitqQuery.topK(spark, model, index, emb, q,
+      nprobe = 12, topk = 10, rerank = 100)
+    val rPart = ExactKnn.recall(part, truth, 10).head().getDouble(0)
+    assert(rPart >= 0.9, s"partial-probe recall $rPart < 0.9")
+    index.unpersist()
+  }
+
+  test("RaBitQ index save/load roundtrip preserves results") {
+    val (model, index) = RabitqIndex.build(spark, emb, numClusters = 8, seed = 1L)
+    val dir = java.nio.file.Files.createTempDirectory("rabitq_idx").toString
+    RabitqIndex.save(spark, model, index, dir)
+    val (model2, index2) = RabitqIndex.load(spark, dir)
+    assert(model2.params == model.params)
+    assert(model2.rotation.flatMap(_.toList).sameElements(model.rotation.flatMap(_.toList)))
+    assert(model2.centroids.flatMap(_.toList).sameElements(model.centroids.flatMap(_.toList)))
+    val q = ExactKnn.queriesFromEmbeddings(emb, 5)
+    val a = RabitqQuery.topK(spark, model, index, emb, q, 8, 5, 50)
+      .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+    val b = RabitqQuery.topK(spark, model2, index2, emb, q, 8, 5, 50)
+      .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+    assert(a == b)
+    // cluster_id partition layout on disk (reference CSR analog — pruning)
+    val parts = new java.io.File(s"$dir/index").listFiles()
+      .filter(_.getName.startsWith("cluster_id="))
+    assert(parts.length == 8)
+  }
+
+  test("index parquet scan with cluster filter prunes partitions") {
+    val (model, index) = RabitqIndex.build(spark, emb, numClusters = 8, seed = 1L)
+    val dir = java.nio.file.Files.createTempDirectory("rabitq_prune").toString
+    RabitqIndex.save(spark, model, index, dir)
+    val scan = spark.read.parquet(s"$dir/index").filter(col("cluster_id") === 3)
+    val plan = scan.queryExecution.executedPlan.toString
+    // partition filter must reach the file source (no full-index read)
+    assert(plan.contains("PartitionFilters") && plan.contains("cluster_id"), plan)
+  }
+
+  // ---------------- dedup ----------------------------------------------
+  test("exact dedup keeps min doc_id per text") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z"))
+      .toDF("doc_id", "text")
+    val got = Dedup.exact(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("ngram jaccard: identical docs get 1.0, disjoint get filtered") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different words here nothing shared at all")
+    ).toDF("doc_id", "text")
+    val got = Dedup.ngramJaccardPairs(docs, 3, 0.5).collect()
+    assert(got.length == 1)
+    assert(got.head.getLong(0) == 1L && got.head.getLong(1) == 2L)
+    assert(got.head.getDouble(2) == 1.0)
+  }
+
+  test("simhash: identical docs collide at hamming 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark native analytics engine for vectors"),
+      (2L, "spark native analytics engine for vectors"),
+      (3L, "unrelated text about databases and storage engines")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(docs, 3).collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L && r.getInt(2) == 0))
+  }
+
+  test("minhash pairs finds the near-dup clusters found by exact jaccard") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val exact = Dedup.ngramJaccardPairs(docs, 3, 0.5)
+      .select("doc_a", "doc_b").collect().map(_.toSeq).toSet
+    val mh = Dedup.minhashPairs(spark, docs, 3, 0.5)
+      .select("doc_a", "doc_b").collect().map(_.toSeq).toSet
+    // LSH at the same threshold must recover a large majority of true pairs
+    val hit = exact.count(mh.contains)
+    assert(exact.isEmpty || hit.toDouble / exact.size >= 0.8,
+      s"minhash recovered $hit/${exact.size}")
+  }
+
+  // ---------------- sessionize -----------------------------------------
+  test("sessionize splits on gap > threshold") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Long) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    val events = Seq(
+      (1L, ts(0), 100L, "a", 1.0, ""),
+      (2L, ts(10), 100L, "a", 1.0, ""),
+      (3L, ts(60), 100L, "a", 1.0, ""),   // 50-min gap ⇒ new session
+      (4L, ts(65), 100L, "a", 1.0, ""),
+      (5L, ts(0), 200L, "a", 1.0, "")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Sessionize.sessionize(events, 30)
+      .select("event_id", "session_seq").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L))
+  }
+
+  // ---------------- streaming ------------------------------------------
+  test("streaming windowed counts equals batch equivalent") {
+    val stream = graft.streaming.EventsStream
+      .runOnce(spark, s"$sf/events.parquet", 60, "test_events_win")
+      .select("win_start", "event_type", "n")
+    val events = SparkEntryTestAccess.table(spark, sf, "events")
+    val batch = Sessionize.windowedCounts(events, 60)
+      .select("win_start", "event_type", "n")
+    assert(stream.collect().map(_.toSeq).toSet == batch.collect().map(_.toSeq).toSet)
+  }
+
+  // ---------------- plan shape ------------------------------------------
+  test("filter/projection pushdown reaches the parquet scan") {
+    val q = SparkEntry.queries("q05_filter_project")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: ["), plan.take(2000))
+    assert(plan.contains("l_quantity"), "filter column not pushed")
+  }
+
+  test("broadcast joins chosen for small dimension tables") {
+    val q = SparkEntry.queries("q02_revenue_by_nation")(spark, sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  // ---------------- entry smoke -----------------------------------------
+  test("SparkEntry.entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
+
+/** Test access to SparkEntry's private table loader semantics. */
+object SparkEntryTestAccess {
+  def table(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
+}
