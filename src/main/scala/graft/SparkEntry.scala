@@ -48,6 +48,17 @@ object SparkEntry {
   private def annQueries(s: SparkSession, dir: String, n: Int = 10): DataFrame =
     ExactKnn.queriesFromEmbeddings(T(s, dir, "embeddings"), n)
 
+  // saved-to-disk index (partitionBy cluster_id layout) per sf dir, for the
+  // partition-pruned query path
+  private val diskIdxCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def diskIndex(s: SparkSession, dir: String): String =
+    diskIdxCache.getOrElseUpdate(dir, {
+      val (model, index) = annIndex(s, dir)
+      val out = java.nio.file.Files.createTempDirectory("graft_idx_").toString
+      RabitqIndex.save(s, model, index, out)
+      out
+    })
+
   private val streamCounter = new AtomicInteger(0)
 
   /** Flagship: approximate vector top-k on sf0.001 (driver smoke test). */
@@ -178,6 +189,14 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    "q31_ann_pruned" -> ((s, dir) => {
+      // saved-index path: probed clusters known at plan time ⇒ the scan
+      // reads only those cluster_id= directories (static partition pruning)
+      RabitqQuery.topKFromDisk(s, diskIndex(s, dir), T(s, dir, "embeddings"),
+        annQueries(s, dir), nprobe = 8, topk = 10, rerank = 100)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "q28_ann_recall" -> ((s, dir) => {
       val (model, index) = annIndex(s, dir)
       val truth = ExactKnn.l2TopK(T(s, dir, "embeddings"), annQueries(s, dir), 10)
@@ -229,6 +248,27 @@ object SparkEntry {
           TextOps.fingerprint(col("text")).as("fp"),
           TextOps.rollingHash(col("text")).as("rh"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---------------- json / date scalar functions ------------------------
+    "q29_json_extract" -> ((s, dir) => {
+      T(s, dir, "events")
+        .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    }),
+    "q30_date_fns" -> ((s, dir) => {
+      T(s, dir, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("int").as("y"),
+        month(col("o_orderdate")).cast("int").as("m"),
+        dayofmonth(col("o_orderdate")).cast("int").as("d"),
+        quarter(col("o_orderdate")).cast("int").as("q"),
+        datediff(lit("1998-01-01").cast("date"), col("o_orderdate").cast("date"))
+          .cast("int").as("days_to_98"))
+        .orderBy(col("o_orderkey"))
     }),
 
     // ---------------- streaming ------------------------------------------
@@ -331,6 +371,20 @@ object SparkEntry {
           |FROM s2 GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
       "q12_knn_l2" -> knnSql,
       "q23_ann_fullprobe" -> knnSql,
+      "q29_json_extract" ->
+        """SELECT event_type, COUNT(*) AS n,
+          |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+          |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+          |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      "q30_date_fns" ->
+        """SELECT o_orderkey,
+          |  CAST(year(o_orderdate) AS INT) AS y,
+          |  CAST(month(o_orderdate) AS INT) AS m,
+          |  CAST(day(o_orderdate) AS INT) AS d,
+          |  CAST(quarter(o_orderdate) AS INT) AS q,
+          |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS INT) AS days_to_98
+          |FROM orders ORDER BY o_orderkey""".stripMargin,
       "q13_knn_cosine" ->
         """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 10),
           |b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS be FROM embeddings),

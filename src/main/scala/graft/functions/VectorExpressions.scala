@@ -1,0 +1,202 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnShim
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions (with codegen) for the hot vector kernels —
+  * the Spark counterpart of the reference's SIMD distance loops
+  * (`/root/reference/src/simd.rs:14-73`). A Scala UDF pays
+  * serialize-to-Seq per row; these read the UnsafeArrayData floats in
+  * place inside whole-stage codegen, so crossJoin distance scans stay in
+  * one generated loop.
+  *
+  * Semantics match VectorOps exactly (f64 arithmetic, zero-padded tails)
+  * so UDF and expression paths are interchangeable.
+  */
+object VectorExpressions {
+
+  private def checkArrays(e: BinaryExpression, elem: DataType): TypeCheckResult = {
+    val ok = Seq(e.left.dataType, e.right.dataType).forall {
+      case ArrayType(t, _) => t == elem
+      case _ => false
+    }
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"${e.prettyName} expects two array<$elem> arguments, got " +
+        s"(${e.left.dataType.simpleString}, ${e.right.dataType.simpleString})")
+  }
+  private def checkFloatArrays(e: BinaryExpression) = checkArrays(e, FloatType)
+  private def checkLongArrays(e: BinaryExpression) = checkArrays(e, LongType)
+
+  /** Squared L2 distance between two float arrays (unequal lengths treated
+    * as zero-padded).
+    */
+  case class L2SqF32(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = checkFloatArrays(this)
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_l2sq"
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+      val xn = x.numElements(); val yn = y.numElements()
+      val n = math.min(xn, yn)
+      var s = 0.0
+      var i = 0
+      while (i < n) { val d = x.getFloat(i).toDouble - y.getFloat(i).toDouble; s += d * d; i += 1 }
+      i = n
+      while (i < xn) { val d = x.getFloat(i).toDouble; s += d * d; i += 1 }
+      i = n
+      while (i < yn) { val d = y.getFloat(i).toDouble; s += d * d; i += 1 }
+      s
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i"); val n = ctx.freshName("n")
+        val xn = ctx.freshName("xn"); val yn = ctx.freshName("yn")
+        val s = ctx.freshName("s"); val d = ctx.freshName("d")
+        s"""
+           |int $xn = $a.numElements(); int $yn = $b.numElements();
+           |int $n = Math.min($xn, $yn);
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
+           |  $s += $d * $d;
+           |}
+           |for (int $i = $n; $i < $xn; $i++) { double $d = (double) $a.getFloat($i); $s += $d * $d; }
+           |for (int $i = $n; $i < $yn; $i++) { double $d = (double) $b.getFloat($i); $s += $d * $d; }
+           |${ev.value} = $s;
+           |""".stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** Cosine similarity in one pass (dot, ‖a‖², ‖b‖² accumulated together);
+    * 0.0 when either norm is zero. Final combine is
+    * dot / (sqrt(na)·sqrt(nb)) — same association as VectorOps.cosine and
+    * the DuckDB oracle formula.
+    */
+  case class CosineSimF32(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = checkFloatArrays(this)
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_cosine"
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val xi = x.getFloat(i).toDouble; val yi = y.getFloat(i).toDouble
+        dot += xi * yi; na += xi * xi; nb += yi * yi
+        i += 1
+      }
+      // tails only contribute to norms
+      i = n
+      while (i < x.numElements()) { val xi = x.getFloat(i).toDouble; na += xi * xi; i += 1 }
+      i = n
+      while (i < y.numElements()) { val yi = y.getFloat(i).toDouble; nb += yi * yi; i += 1 }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i"); val n = ctx.freshName("n")
+        val xn = ctx.freshName("xn"); val yn = ctx.freshName("yn")
+        val dot = ctx.freshName("dot"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+        val xi = ctx.freshName("xi"); val yi = ctx.freshName("yi")
+        s"""
+           |int $xn = $a.numElements(); int $yn = $b.numElements();
+           |int $n = Math.min($xn, $yn);
+           |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $xi = (double) $a.getFloat($i);
+           |  double $yi = (double) $b.getFloat($i);
+           |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+           |}
+           |for (int $i = $n; $i < $xn; $i++) { double $xi = (double) $a.getFloat($i); $na += $xi * $xi; }
+           |for (int $i = $n; $i < $yn; $i++) { double $yi = (double) $b.getFloat($i); $nb += $yi * $yi; }
+           |${ev.value} = ($na == 0.0 || $nb == 0.0) ? 0.0 : $dot / (Math.sqrt($na) * Math.sqrt($nb));
+           |""".stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** Asymmetric binary dot product (Q8): code words AND 4 bit-plane words,
+    * popcount, weighted by plane index. `Long.bitCount` JITs to POPCNT —
+    * the portable analog of the reference's AVX2 lookup popcount
+    * (`/root/reference/src/simd.rs:326-384`).
+    */
+  case class AsymDotF32(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = checkLongArrays(this)
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_asymdot"
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val code = a.asInstanceOf[ArrayData]; val planes = b.asInstanceOf[ArrayData]
+      val w = code.numElements()
+      var total = 0L
+      var j = 0
+      while (j < 4) {
+        var s = 0L
+        var i = 0
+        while (i < w) {
+          s += java.lang.Long.bitCount(code.getLong(i) & planes.getLong(j * w + i))
+          i += 1
+        }
+        total += s << j
+        j += 1
+      }
+      total
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i"); val j = ctx.freshName("j")
+        val w = ctx.freshName("w"); val s = ctx.freshName("s"); val t = ctx.freshName("t")
+        s"""
+           |int $w = $a.numElements();
+           |long $t = 0L;
+           |for (int $j = 0; $j < 4; $j++) {
+           |  long $s = 0L;
+           |  for (int $i = 0; $i < $w; $i++) {
+           |    $s += java.lang.Long.bitCount($a.getLong($i) & $b.getLong($j * $w + $i));
+           |  }
+           |  $t += $s << $j;
+           |}
+           |${ev.value} = $t;
+           |""".stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  // ---- Column API -------------------------------------------------------
+  def l2sq(a: Column, b: Column): Column =
+    ColumnShim.column(L2SqF32(ColumnShim.expression(a), ColumnShim.expression(b)))
+  def cosineSim(a: Column, b: Column): Column =
+    ColumnShim.column(CosineSimF32(ColumnShim.expression(a), ColumnShim.expression(b)))
+  def asymDot(code: Column, planes: Column): Column =
+    ColumnShim.column(AsymDotF32(ColumnShim.expression(code), ColumnShim.expression(planes)))
+
+  /** Register as SQL functions (graft_l2sq, graft_cosine, graft_asymdot). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_l2sq", es => L2SqF32(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_cosine", es => CosineSimF32(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_asymdot", es => AsymDotF32(es(0), es(1)), "built-in")
+  }
+}

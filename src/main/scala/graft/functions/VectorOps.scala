@@ -27,12 +27,12 @@ object VectorOps {
     }
   }
 
-  /** Exact squared L2 distance, f64 accumulation (Q13). */
+  /** Exact squared L2 distance, f64 arithmetic throughout (Q13). */
   def l2sq(a: Array[Float], b: Array[Float]): Double = {
     var s = 0.0
     var i = 0
     val n = math.min(a.length, b.length)
-    while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
+    while (i < n) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
     // unmatched tail (padding vs unpadded): treat missing entries as 0
     var j = n
     val la = a.length; val lb = b.length

@@ -66,7 +66,10 @@ object Dedup {
     * Jaccard DISTANCE (1 − similarity). Output: (doc_a, doc_b, dist).
     */
   def minhashPairs(spark: SparkSession, docs: DataFrame, n: Int,
-                   jaccardDistThreshold: Double, numHashes: Int = 32): DataFrame = {
+                   jaccardDistThreshold: Double, numHashes: Int = 16): DataFrame = {
+    // 16 OR-amplified tables: P(candidate) = 1-(1-s)^16 > 0.9999 at s=0.5,
+    // so recall vs the exact jaccard join stays ~1 while halving the
+    // signature cost vs 32 tables
     val sh = shingles(docs, n)
       .groupBy("doc_id").agg(collect_list(col("shingle")).as("sh"))
     val tf = new HashingTF().setInputCol("sh").setOutputCol("features")
@@ -136,12 +139,12 @@ object Dedup {
     * Output: (id_a, id_b, cos_sim).
     */
   def embeddingNearDup(emb: DataFrame, threshold: Double): DataFrame = {
-    val cosU = udf((a: Seq[Float], b: Seq[Float]) => VectorOps.cosine(a.toArray, b.toArray))
     val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
     val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), cosU(col("ea"), col("eb")).as("cos_sim"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.VectorExpressions.cosineSim(col("ea"), col("eb")).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 }

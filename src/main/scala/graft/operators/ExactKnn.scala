@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.VectorOps
+import graft.functions.{VectorExpressions => VE}
 
 /** Brute-force k-nearest-neighbor over an embedding column — the exact
   * ground-truth path (SURVEY.md §7 M1; reference analog: recall truth from
@@ -16,11 +16,15 @@ import graft.functions.VectorOps
 object ExactKnn {
 
   // sqrt form (not squared): matches DuckDB's list_distance bit-for-bit so
-  // oracle rank comparisons can't diverge on near-ties
-  private val l2 = udf((a: Seq[Float], b: Seq[Float]) => math.sqrt(VectorOps.l2sq(a.toArray, b.toArray)))
-  private val cos = udf((a: Seq[Float], b: Seq[Float]) => VectorOps.cosine(a.toArray, b.toArray))
+  // oracle rank comparisons can't diverge on near-ties. Distance is a
+  // native codegen Expression, not a UDF — the scan stays in one
+  // whole-stage-generated loop.
+  private def l2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    sqrt(VE.l2sq(a, b))
+  private def cos(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    VE.cosineSim(a, b)
 
-  /** Top-k by squared L2. Output: (query_id, neighbor_id, dist, rank). */
+  /** Top-k by L2. Output: (query_id, neighbor_id, dist, rank). */
   def l2TopK(base: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val scored = base
       .crossJoin(broadcast(queries))

@@ -60,28 +60,106 @@ object RabitqIndex {
     Array.fill(dim)(rnd.nextFloat())
   }
 
-  /** Train k-means (MLlib k-means‖, B5), rotate vectors, compute codes and
-    * factors (B6–B11). Returns the model plus the index DataFrame.
-    */
+  /** Train k-means (MLlib k-means‖, B5) then encode. */
   def build(spark: SparkSession, base: DataFrame, numClusters: Int, seed: Long): (RabitqModel, DataFrame) = {
-    val dim = base.select(size(col("embedding"))).head().getInt(0)
-    val padDim = ((dim + 63) / 64) * 64
-    val params = RabitqParams(dim, padDim, numClusters, seed)
-
     val withVec = base.select(col("vec_id"), col("embedding"))
       .withColumn("features", array_to_vector(col("embedding")))
-
     val km = new KMeans()
-      .setK(numClusters).setSeed(seed).setMaxIter(25)
+      .setK(numClusters).setSeed(seed).setMaxIter(15)
       .setFeaturesCol("features").setPredictionCol("cluster_id")
     val kmModel = km.fit(withVec)
+    buildWithCentroids(spark, base, kmModel.clusterCenters.map(_.toArray.map(_.toFloat)), seed)
+  }
+
+  /** Two-level k-means (analog of the reference's hierarchical training,
+    * `/root/reference/scripts/cluster.py:79-108`): MLlib k-means for the
+    * k1 top clusters, then a deterministic in-partition Lloyd refinement
+    * splitting each top cluster into k2 — the per-group step runs
+    * DISTRIBUTED via flatMapGroups (one task per top cluster), which is
+    * the shape that scales: top-level global pass, second level
+    * embarrassingly parallel.
+    */
+  def buildHierarchical(spark: SparkSession, base: DataFrame,
+                        k1: Int, k2: Int, seed: Long): (RabitqModel, DataFrame) = {
+    import spark.implicits._
+    val withVec = base.select(col("vec_id"), col("embedding"))
+      .withColumn("features", array_to_vector(col("embedding")))
+    val km = new KMeans()
+      .setK(k1).setSeed(seed).setMaxIter(15)
+      .setFeaturesCol("features").setPredictionCol("top_cluster")
+    val top = km.fit(withVec).transform(withVec).drop("features")
+
+    val subCentroids: Array[Array[Float]] = top
+      .select(col("top_cluster"), col("vec_id"), col("embedding"))
+      .as[(Int, Long, Seq[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (g, it) =>
+        val pts = it.toArray.sortBy(_._2).map(_._3.toArray)
+        localLloyd(pts, math.min(k2, pts.length), iters = 10).map(c => (g, c.toSeq))
+      }
+      .collect().sortBy(_._1).map(_._2.toArray)
+
+    buildWithCentroids(spark, base, subCentroids, seed)
+  }
+
+  /** Deterministic local Lloyd iterations: init = evenly spaced points of
+    * the (id-sorted) group, empty clusters keep their previous center.
+    */
+  private[operators] def localLloyd(pts: Array[Array[Float]], k: Int, iters: Int): Array[Array[Float]] = {
+    if (pts.isEmpty) return Array.empty
+    val dim = pts(0).length
+    var centers = Array.tabulate(k)(i => pts((i.toLong * pts.length / k).toInt).clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      pts.foreach { p =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          val d = VectorOps.l2sq(p, centers(c))
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += p(i); i += 1 }
+      }
+      centers = Array.tabulate(k) { c =>
+        if (counts(c) == 0) centers(c)
+        else Array.tabulate(dim)(i => (sums(c)(i) / counts(c)).toFloat)
+      }
+    }
+    centers
+  }
+
+  /** Encode against precomputed raw-space centroids: rotate, assign by
+    * broadcast argmin (B4 — a broadcast nearest-neighbor join), residual →
+    * code + factors (B1, B3, B6–B11) in one narrow pass.
+    */
+  def buildWithCentroids(spark: SparkSession, base: DataFrame,
+                         rawCentroids: Array[Array[Float]], seed: Long): (RabitqModel, DataFrame) = {
+    val dim = base.select(size(col("embedding"))).head().getInt(0)
+    val padDim = ((dim + 63) / 64) * 64
+    val params = RabitqParams(dim, padDim, rawCentroids.length, seed)
 
     val rotation = randomOrthogonal(padDim, seed)
-    val rawCentroids = kmModel.clusterCenters.map(_.toArray.map(_.toFloat))
     val rotCentroids = rawCentroids.map(c => VectorOps.rotate(rotation, VectorOps.pad(c, 64)))
     val model = RabitqModel(params, rotation, rotCentroids, ditherBias(padDim, seed))
 
-    val assigned = kmModel.transform(withVec).drop("features")
+    val bRaw = spark.sparkContext.broadcast(rawCentroids)
+    val assignUdf = udf { (emb: Seq[Float]) =>
+      val v = emb.toArray
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < bRaw.value.length) {
+        val d = VectorOps.l2sq(v, bRaw.value(c))
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      best
+    }
+    val assigned = base.select(col("vec_id"), col("embedding"))
+      .withColumn("cluster_id", assignUdf(col("embedding")))
 
     val bRot = spark.sparkContext.broadcast(rotation)
     val bCent = spark.sparkContext.broadcast(rotCentroids)

@@ -11,95 +11,118 @@ import graft.functions.VectorOps
   *
   * Scale shape:
   *  - query-side state (rotated residual quantization per probed cluster)
-  *    is tiny → computed in a narrow projection and BROADCAST to the join
-  *    with the index, so the big index table never shuffles;
-  *  - rough estimation is a narrow select over only the probed clusters
-  *    (partition-pruned when the index is read from its partitionBy layout);
+  *    is tiny → computed once and BROADCAST to the join with the index,
+  *    so the big index table never shuffles;
+  *  - rough estimation is a native-codegen column expression over only
+  *    the probed clusters (statically partition-pruned on the disk path);
   *  - candidate selection and the final top-k use the bounded map-side
   *    top-k aggregator (TopKAgg), replacing the reference's serial
   *    threshold heap (`/root/reference/src/rerank.rs:62-114`) with a
   *    parallel local-then-global top-k at identical results.
+  *
+  * Observability (reference metrics analog, `/root/reference/src/metrics.rs`):
+  * the plan carries `observe` aggregates named `rabitq_rough` /
+  * `rabitq_precise` counting estimated vs exactly-scored candidates;
+  * attach a QueryExecutionListener to collect them per action.
   */
 object RabitqQuery {
 
-  /** Per-(query, probed-cluster) state: cluster, centroid distance, and the
-    * 4-bit-quantized residual with its bit planes (Q3–Q7).
-    */
+  /** Per-(query, probed-cluster) state (Q3–Q7). */
   private case class Probe(
-      cluster_id: Int, g2: Float, lb: Float, delta: Float, sum_q: Int,
-      planes: Array[Long])
+      query_id: Long, cluster_id: Int, g2: Float, lb: Float, delta: Float,
+      sum_q: Int, planes: Array[Long])
 
-  /** Approximate top-k.
+  /** Pure probe computation for one query vector against the model. */
+  private def computeProbes(model: RabitqModel, queryId: Long, qvec: Array[Float],
+                            nprobe: Int): Seq[Probe] = {
+    val y = VectorOps.rotate(model.rotation, VectorOps.pad(qvec, 64))
+    val dists = model.centroids.zipWithIndex.map { case (c, i) =>
+      (VectorOps.l2sq(y, c), i)
+    }.sortBy(identity).take(nprobe)
+    dists.toSeq.map { case (g2, cid) =>
+      val res = VectorOps.subtract(y, model.centroids(cid))
+      var lb = Float.MaxValue; var ub = Float.MinValue
+      var i = 0
+      while (i < res.length) {
+        if (res(i) < lb) lb = res(i)
+        if (res(i) > ub) ub = res(i)
+        i += 1
+      }
+      val (codes, sumQ) = VectorOps.quantizeQuery(res, lb, ub, model.bias)
+      val delta = if (ub > lb) (ub - lb) / VectorOps.QuantLevels.toFloat else 0f
+      Probe(queryId, cid, g2.toFloat, lb, delta, sumQ, VectorOps.bitPlanes(codes))
+    }
+  }
+
+  /** Q8–Q14 given the probe table: rough estimate (codegen expression +
+    * column arithmetic — no UDF on the candidate scan), shortlist by
+    * bounded top-k, exact rerank against base, final top-k.
+    */
+  private def fromProbes(index: DataFrame, base: DataFrame, queries: DataFrame,
+                         probes: DataFrame, topk: Int, rerank: Int): DataFrame = {
+    val ad = graft.functions.VectorExpressions.asymDot(col("code"), col("planes"))
+    val rough =
+      col("cds").cast("double") + col("g2") +
+        col("lb").cast("double") * col("factor_ppc") +
+        (lit(2.0) * ad - col("sum_q")) * col("factor_ip") * col("delta") -
+        col("error_bound").cast("double") * sqrt(col("g2").cast("double"))
+
+    val candidates = index
+      .join(broadcast(probes), Seq("cluster_id"))
+      .select(col("query_id"), col("vec_id"), rough.as("rough"))
+      .observe("rabitq_rough", count(lit(1)).as("n_rough"))
+
+    val shortlist = TopK.perGroup(candidates, "query_id", "vec_id", "rough", rerank,
+      outId = "vec_id", outScore = "rough")
+      .select("query_id", "vec_id")
+
+    val exact = base.join(broadcast(shortlist), Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        sqrt(graft.functions.VectorExpressions.l2sq(col("qvec"), col("embedding"))).as("dist"))
+      .observe("rabitq_precise", count(lit(1)).as("n_precise"))
+
+    TopK.perGroup(exact, "query_id", "vec_id", "dist", topk,
+      outId = "neighbor_id", outScore = "dist")
+  }
+
+  /** Approximate top-k over an in-memory index DataFrame. Probes are
+    * computed executor-side (one UDF over the small query set).
     *
-    * @param rerank number of rough-distance candidates per query to score
-    *               exactly (≥ topk; larger ⇒ higher recall, more exact
-    *               distances). With nprobe = numClusters and rerank ≥ n the
+    * @param rerank rough-distance candidates per query to score exactly
+    *               (≥ topk). With nprobe = numClusters and rerank ≥ n the
     *               result is EXACTLY the brute-force answer.
     * Output: (query_id, neighbor_id, dist, rank).
     */
   def topK(spark: SparkSession, model: RabitqModel, index: DataFrame, base: DataFrame,
            queries: DataFrame, nprobe: Int, topk: Int, rerank: Int): DataFrame = {
-    import spark.implicits._
     val bModel = spark.sparkContext.broadcast(model)
-
-    // Q1–Q7: pad+rotate the query, rank centroids, quantize the residual
-    // per probed cluster. All per-query, executor-side, no shuffle.
-    val probeUdf = udf { (qvec: Seq[Float]) =>
-      val m = bModel.value
-      val y = VectorOps.rotate(m.rotation, VectorOps.pad(qvec.toArray, 64))
-      val dists = m.centroids.zipWithIndex.map { case (c, i) =>
-        (VectorOps.l2sq(y, c), i)
-      }.sortBy(identity).take(nprobe)
-      dists.map { case (g2, cid) =>
-        val res = VectorOps.subtract(y, m.centroids(cid))
-        var lb = Float.MaxValue; var ub = Float.MinValue
-        var i = 0
-        while (i < res.length) {
-          if (res(i) < lb) lb = res(i)
-          if (res(i) > ub) ub = res(i)
-          i += 1
-        }
-        val (codes, sumQ) = VectorOps.quantizeQuery(res, lb, ub, m.bias)
-        val delta = if (ub > lb) (ub - lb) / VectorOps.QuantLevels.toFloat else 0f
-        Probe(cid, g2.toFloat, lb, delta, sumQ, VectorOps.bitPlanes(codes))
-      }.toSeq
+    val probeUdf = udf { (qid: Long, qvec: Seq[Float]) =>
+      computeProbes(bModel.value, qid, qvec.toArray, nprobe)
     }
-
     val probes = queries
-      .select(col("query_id"), explode(probeUdf(col("qvec"))).as("p"))
-      .select(col("query_id"), col("p.*"))
+      .select(explode(probeUdf(col("query_id"), col("qvec"))).as("p"))
+      .select(col("p.*"))
+    fromProbes(index, base, queries, probes, topk, rerank)
+  }
 
-    // Q8–Q9: rough lower-bound estimate for every candidate in a probed
-    // cluster. Index side stays put; probe side is broadcast.
-    val roughUdf = udf {
-      (code: Seq[Long], planes: Seq[Long], cds: Float, g2: Float, lb: Float,
-       delta: Float, sumQ: Int, fip: Float, fppc: Float, err: Float) =>
-        val ad = VectorOps.asymDot(code.toArray, planes.toArray)
-        VectorOps.roughDistance(cds, g2, lb, delta, sumQ, fip, fppc, err, ad)
-    }
-
-    val candidates = index
-      .join(broadcast(probes), Seq("cluster_id"))
-      .select(
-        col("query_id"), col("vec_id"),
-        roughUdf(col("code"), col("planes"), col("cds"), col("g2"), col("lb"),
-                 col("delta"), col("sum_q"), col("factor_ip"),
-                 col("factor_ppc"), col("error_bound")).as("rough"))
-
-    // Q10/Q14: keep the `rerank` best rough candidates per query (map-side
-    // bounded top-k), exact-distance them against the base table, final
-    // top-k.
-    val shortlist = TopK.perGroup(candidates, "query_id", "vec_id", "rough", rerank,
-      outId = "vec_id", outScore = "rough")
-      .select("query_id", "vec_id")
-
-    val l2 = udf((a: Seq[Float], b: Seq[Float]) => math.sqrt(VectorOps.l2sq(a.toArray, b.toArray)))
-    val exact = base.join(broadcast(shortlist), Seq("vec_id"))
-      .join(broadcast(queries), Seq("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        l2(col("qvec"), col("embedding")).as("dist"))
-
-    TopK.perGroup(exact, "query_id", "vec_id", "dist", topk,
-      outId = "neighbor_id", outScore = "dist")
+  /** Approximate top-k against a SAVED index directory. The probe set is
+    * computed driver-side from the (small, by contract) query batch, so
+    * the probed cluster ids are known at plan time and the index scan is
+    * STATICALLY partition-pruned — only nprobe × |queries| cluster
+    * directories are read, the Spark analog of the reference's CSR offset
+    * slices (`/root/reference/src/rabitq.rs:318-326`).
+    */
+  def topKFromDisk(spark: SparkSession, dir: String, base: DataFrame,
+                   queries: DataFrame, nprobe: Int, topk: Int, rerank: Int): DataFrame = {
+    import spark.implicits._
+    val (model, index) = RabitqIndex.load(spark, dir)
+    val qRows = queries.select(col("query_id"), col("qvec")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val probes = qRows.flatMap { case (qid, v) => computeProbes(model, qid, v, nprobe) }.toSeq
+    val probed = probes.map(_.cluster_id).distinct.sorted
+    val probesDf = spark.createDataFrame(probes)
+    val pruned = index.filter(col("cluster_id").isin(probed: _*))
+    fromProbes(pruned, base, queries, probesDf, topk, rerank)
   }
 }

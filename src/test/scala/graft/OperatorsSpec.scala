@@ -103,6 +103,79 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("PartitionFilters") && plan.contains("cluster_id"), plan)
   }
 
+  test("disk index query path: equals in-memory results, scan is partition-pruned, metrics observed") {
+    val (model, index) = RabitqIndex.build(spark, emb, numClusters = 8, seed = 1L)
+    val dir = java.nio.file.Files.createTempDirectory("rabitq_disk").toString
+    RabitqIndex.save(spark, model, index, dir)
+    val q = ExactKnn.queriesFromEmbeddings(emb, 5)
+
+    val disk = RabitqQuery.topKFromDisk(spark, dir, emb, q, nprobe = 4, topk = 5, rerank = 50)
+    val plan = disk.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cluster_id"), plan.take(3000))
+
+    @volatile var rough = -1L; @volatile var precise = -1L
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit = {
+        qe.observedMetrics.get("rabitq_rough").foreach(r => rough = r.getAs[Long]("n_rough"))
+        qe.observedMetrics.get("rabitq_precise").foreach(r => precise = r.getAs[Long]("n_precise"))
+      }
+      override def onFailure(funcName: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val got = disk.select("query_id", "neighbor_id", "rank")
+        .collect().map(_.toSeq).toSet
+      val mem = RabitqQuery.topK(spark, model, index, emb, q, nprobe = 4, topk = 5, rerank = 50)
+        .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+      assert(got == mem)
+      // listener delivery is async
+      val deadline = System.currentTimeMillis() + 20000
+      while ((rough < 0 || precise < 0) && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(rough > 0, s"rough metric not observed: $rough")
+      assert(precise > 0 && precise <= 5 * 50, s"precise metric off: $precise")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  // ---------------- hierarchical kmeans ----------------------------------
+  test("hierarchical 2-level kmeans build: sub-clusters present, full probe still exact") {
+    val (model, index) = RabitqIndex.buildHierarchical(spark, emb, k1 = 4, k2 = 4, seed = 7L)
+    // k1·k2 is an upper bound (tiny top clusters yield fewer sub-centers)
+    val k = model.centroids.length
+    assert(k > 4 && k <= 16, s"unexpected centroid count $k")
+    assert(model.params.numClusters == k)
+    val q = ExactKnn.queriesFromEmbeddings(emb, 10)
+    val truth = ExactKnn.l2TopK(emb, q, 10)
+    val full = RabitqQuery.topK(spark, model, index, emb, q, nprobe = k, topk = 10, rerank = 4096)
+    assert(ExactKnn.recall(full, truth, 10).head().getDouble(0) == 1.0)
+  }
+
+  // ---------------- fvecs codec ------------------------------------------
+  test("fvecs/ivecs/u64vecs roundtrip") {
+    import graft.sources.Fvecs
+    val tmp = java.nio.file.Files.createTempDirectory("vecs").toString
+    val embDf = emb.select(col("vec_id"), col("embedding").as("vec")).limit(100)
+    Fvecs.writeFvecs(embDf, s"$tmp/base.fvecs")
+    val back = Fvecs.readFvecs(spark, s"$tmp/base.fvecs")
+    val orig = embDf.collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toMap
+    val got = back.collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toMap
+    assert(got == orig)
+
+    import spark.implicits._
+    val ints = Seq((0L, Seq(1, 2, 3)), (1L, Seq(7, -4, 0))).toDF("vec_id", "vec")
+    Fvecs.writeIvecs(ints, s"$tmp/gt.ivecs")
+    assert(Fvecs.readIvecs(spark, s"$tmp/gt.ivecs").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1))).toMap ==
+      Map(0L -> Seq(1, 2, 3), 1L -> Seq(7, -4, 0)))
+
+    val longs = Seq((0L, Seq(Long.MaxValue, -1L, 42L))).toDF("vec_id", "vec")
+    Fvecs.writeU64vecs(longs, s"$tmp/codes.u64vecs")
+    assert(Fvecs.readU64vecs(spark, s"$tmp/codes.u64vecs").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).toMap ==
+      Map(0L -> Seq(Long.MaxValue, -1L, 42L)))
+  }
+
   // ---------------- dedup ----------------------------------------------
   test("exact dedup keeps min doc_id per text") {
     import spark.implicits._
@@ -176,6 +249,53 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val batch = Sessionize.windowedCounts(events, 60)
       .select("win_start", "event_type", "n")
     assert(stream.collect().map(_.toSeq).toSet == batch.collect().map(_.toSeq).toSet)
+  }
+
+  // ---------------- codegen expressions ---------------------------------
+  test("codegen vector expressions match the Scala kernels and stay in WholeStageCodegen") {
+    import spark.implicits._
+    import graft.functions.{VectorOps, VectorExpressions => VE}
+    val rnd = new java.util.Random(9)
+    val vecs = (0 until 50).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() * 2f - 1f).toSeq,
+        Array.fill(64)(rnd.nextFloat() * 2f - 1f).toSeq)
+    }
+    val df = vecs.toDF("id", "a", "b")
+    val got = df.select(col("id"), VE.l2sq(col("a"), col("b")).as("l2"),
+      VE.cosineSim(col("a"), col("b")).as("cs")).collect()
+      .map(r => (r.getLong(0), (r.getDouble(1), r.getDouble(2)))).toMap
+    vecs.foreach { case (id, a, b) =>
+      assert(got(id)._1 == VectorOps.l2sq(a.toArray, b.toArray))
+      assert(got(id)._2 == VectorOps.cosine(a.toArray, b.toArray))
+    }
+    // plan check on a file-backed scan (a LocalTableScan is evaluated
+    // eagerly without codegen, so it can't witness the span)
+    val plan = emb.select(VE.l2sq(col("embedding"), col("embedding")))
+      .queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark WholeStageCodegen spans in the compact plan form
+    assert(plan.contains("*(1) Project [graft_l2sq"), plan)
+
+    // asymdot expression vs kernel
+    val codes = (0 until 50).map { i =>
+      val code = Array.fill(2)(rnd.nextLong())
+      val planes = Array.fill(8)(rnd.nextLong())
+      (i.toLong, code.toSeq, planes.toSeq)
+    }
+    val dfc = codes.toDF("id", "code", "planes")
+    val gotc = dfc.select(col("id"), VE.asymDot(col("code"), col("planes")).as("ad"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    codes.foreach { case (id, c, p) =>
+      assert(gotc(id) == VectorOps.asymDot(c.toArray, p.toArray))
+    }
+
+    // SQL registration
+    VE.register(spark)
+    df.createOrReplaceTempView("ve_test")
+    val viaSql = spark.sql("SELECT id, graft_l2sq(a, b) AS l2 FROM ve_test")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    vecs.foreach { case (id, a, b) =>
+      assert(viaSql(id) == VectorOps.l2sq(a.toArray, b.toArray))
+    }
   }
 
   // ---------------- plan shape ------------------------------------------
