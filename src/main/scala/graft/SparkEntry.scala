@@ -45,6 +45,15 @@ object SparkEntry {
       (model, index.persist())
     })
 
+  // cosine-metric index: built over unit-normalized vectors (L2 on the
+  // normalized space ranks identically to cosine on the raw space)
+  private def cosIndex(s: SparkSession, dir: String): (RabitqModel, DataFrame) =
+    idxCache.getOrElseUpdate("cos:" + dir, {
+      val base = ExactKnn.normalized(T(s, dir, "embeddings"), "embedding")
+      val (model, index) = RabitqIndex.build(s, base, NumClusters, Seed)
+      (model, index.persist())
+    })
+
   private def annQueries(s: SparkSession, dir: String, n: Int = 10): DataFrame =
     ExactKnn.queriesFromEmbeddings(T(s, dir, "embeddings"), n)
 
@@ -186,6 +195,19 @@ object SparkEntry {
       val (model, index) = annIndex(s, dir)
       RabitqQuery.topK(s, model, index, T(s, dir, "embeddings"), annQueries(s, dir),
         nprobe = 8, topk = 10, rerank = 100)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    "q32_ann_cosine" -> ((s, dir) => {
+      // cosine ANN via the L2 index on normalized vectors; full probe +
+      // full rerank ⇒ ranks must equal exact cosine top-k (q13's oracle)
+      val (model, index) = cosIndex(s, dir)
+      val baseN = ExactKnn.normalized(T(s, dir, "embeddings"), "embedding")
+      val qN = ExactKnn.normalized(
+        annQueries(s, dir).withColumnRenamed("qvec", "embedding"), "embedding")
+        .withColumnRenamed("embedding", "qvec")
+      RabitqQuery.topK(s, model, index, baseN, qN,
+        nprobe = NumClusters, topk = 10, rerank = 4096)
         .select(col("query_id"), col("neighbor_id"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -385,6 +407,15 @@ object SparkEntry {
           |  CAST(quarter(o_orderdate) AS INT) AS q,
           |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS INT) AS days_to_98
           |FROM orders ORDER BY o_orderkey""".stripMargin,
+      "q32_ann_cosine" ->
+        """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 10),
+          |b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS be FROM embeddings),
+          |d AS (SELECT q.query_id, b.vec_id AS neighbor_id,
+          |        row_number() OVER (PARTITION BY q.query_id
+          |          ORDER BY list_dot_product(q.qe, b.be) / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(b.be, b.be))) DESC,
+          |          b.vec_id) AS rank
+          |      FROM q CROSS JOIN b)
+          |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM d WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
       "q13_knn_cosine" ->
         """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 10),
           |b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS be FROM embeddings),

@@ -138,6 +138,49 @@ object Dedup {
     * `buckets` > 1; buckets = 1 ⇒ exact all-pairs (oracle-able).
     * Output: (id_a, id_b, cos_sim).
     */
+  /** Scale path for embedding near-dup: random-hyperplane LSH. 64 seeded
+    * Gaussian directions → sign-bit signature; candidates share one of 8
+    * 8-bit sub-bands (P(bit match) = 1 − θ/π, so a cos≥0.95 pair is
+    * recovered w.p. ≈ 99% while the candidate set stays ~linear); exact
+    * cosine then confirms ≥ threshold. No O(n²) scan — this is the variant
+    * that survives 10⁹ vectors, with `embeddingNearDup` as its oracle-able
+    * exact counterpart.
+    */
+  def embeddingNearDupLSH(spark: SparkSession, emb: DataFrame, threshold: Double,
+                          seed: Long = 42L): DataFrame = {
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val rnd = new java.util.Random(seed)
+    val planes = Array.fill(64, dim)(rnd.nextGaussian().toFloat)
+    val bPlanes = spark.sparkContext.broadcast(planes)
+    val sigUdf = udf { (v: Seq[Float]) =>
+      val x = v.toArray
+      var sig = 0L
+      var j = 0
+      while (j < 64) {
+        if (VectorOps.dot(x, bPlanes.value(j)) > 0) sig |= (1L << j)
+        j += 1
+      }
+      sig
+    }
+    val sig = emb.select(col("vec_id"), col("embedding"), sigUdf(col("embedding")).as("sig"))
+    val banded = sig.select(col("vec_id"), col("embedding"),
+      explode(array((0 until 8).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sig"), 8 * b).bitwiseAND(lit(0xffL)).as("bits"))
+      }: _*)).as("bb"))
+      .select(col("vec_id"), col("embedding"), col("bb.band"), col("bb.bits"))
+    val a = banded.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
+      col("band"), col("bits"))
+    val b = banded.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
+      col("band"), col("bits"))
+    a.join(b, Seq("band", "bits"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.VectorExpressions.cosineSim(col("ea"), col("eb")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .distinct()
+  }
+
   def embeddingNearDup(emb: DataFrame, threshold: Double): DataFrame = {
     val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
     val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"))

@@ -52,6 +52,21 @@ object ExactKnn {
       .drop("negsim")
   }
 
+  /** Unit-normalize an embedding column (zeros preserved). Cosine top-k
+    * over raw vectors == L2 top-k over normalized vectors
+    * (d² = 2 − 2·cos), which is how the L2-based RaBitQ index serves the
+    * cosine metric the reference leaves unimplemented
+    * (`/root/reference/README.md:17` unchecked "cosine distance").
+    */
+  def normalized(df: DataFrame, vecCol: String): DataFrame = {
+    val normUdf = udf { (v: Seq[Float]) =>
+      val x = v.toArray
+      val n = graft.functions.VectorOps.norm(x)
+      if (n == 0.0) x.toSeq else x.map(e => (e / n).toFloat).toSeq
+    }
+    df.withColumn(vecCol, normUdf(col(vecCol)))
+  }
+
   /** First `n` embeddings (by vec_id) as a query set (query_id, qvec). */
   def queriesFromEmbeddings(emb: DataFrame, n: Int): DataFrame =
     emb.filter(col("vec_id") < n)

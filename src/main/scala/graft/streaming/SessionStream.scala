@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Stateful streaming sessionization via flatMapGroupsWithState — the
+  * custom-state surface (SURVEY.md §2.5 streaming row; the reference has
+  * no mutation/ingest at all, README.md:18).
+  *
+  * State per user = (current session seq, last event µs, aggregates of the
+  * open session). An event that arrives > gap after the last one closes
+  * the open session (emitted downstream) and opens a new one. Event-time
+  * timeout closes sessions when the watermark passes last_ts + gap, so
+  * state is bounded — the property that matters at 100 TB/day ingest.
+  */
+object SessionStream {
+
+  // `ts` (the watermarked event-time column) must survive into the typed
+  // Dataset — EventTimeTimeout requires it downstream of the projection
+  case class EventIn(event_id: Long, ts: java.time.Instant, user_id: Long, value: Double) {
+    def tsUs: Long = ts.getEpochSecond * 1000000L + ts.getNano / 1000L
+  }
+  case class SessionState(seq: Long, lastUs: Long, startUs: Long, nEvents: Long, total: Double)
+  case class SessionOut(user_id: Long, session_seq: Long, n_events: Long,
+                        span_us: Long, total_value: Double)
+
+  def sessionizeStream(spark: SparkSession, path: String, gapMinutes: Int): Dataset[SessionOut] = {
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+
+    val f = new java.io.File(path)
+    val (dir, glob) = if (f.isFile) (f.getParent, f.getName) else (path, "*")
+
+    val events = spark.readStream
+      .schema(EventsStream.eventsSchema)
+      .option("pathGlobFilter", glob)
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withWatermark("ts", "2 hours")
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      .as[EventIn]
+
+    def update(userId: Long, events: Iterator[EventIn],
+               state: GroupState[SessionState]): Iterator[SessionOut] = {
+      var closed = List.empty[SessionOut]
+      if (state.hasTimedOut) {
+        state.getOption.foreach { s =>
+          closed ::= SessionOut(userId, s.seq, s.nEvents, s.lastUs - s.startUs, s.total)
+        }
+        state.remove()
+        closed.iterator
+      } else {
+        var cur = state.getOption.orNull
+        events.toSeq.sortBy(e => (e.tsUs, e.event_id)).foreach { e =>
+          cur match {
+            case null =>
+              cur = SessionState(1L, e.tsUs, e.tsUs, 1L, e.value)
+            case s if e.tsUs - s.lastUs > gapUs =>
+              closed ::= SessionOut(userId, s.seq, s.nEvents, s.lastUs - s.startUs, s.total)
+              cur = SessionState(s.seq + 1, e.tsUs, e.tsUs, 1L, e.value)
+            case s =>
+              cur = s.copy(lastUs = e.tsUs, nEvents = s.nEvents + 1, total = s.total + e.value)
+          }
+        }
+        if (cur != null) {
+          state.update(cur)
+          state.setTimeoutTimestamp(cur.lastUs / 1000L + gapUs / 1000L)
+        }
+        closed.reverseIterator
+      }
+    }
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /** Drive once over the static dir; returns the CLOSED sessions (sessions
+    * still open at end-of-data remain in state — compare against the batch
+    * sessionizer with the last session per user excluded).
+    */
+  def runOnce(spark: SparkSession, path: String, gapMinutes: Int, queryName: String): DataFrame = {
+    val q = sessionizeStream(spark, path, gapMinutes)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+}

@@ -240,7 +240,63 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L))
   }
 
+  test("hyperplane-LSH near-dup finds high-cosine pairs without O(n²) scan") {
+    import spark.implicits._
+    val rnd = new java.util.Random(5)
+    val baseVec = Array.fill(64)(rnd.nextFloat() * 2f - 1f)
+    val nearDup = baseVec.map(x => x + (rnd.nextFloat() - 0.5f) * 0.01f) // cos ≈ 0.9999
+    val others = (2L until 100L).map(i => (i, Array.fill(64)(rnd.nextFloat() * 2f - 1f).toSeq))
+    val df = (Seq((0L, baseVec.toSeq), (1L, nearDup.toSeq)) ++ others)
+      .toDF("vec_id", "embedding")
+    val got = Dedup.embeddingNearDupLSH(spark, df, threshold = 0.95)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((0L, 1L)), s"LSH missed the planted near-dup: $got")
+    // exact counterpart agrees
+    val exact = Dedup.embeddingNearDup(df, 0.95)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(exact), "LSH produced a pair exact cosine rejects")
+  }
+
+  test("cosine ANN (L2 index on normalized vectors) equals exact cosine ranks") {
+    val embN = ExactKnn.normalized(emb, "embedding")
+    val (model, index) = RabitqIndex.build(spark, embN, numClusters = 8, seed = 3L)
+    val qN = ExactKnn.normalized(
+      ExactKnn.queriesFromEmbeddings(emb, 10).withColumnRenamed("qvec", "embedding"), "embedding")
+      .withColumnRenamed("embedding", "qvec")
+    val viaIndex = RabitqQuery.topK(spark, model, index, embN, qN, 8, 10, 4096)
+      .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+    val exact = ExactKnn.cosineTopK(emb, ExactKnn.queriesFromEmbeddings(emb, 10), 10)
+      .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+    assert(viaIndex == exact)
+  }
+
   // ---------------- streaming ------------------------------------------
+  test("stateful streaming sessionization matches batch on closed sessions") {
+    import graft.streaming.SessionStream
+    val stream = SessionStream.runOnce(spark, s"$sf/events.parquet", 30, "test_sessions")
+      .select("user_id", "session_seq", "n_events", "span_us")
+    val events = SparkEntryTestAccess.table(spark, sf, "events")
+    val batch = Sessionize.sessionStats(events, 30)
+      .select("user_id", "session_seq", "n_events", "span_us")
+    // sessions still open at end-of-data stay in state: compare on the
+    // closed set = batch sessions minus each user's LAST session
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+    val closedBatch = batch
+      .withColumn("max_seq", max(col("session_seq")).over(w))
+      .filter(col("session_seq") < col("max_seq")).drop("max_seq")
+    val gotSet = stream.collect().map(_.toSeq).toSet
+    val mustClose = closedBatch.collect().map(_.toSeq).toSet
+    val allBatch = batch.collect().map(_.toSeq).toSet
+    // a user's LAST session may also close via event-time timeout (its end
+    // fell behind the final watermark), so the exact contract is:
+    //   definitely-closed ⊆ streamed ⊆ all sessions
+    assert(mustClose.subsetOf(gotSet),
+      s"stream missed closed sessions: ${(mustClose -- gotSet).take(3)}")
+    assert(gotSet.subsetOf(allBatch),
+      s"stream emitted sessions batch doesn't have: ${(gotSet -- allBatch).take(3)}")
+  }
+
   test("streaming windowed counts equals batch equivalent") {
     val stream = graft.streaming.EventsStream
       .runOnce(spark, s"$sf/events.parquet", 60, "test_events_win")
