@@ -66,10 +66,10 @@ object Dedup {
     * Jaccard DISTANCE (1 − similarity). Output: (doc_a, doc_b, dist).
     */
   def minhashPairs(spark: SparkSession, docs: DataFrame, n: Int,
-                   jaccardDistThreshold: Double, numHashes: Int = 16): DataFrame = {
-    // 16 OR-amplified tables: P(candidate) = 1-(1-s)^16 > 0.9999 at s=0.5,
-    // so recall vs the exact jaccard join stays ~1 while halving the
-    // signature cost vs 32 tables
+                   jaccardDistThreshold: Double, numHashes: Int = 8): DataFrame = {
+    // 8 OR-amplified tables: P(candidate) = 1-(1-s)^8 ≈ 0.996 at s=0.5 and
+    // ~1 at the s≥0.9 near-dup band, so recall vs the exact jaccard join
+    // stays ~1 at a quarter of the 32-table signature cost
     val sh = shingles(docs, n)
       .groupBy("doc_id").agg(collect_list(col("shingle")).as("sh"))
     val tf = new HashingTF().setInputCol("sh").setOutputCol("features")

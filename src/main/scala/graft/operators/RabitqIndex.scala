@@ -60,15 +60,21 @@ object RabitqIndex {
     Array.fill(dim)(rnd.nextFloat())
   }
 
-  /** Train k-means (MLlib k-means‖, B5) then encode. */
+  /** Train k-means (MLlib k-means‖, B5) then encode. The feature frame is
+    * cached for the iterative fit (else every Lloyd iteration re-reads and
+    * re-converts the parquet).
+    */
   def build(spark: SparkSession, base: DataFrame, numClusters: Int, seed: Long): (RabitqModel, DataFrame) = {
     val withVec = base.select(col("vec_id"), col("embedding"))
       .withColumn("features", array_to_vector(col("embedding")))
-    val km = new KMeans()
-      .setK(numClusters).setSeed(seed).setMaxIter(15)
-      .setFeaturesCol("features").setPredictionCol("cluster_id")
-    val kmModel = km.fit(withVec)
-    buildWithCentroids(spark, base, kmModel.clusterCenters.map(_.toArray.map(_.toFloat)), seed)
+      .cache()
+    try {
+      val km = new KMeans()
+        .setK(numClusters).setSeed(seed).setMaxIter(15)
+        .setFeaturesCol("features").setPredictionCol("cluster_id")
+      val kmModel = km.fit(withVec)
+      buildWithCentroids(spark, base, kmModel.clusterCenters.map(_.toArray.map(_.toFloat)), seed)
+    } finally withVec.unpersist()
   }
 
   /** Two-level k-means (analog of the reference's hierarchical training,
@@ -204,6 +210,64 @@ object RabitqIndex {
          model.params.seed, model.bias.toSeq))
       .toDF("dim", "pad_dim", "num_clusters", "seed", "bias").coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/params")
+  }
+
+  /** Export the index in the reference's exact 5-file directory layout
+    * (`/root/reference/src/rabitq.rs:128-156`): `orthogonal.fvecs` (dim
+    * rows), `centroids.fvecs` (k rows, rotated space), `base.fvecs`
+    * (cluster-sorted ROTATED vectors — the reference stores the projected
+    * base transposed; we export row-per-vector in the same CSR order),
+    * `factors.fvecs` (ONE record of 4·n floats: ip, ppc, error, cds per
+    * vector), `x_binary_vec.u64vecs` (n records), `offsets_ids.ivecs`
+    * (exactly two records: k+1 prefix-sum offsets, then n original row
+    * ids). CSR order = cluster ascending, center-distance ascending within
+    * a cluster (`/root/reference/src/rabitq.rs:231-252`).
+    */
+  def exportReferenceLayout(spark: SparkSession, model: RabitqModel, index: DataFrame,
+                            base: DataFrame, dir: String): Unit = {
+    import spark.implicits._
+    import graft.sources.Fvecs
+    new java.io.File(dir).mkdirs()
+
+    Fvecs.writeFvecs(
+      model.rotation.zipWithIndex.map { case (r, i) => (i.toLong, r.toSeq) }.toSeq
+        .toDF("vec_id", "vec"), s"$dir/orthogonal.fvecs")
+    Fvecs.writeFvecs(
+      model.centroids.zipWithIndex.map { case (c, i) => (i.toLong, c.toSeq) }.toSeq
+        .toDF("vec_id", "vec"), s"$dir/centroids.fvecs")
+
+    // CSR ordering: (cluster_id, cds, vec_id); stable + deterministic
+    val ordered = index.orderBy(col("cluster_id"), col("cds"), col("vec_id"))
+      .select("vec_id", "cluster_id", "code", "factor_ip", "factor_ppc", "error_bound", "cds")
+      .collect()
+
+    val bRot = model.rotation
+    val vecById = base.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    Fvecs.writeFvecs(
+      ordered.zipWithIndex.map { case (r, pos) =>
+        val rot = graft.functions.VectorOps.rotate(bRot,
+          graft.functions.VectorOps.pad(vecById(r.getLong(0)), 64))
+        (pos.toLong, rot.toSeq)
+      }.toSeq.toDF("vec_id", "vec"), s"$dir/base.fvecs")
+
+    Fvecs.writeFvecs(
+      Seq((0L, ordered.flatMap(r => Seq(
+        r.getFloat(3), r.getFloat(4), r.getFloat(5), r.getFloat(6))).toSeq))
+        .toDF("vec_id", "vec"), s"$dir/factors.fvecs")
+
+    Fvecs.writeU64vecs(
+      ordered.zipWithIndex.map { case (r, pos) => (pos.toLong, r.getSeq[Long](2)) }.toSeq
+        .toDF("vec_id", "vec"), s"$dir/x_binary_vec.u64vecs")
+
+    val k = model.params.numClusters
+    val sizes = new Array[Int](k)
+    ordered.foreach(r => sizes(r.getInt(1)) += 1)
+    val offsets = sizes.scanLeft(0)(_ + _)
+    val mapIds = ordered.map(_.getLong(0).toInt)
+    Fvecs.writeIvecs(
+      Seq((0L, offsets.toSeq), (1L, mapIds.toSeq)).toDF("vec_id", "vec"),
+      s"$dir/offsets_ids.ivecs")
   }
 
   def load(spark: SparkSession, dir: String): (RabitqModel, DataFrame) = {

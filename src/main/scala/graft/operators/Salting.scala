@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for heavy-hitter aggregation keys: salt → two-phase
+  * aggregate. At 100 TB a single hot key (one viral document id, one
+  * degenerate cluster) can pin a reducer; salting splits each key across
+  * `buckets` partial aggregates, then recombines — correct for any
+  * algebraic aggregate (sum/count/min/max) because the phases compose.
+  *
+  * AQE's skew-join handling covers joins; this covers groupBy, which AQE
+  * does not rebalance.
+  */
+object Salting {
+
+  /** Two-phase salted aggregation. `aggs` maps output column name →
+    * (phase-1 aggregate over rows, phase-2 recombine over partials).
+    */
+  def saltedAgg(df: DataFrame, keyCols: Seq[String], buckets: Int,
+                aggs: Map[String, (Column, Column)]): DataFrame = {
+    val salted = df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets)))
+    val phase1 = salted
+      .groupBy((keyCols.map(col) :+ col("__salt")): _*)
+      .agg(aggs.head._2._1.as(aggs.head._1),
+        aggs.tail.map { case (n, (p1, _)) => p1.as(n) }.toSeq: _*)
+    phase1
+      .groupBy(keyCols.map(col): _*)
+      .agg(aggs.head._2._2.as(aggs.head._1),
+        aggs.tail.map { case (n, (_, p2)) => p2.as(n) }.toSeq: _*)
+  }
+
+  /** Convenience: salted sum + count (the common skewed rollup). */
+  def saltedSumCount(df: DataFrame, keyCols: Seq[String], valueCol: String,
+                     buckets: Int = 16): DataFrame =
+    saltedAgg(df, keyCols, buckets, Map(
+      "total" -> (sum(col(valueCol)), sum(col("total"))),
+      "n" -> (count(lit(1)), sum(col("n")).cast("long"))))
+}

@@ -222,6 +222,55 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"minhash recovered $hit/${exact.size}")
   }
 
+  // ---------------- salting --------------------------------------------
+  test("salted two-phase aggregation equals plain groupBy") {
+    val events = SparkEntryTestAccess.table(spark, sf, "events")
+    val plain = events.groupBy("event_type")
+      .agg(sum(col("value")).as("total"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), (math.round(r.getDouble(1) * 1e6), r.getLong(2)))).toMap
+    val salted = Salting.saltedSumCount(events, Seq("event_type"), "value", buckets = 16)
+      .collect().map(r => (r.getString(0), (math.round(r.getDouble(1) * 1e6), r.getLong(2)))).toMap
+    assert(salted == plain)
+  }
+
+  // ---------------- UDAF SQL registration --------------------------------
+  test("TopKAgg registers as a SQL UDAF") {
+    spark.udf.register("graft_topk3", org.apache.spark.sql.functions.udaf(new TopKAgg(3)))
+    emb.select(col("vec_id"), lit(0L).as("g"),
+      graft.functions.VectorExpressions.l2sq(col("embedding"), col("embedding")).as("d"))
+      .createOrReplaceTempView("udaf_test")
+    // top-3 of (vec_id % 7) keyed rows by vec_id-as-score
+    val rows = spark.sql(
+      """SELECT g, graft_topk3(CAST(vec_id AS DOUBLE), vec_id) AS topk
+        |FROM udaf_test GROUP BY g""".stripMargin).collect()
+    assert(rows.length == 1)
+    val topk = rows.head.getSeq[org.apache.spark.sql.Row](1)
+    assert(topk.map(_.getLong(1)) == Seq(0L, 1L, 2L))
+  }
+
+  // ---------------- reference layout export ------------------------------
+  test("exportReferenceLayout writes the 5-file rabitq directory shape") {
+    import graft.sources.Fvecs
+    val (model, index) = RabitqIndex.build(spark, emb, numClusters = 8, seed = 1L)
+    val dir = java.nio.file.Files.createTempDirectory("ref_layout").toString
+    RabitqIndex.exportReferenceLayout(spark, model, index, emb, dir)
+    val n = emb.count()
+
+    val orth = Fvecs.readFvecs(spark, s"$dir/orthogonal.fvecs")
+    assert(orth.count() == model.params.padDim)
+    assert(Fvecs.readFvecs(spark, s"$dir/centroids.fvecs").count() == 8)
+    assert(Fvecs.readFvecs(spark, s"$dir/base.fvecs").count() == n)
+    val factors = Fvecs.readFvecs(spark, s"$dir/factors.fvecs").collect()
+    assert(factors.length == 1 && factors.head.getSeq[Float](1).length == 4 * n)
+    assert(Fvecs.readU64vecs(spark, s"$dir/x_binary_vec.u64vecs").count() == n)
+    val oi = Fvecs.readIvecs(spark, s"$dir/offsets_ids.ivecs").orderBy("vec_id").collect()
+    assert(oi.length == 2)
+    val offsets = oi(0).getSeq[Int](1); val mapIds = oi(1).getSeq[Int](1)
+    assert(offsets.length == 9 && offsets.head == 0 && offsets.last == n)
+    assert(offsets.sliding(2).forall(p => p(0) <= p(1)), "offsets not monotone")
+    assert(mapIds.length == n && mapIds.toSet.size == n.toInt, "map_ids not a permutation")
+  }
+
   // ---------------- sessionize -----------------------------------------
   test("sessionize splits on gap > threshold") {
     import spark.implicits._
