@@ -272,6 +272,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---------------- rollup / array functions -----------------------------
+    "q33_rollup" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec3(col("l_quantity"))).cast("double").as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+    "q34_array_fns" -> ((s, dir) => {
+      T(s, dir, "embeddings").select(
+        col("vec_id"),
+        array_max(col("embedding")).as("mx"),
+        array_min(col("embedding")).as("mn"),
+        size(col("embedding")).cast("long").as("n_dims"),
+        element_at(col("embedding"), 1).as("first_dim"),
+        aggregate(col("embedding"), lit(0.0), (a, x) => a + x).as("ssum"))
+        .orderBy(col("vec_id"))
+    }),
+
     // ---------------- json / date scalar functions ------------------------
     "q29_json_extract" -> ((s, dir) => {
       T(s, dir, "events")
@@ -393,6 +412,16 @@ object SparkEntry {
           |FROM s2 GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
       "q12_knn_l2" -> knnSql,
       "q23_ann_fullprobe" -> knnSql,
+      "q33_rollup" ->
+        """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,3))) AS DOUBLE) AS sum_qty
+          |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+          |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+      "q34_array_fns" ->
+        """SELECT vec_id, list_max(embedding) AS mx, list_min(embedding) AS mn,
+          |  CAST(len(embedding) AS BIGINT) AS n_dims, embedding[1] AS first_dim,
+          |  list_sum(CAST(embedding AS DOUBLE[])) AS ssum
+          |FROM embeddings ORDER BY vec_id""".stripMargin,
       "q29_json_extract" ->
         """SELECT event_type, COUNT(*) AS n,
           |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

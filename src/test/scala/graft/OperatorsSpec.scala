@@ -138,6 +138,21 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("odd-dimension vectors (pad path) survive the full index pipeline") {
+    import spark.implicits._
+    val rnd = new java.util.Random(21)
+    val oddDim = 40 // not a multiple of 64 → pad B1 is active everywhere
+    val data = (0L until 200L).map(i => (i, Seq.fill(oddDim)(rnd.nextFloat() * 2f - 1f)))
+    val df = data.toDF("vec_id", "embedding")
+    val (model, index) = RabitqIndex.build(spark, df, numClusters = 4, seed = 11L)
+    assert(model.params.dim == 40 && model.params.padDim == 64)
+    val q = df.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val truth = ExactKnn.l2TopK(df, q, 5)
+    val full = RabitqQuery.topK(spark, model, index, df, q, 4, 5, 4096)
+    assert(ExactKnn.recall(full, truth, 5).head().getDouble(0) == 1.0)
+  }
+
   // ---------------- hierarchical kmeans ----------------------------------
   test("hierarchical 2-level kmeans build: sub-clusters present, full probe still exact") {
     val (model, index) = RabitqIndex.buildHierarchical(spark, emb, k1 = 4, k2 = 4, seed = 7L)
