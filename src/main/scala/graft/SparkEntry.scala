@@ -272,6 +272,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---------------- subquery / pivot -------------------------------------
+    "q35_scalar_subquery" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+      val avgPrice = o.agg(
+        (sum(dec3(col("o_totalprice"))).cast("double") / count(lit(1))).as("avg_p"))
+        .head().getDouble(0)
+      o.filter(col("o_totalprice") > avgPrice)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+    "q36_pivot" -> ((s, dir) => {
+      T(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .count()
+        .na.fill(0L)
+        .orderBy(col("user_id"))
+    }),
+
     // ---------------- rollup / array functions -----------------------------
     "q33_rollup" -> ((s, dir) => {
       T(s, dir, "lineitem")
@@ -412,6 +431,18 @@ object SparkEntry {
           |FROM s2 GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
       "q12_knn_l2" -> knnSql,
       "q23_ann_fullprobe" -> knnSql,
+      "q35_scalar_subquery" ->
+        """SELECT o_orderkey, o_totalprice FROM orders
+          |WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) / COUNT(*) FROM orders)
+          |ORDER BY o_orderkey""".stripMargin,
+      "q36_pivot" ->
+        """SELECT user_id,
+          |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+          |  COUNT(*) FILTER (WHERE event_type = 'view') AS view,
+          |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+          |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+          |  COUNT(*) FILTER (WHERE event_type = 'error') AS error
+          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
       "q33_rollup" ->
         """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
           |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,3))) AS DOUBLE) AS sum_qty
