@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Scale smoke: build + query the RaBitQ index on a generated clustered
+  * dataset well beyond the driver testdata sizes, and report build time,
+  * query throughput, and recall vs brute force. This is the "would the
+  * plan survive a scale-up" probe — run it when touching the index or
+  * query pipeline.
+  *
+  *   sbt "runMain graft.ScaleSmoke 200000 256 16"   # n, clusters, nprobe
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.length > 0) args(0).toLong else 200000L
+    val k = if (args.length > 1) args(1).toInt else 256
+    val nprobe = if (args.length > 2) args(2).toInt else 16
+    val dim = 64
+    val nQueries = 100
+
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.driver.memory", "8g")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // deterministic clustered vectors, generated distributed (no driver
+    // materialization): cluster centers from hash noise, points = center
+    // + small noise
+    val genUdf = udf { (id: Long) =>
+      def noise(seed: Long, j: Int): Float = {
+        val h = java.lang.Long.rotateLeft(seed * 0x9E3779B97F4A7C15L + j * 0xBF58476D1CE4E5B9L, 31)
+        ((h % 10000L).toFloat / 10000f)
+      }
+      val c = (id % 100L) + 1L
+      // 0.25 noise vs ~0.29 center std: clusters overlap, so probe
+      // selection actually has to work (0.08 made recall trivially 1.0)
+      Array.tabulate(dim)(j => noise(c, j) + 0.25f * noise(id + 7919L, j)).toSeq
+    }
+    val base = spark.range(n).select(col("id").as("vec_id"), genUdf(col("id")).as("embedding"))
+      .repartition(cpus.toInt).persist()
+    base.count()
+
+    val t0 = System.nanoTime()
+    val (model, index) = RabitqIndex.build(spark, base, k, seed = 42L)
+    val indexP = index.persist()
+    indexP.count()
+    val buildSec = (System.nanoTime() - t0) / 1e9
+
+    val queries = ExactKnn.queriesFromEmbeddings(base, nQueries).persist()
+    queries.count()
+
+    val t1 = System.nanoTime()
+    val approx = RabitqQuery.topK(spark, model, indexP, base, queries,
+      nprobe = nprobe, topk = 10, rerank = 200)
+    val nres = approx.count()
+    val querySec = (System.nanoTime() - t1) / 1e9
+
+    val t2 = System.nanoTime()
+    val truth = ExactKnn.l2TopK(base, queries, 10)
+    val recall = ExactKnn.recall(approx, truth, 10).head().getDouble(0)
+    val exactSec = (System.nanoTime() - t2) / 1e9
+
+    println(s"""{"scale_smoke":{"n":$n,"k":$k,"nprobe":$nprobe,"build_sec":$buildSec,""" +
+      s""""query_sec":$querySec,"qps":${nQueries / querySec},"results":$nres,""" +
+      s""""recall_at_10":$recall,"exact_baseline_sec":$exactSec}}""")
+    spark.stop()
+  }
+}

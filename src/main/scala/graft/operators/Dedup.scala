@@ -20,10 +20,13 @@ import graft.functions.VectorOps
 object Dedup {
 
   /** Exact dedup: canonical doc per distinct text (min doc_id wins).
+    * Groups on the md5 digest, NOT the text — at 100 TB the shuffle moves
+    * 16-byte digests instead of whole documents (same result barring an
+    * md5 collision, which at 2^64 docs is ~2^-64).
     * Output: (doc_id, n_copies) per surviving representative.
     */
   def exact(docs: DataFrame): DataFrame =
-    docs.groupBy(col("text"))
+    docs.groupBy(md5(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .select("doc_id", "n_copies")
 
