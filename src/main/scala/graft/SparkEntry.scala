@@ -219,6 +219,18 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    "q37_knn_custom_topk" -> ((s, dir) => {
+      // same exact-kNN semantics as q12, but the top-k runs through the
+      // custom PerGroupTopK plan node (LogicalPlan + Strategy injected via
+      // GraftExtensions) instead of the Aggregator — same oracle
+      val scored = T(s, dir, "embeddings")
+        .crossJoin(broadcast(annQueries(s, dir)))
+        .select(col("query_id"), col("vec_id"),
+          sqrt(graft.functions.VectorExpressions.l2sq(col("qvec"), col("embedding"))).as("dist"))
+      graft.plans.GraftTopK.perGroup(scored, "query_id", "vec_id", "dist", 10)
+        .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "q28_ann_recall" -> ((s, dir) => {
       val (model, index) = annIndex(s, dir)
       val truth = ExactKnn.l2TopK(T(s, dir, "embeddings"), annQueries(s, dir), 10)
@@ -431,6 +443,7 @@ object SparkEntry {
           |FROM s2 GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
       "q12_knn_l2" -> knnSql,
       "q23_ann_fullprobe" -> knnSql,
+      "q37_knn_custom_topk" -> knnSql,
       "q35_scalar_subquery" ->
         """SELECT o_orderkey, o_totalprice FROM orders
           |WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) / COUNT(*) FROM orders)

@@ -215,6 +215,58 @@ object RabitqIndex {
       .write.mode("overwrite").parquet(s"$dir/params")
   }
 
+  /** Whole-model JSON serialization (S8 analog of the reference's serde
+    * JSON, `/root/reference/src/rabitq.rs:72-81`): params + rotation +
+    * rotated centroids + dither bias in one self-describing file. Index
+    * DATA stays parquet — this is only the small driver-side state.
+    */
+  def dumpModelJson(model: RabitqModel, path: String): Unit = {
+    def arr(a: Array[Float]): String = a.mkString("[", ",", "]")
+    def mat(m: Array[Array[Float]]): String = m.map(arr).mkString("[", ",", "]")
+    val json =
+      s"""{"dim":${model.params.dim},"pad_dim":${model.params.padDim},""" +
+        s""""num_clusters":${model.params.numClusters},"seed":${model.params.seed},""" +
+        s""""rotation":${mat(model.rotation)},"centroids":${mat(model.centroids)},""" +
+        s""""bias":${arr(model.bias)}}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json)
+  }
+
+  def loadModelJson(path: String): RabitqModel = {
+    // dependency-free parser for the fixed shape written above
+    val s = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+    def long(key: String): Long = {
+      val m = java.util.regex.Pattern.compile("\"" + key + "\":(-?\\d+)").matcher(s)
+      require(m.find(), s"missing $key"); m.group(1).toLong
+    }
+    def floats(body: String): Array[Float] =
+      if (body.trim.isEmpty) Array.empty
+      else body.split(",").map(_.trim.toFloat)
+    def matrix(key: String): Array[Array[Float]] = {
+      val start = s.indexOf("\"" + key + "\":[[")
+      require(start >= 0, s"missing $key")
+      val open = s.indexOf("[[", start)
+      var depth = 0; var i = open; var end = -1
+      while (end < 0) {
+        s.charAt(i) match {
+          case '[' => depth += 1
+          case ']' => depth -= 1; if (depth == 0) end = i
+          case _ =>
+        }
+        i += 1
+      }
+      s.substring(open + 1, end).split("\\],\\s*\\[")
+        .map(row => floats(row.replaceAll("[\\[\\]]", "")))
+    }
+    def vector(key: String): Array[Float] = {
+      val m = java.util.regex.Pattern.compile("\"" + key + "\":\\[([^\\]]*)\\]").matcher(s)
+      require(m.find(), s"missing $key"); floats(m.group(1))
+    }
+    RabitqModel(
+      RabitqParams(long("dim").toInt, long("pad_dim").toInt,
+        long("num_clusters").toInt, long("seed")),
+      matrix("rotation"), matrix("centroids"), vector("bias"))
+  }
+
   /** Export the index in the reference's exact 5-file directory layout
     * (`/root/reference/src/rabitq.rs:128-156`): `orthogonal.fvecs` (dim
     * rows), `centroids.fvecs` (k rows, rotated space), `base.fvecs`

@@ -14,6 +14,7 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.shuffle.partitions", "8")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
@@ -37,6 +38,27 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
         .map { case (r, i) => (g, r._3, i + 1L) }
     }.toSet
     assert(got == expect)
+  }
+
+  test("custom PerGroupTopK plan node matches the Aggregator top-k") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val rows = (1 to 5000).map(i => (i % 11L, rnd.nextDouble(), i.toLong))
+    val df = rows.toDF("g", "score", "id")
+    val viaNode = graft.plans.GraftTopK.perGroup(df, "g", "id", "score", 7)
+      .select(col("g"), col("id"), col("rank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaAgg = TopK.perGroup(df, "g", "id", "score", 7)
+      .select(col("g"), col("id"), col("rank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaNode == viaAgg)
+    // strategy fired (custom exec present) and Spark inserted the
+    // group-key exchange demanded by requiredChildDistribution
+    val plan = graft.plans.GraftTopK.perGroup(df, "g", "id", "score", 7)
+      .queryExecution.executedPlan.toString
+    // exec node prints without its Exec suffix
+    assert(plan.contains("PerGroupTopK"), plan)
+    assert(plan.contains("Exchange hashpartitioning(g"), plan)
   }
 
   // ---------------- exact knn ------------------------------------------
@@ -71,6 +93,17 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rPart = ExactKnn.recall(part, truth, 10).head().getDouble(0)
     assert(rPart >= 0.9, s"partial-probe recall $rPart < 0.9")
     index.unpersist()
+  }
+
+  test("model JSON sidecar roundtrips") {
+    val (model, _) = RabitqIndex.build(spark, emb, numClusters = 4, seed = 2L)
+    val path = java.nio.file.Files.createTempDirectory("mj").toString + "/model.json"
+    RabitqIndex.dumpModelJson(model, path)
+    val back = RabitqIndex.loadModelJson(path)
+    assert(back.params == model.params)
+    assert(back.rotation.flatMap(_.toList).sameElements(model.rotation.flatMap(_.toList)))
+    assert(back.centroids.flatMap(_.toList).sameElements(model.centroids.flatMap(_.toList)))
+    assert(back.bias.sameElements(model.bias))
   }
 
   test("RaBitQ index save/load roundtrip preserves results") {
