@@ -15,6 +15,8 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft_wh").toString)
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
@@ -268,6 +270,57 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val hit = exact.count(mh.contains)
     assert(exact.isEmpty || hit.toDouble / exact.size >= 0.8,
       s"minhash recovered $hit/${exact.size}")
+  }
+
+  // ---------------- bucketed co-located join ------------------------------
+  test("bucketed tables join without a shuffle") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("li_bucketed")
+    o.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("o_bucketed")
+    val joined = spark.table("li_bucketed")
+      .join(spark.table("o_bucketed").hint("shuffle_merge"),
+        col("l_orderkey") === col("o_orderkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    // bucket layout satisfies the join's distribution: no Exchange on
+    // either side (the co-located-join pattern for repeated big joins)
+    assert(!plan.contains("Exchange hashpartitioning"), plan.take(3000))
+    assert(joined.count() == li.count())
+  }
+
+  // ---------------- approximate distinct ----------------------------------
+  test("approx_count_distinct lands within its error bound") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val exact = li.select(countDistinct(col("l_partkey"))).head().getLong(0)
+    val approx = li.select(approx_count_distinct(col("l_partkey"), 0.02)).head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.1,
+      s"approx $approx vs exact $exact")
+  }
+
+  // ---------------- streaming dedup ---------------------------------------
+  test("streaming dedup drops duplicate fingerprints within the watermark") {
+    import org.apache.spark.sql.streaming.Trigger
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("stream_docs").toString
+    // plant exact duplicates: every doc twice
+    docs.union(docs).coalesce(1).write.mode("overwrite").parquet(dir)
+    val q = spark.readStream
+      .schema(docs.schema)
+      .parquet(dir)
+      .withColumn("fp", md5(col("text")))
+      .withColumn("ts", current_timestamp())
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("fp")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_stream")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("dedup_stream").count()
+    assert(got == docs.select("text").distinct().count(),
+      s"streamed $got distinct docs")
   }
 
   // ---------------- salting --------------------------------------------
