@@ -108,6 +108,19 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.bias.sameElements(model.bias))
   }
 
+  test("BASELINE.md e2e recall gate: sf0.1, recall@10 >= 0.9 at nprobe >= k/4") {
+    val emb01 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    val (model, index) = RabitqIndex.build(spark, emb01, numClusters = 16, seed = 42L)
+    index.persist()
+    val q = ExactKnn.queriesFromEmbeddings(emb01, 20)
+    val truth = ExactKnn.l2TopK(emb01, q, 10)
+    val approx = RabitqQuery.topK(spark, model, index, emb01, q,
+      nprobe = 12, topk = 10, rerank = 150)
+    val r = ExactKnn.recall(approx, truth, 10).head().getDouble(0)
+    index.unpersist()
+    assert(r >= 0.9, s"sf0.1 recall@10 = $r < 0.9")
+  }
+
   test("RaBitQ index save/load roundtrip preserves results") {
     val (model, index) = RabitqIndex.build(spark, emb, numClusters = 8, seed = 1L)
     val dir = java.nio.file.Files.createTempDirectory("rabitq_idx").toString
@@ -270,6 +283,35 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val hit = exact.count(mh.contains)
     assert(exact.isEmpty || hit.toDouble / exact.size >= 0.8,
       s"minhash recovered $hit/${exact.size}")
+  }
+
+  // ---------------- text edge cases ----------------------------------------
+  test("text operators handle empty / whitespace / single-token docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, ""), (2L, "   "), (3L, "word"), (4L, "two words"),
+      (5L, "the the the")
+    ).toDF("doc_id", "text")
+    val toks = docs.select(col("doc_id"), TextOps.tokenCount(col("text")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(toks == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 2L, 5L -> 3L))
+    // quality features must not NaN/divide-by-zero on empty docs
+    val q = TextOps.qualityFeatures(docs).collect()
+    q.foreach { r =>
+      (1 until r.length).foreach { i =>
+        val v = r.get(i)
+        v match {
+          case d: Double => assert(!d.isNaN && !d.isInfinite, s"row $r col $i")
+          case _ =>
+        }
+      }
+    }
+    // shingling skips docs below n tokens, keeps the rest
+    assert(Dedup.shingles(docs, 3).select("doc_id").distinct().count() == 1) // only doc 5
+    // fingerprints defined for empty strings
+    val fp = docs.select(col("doc_id"), TextOps.fingerprint(col("text")).as("f"),
+      TextOps.rollingHash(col("text")).as("rh")).collect()
+    assert(fp.length == 5 && fp.forall(_.get(1) != null))
   }
 
   // ---------------- bucketed co-located join ------------------------------
