@@ -215,6 +215,47 @@ object RabitqIndex {
       .write.mode("overwrite").parquet(s"$dir/params")
   }
 
+  /** Incremental maintenance: encode NEW vectors against the existing
+    * model (same rotation, same centroids — nearest-centroid assignment)
+    * and return index rows to union/append. The reference leaves
+    * insert/update/delete unimplemented (`/root/reference/README.md:18`);
+    * on Spark this is a narrow encode pass + an append to the partitioned
+    * parquet — no re-clustering, no touch of existing rows. Recall decays
+    * only as the new data drifts from the frozen centroids; re-cluster on
+    * a schedule, not per batch.
+    */
+  def appendVectors(spark: SparkSession, model: RabitqModel, newVecs: DataFrame): DataFrame = {
+    // raw-space centroids are not persisted in the model (rotated ones
+    // are); assignment in rotated space is equivalent — rotation is
+    // orthogonal, so nearest-centroid is preserved
+    val bRot = spark.sparkContext.broadcast(model.rotation)
+    val bCent = spark.sparkContext.broadcast(model.centroids)
+    val encode = udf { (emb: Seq[Float]) =>
+      val rot = VectorOps.rotate(bRot.value, VectorOps.pad(emb.toArray, 64))
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < bCent.value.length) {
+        val d = VectorOps.l2sq(rot, bCent.value(c))
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      val residual = VectorOps.subtract(rot, bCent.value(best))
+      val code = VectorOps.binarizeU64(residual)
+      val (fip, fppc, err, cds) = VectorOps.factors(residual)
+      (best, code, fip, fppc, err, cds)
+    }
+    newVecs.select(col("vec_id"), col("embedding"))
+      .withColumn("enc", encode(col("embedding")))
+      .select(
+        col("vec_id"),
+        col("enc._1").as("cluster_id"),
+        col("enc._2").as("code"),
+        col("enc._3").as("factor_ip"),
+        col("enc._4").as("factor_ppc"),
+        col("enc._5").as("error_bound"),
+        col("enc._6").as("cds"))
+  }
+
   /** Whole-model JSON serialization (S8 analog of the reference's serde
     * JSON, `/root/reference/src/rabitq.rs:72-81`): params + rotation +
     * rotated centroids + dither bias in one self-describing file. Index

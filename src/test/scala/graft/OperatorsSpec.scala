@@ -121,6 +121,22 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r >= 0.9, s"sf0.1 recall@10 = $r < 0.9")
   }
 
+  test("incremental append: encode new vectors against the frozen model, stays exact") {
+    val first = emb.filter(col("vec_id") < 250)
+    val rest = emb.filter(col("vec_id") >= 250)
+    val (model, index1) = RabitqIndex.build(spark, first, numClusters = 8, seed = 4L)
+    val appended = RabitqIndex.appendVectors(spark, model, rest)
+    val full = index1.unionByName(appended)
+    assert(full.count() == emb.count())
+    // appended rows follow the same schema and land in existing clusters
+    assert(appended.select("cluster_id").distinct().collect()
+      .forall(_.getInt(0) < 8))
+    val q = ExactKnn.queriesFromEmbeddings(emb, 10)
+    val truth = ExactKnn.l2TopK(emb, q, 10)
+    val res = RabitqQuery.topK(spark, model, full, emb, q, 8, 10, 4096)
+    assert(ExactKnn.recall(res, truth, 10).head().getDouble(0) == 1.0)
+  }
+
   test("RaBitQ index save/load roundtrip preserves results") {
     val (model, index) = RabitqIndex.build(spark, emb, numClusters = 8, seed = 1L)
     val dir = java.nio.file.Files.createTempDirectory("rabitq_idx").toString
