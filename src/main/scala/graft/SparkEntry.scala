@@ -284,6 +284,28 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---------------- media frames / salted agg -----------------------------
+    "q38_media_frames" -> ((s, dir) => {
+      // per-media frame stats from the exploded frame rows (proves the
+      // chunk/explode plumbing; counts + lengths are oracle-able integers)
+      val media = Multimodal.mediaFromDocuments(T(s, dir, "documents"))
+      Multimodal.frameSample(media, frameBytes = 256)
+        .groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_frames"), max(col("frame_len")).as("max_frame_len"),
+          min(col("frame_len")).as("last_frame_len"))
+        .orderBy(col("media_id"))
+    }),
+    "q39_salted_agg" -> ((s, dir) => {
+      // salted two-phase aggregation must equal the plain GROUP BY — run
+      // it through the oracle gate (decimal accumulation keeps both
+      // phases exact)
+      Salting.saltedAgg(T(s, dir, "events"), Seq("event_type"), buckets = 16, Map(
+        "total_value" -> (sum(dec6(col("value"))), sum(col("total_value"))),
+        "n" -> (count(lit(1)), sum(col("n")).cast("long"))))
+        .select(col("event_type"), col("total_value").cast("double").as("total_value"), col("n"))
+        .orderBy(col("event_type"))
+    }),
+
     // ---------------- subquery / pivot -------------------------------------
     "q35_scalar_subquery" -> ((s, dir) => {
       val o = T(s, dir, "orders")
@@ -444,6 +466,18 @@ object SparkEntry {
       "q12_knn_l2" -> knnSql,
       "q23_ann_fullprobe" -> knnSql,
       "q37_knn_custom_topk" -> knnSql,
+      "q38_media_frames" ->
+        """SELECT doc_id AS media_id,
+          |  CAST(ceil(CAST(octet_length(CAST(text AS BLOB)) AS DOUBLE) / 256) AS BIGINT) AS n_frames,
+          |  CAST(least(256, octet_length(CAST(text AS BLOB))) AS BIGINT) AS max_frame_len,
+          |  CAST(octet_length(CAST(text AS BLOB)) - 256 * (CAST(ceil(CAST(octet_length(CAST(text AS BLOB)) AS DOUBLE) / 256) AS BIGINT) - 1) AS BIGINT) AS last_frame_len
+          |FROM documents WHERE octet_length(CAST(text AS BLOB)) > 0
+          |ORDER BY media_id""".stripMargin,
+      "q39_salted_agg" ->
+        """SELECT event_type,
+          |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+          |  COUNT(*) AS n
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
       "q35_scalar_subquery" ->
         """SELECT o_orderkey, o_totalprice FROM orders
           |WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,3))) AS DOUBLE) / COUNT(*) FROM orders)

@@ -61,6 +61,27 @@ object Multimodal {
     }(enc)
   }
 
+  /** Frame sampling plumbing: split the opaque payload into fixed-size
+    * chunks ("frames") — one row per frame, deterministic. The real
+    * decoder would emit decoded frames; the chunking, explode shape, and
+    * per-frame metadata are the Spark-side contract either way.
+    * Output: (media_id, frame_idx: long, frame: binary, frame_len: long).
+    */
+  def frameSample(media: DataFrame, frameBytes: Int): DataFrame = {
+    val n = col("n_bytes")
+    val nFrames = ceil(n.cast("double") / frameBytes).cast("long")
+    media
+      .select(col("media_id"), col("payload"), n, nFrames.as("n_frames"))
+      .filter(col("n_frames") > 0)
+      .select(col("media_id"), col("payload"), col("n_bytes"),
+        posexplode(sequence(lit(0L), col("n_frames") - 1)).as(Seq("pos", "frame_idx")))
+      .select(
+        col("media_id"),
+        col("frame_idx"),
+        expr(s"substring(payload, cast(frame_idx * $frameBytes + 1 as int), $frameBytes)").as("frame"),
+        least(lit(frameBytes.toLong), col("n_bytes") - col("frame_idx") * frameBytes).as("frame_len"))
+  }
+
   /** Metadata + cheap payload stats, pure column ops (oracle-able):
     * byte length, payload md5, first/last byte.
     */
