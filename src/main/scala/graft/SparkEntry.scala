@@ -468,10 +468,10 @@ object SparkEntry {
       "q37_knn_custom_topk" -> knnSql,
       "q38_media_frames" ->
         """SELECT doc_id AS media_id,
-          |  CAST(ceil(CAST(octet_length(CAST(text AS BLOB)) AS DOUBLE) / 256) AS BIGINT) AS n_frames,
-          |  CAST(least(256, octet_length(CAST(text AS BLOB))) AS BIGINT) AS max_frame_len,
-          |  CAST(octet_length(CAST(text AS BLOB)) - 256 * (CAST(ceil(CAST(octet_length(CAST(text AS BLOB)) AS DOUBLE) / 256) AS BIGINT) - 1) AS BIGINT) AS last_frame_len
-          |FROM documents WHERE octet_length(CAST(text AS BLOB)) > 0
+          |  CAST(ceil(CAST(octet_length(encode(text)) AS DOUBLE) / 256) AS BIGINT) AS n_frames,
+          |  CAST(least(256, octet_length(encode(text))) AS BIGINT) AS max_frame_len,
+          |  CAST(octet_length(encode(text)) - 256 * (CAST(ceil(CAST(octet_length(encode(text)) AS DOUBLE) / 256) AS BIGINT) - 1) AS BIGINT) AS last_frame_len
+          |FROM documents WHERE octet_length(encode(text)) > 0
           |ORDER BY media_id""".stripMargin,
       "q39_salted_agg" ->
         """SELECT event_type,
@@ -597,7 +597,7 @@ object SparkEntry {
       "q26_media_stats" ->
         """SELECT doc_id AS media_id,
           |  CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END AS media_type,
-          |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+          |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
           |  md5(text) AS payload_md5
           |FROM documents ORDER BY media_id""".stripMargin,
     )

@@ -74,7 +74,7 @@ object Multimodal {
       .select(col("media_id"), col("payload"), n, nFrames.as("n_frames"))
       .filter(col("n_frames") > 0)
       .select(col("media_id"), col("payload"), col("n_bytes"),
-        posexplode(sequence(lit(0L), col("n_frames") - 1)).as(Seq("pos", "frame_idx")))
+        explode(sequence(lit(0L), col("n_frames") - 1)).as("frame_idx"))
       .select(
         col("media_id"),
         col("frame_idx"),

@@ -301,6 +301,32 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"minhash recovered $hit/${exact.size}")
   }
 
+  // ---------------- frame sampling boundaries ------------------------------
+  test("frameSample boundary arithmetic: exact multiple, single frame, remainder") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a" * 100),   // single frame, shorter than frameBytes
+      (2L, "b" * 256),   // exactly one full frame
+      (3L, "c" * 512),   // exactly two full frames (last len must be 256, not 0)
+      (4L, "d" * 300)    // full frame + remainder 44
+    ).toDF("doc_id", "text")
+    val media = Multimodal.mediaFromDocuments(docs)
+    val frames = Multimodal.frameSample(media, 256)
+      .select("media_id", "frame_idx", "frame_len").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(frames == Map(
+      (1L, 0L) -> 100L,
+      (2L, 0L) -> 256L,
+      (3L, 0L) -> 256L, (3L, 1L) -> 256L,
+      (4L, 0L) -> 256L, (4L, 1L) -> 44L))
+    // frames reassemble the payload byte-for-byte
+    val re = Multimodal.frameSample(media, 256)
+      .groupBy("media_id")
+      .agg(sum(length(col("frame"))).as("total"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(re == Map(1L -> 100L, 2L -> 256L, 3L -> 512L, 4L -> 300L))
+  }
+
   // ---------------- text edge cases ----------------------------------------
   test("text operators handle empty / whitespace / single-token docs") {
     import spark.implicits._
