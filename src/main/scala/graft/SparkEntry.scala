@@ -306,6 +306,17 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    "q40_asof_join" -> ((s, dir) => {
+      // point-in-time lookup: each event joined to the user's latest order
+      // at or before the event time
+      val e = T(s, dir, "events").select("event_id", "user_id", "ts")
+      val o = T(s, dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
+      AsofJoin.asof(e, o, "user_id", "o_custkey", "ts", "o_orderdate", "o_orderkey")
+        .filter(col("o_orderkey").isNotNull) // inner semantics, as the oracle
+        .select(col("event_id"), col("user_id"), col("o_orderkey"))
+        .orderBy(col("event_id"))
+    }),
+
     // ---------------- subquery / pivot -------------------------------------
     "q35_scalar_subquery" -> ((s, dir) => {
       val o = T(s, dir, "orders")
@@ -466,6 +477,13 @@ object SparkEntry {
       "q12_knn_l2" -> knnSql,
       "q23_ann_fullprobe" -> knnSql,
       "q37_knn_custom_topk" -> knnSql,
+      "q40_asof_join" ->
+        """SELECT e.event_id, e.user_id, o.o_orderkey
+          |FROM events e JOIN orders o
+          |  ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+          |QUALIFY row_number() OVER (PARTITION BY e.event_id
+          |  ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) = 1
+          |ORDER BY e.event_id""".stripMargin,
       "q38_media_frames" ->
         """SELECT doc_id AS media_id,
           |  CAST(ceil(CAST(octet_length(encode(text)) AS DOUBLE) / 256) AS BIGINT) AS n_frames,

@@ -301,6 +301,28 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"minhash recovered $hit/${exact.size}")
   }
 
+  // ---------------- asof join ----------------------------------------------
+  test("asof join: latest right row at-or-before, ties broken, unmatched null-filled") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100L, 9.0),
+      (2L, ts("2024-01-01 10:05:00"), 100L, 9.5),
+      (3L, ts("2024-01-01 10:05:00"), 100L, 9.6), // same ts as id 2 — tiebreak by id
+      (4L, ts("2024-01-01 09:00:00"), 200L, 5.0)
+    ).toDF("q_id", "q_ts", "q_key", "price")
+    val trades = Seq(
+      (10L, ts("2024-01-01 10:07:00"), 100L), // → quote 3 (tie winner at 10:05)
+      (11L, ts("2024-01-01 10:00:00"), 100L), // → quote 1 (exactly at)
+      (12L, ts("2024-01-01 08:00:00"), 200L), // → no quote yet → nulls
+      (13L, ts("2024-01-01 12:00:00"), 300L)  // → key never quoted → nulls
+    ).toDF("t_id", "t_ts", "t_key")
+    val got = AsofJoin.asof(trades, quotes, "t_key", "q_key", "t_ts", "q_ts", "q_id")
+      .select("t_id", "q_id").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got == Map(10L -> 3L, 11L -> 1L, 12L -> -1L, 13L -> -1L))
+  }
+
   // ---------------- frame sampling boundaries ------------------------------
   test("frameSample boundary arithmetic: exact multiple, single frame, remainder") {
     import spark.implicits._
