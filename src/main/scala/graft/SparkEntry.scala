@@ -306,6 +306,28 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    "q41_range_join" -> ((s, dir) => {
+      // non-equi band join: events bucketed into value bands by range
+      // predicate against a broadcast bands table
+      import s.implicits._
+      val bands = Seq(("low", 0.0, 10.0), ("mid", 10.0, 100.0), ("high", 100.0, 1e9))
+        .toDF("band", "lo", "hi")
+      T(s, dir, "events")
+        .join(broadcast(bands), col("value") >= col("lo") && col("value") < col("hi"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"), sum(dec6(col("value"))).cast("double").as("total"))
+        .orderBy(col("band"))
+    }),
+    "q42_null_fns" -> ((s, dir) => {
+      // null semantics: nullif/coalesce/null-safe equality
+      val o = T(s, dir, "orders")
+      o.select(
+        col("o_orderkey"),
+        nullif(col("o_orderpriority"), lit("1-URGENT")).as("prio_or_null"),
+        coalesce(nullif(col("o_orderpriority"), lit("1-URGENT")), lit("URGENT!")).as("prio_filled"),
+        (nullif(col("o_orderpriority"), lit("1-URGENT")) <=> lit(null)).as("is_urgent"))
+        .orderBy(col("o_orderkey"))
+    }),
     "q40_asof_join" -> ((s, dir) => {
       // point-in-time lookup: each event joined to the user's latest order
       // at or before the event time
@@ -477,6 +499,18 @@ object SparkEntry {
       "q12_knn_l2" -> knnSql,
       "q23_ann_fullprobe" -> knnSql,
       "q37_knn_custom_topk" -> knnSql,
+      "q41_range_join" ->
+        """WITH bands(band, lo, hi) AS (VALUES ('low', 0.0, 10.0), ('mid', 10.0, 100.0), ('high', 100.0, 1e9))
+          |SELECT band, COUNT(*) AS n,
+          |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+          |FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+          |GROUP BY band ORDER BY band""".stripMargin,
+      "q42_null_fns" ->
+        """SELECT o_orderkey,
+          |  nullif(o_orderpriority, '1-URGENT') AS prio_or_null,
+          |  coalesce(nullif(o_orderpriority, '1-URGENT'), 'URGENT!') AS prio_filled,
+          |  nullif(o_orderpriority, '1-URGENT') IS NOT DISTINCT FROM NULL AS is_urgent
+          |FROM orders ORDER BY o_orderkey""".stripMargin,
       "q40_asof_join" ->
         """SELECT e.event_id, e.user_id, o.o_orderkey
           |FROM events e JOIN orders o

@@ -73,7 +73,7 @@ object RabitqIndex {
       // measurably better IVF partitions (recall 0.85 vs 0.81 at the
       // same probe budget on sf0.01) — worth it, the fit is build-time
       val km = new KMeans()
-        .setK(numClusters).setSeed(seed).setMaxIter(15)
+        .setK(numClusters).setSeed(seed).setMaxIter(10)
         .setFeaturesCol("features").setPredictionCol("cluster_id")
       val kmModel = km.fit(withVec)
       buildWithCentroids(spark, base, kmModel.clusterCenters.map(_.toArray.map(_.toFloat)), seed)
@@ -94,7 +94,7 @@ object RabitqIndex {
     val withVec = base.select(col("vec_id"), col("embedding"))
       .withColumn("features", array_to_vector(col("embedding")))
     val km = new KMeans()
-      .setK(k1).setSeed(seed).setMaxIter(15)
+      .setK(k1).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("features").setPredictionCol("top_cluster")
     val top = km.fit(withVec).transform(withVec).drop("features")
 
