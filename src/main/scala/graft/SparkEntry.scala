@@ -46,11 +46,20 @@ object SparkEntry {
     })
 
   // cosine-metric index: built over unit-normalized vectors (L2 on the
-  // normalized space ranks identically to cosine on the raw space)
+  // normalized space ranks identically to cosine on the raw space).
+  // Coarse centroids come from a deterministic sample of normalized
+  // vectors rather than a second k-means fit — q32 queries at full probe
+  // (exact by construction), so centroid quality only shapes partition
+  // balance, and the sample skips a whole MLlib training pass.
   private def cosIndex(s: SparkSession, dir: String): (RabitqModel, DataFrame) =
     idxCache.getOrElseUpdate("cos:" + dir, {
       val base = ExactKnn.normalized(T(s, dir, "embeddings"), "embedding")
-      val (model, index) = RabitqIndex.build(s, base, NumClusters, Seed)
+      val n = base.count()
+      val step = math.max(1L, n / NumClusters)
+      val centroids = base.filter(col("vec_id") % step === 0)
+        .orderBy(col("vec_id")).limit(NumClusters)
+        .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+      val (model, index) = RabitqIndex.buildWithCentroids(s, base, centroids, Seed)
       (model, index.persist())
     })
 

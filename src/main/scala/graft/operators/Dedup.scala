@@ -52,9 +52,13 @@ object Dedup {
     // inverted index then carries the size alongside each posting, so no
     // separate sizes join is needed (one shuffle saved, and at scale the
     // size column costs 8 bytes per posting instead of two hash joins)
+    // persisted: both sides of the self-join read this — without the cache
+    // the whole scan→shingle→aggregate pipeline runs twice (the broadcast
+    // side defeats exchange reuse)
     val docSets = shingles(docs, n)
       .groupBy(col("doc_id"))
       .agg(collect_list(col("shingle")).as("set"), count(lit(1)).as("ns"))
+      .persist()
     val inv = docSets.select(col("doc_id"), col("ns"), explode(col("set")).as("shingle"))
     val a = inv.select(col("doc_id").as("doc_a"), col("ns").as("sa"), col("shingle"))
     val b = inv.select(col("doc_id").as("doc_b"), col("ns").as("sb"), col("shingle"))
