@@ -600,6 +600,23 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(gotc(id) == VectorOps.asymDot(c.toArray, p.toArray))
     }
 
+    // null propagation: BinaryExpression null-safety must yield NULL, not
+    // throw, for null arrays on either side
+    import org.apache.spark.sql.types._
+    val withNulls = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(Seq(1f, 2f), null),
+        org.apache.spark.sql.Row(null, Seq(3f, 4f)),
+        org.apache.spark.sql.Row(Seq(1f, 2f), Seq(3f, 4f))),
+      StructType(Seq(
+        StructField("a", ArrayType(FloatType), nullable = true),
+        StructField("b", ArrayType(FloatType), nullable = true))))
+    val nullRes = withNulls.select(VE.l2sq(col("a"), col("b")).as("d"),
+      VE.cosineSim(col("a"), col("b")).as("c")).collect()
+    assert(nullRes(0).isNullAt(0) && nullRes(0).isNullAt(1))
+    assert(nullRes(1).isNullAt(0) && nullRes(1).isNullAt(1))
+    assert(!nullRes(2).isNullAt(0) && !nullRes(2).isNullAt(1))
+
     // SQL registration
     VE.register(spark)
     df.createOrReplaceTempView("ve_test")
