@@ -1,0 +1,98 @@
+package graft
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.atomic.AtomicLong
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** HTTP query service — parity with the reference's axum tier
+  * (`/root/reference/crates/service/src/main.rs:36-96`): POST /query
+  * `{"query": [...], "top_k": k, "probe": p}` → `{"ids": [...],
+  * "scores": [...]}`, plus GET /health and GET /metrics. Dependency-free
+  * (JDK HttpServer; the engine contract is batch DataFrames — this tier
+  * exists to show the serving surface maps onto a long-lived session with
+  * a persisted index, the role Spark Connect would play in production).
+  *
+  *   sbt "runMain graft.Serve /root/testdata/sf0.001 18080"
+  */
+object Serve {
+
+  private val queriesServed = new AtomicLong(0)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val port = if (args.length > 1) args(1).toInt else 18080
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val server = start(spark, sfDir, port)
+    println(s"graft serving on :$port (Ctrl-C to stop)")
+    sys.addShutdownHook { server.stop(0); spark.stop() } // V4 graceful stop
+    Thread.currentThread().join()
+  }
+
+  /** Build the index, persist base + index, and start serving. Returns the
+    * server (caller stops it).
+    */
+  def start(spark: SparkSession, sfDir: String, port: Int): HttpServer = {
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet").persist()
+    val (model, index0) = RabitqIndex.build(spark, base, numClusters = 16, seed = 42L)
+    val index = index0.persist()
+    index.count(); base.count() // warm caches before first request
+
+    val server = HttpServer.create(new InetSocketAddress(port), 0)
+    server.createContext("/health", (ex: HttpExchange) => respond(ex, 200, "OK"))
+    server.createContext("/metrics", (ex: HttpExchange) =>
+      respond(ex, 200, s"""{"queries_served":${queriesServed.get()}}"""))
+    server.createContext("/query", (ex: HttpExchange) => {
+      try {
+        val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        val vec = parseFloatArray(body, "query")
+        val topK = parseInt(body, "top_k").getOrElse(10)
+        val probe = parseInt(body, "probe").getOrElse(8)
+        import spark.implicits._
+        val qDf = Seq((0L, vec.toSeq)).toDF("query_id", "qvec")
+        val rows = RabitqQuery.topK(spark, model, index, base, qDf,
+          nprobe = probe, topk = topK, rerank = math.max(4 * topK, 64))
+          .orderBy(col("rank")).select("neighbor_id", "dist").collect()
+        queriesServed.incrementAndGet()
+        val ids = rows.map(_.getLong(0)).mkString("[", ",", "]")
+        val scores = rows.map(_.getDouble(1)).mkString("[", ",", "]")
+        respond(ex, 200, s"""{"ids":$ids,"scores":$scores}""")
+      } catch {
+        case e: Throwable => respond(ex, 400, s"""{"error":"${e.getMessage}"}""")
+      }
+    })
+    server.setExecutor(null) // serial: one Spark job at a time
+    server.start()
+    server
+  }
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.sendResponseHeaders(code, bytes.length)
+    val os = ex.getResponseBody
+    os.write(bytes); os.close()
+  }
+
+  /** Minimal parsers for the fixed request shape (no JSON dependency). */
+  private[graft] def parseFloatArray(json: String, key: String): Array[Float] = {
+    val m = java.util.regex.Pattern
+      .compile("\"" + key + "\"\\s*:\\s*\\[([^\\]]*)\\]").matcher(json)
+    require(m.find(), s"missing array field '$key'")
+    val body = m.group(1).trim
+    if (body.isEmpty) Array.empty else body.split(",").map(_.trim.toFloat)
+  }
+
+  private[graft] def parseInt(json: String, key: String): Option[Int] = {
+    val m = java.util.regex.Pattern
+      .compile("\"" + key + "\"\\s*:\\s*(-?\\d+)").matcher(json)
+    if (m.find()) Some(m.group(1).toInt) else None
+  }
+}

@@ -301,6 +301,41 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"minhash recovered $hit/${exact.size}")
   }
 
+  // ---------------- http serving tier --------------------------------------
+  test("HTTP query service answers /query, /health, /metrics") {
+    val port = {
+      val s = new java.net.ServerSocket(0)
+      try s.getLocalPort finally s.close()
+    }
+    val server = graft.Serve.start(spark, sf, port)
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      def get(path: String) = client.send(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(s"http://localhost:$port$path")).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+      assert(get("/health") == "OK")
+
+      val qvec = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      val body = s"""{"query": ${qvec.mkString("[", ",", "]")}, "top_k": 5, "probe": 16}"""
+      val resp = client.send(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(s"http://localhost:$port/query"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+      val ids = graft.Serve.parseFloatArray(resp, "ids").map(_.toLong)
+      assert(ids.length == 5 && ids.head == 0L, s"unexpected response: $resp")
+
+      assert(get("/metrics").contains("\"queries_served\":1"))
+      // malformed request → 400, service stays up
+      val bad = client.send(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(s"http://localhost:$port/query"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString("{}")).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(bad.statusCode() == 400)
+      assert(get("/health") == "OK")
+    } finally server.stop(0)
+  }
+
   // ---------------- asof join ----------------------------------------------
   test("asof join: latest right row at-or-before, ties broken, unmatched null-filled") {
     import spark.implicits._
