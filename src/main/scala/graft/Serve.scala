@@ -46,7 +46,9 @@ object Serve {
     val index = index0.persist()
     index.count(); base.count() // warm caches before first request
 
-    val server = HttpServer.create(new InetSocketAddress(port), 0)
+    // loopback only: this demo tier has no auth; production would sit
+    // behind Spark Connect / a gateway
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     server.createContext("/health", (ex: HttpExchange) => respond(ex, 200, "OK"))
     server.createContext("/metrics", (ex: HttpExchange) =>
       respond(ex, 200, s"""{"queries_served":${queriesServed.get()}}"""))
@@ -66,12 +68,28 @@ object Serve {
         val scores = rows.map(_.getDouble(1)).mkString("[", ",", "]")
         respond(ex, 200, s"""{"ids":$ids,"scores":$scores}""")
       } catch {
-        case e: Throwable => respond(ex, 400, s"""{"error":"${e.getMessage}"}""")
+        case e: Throwable =>
+          val msg = jsonEscape(Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
+          respond(ex, 400, s"""{"error":"$msg"}""")
       }
     })
     server.setExecutor(null) // serial: one Spark job at a time
     server.start()
     server
+  }
+
+  /** Escape quotes/backslashes/control chars so exception messages can't
+    * break the JSON error body.
+    */
+  private[graft] def jsonEscape(s: String): String = {
+    val sb = new StringBuilder
+    s.foreach {
+      case '"'  => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c    => sb.append(c)
+    }
+    sb.toString
   }
 
   private def respond(ex: HttpExchange, code: Int, body: String): Unit = {

@@ -66,6 +66,16 @@ object SparkEntry {
   private def annQueries(s: SparkSession, dir: String, n: Int = 10): DataFrame =
     ExactKnn.queriesFromEmbeddings(T(s, dir, "embeddings"), n)
 
+  // full-rerank bound for the exactness-gate queries (q23/q32): the whole
+  // base, derived per sf dir (parquet metadata count — no scan) and cached
+  private val baseCountCache = scala.collection.concurrent.TrieMap.empty[String, Int]
+  private def fullRerank(s: SparkSession, dir: String): Int =
+    baseCountCache.getOrElseUpdate(dir, {
+      val n = T(s, dir, "embeddings").count()
+      require(n <= Int.MaxValue, s"base count $n exceeds rerank bound")
+      n.toInt
+    })
+
   // saved-to-disk index (partitionBy cluster_id layout) per sf dir, for the
   // partition-pruned query path
   private val diskIdxCache = scala.collection.concurrent.TrieMap.empty[String, String]
@@ -78,6 +88,19 @@ object SparkEntry {
     })
 
   private val streamCounter = new AtomicInteger(0)
+
+  /** Build + materialize every session-cached artifact for `dir` (ANN
+    * index, cosine index, disk layout, base count) so benchmark timings
+    * measure query plans rather than whichever query happens to pay the
+    * one-time k-means build first.
+    */
+  def prewarm(s: SparkSession, dir: String): Unit = {
+    annIndex(s, dir)._2.count()
+    cosIndex(s, dir)._2.count()
+    diskIndex(s, dir)
+    fullRerank(s, dir)
+    ()
+  }
 
   /** Flagship: approximate vector top-k on sf0.001 (driver smoke test). */
   def entry(spark: SparkSession): DataFrame = {
@@ -193,10 +216,13 @@ object SparkEntry {
     }),
     "q23_ann_fullprobe" -> ((s, dir) => {
       // full probe + full rerank ⇒ must equal brute-force exactly; the
-      // oracle is the exact-kNN SQL (end-to-end pipeline correctness)
+      // oracle is the exact-kNN SQL (end-to-end pipeline correctness).
+      // rerank is derived from the base count so the exactness invariant
+      // holds at every sf (a fixed bound would silently go approximate
+      // once the table outgrows it)
       val (model, index) = annIndex(s, dir)
       RabitqQuery.topK(s, model, index, T(s, dir, "embeddings"), annQueries(s, dir),
-        nprobe = NumClusters, topk = 10, rerank = 4096)
+        nprobe = NumClusters, topk = 10, rerank = fullRerank(s, dir))
         .select(col("query_id"), col("neighbor_id"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -216,7 +242,7 @@ object SparkEntry {
         annQueries(s, dir).withColumnRenamed("qvec", "embedding"), "embedding")
         .withColumnRenamed("embedding", "qvec")
       RabitqQuery.topK(s, model, index, baseN, qN,
-        nprobe = NumClusters, topk = 10, rerank = 4096)
+        nprobe = NumClusters, topk = 10, rerank = fullRerank(s, dir))
         .select(col("query_id"), col("neighbor_id"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -241,11 +267,17 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
     "q28_ann_recall" -> ((s, dir) => {
+      // recall gate, driver-visible: emits 1 iff recall@10 ≥ 0.9 so the
+      // constant-1 oracle turns the recall requirement into a hash check.
+      // nprobe 12/16 + rerank 200: measured recall 0.99 at sf0.01, ≥0.97
+      // at sf0.001/sf0.1 — comfortable margin over the 0.9 gate (nprobe 8
+      // sits at 0.89, right on the edge)
       val (model, index) = annIndex(s, dir)
       val truth = ExactKnn.l2TopK(T(s, dir, "embeddings"), annQueries(s, dir), 10)
       val approx = RabitqQuery.topK(s, model, index, T(s, dir, "embeddings"),
-        annQueries(s, dir), nprobe = 8, topk = 10, rerank = 100)
+        annQueries(s, dir), nprobe = 12, topk = 10, rerank = 200)
       ExactKnn.recall(approx, truth, 10)
+        .select((col("recall") >= 0.9).cast("long").as("recall_ok"))
     }),
 
     // ---------------- dedup ----------------------------------------------
@@ -257,7 +289,7 @@ object SparkEntry {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
     "q20_minhash_pairs" -> ((s, dir) => {
-      Dedup.minhashPairs(s, T(s, dir, "documents"), n = 3, jaccardDistThreshold = 0.5)
+      Dedup.minhashPairs(T(s, dir, "documents"), n = 3, simThreshold = 0.5)
         .select(col("doc_a"), col("doc_b"))
         .orderBy(col("doc_a"), col("doc_b"))
     }),
@@ -350,11 +382,13 @@ object SparkEntry {
 
     // ---------------- subquery / pivot -------------------------------------
     "q35_scalar_subquery" -> ((s, dir) => {
+      // scalar subquery as ONE plan: the 1-row aggregate is broadcast and
+      // cross-joined (no driver .head() round-trip, no second job)
       val o = T(s, dir, "orders")
       val avgPrice = o.agg(
         (sum(dec3(col("o_totalprice"))).cast("double") / count(lit(1))).as("avg_p"))
-        .head().getDouble(0)
-      o.filter(col("o_totalprice") > avgPrice)
+      o.crossJoin(broadcast(avgPrice))
+        .filter(col("o_totalprice") > col("avg_p"))
         .select(col("o_orderkey"), col("o_totalprice"))
         .orderBy(col("o_orderkey"))
     }),
@@ -428,9 +462,76 @@ object SparkEntry {
     }),
   )
 
-  // ---- DuckDB oracle SQL (omitted for kmeans-/hash-dependent queries:
-  //      q20 minhash, q21 simhash, q24 nprobe<k, q27 stub features,
-  //      q28 recall — those get the driver's rows-only check) -------------
+  // ---- generated oracles for the portable-hash signature pipelines ------
+
+  /** DuckDB replay of `Dedup.minhashPairs` (n=3, t=0.5, 8 hashes): same
+    * polynomial shingle hash, same affine minhash families (literals
+    * embedded from `Dedup.affine`), same band join + exact-Jaccard
+    * verification.
+    */
+  private def minhashOracle: String = {
+    val P = Dedup.P
+    val mins = (0 until 8).map { j =>
+      val (a, b) = Dedup.affine(j); s"MIN(($a*s+$b) % $P) AS m$j"
+    }.mkString(", ")
+    val bandSel = (0 until 8).map(j => s"SELECT doc_id, $j AS j, m$j AS mh FROM m")
+      .mkString(" UNION ALL ")
+    raw"""WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+         |sh0 AS (SELECT DISTINCT doc_id, array_to_string(t[CAST(i + 1 AS INT):CAST(i + 3 AS INT)], ' ') AS shingle
+         |        FROM toks, LATERAL unnest(range(len(t) - 2)) AS r(i) WHERE len(t) >= 3),
+         |sh AS (SELECT DISTINCT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+         |         range(1, length(shingle) + 1),
+         |         i -> CAST(ascii(substring(shingle, CAST(i AS INT), 1)) AS BIGINT))),
+         |         (a, c) -> (a * 131 + c) % $P) AS s FROM sh0),
+         |m AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+         |bands AS ($bandSel),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |         FROM bands a JOIN bands b ON a.j = b.j AND a.mh = b.mh WHERE a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY doc_id),
+         |inter AS (SELECT doc_a, doc_b, COUNT(*) AS nc FROM cand
+         |          JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b AND y.s = x.s
+         |          GROUP BY 1, 2)
+         |SELECT doc_a, doc_b FROM inter
+         |JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+         |WHERE CAST(nc AS DOUBLE) / (sa.ns + sb.ns - nc) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** DuckDB replay of `Dedup.simhashPairs` (maxHamming=3): portable token
+    * hash, 64 affine parity votes, two's-complement signature assembly
+    * (bit 63 enters as min-long so BIGINT arithmetic never overflows),
+    * 16-bit sub-band join, bit_count hamming.
+    */
+  private def simhashOracle: String = {
+    val P = Dedup.P
+    val votes = (0 until 64).map { i =>
+      val (a, b) = Dedup.affine(i)
+      s"SUM(CASE WHEN ((($a*h+$b) % $P) % 2) = 1 THEN 1 ELSE -1 END) AS v$i"
+    }.mkString(", ")
+    val bits = (0 until 64).reverse.map { i =>
+      if (i == 63) "(CASE WHEN v63 > 0 THEN CAST(-9223372036854775808 AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+      else s"(CASE WHEN v$i > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    raw"""WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok FROM documents),
+         |th AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
+         |         range(1, length(tok) + 1),
+         |         i -> CAST(ascii(substring(tok, CAST(i AS INT), 1)) AS BIGINT))),
+         |         (a, c) -> (a * 131 + c) % $P) AS h FROM toks WHERE length(tok) > 0),
+         |v AS (SELECT doc_id, $votes FROM th GROUP BY doc_id),
+         |sg AS (SELECT doc_id, $bits AS sig FROM v),
+         |banded AS (SELECT doc_id, sig, j, (sig >> (16 * CAST(j AS INT))) & 65535 AS bits
+         |           FROM sg, LATERAL unnest([0, 1, 2, 3]) AS t(j)),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |                 bit_count(xor(a.sig, b.sig)) AS hamming
+         |          FROM banded a JOIN banded b ON a.j = b.j AND a.bits = b.bits
+         |          WHERE a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming FROM pairs
+         |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ---- DuckDB oracle SQL (omitted only where structurally approximate:
+  //      q24/q31 nprobe<k ANN, q27 stub features — those get the driver's
+  //      rows-only check) ------------------------------------------------
   def oracleSql: Map[String, String] = {
     val revenue = "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,3)) * (CAST(1.0 AS DECIMAL(4,3)) - CAST(l_discount AS DECIMAL(18,3)))) AS DOUBLE)"
     val knnSql =
@@ -508,6 +609,9 @@ object SparkEntry {
       "q12_knn_l2" -> knnSql,
       "q23_ann_fullprobe" -> knnSql,
       "q37_knn_custom_topk" -> knnSql,
+      "q20_minhash_pairs" -> minhashOracle,
+      "q21_simhash_pairs" -> simhashOracle,
+      "q28_ann_recall" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",
       "q41_range_join" ->
         """WITH bands(band, lo, hi) AS (VALUES ('low', 0.0, 10.0), ('mid', 10.0, 100.0), ('high', 100.0, 1e9))
           |SELECT band, COUNT(*) AS n,

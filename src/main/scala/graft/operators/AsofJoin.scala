@@ -2,17 +2,21 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** As-of join: for each left row, the single right row with the same key
   * and the greatest right timestamp ≤ the left timestamp (the standard
   * time-series point-in-time lookup, which Spark has no native operator
   * for — composed per the custom-operator ladder's option (a)).
   *
-  * Shape: equi-join on the key (Catalyst picks broadcast or sort-merge),
-  * range predicate on the timestamps, then argmax per left row via
-  * `max_by` with an explicit (ts, tiebreak) struct — a single aggregation
-  * with map-side partials, NOT a window sort. Skewed keys (one user with
-  * millions of right rows) hit the usual groupBy mitigations (salting).
+  * Shape: the single-pass union-and-window form. Both sides are tagged
+  * and unioned, clustered by key, sorted by (ts, side, tieBreak), and the
+  * latest right payload is propagated forward with `last(..., ignoreNulls)`
+  * over an unbounded-preceding frame. ONE shuffle + ONE sort, and — unlike
+  * the equi-join + range-filter shape — no per-key fan-out: a hot key with
+  * |L| events and |R| orders costs O(|L|+|R|) rows, not O(|L|·|R|).
+  * Duplicate left rows survive unchanged (each is its own union row; no
+  * grouping on left columns).
   */
 object AsofJoin {
 
@@ -23,16 +27,41 @@ object AsofJoin {
     */
   def asof(left: DataFrame, right: DataFrame, leftKey: String, rightKey: String,
            leftTs: String, rightTs: String, tieBreak: String): DataFrame = {
+    val leftCols = left.columns
     val rightCols = right.columns
-    val matched = left
-      .join(right, col(leftKey) === col(rightKey) && col(rightTs) <= col(leftTs))
-      .groupBy(left.columns.map(col): _*)
-      .agg(max_by(
-        struct(rightCols.map(col): _*),
-        struct(col(rightTs), col(tieBreak))).as("__m"))
-      .select((left.columns.map(col) :+ col("__m.*")): _*)
-    val unmatched = left.join(right, col(leftKey) === col(rightKey) && col(rightTs) <= col(leftTs), "left_anti")
-      .select((left.columns.map(col) ++ rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(c))): _*)
-    matched.unionByName(unmatched)
+    // common sort timestamp type (timestamps and dates compare after cast)
+    val tsType = left.schema(leftTs).dataType
+
+    // tagged union: side 0 = right (must sort BEFORE left at equal ts —
+    // rightTs <= leftTs is inclusive), side 1 = left. Right rows carry
+    // their full payload in a struct; left rows carry theirs.
+    val r = right.select(
+      col(rightKey).as("__key"),
+      col(rightTs).cast(tsType).as("__ts"),
+      lit(0).as("__side"),
+      col(tieBreak).as("__tb"),
+      struct(rightCols.map(col): _*).as("__rpay"),
+      lit(null).cast(left.select(struct(leftCols.map(col): _*)).schema.head.dataType).as("__lpay"))
+    val l = left.select(
+      col(leftKey).as("__key"),
+      col(leftTs).as("__ts"),
+      lit(1).as("__side"),
+      lit(null).cast(right.schema(tieBreak).dataType).as("__tb"),
+      lit(null).cast(right.select(struct(rightCols.map(col): _*)).schema.head.dataType).as("__rpay"),
+      struct(leftCols.map(col): _*).as("__lpay"))
+
+    // within a key: rights ascending by (ts, tieBreak), each left row after
+    // every right row with __ts <= its ts; last non-null right payload at a
+    // left row == the as-of match. Ties among left rows are harmless (they
+    // read the same prefix of rights).
+    val w = Window.partitionBy(col("__key"))
+      .orderBy(col("__ts").asc, col("__side").asc, col("__tb").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    r.unionByName(l)
+      .withColumn("__match", last(col("__rpay"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(c => col(s"__lpay.$c")) ++
+        rightCols.map(c => col(s"__match.$c")): _*)
   }
 }

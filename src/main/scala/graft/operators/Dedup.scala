@@ -1,9 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.ml.feature.{MinHashLSH, RegexTokenizer, NGram, CountVectorizer, HashingTF}
 import graft.functions.VectorOps
 
 /** Deduplication operators for a training-data pipeline over `documents`
@@ -18,6 +17,54 @@ import graft.functions.VectorOps
   * near-dup buckets by coarse cluster first.
   */
 object Dedup {
+
+  /** Modulus for all portable hashing: prime 1e9+7. Everything stays well
+    * inside i64 (a·h + b < 2^61), so DuckDB's checked arithmetic and the
+    * JVM agree bit-for-bit — the property that makes the minhash/simhash
+    * pipelines oracle-able end to end.
+    */
+  val P = 1000000007L
+
+  /** 64 affine hash families (aᵢ·h + bᵢ) mod P over a base hash h, with
+    * constants from a fixed-seed generator: the DuckDB oracle embeds the
+    * same literals, so both engines derive identical signatures.
+    * Families 0..63 drive the simhash bit votes; 0..numHashes-1 drive the
+    * minhash permutations (independent inputs, so sharing is harmless).
+    */
+  val affine: IndexedSeq[(Long, Long)] = {
+    val rng = new java.util.Random(0x5eed5eedL)
+    IndexedSeq.fill(64)((1L + rng.nextInt(1000000000).toLong, rng.nextInt(1000000000).toLong))
+  }
+
+  /** Portable polynomial string hash: base 131, mod P, over ascii codes —
+    * the `TextOps.rollingHash` arithmetic applied to a single value.
+    * Pure column expression (codegen) and byte-identical in DuckDB via
+    * `list_reduce` (the q19 fingerprint oracle proves the pattern).
+    */
+  def polyHash(s: Column, base: Long = 131L): Column =
+    aggregate(
+      filter(split(s, ""), c => length(c) > 0),
+      lit(0L),
+      (acc, c) => (acc * lit(base) + ascii(c).cast("long")) % lit(P))
+
+  /** Word n-gram shingles as 64-bit hashes, WITHOUT materializing the
+    * shingle strings: xxhash64 over the n token columns directly, inside a
+    * `transform` lambda (whole-stage codegen, no concat/regex per
+    * shingle). Tokens contain no whitespace, so distinct hash ≡ distinct
+    * shingle string up to a ~2⁻⁶⁴ collision — exact-jaccard results over
+    * these longs match the string-set oracle while every downstream
+    * shuffle/sort/intersection runs on primitives.
+    */
+  def shingleHashes(docs: DataFrame, n: Int): DataFrame = {
+    val toks = split(trim(lower(col("text"))), "\\s+")
+    docs.select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(0), size(col("toks")) - n),
+          i => xxhash64((0 until n).map(j => element_at(col("toks"), i + j + 1)): _*)))
+        .as("shingle"))
+      .distinct()
+  }
 
   /** Exact dedup: canonical doc per distinct text (min doc_id wins).
     * Groups on the md5 digest, NOT the text — at 100 TB the shuffle moves
@@ -48,53 +95,105 @@ object Dedup {
     * Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
-    // one aggregation builds the per-doc shingle SET with its size; the
-    // inverted index then carries the size alongside each posting, so no
-    // separate sizes join is needed (one shuffle saved, and at scale the
-    // size column costs 8 bytes per posting instead of two hash joins)
-    // persisted: both sides of the self-join read this — without the cache
-    // the whole scan→shingle→aggregate pipeline runs twice (the broadcast
-    // side defeats exchange reuse)
-    val docSets = shingles(docs, n)
+    // per-doc shingle-hash SET with its size, persisted: the prefix index,
+    // the candidate join, and the verification join all read this — without
+    // the cache the scan→shingle→aggregate pipeline re-runs per consumer
+    val docSets = shingleHashes(docs, n)
       .groupBy(col("doc_id"))
       .agg(collect_list(col("shingle")).as("set"), count(lit(1)).as("ns"))
       .persist()
-    val inv = docSets.select(col("doc_id"), col("ns"), explode(col("set")).as("shingle"))
-    val a = inv.select(col("doc_id").as("doc_a"), col("ns").as("sa"), col("shingle"))
-    val b = inv.select(col("doc_id").as("doc_b"), col("ns").as("sb"), col("shingle"))
-    a.join(b, Seq("shingle"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b", "sa", "sb")
-      .agg(count(lit(1)).as("n_common"))
+
+    // EXACT PREFIX FILTERING (AllPairs/PPJoin): order the shingle universe
+    // by ascending global document frequency (ties on the string) and
+    // index only each doc's first |s| − ⌈t·|s|⌉ + 1 shingles in that
+    // order. Lossless at threshold t: jaccard(a,b) ≥ t ⇒ |a∩b| ≥
+    // ⌈t·|a|⌉ and ≥ ⌈t·|b|⌉, so the globally-smallest common shingle
+    // must sit inside BOTH prefixes (either suffix is too short to hold
+    // the whole intersection). Rare-first ordering also kills hot-shingle
+    // skew — a stopword shingle shared by 10⁶ docs sorts LAST and never
+    // enters a prefix, so it generates zero candidate pairs.
+    val posting = docSets.select(col("doc_id"), col("ns"), explode(col("set")).as("shingle"))
+    val freq = posting.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df").asc, col("shingle").asc)
+    // persisted: BOTH sides of the candidate self-join scan this — without
+    // the cache the posting→frequency-join→window pipeline runs twice (the
+    // self-join defeats exchange reuse)
+    val prefix = posting.join(freq, Seq("shingle"))
+      .withColumn("rn", row_number().over(wDoc))
+      .filter(col("rn") <= col("ns") - ceil(col("ns") * threshold) + 1)
+      .select(col("doc_id"), col("ns"), col("shingle"))
+      .persist()
+
+    // candidates: pairs sharing ≥1 PREFIX shingle (distinct — a pair may
+    // collide on several prefix shingles), pre-pruned by the size bound
+    // jaccard ≥ t ⇒ min(|a|,|b|) ≥ t·max(|a|,|b|)
+    val a = prefix.select(col("doc_id").as("doc_a"), col("ns").as("na"), col("shingle"))
+    val b = prefix.select(col("doc_id").as("doc_b"), col("ns").as("nb"), col("shingle"))
+    val candidates = a.join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b") &&
+        least(col("na"), col("nb")).cast("double") >=
+          lit(threshold) * greatest(col("na"), col("nb")))
+      .select("doc_a", "doc_b")
+      .distinct()
+
+    // exact verification: true |∩| from the full sets (computed once)
+    val setsA = docSets.select(col("doc_id").as("doc_a"), col("set").as("set_a"), col("ns").as("sa"))
+    val setsB = docSets.select(col("doc_id").as("doc_b"), col("set").as("set_b"), col("ns").as("sb"))
+    candidates
+      .join(setsA, Seq("doc_a"))
+      .join(setsB, Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sa"), col("sb"),
+        size(array_intersect(col("set_a"), col("set_b"))).cast("long").as("nc"))
       .select(col("doc_a"), col("doc_b"),
-        (col("n_common").cast("double") /
-          (col("sa") + col("sb") - col("n_common"))).as("jaccard"))
+        (col("nc").cast("double") / (col("sa") + col("sb") - col("nc"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
-  /** MinHash-LSH near-dup candidates (MLlib): shingle → hashed term freq →
-    * minhash signatures → banded similarity join at `jaccardThreshold`
-    * Jaccard DISTANCE (1 − similarity). Output: (doc_a, doc_b, dist).
+  /** MinHash-LSH near-dup: shingle → portable hash → `numHashes` minhash
+    * permutations (affine families over the shingle hash) → OR-amplified
+    * banded candidate join (pairs sharing ≥1 minhash value;
+    * P(candidate) = 1-(1-s)^8 ≈ 0.996 at s=0.5 and ~1 in the s≥0.9
+    * near-dup band) → exact Jaccard verification over the distinct
+    * shingle-hash sets at `simThreshold`.
+    *
+    * Hand-rolled instead of MLlib so the whole pipeline is deterministic
+    * portable arithmetic — the DuckDB oracle replays it bit-for-bit.
+    * Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
     */
-  def minhashPairs(spark: SparkSession, docs: DataFrame, n: Int,
-                   jaccardDistThreshold: Double, numHashes: Int = 8): DataFrame = {
-    // 8 OR-amplified tables: P(candidate) = 1-(1-s)^8 ≈ 0.996 at s=0.5 and
-    // ~1 at the s≥0.9 near-dup band, so recall vs the exact jaccard join
-    // stays ~1 at a quarter of the 32-table signature cost
+  def minhashPairs(docs: DataFrame, n: Int, simThreshold: Double,
+                   numHashes: Int = 8): DataFrame = {
+    require(numHashes <= affine.length, s"at most ${affine.length} hash families")
+    // distinct shingle-hash set per doc: candidates, sizes, and the
+    // verification join all derive from this one persisted frame
     val sh = shingles(docs, n)
-      .groupBy("doc_id").agg(collect_list(col("shingle")).as("sh"))
-    val tf = new HashingTF().setInputCol("sh").setOutputCol("features")
-      .setNumFeatures(1 << 18).setBinary(true)
-    val feat = tf.transform(sh).filter(col("doc_id").isNotNull)
-    val mh = new MinHashLSH().setInputCol("features").setOutputCol("sig")
-      .setNumHashTables(numHashes).setSeed(42L)
-    val mhModel = mh.fit(feat)
-    mhModel.approxSimilarityJoin(feat, feat, jaccardDistThreshold, "dist")
-      .select(
-        col("datasetA.doc_id").as("doc_a"),
-        col("datasetB.doc_id").as("doc_b"),
-        col("dist"))
+      .select(col("doc_id"), polyHash(col("shingle")).as("s"))
+      .distinct()
+      .persist()
+    val minExprs = (0 until numHashes).map { j =>
+      val (a, b) = affine(j)
+      min((lit(a) * col("s") + lit(b)) % lit(P)).as(s"m$j")
+    }
+    val mins = sh.groupBy(col("doc_id")).agg(minExprs.head, minExprs.tail: _*)
+    val banded = mins.select(col("doc_id"), explode(array((0 until numHashes).map { j =>
+      struct(lit(j).as("band"), col(s"m$j").as("mh"))
+    }: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.mh").as("mh"))
+    val ca = banded.select(col("doc_id").as("doc_a"), col("band"), col("mh"))
+    val cb = banded.select(col("doc_id").as("doc_b"), col("band"), col("mh"))
+    val candidates = ca.join(cb, Seq("band", "mh"))
       .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val sets = sh.groupBy(col("doc_id"))
+      .agg(collect_list(col("s")).as("set"), count(lit(1)).as("ns"))
+    val sa = sets.select(col("doc_id").as("doc_a"), col("set").as("set_a"), col("ns").as("sa"))
+    val sb = sets.select(col("doc_id").as("doc_b"), col("set").as("set_b"), col("ns").as("sb"))
+    candidates.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sa"), col("sb"),
+        size(array_intersect(col("set_a"), col("set_b"))).cast("long").as("nc"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("nc").cast("double") / (col("sa") + col("sb") - col("nc"))).as("jaccard"))
+      .filter(col("jaccard") >= simThreshold)
   }
 
   /** 64-bit SimHash over word tokens: per-token hash votes per bit,
@@ -107,10 +206,14 @@ object Dedup {
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming <= 3, "sub-band scheme covers hamming <= 3")
     val sig = simhashSignatures(docs)
+    // sub-band value via shift+mask: the &0xffff keeps only the low 16
+    // bits, so arithmetic-vs-logical shift of the (possibly negative)
+    // signature is irrelevant — the same expression is portable to the
+    // DuckDB oracle
     val banded = sig.select(col("doc_id"), col("sig"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),
-          col("sig").bitwiseAND(lit(0xffffL << (16 * b))).as("bits"))
+          shiftright(col("sig"), 16 * b).bitwiseAND(lit(0xffffL)).as("bits"))
       }: _*)).as("bb"))
       .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bits"))
     val a = banded.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
@@ -125,7 +228,10 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** 64-bit simhash per doc (deterministic: token hash = xxhash64).
+  /** 64-bit simhash per doc. Token hash is the portable polynomial hash;
+    * bit i's vote comes from the parity of affine family i applied to it —
+    * all modular i64 arithmetic, so the DuckDB oracle reproduces the exact
+    * signatures (xxhash64 would be Spark-only).
     * Single pass: explode tokens, then ONE groupBy with 64 sum aggregates
     * (per-bit votes, map-side combinable); signature bit i set iff vote>0.
     */
@@ -133,9 +239,11 @@ object Dedup {
     val toks = docs
       .select(col("doc_id"),
         explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+      .filter(length(col("tok")) > 0)
+      .select(col("doc_id"), polyHash(col("tok")).as("h"))
     val votes = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"v$i")
+      val (a, b) = affine(i)
+      sum(when(((lit(a) * col("h") + lit(b)) % lit(P)) % lit(2L) === 1L, 1).otherwise(-1)).as(s"v$i")
     }
     val agg = toks.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
     val sig = (0 until 64)

@@ -19,7 +19,14 @@ object Salting {
     */
   def saltedAgg(df: DataFrame, keyCols: Seq[String], buckets: Int,
                 aggs: Map[String, (Column, Column)]): DataFrame = {
-    val salted = df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(buckets)))
+    // salt must be a pure function of row CONTENT: the salt is the phase-1
+    // shuffle key, and with a nondeterministic salt (partition id, rand,
+    // monotonic id) a re-executed map task after a fetch failure would
+    // re-salt rows differently, double-counting or dropping them in
+    // reducers that already pulled the old output. Hashing every column
+    // spreads a hot key across buckets whenever its rows differ anywhere.
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(df.columns.map(col): _*), lit(buckets.toLong)))
     val phase1 = salted
       .groupBy((keyCols.map(col) :+ col("__salt")): _*)
       .agg(aggs.head._2._1.as(aggs.head._1),

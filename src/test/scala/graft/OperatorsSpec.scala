@@ -61,6 +61,31 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // exec node prints without its Exec suffix
     assert(plan.contains("PerGroupTopK"), plan)
     assert(plan.contains("Exchange hashpartitioning(g"), plan)
+    // two-phase: the map-side partial heap must sit BELOW the exchange
+    // (plan prints top-down, so the partial's offset is after it)
+    assert(plan.contains("PerGroupTopKPartial"), plan)
+    assert(plan.indexOf("PerGroupTopKPartial") > plan.indexOf("Exchange hashpartitioning(g"), plan)
+  }
+
+  test("PerGroupTopK shuffles at most k rows per (group x partition)") {
+    import spark.implicits._
+    val nGroups = 5L; val k = 3; val nPart = 4
+    val df = spark.range(0, 40000, 1, nPart)
+      .select((col("id") % nGroups).as("g"),
+        ((col("id") * 37 % 1009).cast("double")).as("score"), col("id").as("id"))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val qdf = graft.plans.GraftTopK.perGroup(df, "g", "id", "score", k)
+      qdf.collect()
+      val ex = qdf.queryExecution.executedPlan.collectFirst {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }.getOrElse(fail("no exchange in plan"))
+      val written = ex.metrics("shuffleRecordsWritten").value
+      // partial heap caps the exchange input; without it all 40000 scored
+      // rows would cross the wire
+      assert(written <= k * nGroups * nPart, s"shuffled $written rows")
+      assert(written > 0)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
   // ---------------- exact knn ------------------------------------------
@@ -278,6 +303,29 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.head.getDouble(2) == 1.0)
   }
 
+  test("jaccard prefix filter: a hot shingle in every doc generates no candidates") {
+    import spark.implicits._
+    // every doc opens with the same trigram; the rest is unique. A naive
+    // inverted index explodes into n(n-1)/2 ≈ 2M candidate pairs from the
+    // hot posting alone; frequency-ordered prefix filtering never indexes
+    // it (it sorts last), so the join sees only df=1 postings.
+    val docs = (0 until 2000).map(i =>
+      (i.toLong, s"common hot shingle unique$i word$i token$i end$i")).toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val pairs = Dedup.ngramJaccardPairs(docs, 3, 0.5).collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(pairs.isEmpty) // true jaccard between distinct docs is 1/9
+    assert(secs < 60.0, s"hot-shingle case took ${secs}s")
+  }
+
+  test("polyHash matches the portable polynomial arithmetic") {
+    import spark.implicits._
+    // reference value computed independently in DuckDB:
+    // list_reduce over ascii('hello') with (a*131+c) % 1e9+7
+    val got = Seq("hello").toDF("s").select(Dedup.polyHash(col("s"))).head().getLong(0)
+    assert(got == 856916412L)
+  }
+
   test("simhash: identical docs collide at hamming 0") {
     import spark.implicits._
     val docs = Seq(
@@ -293,7 +341,7 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val exact = Dedup.ngramJaccardPairs(docs, 3, 0.5)
       .select("doc_a", "doc_b").collect().map(_.toSeq).toSet
-    val mh = Dedup.minhashPairs(spark, docs, 3, 0.5)
+    val mh = Dedup.minhashPairs(docs, 3, 0.5)
       .select("doc_a", "doc_b").collect().map(_.toSeq).toSet
     // LSH at the same threshold must recover a large majority of true pairs
     val hit = exact.count(mh.contains)
@@ -356,6 +404,36 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("t_id", "q_id").collect()
       .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
     assert(got == Map(10L -> 3L, 11L -> 1L, 12L -> -1L, 13L -> -1L))
+  }
+
+  test("asof join preserves fully-duplicate left rows") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 10:00:00")), // exact duplicate — must survive
+      (1L, ts("2024-01-01 11:00:00"))
+    ).toDF("k", "ts")
+    val right = Seq((1L, ts("2024-01-01 09:00:00"), 7L)).toDF("rk", "rts", "rid")
+    val got = AsofJoin.asof(left, right, "k", "rk", "ts", "rts", "rid")
+      .select("k", "ts", "rid").collect()
+    assert(got.length == 3)
+    assert(got.forall(_.getLong(2) == 7L))
+  }
+
+  test("asof join hot key: O(L+R), no per-key fan-out, no join in the plan") {
+    import spark.implicits._
+    val n = 10000L
+    // one key holds ALL left and right rows — the fan-out shape would
+    // materialize 10^8 intermediate pairs here
+    val left = spark.range(n).select(lit(1L).as("k"), col("id").as("lts"), col("id").as("event"))
+    val right = spark.range(n).select(lit(1L).as("rk"), col("id").as("rts"), (col("id") * 10).as("rid"))
+    val res = AsofJoin.asof(left, right, "k", "rk", "lts", "rts", "rid")
+    val plan = res.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan) // union + window: no join operator at all
+    assert(res.count() == n)
+    val sample = res.filter(col("event") === 5000L).select("rid").head().getLong(0)
+    assert(sample == 50000L) // inclusive: right ts 5000 matches left ts 5000
   }
 
   // ---------------- frame sampling boundaries ------------------------------
