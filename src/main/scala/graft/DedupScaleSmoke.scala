@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Dedup scale smoke: run the banded near-dup paths far beyond the driver
+  * testdata (default 1M docs / 1M vectors), with PLANTED near-duplicates,
+  * and report wall time plus planted-pair recall. The point is shape, not
+  * absolute speed: candidate generation must stay ~linear (banded joins),
+  * and recall of true near-dups must stay high.
+  *
+  *   sbt "runMain graft.DedupScaleSmoke 1000000 1000"   # nDocs, nPlanted
+  */
+object DedupScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.length > 0) args(0).toLong else 1000000L
+    val planted = if (args.length > 1) args(1).toLong else 1000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // ---- 1) minhash over generated text ---------------------------------
+    // docs 0..n/2-1 are random 30-token strings; docs n/2..n/2+planted-1
+    // copy doc (id - n/2) with the last token changed (jaccard ≈ 0.93);
+    // the rest are random again. Tokens drawn from a 50k vocabulary.
+    val half = n / 2
+    val baseId = when(col("doc_id") >= half && col("doc_id") < half + planted,
+      col("doc_id") - half).otherwise(col("doc_id"))
+    val isCopy = col("doc_id") >= half && col("doc_id") < half + planted
+    val textCol = concat_ws(" ",
+      transform(sequence(lit(0), lit(29)), j =>
+        concat(lit("w"), pmod(xxhash64(baseId * 31 + j,
+          when(isCopy && j === 29, lit(1L)).otherwise(lit(0L))), lit(50000L)))))
+    val docs = spark.range(n).select(col("id").as("doc_id"), textCol.as("text"))
+      .repartition(cpus.toInt).persist()
+    docs.count()
+
+    val t0 = System.nanoTime()
+    val pairs = Dedup.minhashPairs(docs, n = 3, simThreshold = 0.5)
+      .select(col("doc_a"), col("doc_b")).persist()
+    val nPairs = pairs.count()
+    val minhashSec = (System.nanoTime() - t0) / 1e9
+    val plantedFound = pairs
+      .filter(col("doc_b") === col("doc_a") + half && col("doc_a") < planted)
+      .count()
+    pairs.unpersist(); docs.unpersist()
+    println(s"""{"dedup_scale_minhash":{"n_docs":$n,"sec":$minhashSec,"pairs":$nPairs,"planted_found":$plantedFound}}""")
+
+    // ---- 2) embedding hyperplane-LSH near-dup ---------------------------
+    // zero-mean random vectors (cos ≈ 0 between random pairs, so band
+    // collisions are rare and candidates stay ~linear — any common mean
+    // component would correlate ALL vectors and defeat the banding);
+    // docs n/2..+planted copy vector (id - n/2) with one coordinate
+    // nudged (cos ≈ 0.999)
+    val dim = 64
+    val genUdf = udf { (id: Long, copyOf: Long) =>
+      def noise(seed: Long, j: Int): Float = {
+        // splitmix64 finalizer: without it the raw product is ADDITIVE in
+        // the seed, so nearby ids get near-constant coordinate offsets —
+        // i.e. highly correlated "random" vectors (cos tails up to 0.9)
+        var x = seed * 0x9E3779B97F4A7C15L + j * 0xBF58476D1CE4E5B9L
+        x ^= (x >>> 30); x *= 0xBF58476D1CE4E5B9L
+        x ^= (x >>> 27); x *= 0x94D049BB133111EBL
+        x ^= (x >>> 31)
+        (x % 10000L).toFloat / 10000f
+      }
+      val src = if (copyOf >= 0) copyOf else id
+      val v = Array.tabulate(dim)(j => noise(src + 7919L, j))
+      if (copyOf >= 0) v(0) += 0.01f
+      v.toSeq
+    }
+    val copyOf = when(col("id") >= half && col("id") < half + planted, col("id") - half)
+      .otherwise(lit(-1L))
+    val emb = spark.range(n)
+      .select(col("id").as("vec_id"), genUdf(col("id"), copyOf).as("embedding"))
+      .repartition(cpus.toInt).persist()
+    emb.count()
+
+    val t1 = System.nanoTime()
+    // numBands=4 → 16-bit bands: ~15 vectors per (band, bucket) at 1M, so
+    // candidates stay ~linear (8-bit bands would put ~4000 in each of 256
+    // buckets → 10^10 pairs)
+    val nd = Dedup.embeddingNearDupLSH(spark, emb, threshold = 0.99, numBands = 4).persist()
+    val ndPairs = nd.count()
+    val lshSec = (System.nanoTime() - t1) / 1e9
+    val ndPlanted = nd
+      .filter(col("id_b") === col("id_a") + half && col("id_a") < planted)
+      .count()
+
+    println(s"""{"dedup_scale_smoke":{"n_docs":$n,"planted":$planted,""" +
+      s""""minhash_sec":$minhashSec,"minhash_pairs":$nPairs,"minhash_planted_found":$plantedFound,""" +
+      s""""lsh_sec":$lshSec,"lsh_pairs":$ndPairs,"lsh_planted_found":$ndPlanted}}""")
+    spark.stop()
+  }
+}

@@ -10,21 +10,27 @@ import graft.operators._
   * plan survive a scale-up" probe — run it when touching the index or
   * query pipeline.
   *
-  *   sbt "runMain graft.ScaleSmoke 200000 256 16"   # n, clusters, nprobe
+  *   sbt "runMain graft.ScaleSmoke 200000 256 16 64"  # n, clusters, nprobe, dim
+  *
+  * Above ~500k rows the k-means fit runs on a 200k-row sample
+  * (`RabitqIndex.buildSampled`) — the shape that holds at 100 TB, where
+  * Lloyd iterations can never touch the full data.
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val n = if (args.length > 0) args(0).toLong else 200000L
     val k = if (args.length > 1) args(1).toInt else 256
     val nprobe = if (args.length > 2) args(2).toInt else 16
-    val dim = 64
+    val dim = if (args.length > 3) args(3).toInt else 64
+    // rough-estimate noise grows with dim (1-bit codes): at dim≫64 the
+    // shortlist must widen for the true neighbors to survive into rerank
+    val rerank = if (args.length > 4) args(4).toInt else 200
     val nQueries = 100
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.driver.memory", "8g")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -34,8 +40,13 @@ object ScaleSmoke {
     // + small noise
     val genUdf = udf { (id: Long) =>
       def noise(seed: Long, j: Int): Float = {
-        val h = java.lang.Long.rotateLeft(seed * 0x9E3779B97F4A7C15L + j * 0xBF58476D1CE4E5B9L, 31)
-        ((h % 10000L).toFloat / 10000f)
+        // splitmix64 finalizer breaks the additive id→coordinate
+        // structure of the raw product (else nearby ids correlate)
+        var x = seed * 0x9E3779B97F4A7C15L + j * 0xBF58476D1CE4E5B9L
+        x ^= (x >>> 30); x *= 0xBF58476D1CE4E5B9L
+        x ^= (x >>> 27); x *= 0x94D049BB133111EBL
+        x ^= (x >>> 31)
+        (x % 10000L).toFloat / 10000f
       }
       val c = (id % 100L) + 1L
       // 0.25 noise vs ~0.29 center std: clusters overlap, so probe
@@ -47,7 +58,9 @@ object ScaleSmoke {
     base.count()
 
     val t0 = System.nanoTime()
-    val (model, index) = RabitqIndex.build(spark, base, k, seed = 42L)
+    val (model, index) =
+      if (n > 500000L) RabitqIndex.buildSampled(spark, base, k, sampleN = 200000L, seed = 42L)
+      else RabitqIndex.build(spark, base, k, seed = 42L)
     val indexP = index.persist()
     indexP.count()
     val buildSec = (System.nanoTime() - t0) / 1e9
@@ -57,7 +70,7 @@ object ScaleSmoke {
 
     val t1 = System.nanoTime()
     val approx = RabitqQuery.topK(spark, model, indexP, base, queries,
-      nprobe = nprobe, topk = 10, rerank = 200)
+      nprobe = nprobe, topk = 10, rerank = rerank)
     val nres = approx.count()
     val querySec = (System.nanoTime() - t1) / 1e9
 
@@ -66,7 +79,7 @@ object ScaleSmoke {
     val recall = ExactKnn.recall(approx, truth, 10).head().getDouble(0)
     val exactSec = (System.nanoTime() - t2) / 1e9
 
-    println(s"""{"scale_smoke":{"n":$n,"k":$k,"nprobe":$nprobe,"build_sec":$buildSec,""" +
+    println(s"""{"scale_smoke":{"n":$n,"k":$k,"nprobe":$nprobe,"dim":$dim,"rerank":$rerank,"build_sec":$buildSec,""" +
       s""""query_sec":$querySec,"qps":${nQueries / querySec},"results":$nres,""" +
       s""""recall_at_10":$recall,"exact_baseline_sec":$exactSec}}""")
     spark.stop()

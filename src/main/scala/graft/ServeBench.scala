@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.util.concurrent.{CountDownLatch, Executors}
+import java.util.concurrent.atomic.AtomicInteger
+
+/** Concurrent HTTP latency client against the serving tier — the analog
+  * of the reference's bench client (`/root/reference/scripts/client.py:50-108`):
+  * fires `nQueries` POST /query requests from `concurrency` threads and
+  * reports p50/p95/p99 latency plus aggregate QPS.
+  *
+  *   sbt "runMain graft.ServeBench /root/testdata/sf0.001 200 4"
+  */
+object ServeBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
+    val nQueries = if (args.length > 1) args(1).toInt else 200
+    val concurrency = if (args.length > 2) args(2).toInt else 4
+
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val port = {
+      val s = new java.net.ServerSocket(0)
+      try s.getLocalPort finally s.close()
+    }
+    val server = Serve.start(spark, sfDir, port)
+    try {
+      // query vectors: first 16 embeddings, round-robined across requests
+      val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .filter(col("vec_id") < 16).orderBy(col("vec_id"))
+        .select("embedding").collect().map(_.getSeq[Float](0))
+      val bodies = vecs.map(v => s"""{"query": ${v.mkString("[", ",", "]")}, "top_k": 10, "probe": 8}""")
+
+      val client = HttpClient.newHttpClient()
+      def fire(i: Int): Long = {
+        val req = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/query"))
+          .POST(HttpRequest.BodyPublishers.ofString(bodies(i % bodies.length))).build()
+        val t0 = System.nanoTime()
+        val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+        require(resp.statusCode() == 200, s"status ${resp.statusCode()}: ${resp.body()}")
+        System.nanoTime() - t0
+      }
+      fire(0); fire(1) // warm the serving path before timing
+
+      val latencies = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val next = new AtomicInteger(0)
+      val done = new CountDownLatch(concurrency)
+      val pool = Executors.newFixedThreadPool(concurrency)
+      val t0 = System.nanoTime()
+      (0 until concurrency).foreach { _ =>
+        pool.submit(new Runnable {
+          override def run(): Unit = {
+            try {
+              var i = next.getAndIncrement()
+              while (i < nQueries) {
+                latencies.add(fire(i))
+                i = next.getAndIncrement()
+              }
+            } finally done.countDown()
+          }
+        })
+      }
+      done.await()
+      pool.shutdown()
+      val wallSec = (System.nanoTime() - t0) / 1e9
+
+      val sorted = latencies.toArray(new Array[java.lang.Long](0)).map(_.toLong).sorted
+      def pct(p: Double): Double = sorted((p * (sorted.length - 1)).round.toInt) / 1e6
+      println(s"""{"serve_bench":{"sf_dir":"$sfDir","n_queries":${sorted.length},""" +
+        s""""concurrency":$concurrency,"qps":${sorted.length / wallSec},""" +
+        s""""p50_ms":${pct(0.50)},"p95_ms":${pct(0.95)},"p99_ms":${pct(0.99)}}}""")
+    } finally {
+      server.stop(0)
+      spark.stop()
+    }
+  }
+}

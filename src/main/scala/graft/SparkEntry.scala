@@ -317,6 +317,13 @@ object SparkEntry {
         .select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))
         .orderBy(col("doc_id"))
     }),
+    "q43_bpe_tokens" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.tokenCount(col("text")).as("n_ws"),
+          TextOps.bpeishTokenCount(col("text")).as("n_bpe"))
+        .orderBy(col("doc_id"))
+    }),
     "q19_fingerprint" -> ((s, dir) => {
       T(s, dir, "documents")
         .select(col("doc_id"),
@@ -477,12 +484,15 @@ object SparkEntry {
     val bandSel = (0 until 8).map(j => s"SELECT doc_id, $j AS j, m$j AS mh FROM m")
       .mkString(" UNION ALL ")
     raw"""WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
-         |sh0 AS (SELECT DISTINCT doc_id, array_to_string(t[CAST(i + 1 AS INT):CAST(i + 3 AS INT)], ' ') AS shingle
-         |        FROM toks, LATERAL unnest(range(len(t) - 2)) AS r(i) WHERE len(t) >= 3),
-         |sh AS (SELECT DISTINCT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(
-         |         range(1, length(shingle) + 1),
-         |         i -> CAST(ascii(substring(shingle, CAST(i AS INT), 1)) AS BIGINT))),
-         |         (a, c) -> (a * 131 + c) % $P) AS s FROM sh0),
+         |th AS (SELECT doc_id, list_transform(t, tok -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |         list_transform(range(1, length(tok) + 1),
+         |           i -> CAST(ascii(substring(tok, CAST(i AS INT), 1)) AS BIGINT))),
+         |         (a, c) -> (a * 131 + c) % $P)) AS th
+         |       FROM toks WHERE len(t) >= 3),
+         |sh AS (SELECT DISTINCT doc_id,
+         |         ((th[CAST(i + 1 AS INT)] * 131 + th[CAST(i + 2 AS INT)]) % $P * 131
+         |           + th[CAST(i + 3 AS INT)]) % $P AS s
+         |       FROM th, LATERAL unnest(range(len(th) - 2)) AS r(i)),
          |m AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
          |bands AS ($bandSel),
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -718,6 +728,12 @@ object SparkEntry {
           |WHERE a.vec_id < b.vec_id
           |  AND list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
           |ORDER BY id_a, id_b""".stripMargin,
+      "q43_bpe_tokens" ->
+        raw"""SELECT doc_id,
+             |  CASE WHEN length(trim(text)) = 0 THEN 0
+             |       ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) END AS n_ws,
+             |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe
+             |FROM documents ORDER BY doc_id""".stripMargin,
       "q16_token_count" ->
         """SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
           |  ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) END AS n_tokens

@@ -57,12 +57,15 @@ object Dedup {
     */
   def shingleHashes(docs: DataFrame, n: Int): DataFrame = {
     val toks = split(trim(lower(col("text"))), "\\s+")
-    docs.select(col("doc_id"), toks.as("toks"))
-      .filter(size(col("toks")) >= n)
-      .select(col("doc_id"), explode(
-        transform(sequence(lit(0), size(col("toks")) - n),
-          i => xxhash64((0 until n).map(j => element_at(col("toks"), i + j + 1)): _*)))
-        .as("shingle"))
+    // the token array is BOUND as a lambda variable (transform over a
+    // 1-element array) so each element_at reads the bound value —
+    // referencing a projected column directly would re-evaluate the whole
+    // split per element_at after projection collapse (an O(len²) blowup)
+    val shingleArr = flatten(transform(array(toks), ts =>
+      transform(sequence(lit(0), size(ts) - n),
+        i => xxhash64((0 until n).map(j => element_at(ts, i + j + 1)): _*))))
+    docs.filter(size(toks) >= n)
+      .select(col("doc_id"), explode(shingleArr).as("shingle"))
       .distinct()
   }
 
@@ -165,9 +168,23 @@ object Dedup {
                    numHashes: Int = 8): DataFrame = {
     require(numHashes <= affine.length, s"at most ${affine.length} hash families")
     // distinct shingle-hash set per doc: candidates, sizes, and the
-    // verification join all derive from this one persisted frame
-    val sh = shingles(docs, n)
-      .select(col("doc_id"), polyHash(col("shingle")).as("s"))
+    // verification join all derive from this one persisted frame.
+    // The shingle hash composes PER-TOKEN polynomial hashes (each token's
+    // chars hashed once, then n token hashes folded with base 131 mod P)
+    // instead of re-hashing every character of every shingle — an n-fold
+    // cut in char-level work that the DuckDB oracle replays identically.
+    val toks = split(trim(lower(col("text"))), "\\s+")
+    val tokHashes = transform(toks, t => polyHash(t))
+    // bind the token-hash array as a lambda variable (see shingleHashes):
+    // each element_at must read the bound array, not re-run the per-char
+    // hashing of every token
+    val shingleArr = flatten(transform(array(tokHashes), th =>
+      transform(sequence(lit(0), size(th) - n),
+        i => (0 until n).foldLeft(lit(0L): Column)((acc, j) =>
+          (acc * lit(131L) + element_at(th, i + j + 1)) % lit(P)))))
+    val sh = docs
+      .filter(size(toks) >= n)
+      .select(col("doc_id"), explode(shingleArr).as("s"))
       .distinct()
       .persist()
     val minExprs = (0 until numHashes).map { j =>
@@ -258,15 +275,25 @@ object Dedup {
     * Output: (id_a, id_b, cos_sim).
     */
   /** Scale path for embedding near-dup: random-hyperplane LSH. 64 seeded
-    * Gaussian directions → sign-bit signature; candidates share one of 8
-    * 8-bit sub-bands (P(bit match) = 1 − θ/π, so a cos≥0.95 pair is
-    * recovered w.p. ≈ 99% while the candidate set stays ~linear); exact
-    * cosine then confirms ≥ threshold. No O(n²) scan — this is the variant
-    * that survives 10⁹ vectors, with `embeddingNearDup` as its oracle-able
-    * exact counterpart.
+    * Gaussian directions → sign-bit signature; candidates share one of
+    * `numBands` sub-bands of 64/numBands bits (P(bit match) = 1 − θ/π);
+    * exact cosine then confirms ≥ threshold. No O(n²) scan — this is the
+    * variant that survives large n, with `embeddingNearDup` as its
+    * oracle-able exact counterpart.
+    *
+    * BAND WIDTH MUST SCALE WITH n: expected candidates ≈
+    * numBands · n² / 2^(64/numBands+1) for uncorrelated vectors, so 8-bit
+    * bands (numBands=8) are fine to ~10⁴ vectors but explode at 10⁶ —
+    * there use numBands=4 (16-bit bands, 65k buckets): recall for a
+    * cos≥0.99 pair is still ≈ 0.994 (= 1−(1−(1−θ/π)^16)^4) while
+    * candidates stay ~15·n. At 10⁹, widen the signature (two 64-bit
+    * words) rather than dropping below 4 bands.
     */
   def embeddingNearDupLSH(spark: SparkSession, emb: DataFrame, threshold: Double,
-                          seed: Long = 42L): DataFrame = {
+                          seed: Long = 42L, numBands: Int = 8): DataFrame = {
+    require(64 % numBands == 0, "numBands must divide 64")
+    val bandBits = 64 / numBands
+    val bandMask = (1L << bandBits) - 1L
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
     val rnd = new java.util.Random(seed)
     val planes = Array.fill(64, dim)(rnd.nextGaussian().toFloat)
@@ -283,9 +310,9 @@ object Dedup {
     }
     val sig = emb.select(col("vec_id"), col("embedding"), sigUdf(col("embedding")).as("sig"))
     val banded = sig.select(col("vec_id"), col("embedding"),
-      explode(array((0 until 8).map { b =>
+      explode(array((0 until numBands).map { b =>
         struct(lit(b).as("band"),
-          shiftright(col("sig"), 8 * b).bitwiseAND(lit(0xffL)).as("bits"))
+          shiftright(col("sig"), bandBits * b).bitwiseAND(lit(bandMask)).as("bits"))
       }: _*)).as("bb"))
       .select(col("vec_id"), col("embedding"), col("bb.band"), col("bb.bits"))
     val a = banded.select(col("vec_id").as("id_a"), col("embedding").as("ea"),

@@ -59,12 +59,16 @@ object ExactKnn {
     * (`/root/reference/README.md:17` unchecked "cosine distance").
     */
   def normalized(df: DataFrame, vecCol: String): DataFrame = {
-    val normUdf = udf { (v: Seq[Float]) =>
-      val x = v.toArray
-      val n = graft.functions.VectorOps.norm(x)
-      if (n == 0.0) x.toSeq else x.map(e => (e / n).toFloat).toSeq
-    }
-    df.withColumn(vecCol, normUdf(col(vecCol)))
+    // pure column expressions (whole-stage codegen, no UDF). aggregate's
+    // left-to-right double accumulation is bit-identical to the kernel
+    // loop it replaces (VectorOps.dot), so downstream exact-rerank ranks
+    // are unchanged.
+    val v = col(vecCol)
+    val nrm = sqrt(aggregate(v, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    df.withColumn(vecCol,
+      when(nrm === 0.0, v)
+        .otherwise(transform(v, x => (x.cast("double") / nrm).cast("float"))))
   }
 
   /** First `n` embeddings (by vec_id) as a query set (query_id, qvec). */

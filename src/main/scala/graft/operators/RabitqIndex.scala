@@ -80,6 +80,34 @@ object RabitqIndex {
     } finally withVec.unpersist()
   }
 
+  /** Sampled build for large bases: fit k-means on a deterministic
+    * Bernoulli sample (vec_id hash) and encode the FULL base against the
+    * fitted centroids. This is the only build shape that holds at 100 TB —
+    * Lloyd's iterative passes touch the bounded sample while the full data
+    * is read exactly once, for encoding. Centroid quality degrades
+    * gracefully with sample size (it shapes partition balance, not
+    * correctness — rerank is exact regardless).
+    */
+  def buildSampled(spark: SparkSession, base: DataFrame, numClusters: Int,
+                   sampleN: Long, seed: Long): (RabitqModel, DataFrame) = {
+    val total = base.count()
+    val sample =
+      if (total <= sampleN) base
+      else base.filter(
+        pmod(xxhash64(col("vec_id"), lit(seed)), lit(1000000L)) <
+          lit(math.min(1000000L, sampleN * 1000000L / total)))
+    val withVec = sample.select(col("vec_id"), col("embedding"))
+      .withColumn("features", array_to_vector(col("embedding")))
+      .cache()
+    try {
+      val km = new KMeans()
+        .setK(numClusters).setSeed(seed).setMaxIter(10)
+        .setFeaturesCol("features").setPredictionCol("cluster_id")
+      val kmModel = km.fit(withVec)
+      buildWithCentroids(spark, base, kmModel.clusterCenters.map(_.toArray.map(_.toFloat)), seed)
+    } finally withVec.unpersist()
+  }
+
   /** Two-level k-means (analog of the reference's hierarchical training,
     * `/root/reference/scripts/cluster.py:79-108`): MLlib k-means for the
     * k1 top clusters, then a deterministic in-partition Lloyd refinement
@@ -318,6 +346,11 @@ object RabitqIndex {
     * (exactly two records: k+1 prefix-sum offsets, then n original row
     * ids). CSR order = cluster ascending, center-distance ascending within
     * a cluster (`/root/reference/src/rabitq.rs:231-252`).
+    *
+    * SIZE BOUND: this collects index AND base to the driver — it is a
+    * model-parity exporter for reference-sized datasets (≤ a few hundred
+    * MB), not a data path. At scale, export each cluster partition with a
+    * distributed writer instead.
     */
   def exportReferenceLayout(spark: SparkSession, model: RabitqModel, index: DataFrame,
                             base: DataFrame, dir: String): Unit = {

@@ -29,7 +29,7 @@ object RabitqQuery {
 
   /** Per-(query, probed-cluster) state (Q3–Q7). */
   private case class Probe(
-      query_id: Long, cluster_id: Int, g2: Float, lb: Float, delta: Float,
+      query_id: Long, cluster_id: Int, centroid_d2: Float, lb: Float, delta: Float,
       sum_q: Int, planes: Array[Long])
 
   /** Pure probe computation for one query vector against the model. */
@@ -39,7 +39,7 @@ object RabitqQuery {
     val dists = model.centroids.zipWithIndex.map { case (c, i) =>
       (VectorOps.l2sq(y, c), i)
     }.sortBy(identity).take(nprobe)
-    dists.toSeq.map { case (g2, cid) =>
+    dists.toSeq.map { case (cd2, cid) =>
       val res = VectorOps.subtract(y, model.centroids(cid))
       var lb = Float.MaxValue; var ub = Float.MinValue
       var i = 0
@@ -50,7 +50,7 @@ object RabitqQuery {
       }
       val (codes, sumQ) = VectorOps.quantizeQuery(res, lb, ub, model.bias)
       val delta = if (ub > lb) (ub - lb) / VectorOps.QuantLevels.toFloat else 0f
-      Probe(queryId, cid, g2.toFloat, lb, delta, sumQ, VectorOps.bitPlanes(codes))
+      Probe(queryId, cid, cd2.toFloat, lb, delta, sumQ, VectorOps.bitPlanes(codes))
     }
   }
 
@@ -62,10 +62,10 @@ object RabitqQuery {
                          probes: DataFrame, topk: Int, rerank: Int): DataFrame = {
     val ad = graft.functions.VectorExpressions.asymDot(col("code"), col("planes"))
     val rough =
-      col("cds").cast("double") + col("g2") +
+      col("cds").cast("double") + col("centroid_d2") +
         col("lb").cast("double") * col("factor_ppc") +
         (lit(2.0) * ad - col("sum_q")) * col("factor_ip") * col("delta") -
-        col("error_bound").cast("double") * sqrt(col("g2").cast("double"))
+        col("error_bound").cast("double") * sqrt(col("centroid_d2").cast("double"))
 
     val candidates = index
       .join(broadcast(probes), Seq("cluster_id"))

@@ -57,6 +57,15 @@ object TextOps {
       .otherwise(lit("fr"))
   }
 
+  /** BPE-ish token count: alphanumeric runs and individual non-space
+    * symbols counted separately — the pre-tokenization split BPE
+    * vocabularies assume, as a portable regex (same count in DuckDB's
+    * regexp_extract_all). A truer proxy for LLM token cost than
+    * whitespace words: punctuation and digit runs count on their own.
+    */
+  def bpeishTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]")).cast("long")
+
   /** Content fingerprint: md5 of normalized text (lowercase, collapsed
     * whitespace) — stable across engines, so exact-dup detection can run
     * on the 32-byte digest instead of the full text at 100 TB.

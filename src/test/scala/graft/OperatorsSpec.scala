@@ -303,6 +303,34 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.head.getDouble(2) == 1.0)
   }
 
+  test("jaccard prefix filter is lossless: equals brute-force all-pairs on random docs") {
+    import spark.implicits._
+    // small vocab forces heavy shingle sharing — the adversarial regime
+    // for candidate pruning
+    val rnd = new scala.util.Random(11)
+    val randomDocs = (0 until 100).map { i =>
+      val len = 5 + rnd.nextInt(10)
+      (i.toLong, Seq.fill(len)("w" + rnd.nextInt(12)).mkString(" "))
+    }
+    // planted near-dups: copies of docs 0..9 with one token appended
+    val nearDups = (0 until 10).map(i => (100L + i, randomDocs(i)._2 + " w99"))
+    val docs = (randomDocs ++ nearDups).toDF("doc_id", "text")
+    val threshold = 0.3
+    val got = Dedup.ngramJaccardPairs(docs, 3, threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // brute force from the same shingle definition
+    val sets = Dedup.shingleHashes(docs, 3).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val expect = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = (sets(a) & sets(b)).size
+      jac = inter.toDouble / (sets(a).size + sets(b).size - inter)
+      if jac >= threshold
+    } yield (a, b, jac)).toSet
+    assert(got == expect, s"got ${got.size} pairs, expected ${expect.size}")
+    assert(expect.size >= 10, s"degenerate test: only ${expect.size} qualifying pairs")
+  }
+
   test("jaccard prefix filter: a hot shingle in every doc generates no candidates") {
     import spark.implicits._
     // every doc opens with the same trigram; the rest is unique. A naive
