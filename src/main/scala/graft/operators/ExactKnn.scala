@@ -80,12 +80,14 @@ object ExactKnn {
     * (Q16, `/root/reference/src/utils.rs:367-379`). Returns a 1-row DF.
     */
   def recall(result: DataFrame, truth: DataFrame, k: Int): DataFrame = {
+    // both sides are ≤ |queries|·k rows by contract — broadcast so the
+    // comparison never falls into a sort-merge join
     val r = result.filter(col("rank") <= k).select("query_id", "neighbor_id")
     val t = truth.filter(col("rank") <= k).select("query_id", "neighbor_id")
-    val hits = r.join(t, Seq("query_id", "neighbor_id"), "left_semi")
+    val hits = r.join(broadcast(t), Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy("query_id").agg(count("*").as("hits"))
     val nq = t.select("query_id").distinct()
-    nq.join(hits, Seq("query_id"), "left")
+    nq.join(broadcast(hits), Seq("query_id"), "left")
       .agg((sum(coalesce(col("hits"), lit(0L))) / (count("*") * k)).as("recall"))
   }
 }
