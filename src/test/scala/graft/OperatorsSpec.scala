@@ -570,6 +570,39 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"streamed $got distinct docs")
   }
 
+  test("streaming ANN ingest: foreachBatch appends encoded vectors to the saved index") {
+    import org.apache.spark.sql.streaming.Trigger
+    // bootstrap the index from the first 250 vectors, then stream the rest
+    // in and append their encodings batch-by-batch (frozen model — the
+    // production shape for continuous ingest: encode is a narrow pass,
+    // re-clustering happens on a schedule, not per batch)
+    val first = emb.filter(col("vec_id") < 250)
+    val rest = emb.filter(col("vec_id") >= 250)
+    val (model, index0) = RabitqIndex.build(spark, first, numClusters = 8, seed = 4L)
+    val idxDir = java.nio.file.Files.createTempDirectory("stream_idx").toString
+    RabitqIndex.save(spark, model, index0, idxDir)
+    val srcDir = java.nio.file.Files.createTempDirectory("stream_vecs").toString
+    rest.coalesce(1).write.mode("overwrite").parquet(srcDir)
+    val q = spark.readStream.schema(emb.schema).parquet(srcDir)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        RabitqIndex.appendVectors(spark, model, batch)
+          .write.mode("append").partitionBy("cluster_id").parquet(s"$idxDir/index")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // reload: streamed-in rows are part of the index; full probe + full
+    // rerank over the merged index must equal brute force exactly
+    val (model2, index2) = RabitqIndex.load(spark, idxDir)
+    assert(index2.count() == emb.count())
+    val qs = ExactKnn.queriesFromEmbeddings(emb, 10)
+    val truth = ExactKnn.l2TopK(emb, qs, 10)
+    val res = RabitqQuery.topK(spark, model2, index2, emb, qs, 8, 10, 4096)
+    assert(ExactKnn.recall(res, truth, 10).head().getDouble(0) == 1.0)
+  }
+
   // ---------------- salting --------------------------------------------
   test("salted two-phase aggregation equals plain groupBy") {
     val events = SparkEntryTestAccess.table(spark, sf, "events")
