@@ -35,7 +35,10 @@ object AsofJoin {
     // tagged union: side 0 = right (must sort BEFORE left at equal ts —
     // rightTs <= leftTs is inclusive), side 1 = left. Right rows carry
     // their full payload in a struct; left rows carry theirs.
-    val r = right.select(
+    // a null right timestamp must never match (join-predicate semantics:
+    // NULL <= ts is not true); unfiltered it would sort before everything
+    // and become the "earliest" payload for the whole key
+    val r = right.filter(col(rightTs).isNotNull).select(
       col(rightKey).as("__key"),
       col(rightTs).cast(tsType).as("__ts"),
       lit(0).as("__side"),

@@ -434,6 +434,19 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Map(10L -> 3L, 11L -> 1L, 12L -> -1L, 13L -> -1L))
   }
 
+  test("asof join: null right timestamp never matches") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq((1L, ts("2024-01-01 10:00:00"))).toDF("k", "ts")
+    val right = Seq(
+      (1L, Option.empty[java.sql.Timestamp], 7L),
+      (1L, Some(ts("2024-01-01 09:00:00")), 8L)
+    ).toDF("rk", "rts", "rid")
+    val got = AsofJoin.asof(left, right, "k", "rk", "ts", "rts", "rid")
+      .select("rid").head()
+    assert(got.getLong(0) == 8L) // the null-ts row 7 must not win
+  }
+
   test("asof join preserves fully-duplicate left rows") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
