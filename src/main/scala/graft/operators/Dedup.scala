@@ -11,10 +11,12 @@ import graft.functions.VectorOps
   * spirit (MinHash/SimHash signatures ≈ B8's bit codes).
   *
   * Scale notes: every variant avoids the O(n²) document cross join —
-  * exact dedup is a hash aggregate; n-gram Jaccard uses an inverted
-  * shingle index (join on shingle, then per-pair agg); MinHash-LSH joins
-  * on (band, band-hash); SimHash joins on 16-bit sub-bands; embedding
-  * near-dup buckets by coarse cluster first.
+  * exact dedup is a hash aggregate; n-gram Jaccard uses frequency-ordered
+  * prefix filtering (AllPairs/PPJoin — lossless candidate pruning, then
+  * exact set verification); MinHash-LSH joins on (band, minhash);
+  * SimHash joins on 16-bit sub-bands; embedding near-dup joins on
+  * hyperplane-LSH sub-bands. The only all-pairs scan is the
+  * deliberately-exact oracle counterpart `embeddingNearDup`.
   */
 object Dedup {
 
@@ -80,7 +82,10 @@ object Dedup {
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .select("doc_id", "n_copies")
 
-  /** Word n-gram shingles, lowercase, as distinct strings per doc. */
+  /** Word n-gram shingles, lowercase, as distinct STRINGS per doc — the
+    * readable reference form of `shingleHashes` (which the hot paths use);
+    * kept for tests and debugging.
+    */
   def shingles(docs: DataFrame, n: Int): DataFrame = {
     val toks = split(trim(lower(col("text"))), "\\s+")
     docs.select(col("doc_id"), toks.as("toks"))
@@ -269,11 +274,6 @@ object Dedup {
     agg.select(col("doc_id"), sig.as("sig"))
   }
 
-  /** Embedding near-dup: pairs with cosine ≥ threshold. Candidate space is
-    * cut by coarse k-means bucketing (pairs only within a bucket) when
-    * `buckets` > 1; buckets = 1 ⇒ exact all-pairs (oracle-able).
-    * Output: (id_a, id_b, cos_sim).
-    */
   /** Scale path for embedding near-dup: random-hyperplane LSH. 64 seeded
     * Gaussian directions → sign-bit signature; candidates share one of
     * `numBands` sub-bands of 64/numBands bits (P(bit match) = 1 − θ/π);
