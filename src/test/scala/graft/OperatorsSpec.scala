@@ -616,6 +616,10 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ExactKnn.recall(res, truth, 10).head().getDouble(0) == 1.0)
   }
 
+  test("driver contract: SparkEntry.entry returns rows at sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   // ---------------- salting --------------------------------------------
   test("salted two-phase aggregation equals plain groupBy") {
     val events = SparkEntryTestAccess.table(spark, sf, "events")
