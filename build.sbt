@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout straight through instead of routing it via
+// sbt's logger: the bench/verify mains print one machine-readable JSON line
+// and the default LoggedOutput prefixes every line with "[info] ", which
+// breaks downstream parsers (BENCH_r01/r02 both recorded parsed:null).
+ThisBuild / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
