@@ -37,8 +37,11 @@ object AsofJoin {
     // their full payload in a struct; left rows carry theirs.
     // a null right timestamp must never match (join-predicate semantics:
     // NULL <= ts is not true); unfiltered it would sort before everything
-    // and become the "earliest" payload for the whole key
-    val r = right.filter(col(rightTs).isNotNull).select(
+    // and become the "earliest" payload for the whole key. Likewise a null
+    // right KEY can never equal any left key — but Window.partitionBy
+    // groups all NULL keys into one partition, so unfiltered it would
+    // match null-key left rows (NULL = NULL, which an equi-join rejects)
+    val r = right.filter(col(rightTs).isNotNull && col(rightKey).isNotNull).select(
       col(rightKey).as("__key"),
       col(rightTs).cast(tsType).as("__ts"),
       lit(0).as("__side"),
@@ -56,9 +59,11 @@ object AsofJoin {
     // within a key: rights ascending by (ts, tieBreak), each left row after
     // every right row with __ts <= its ts; last non-null right payload at a
     // left row == the as-of match. Ties among left rows are harmless (they
-    // read the same prefix of rights).
+    // read the same prefix of rights). NULLS FIRST on the tie-break so a
+    // null tieBreak LOSES a timestamp tie to any non-null one, matching
+    // max_by(struct(ts, tb)) semantics where NULL orders smallest.
     val w = Window.partitionBy(col("__key"))
-      .orderBy(col("__ts").asc, col("__side").asc, col("__tb").asc_nulls_last)
+      .orderBy(col("__ts").asc, col("__side").asc, col("__tb").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     r.unionByName(l)

@@ -27,6 +27,40 @@ object Dedup {
     */
   val P = 1000000007L
 
+  /** Guard for floating-point boundary error in threshold arithmetic:
+    * `ceil(ns * t)` can land one above the exact rational bound when
+    * `ns * t` rounds up past an integer (e.g. t = 0.07, ns = 100 →
+    * 7.000000000000001, ceil = 8 where the exact product is 7), which
+    * would shorten a "lossless" prefix by one and silently drop boundary
+    * pairs. Subtracting EPS (≫ any double rounding error at ns ≤ 2^40,
+    * ≪ the 1/ns gap between distinct rational bounds) restores the exact
+    * bound; it can only ever WIDEN a prefix / LOOSEN a prune, never drop.
+    */
+  private val EPS = 1e-9
+
+  /** Lossless prefix length for AllPairs filtering at threshold `t`:
+    * |s| − ⌈t·|s|⌉ + 1, with the ceil computed on `t·ns − EPS` so a
+    * product that fp-rounds just above an exact integer (t = 0.07,
+    * ns = 100 → 7.000000000000001, naive ceil = 8) still yields the exact
+    * rational bound (7 → prefix 94, not 93). Exposed for direct testing.
+    */
+  def prefixLen(ns: Column, t: Double): Column =
+    ns - ceil(ns * t - EPS) + 1
+
+  /** Eagerly materialize `result` (lineage-truncating local checkpoint),
+    * then release the intermediate frames the pipeline persisted. Without
+    * this the per-invocation persist()s stay registered in the session's
+    * CacheManager forever (each call leaks cached blocks); with it the
+    * only storage the caller holds is the checkpointed result itself,
+    * which the ContextCleaner reclaims once the frame is unreferenced.
+    * Cost: the result is computed at call time rather than lazily.
+    */
+  private def materializeAndRelease(result: DataFrame, cached: DataFrame*): DataFrame = {
+    val out = result.localCheckpoint(true)
+    cached.foreach(_.unpersist())
+    out
+  }
+
   /** 64 affine hash families (aᵢ·h + bᵢ) mod P over a base hash h, with
     * constants from a fixed-seed generator: the DuckDB oracle embeds the
     * same literals, so both engines derive identical signatures.
@@ -129,7 +163,7 @@ object Dedup {
     // self-join defeats exchange reuse)
     val prefix = posting.join(freq, Seq("shingle"))
       .withColumn("rn", row_number().over(wDoc))
-      .filter(col("rn") <= col("ns") - ceil(col("ns") * threshold) + 1)
+      .filter(col("rn") <= prefixLen(col("ns"), threshold))
       .select(col("doc_id"), col("ns"), col("shingle"))
       .persist()
 
@@ -141,14 +175,14 @@ object Dedup {
     val candidates = a.join(b, Seq("shingle"))
       .filter(col("doc_a") < col("doc_b") &&
         least(col("na"), col("nb")).cast("double") >=
-          lit(threshold) * greatest(col("na"), col("nb")))
+          lit(threshold) * greatest(col("na"), col("nb")) - EPS)
       .select("doc_a", "doc_b")
       .distinct()
 
     // exact verification: true |∩| from the full sets (computed once)
     val setsA = docSets.select(col("doc_id").as("doc_a"), col("set").as("set_a"), col("ns").as("sa"))
     val setsB = docSets.select(col("doc_id").as("doc_b"), col("set").as("set_b"), col("ns").as("sb"))
-    candidates
+    val result = candidates
       .join(setsA, Seq("doc_a"))
       .join(setsB, Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("sa"), col("sb"),
@@ -156,6 +190,7 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         (col("nc").cast("double") / (col("sa") + col("sb") - col("nc"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    materializeAndRelease(result, docSets, prefix)
   }
 
   /** MinHash-LSH near-dup: shingle → portable hash → `numHashes` minhash
@@ -210,12 +245,13 @@ object Dedup {
       .agg(collect_list(col("s")).as("set"), count(lit(1)).as("ns"))
     val sa = sets.select(col("doc_id").as("doc_a"), col("set").as("set_a"), col("ns").as("sa"))
     val sb = sets.select(col("doc_id").as("doc_b"), col("set").as("set_b"), col("ns").as("sb"))
-    candidates.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+    val result = candidates.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("sa"), col("sb"),
         size(array_intersect(col("set_a"), col("set_b"))).cast("long").as("nc"))
       .select(col("doc_a"), col("doc_b"),
         (col("nc").cast("double") / (col("sa") + col("sb") - col("nc"))).as("jaccard"))
       .filter(col("jaccard") >= simThreshold)
+    materializeAndRelease(result, sh)
   }
 
   /** 64-bit SimHash over word tokens: per-token hash votes per bit,

@@ -16,6 +16,16 @@ object Salting {
 
   /** Two-phase salted aggregation. `aggs` maps output column name →
     * (phase-1 aggregate over rows, phase-2 recombine over partials).
+    *
+    * CONTRACT / limitation: the salt is a content hash (see below), so a
+    * hot key whose rows are bit-for-bit IDENTICAL across every column all
+    * hash to one salt bucket and the skew remains. That shape is already
+    * degenerate upstream (fully duplicate rows at hot-key volume); if it
+    * is a real workload, run exact dedup-with-count first (one narrow
+    * groupBy on the full row producing (row, n)) and aggregate the
+    * weighted distinct rows — the distinct frame has no identical rows,
+    * so the content salt then spreads them. Rows that differ in ANY
+    * column spread across buckets as intended.
     */
   def saltedAgg(df: DataFrame, keyCols: Seq[String], buckets: Int,
                 aggs: Map[String, (Column, Column)]): DataFrame = {

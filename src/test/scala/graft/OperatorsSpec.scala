@@ -346,6 +346,20 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(secs < 60.0, s"hot-shingle case took ${secs}s")
   }
 
+  test("prefixLen yields the exact rational bound at fp-boundary thresholds") {
+    import spark.implicits._
+    // (ns, t, exact |s| - ceil(t*|s|) + 1). The first case is the fp trap:
+    // 100 * 0.07 = 7.000000000000001 in doubles, naive ceil = 8 → prefix
+    // one short of lossless. 0.29 * 200 = 57.99999999999999 rounds DOWN —
+    // ceil already exact; EPS must not break it either.
+    val cases = Seq((100L, 0.07, 94L), (200L, 0.29, 143L),
+      (10L, 0.3, 8L), (100L, 0.5, 51L), (7L, 1.0, 1L), (9L, 1.0 / 3.0, 7L))
+    for ((ns, t, want) <- cases) {
+      val got = Seq(ns).toDF("ns").select(Dedup.prefixLen(col("ns"), t)).head().getLong(0)
+      assert(got == want, s"prefixLen($ns, $t) = $got, want $want")
+    }
+  }
+
   test("polyHash matches the portable polynomial arithmetic") {
     import spark.implicits._
     // reference value computed independently in DuckDB:
@@ -445,6 +459,37 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = AsofJoin.asof(left, right, "k", "rk", "ts", "rts", "rid")
       .select("rid").head()
     assert(got.getLong(0) == 8L) // the null-ts row 7 must not win
+  }
+
+  test("asof join: null keys never match (NULL = NULL is not a join match)") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq(
+      (Option.empty[Long], 10L, ts("2024-01-01 10:00:00")),
+      (Some(1L), 11L, ts("2024-01-01 10:00:00"))
+    ).toDF("k", "lid", "ts")
+    val right = Seq(
+      (Option.empty[Long], ts("2024-01-01 09:00:00"), 7L), // null key: matches nothing
+      (Some(1L), ts("2024-01-01 09:00:00"), 8L)
+    ).toDF("rk", "rts", "rid")
+    val got = AsofJoin.asof(left, right, "k", "rk", "ts", "rts", "rid")
+      .select("lid", "rid").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    // left-outer: the null-key left row survives, unmatched
+    assert(got == Map(10L -> -1L, 11L -> 8L))
+  }
+
+  test("asof join: null tieBreak loses a timestamp tie (max_by semantics)") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = Seq((1L, ts("2024-01-01 10:00:00"))).toDF("k", "ts")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), Option.empty[Long], 111.0), // null tb at same ts
+      (1L, ts("2024-01-01 09:00:00"), Some(5L), 222.0)
+    ).toDF("rk", "rts", "rid", "payload")
+    val got = AsofJoin.asof(left, right, "k", "rk", "ts", "rts", "rid")
+      .select("payload").head()
+    assert(got.getDouble(0) == 222.0) // non-null tieBreak must win the tie
   }
 
   test("asof join preserves fully-duplicate left rows") {
