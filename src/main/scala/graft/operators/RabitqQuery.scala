@@ -86,8 +86,36 @@ object RabitqQuery {
       outId = "neighbor_id", outScore = "dist")
   }
 
-  /** Approximate top-k over an in-memory index DataFrame. Probes are
-    * computed executor-side (one UDF over the small query set).
+  /** Schema-explicit probe frame: the query batch is driver-collected
+    * (model-sized by contract — same bound as the broadcast it feeds) and
+    * probes materialize as explicit Rows. Deliberately NOT a case-class
+    * encoder: the `Probe` ExpressionEncoder's generated serializer fails
+    * Janino compilation under layered classloaders ("no applicable
+    * method ... centroid_d2()") and silently falls back to interpreted
+    * encoding with a costly compile-attempt per query — explicit Rows
+    * sidestep codegen entirely for this tiny frame.
+    */
+  private def probesDf(spark: SparkSession, model: RabitqModel, queries: DataFrame,
+                       nprobe: Int): (DataFrame, Seq[Probe]) = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val qRows = queries.select(col("query_id"), col("qvec")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val probes = qRows.flatMap { case (qid, v) => computeProbes(model, qid, v, nprobe) }.toSeq
+    val schema = StructType(Seq(
+      StructField("query_id", LongType, nullable = false),
+      StructField("cluster_id", IntegerType, nullable = false),
+      StructField("centroid_d2", FloatType, nullable = false),
+      StructField("lb", FloatType, nullable = false),
+      StructField("delta", FloatType, nullable = false),
+      StructField("sum_q", IntegerType, nullable = false),
+      StructField("planes", ArrayType(LongType, containsNull = false), nullable = false)))
+    val rows = probes.map(p =>
+      Row(p.query_id, p.cluster_id, p.centroid_d2, p.lb, p.delta, p.sum_q, p.planes.toSeq))
+    (spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema), probes)
+  }
+
+  /** Approximate top-k over an in-memory index DataFrame.
     *
     * @param rerank rough-distance candidates per query to score exactly
     *               (≥ topk). With nprobe = numClusters and rerank ≥ n the
@@ -96,13 +124,7 @@ object RabitqQuery {
     */
   def topK(spark: SparkSession, model: RabitqModel, index: DataFrame, base: DataFrame,
            queries: DataFrame, nprobe: Int, topk: Int, rerank: Int): DataFrame = {
-    val bModel = spark.sparkContext.broadcast(model)
-    val probeUdf = udf { (qid: Long, qvec: Seq[Float]) =>
-      computeProbes(bModel.value, qid, qvec.toArray, nprobe)
-    }
-    val probes = queries
-      .select(explode(probeUdf(col("query_id"), col("qvec"))).as("p"))
-      .select(col("p.*"))
+    val (probes, _) = probesDf(spark, model, queries, nprobe)
     fromProbes(index, base, queries, probes, topk, rerank)
   }
 
@@ -115,14 +137,10 @@ object RabitqQuery {
     */
   def topKFromDisk(spark: SparkSession, dir: String, base: DataFrame,
                    queries: DataFrame, nprobe: Int, topk: Int, rerank: Int): DataFrame = {
-    import spark.implicits._
     val (model, index) = RabitqIndex.load(spark, dir)
-    val qRows = queries.select(col("query_id"), col("qvec")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    val probes = qRows.flatMap { case (qid, v) => computeProbes(model, qid, v, nprobe) }.toSeq
+    val (pDf, probes) = probesDf(spark, model, queries, nprobe)
     val probed = probes.map(_.cluster_id).distinct.sorted
-    val probesDf = spark.createDataFrame(probes)
     val pruned = index.filter(col("cluster_id").isin(probed: _*))
-    fromProbes(pruned, base, queries, probesDf, topk, rerank)
+    fromProbes(pruned, base, queries, pDf, topk, rerank)
   }
 }
