@@ -26,10 +26,16 @@ object Bench {
       spark.range(1000000).selectExpr("sum(id)").collect()
       spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).count()
       SparkEntry.prewarm(spark, sfDir)
-    } catch { case _: Throwable => () }
+    } catch { case t: Throwable =>
+      // a failed prewarm silently shifts the index-build cost into
+      // whichever ANN query runs first — make it loud on stderr
+      System.err.println(s"[bench] PREWARM FAILED: $t")
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch { case t: Throwable =>
+        System.err.println(s"[bench] QUERY FAILED $name: $t"); -1L
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
