@@ -302,6 +302,16 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"))
         .orderBy(col("id_a"), col("id_b"))
     }),
+    "q45_lsh_neardup" -> ((s, dir) => {
+      // portable hyperplane LSH: the banded scale path with a full DuckDB
+      // replay oracle (deterministic ±1 planes, left-fold dots). 4-bit
+      // bands because the demo threshold 0.4 is far below the near-dup
+      // regime (p_bit ≈ 0.63 → ~50% sieve recall here; ≈ 1.0 for real
+      // near-dups at cos ≥ 0.95, where production uses wider bands)
+      Dedup.hyperplaneLshPortable(T(s, dir, "embeddings"), threshold = 0.4,
+        numPlanes = 16, bandBits = 4)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
 
     // ---------------- text analysis --------------------------------------
     "q16_token_count" -> ((s, dir) => {
@@ -323,6 +333,9 @@ object SparkEntry {
           TextOps.tokenCount(col("text")).as("n_ws"),
           TextOps.bpeishTokenCount(col("text")).as("n_bpe"))
         .orderBy(col("doc_id"))
+    }),
+    "q44_repetition" -> ((s, dir) => {
+      TextOps.repetitionSignals(T(s, dir, "documents")).orderBy(col("doc_id"))
     }),
     "q19_fingerprint" -> ((s, dir) => {
       T(s, dir, "documents")
@@ -385,6 +398,38 @@ object SparkEntry {
         .filter(col("o_orderkey").isNotNull) // inner semantics, as the oracle
         .select(col("event_id"), col("user_id"), col("o_orderkey"))
         .orderBy(col("event_id"))
+    }),
+
+    // ---------------- sketch-accuracy gates --------------------------------
+    "q46_hll_distinct" -> ((s, dir) => {
+      // HyperLogLog++ distinct-count sketch vs exact, as a driver-visible
+      // gate (q28's pattern): emits 1 iff the approximation is within 5%.
+      // rsd=0.01 gives ~5x margin; the sketch is deterministic for fixed
+      // data, so the gate is stable across runs.
+      val e = T(s, dir, "events")
+      e.agg(
+        approx_count_distinct(col("user_id"), 0.01).as("apx_u"),
+        countDistinct(col("user_id")).as("ex_u"),
+        approx_count_distinct(col("event_id"), 0.01).as("apx_e"),
+        countDistinct(col("event_id")).as("ex_e"))
+        .select(
+          (abs(col("apx_u") - col("ex_u")).cast("double") / col("ex_u") <= 0.05)
+            .cast("long").as("user_ok"),
+          (abs(col("apx_e") - col("ex_e")).cast("double") / col("ex_e") <= 0.05)
+            .cast("long").as("event_ok"))
+    }),
+    "q47_quantile_sketch" -> ((s, dir) => {
+      // approximate quantiles (Greenwald-Khanna) vs exact percentiles,
+      // gated at 1% relative error; deterministic for fixed data
+      val o = T(s, dir, "orders")
+      o.agg(
+        percentile_approx(col("o_totalprice"), array(lit(0.5), lit(0.9), lit(0.99)),
+          lit(10000)).as("apx"),
+        expr("percentile(o_totalprice, array(0.5D, 0.9D, 0.99D))").as("ex"))
+        .select((0 until 3).map { i =>
+          (abs(element_at(col("apx"), i + 1) - element_at(col("ex"), i + 1)) /
+            element_at(col("ex"), i + 1) <= 0.01).cast("long").as(s"p${Seq(50, 90, 99)(i)}_ok")
+        }: _*)
     }),
 
     // ---------------- subquery / pivot -------------------------------------
@@ -539,6 +584,33 @@ object SparkEntry {
          |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** DuckDB replay of `Dedup.hyperplaneLshPortable` (16 ±1 planes from
+    * the shared affine families, left-fold double dots, 4×4-bit bands,
+    * exact-cosine confirmation at 0.4 — q22's proven arithmetic).
+    */
+  private def lshOracle: String = {
+    val P = Dedup.P
+    val sigSum = (0 until 16).map { j =>
+      val (a, b) = Dedup.affine(j)
+      s"""CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |  list_transform(range(1, len(embedding) + 1),
+         |    d -> (CASE WHEN (($a*d+$b) % $P) % 2 = 1 THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)
+         |         * CAST(embedding[CAST(d AS INT)] AS DOUBLE))),
+         |  (acc, x) -> acc + x) > 0 THEN ${1L << j} ELSE 0 END""".stripMargin
+    }.mkString(" + ")
+    raw"""WITH sg AS (SELECT vec_id, $sigSum AS sig FROM embeddings),
+         |banded AS (SELECT vec_id, sig, j, (sig >> (4 * CAST(j AS INT))) & 15 AS bits
+         |           FROM sg, LATERAL unnest([0, 1, 2, 3]) AS t(j)),
+         |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |         FROM banded a JOIN banded b ON a.j = b.j AND a.bits = b.bits
+         |         WHERE a.vec_id < b.vec_id),
+         |ed AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         |SELECT id_a, id_b FROM cand
+         |JOIN ed a ON a.vec_id = id_a JOIN ed b ON b.vec_id = id_b
+         |WHERE list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin
+  }
+
   // ---- DuckDB oracle SQL (omitted only where structurally approximate:
   //      q24/q31 nprobe<k ANN, q27 stub features — those get the driver's
   //      rows-only check) ------------------------------------------------
@@ -621,7 +693,26 @@ object SparkEntry {
       "q37_knn_custom_topk" -> knnSql,
       "q20_minhash_pairs" -> minhashOracle,
       "q21_simhash_pairs" -> simhashOracle,
+      "q45_lsh_neardup" -> lshOracle,
       "q28_ann_recall" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",
+      "q46_hll_distinct" ->
+        "SELECT CAST(1 AS BIGINT) AS user_ok, CAST(1 AS BIGINT) AS event_ok",
+      "q47_quantile_sketch" ->
+        "SELECT CAST(1 AS BIGINT) AS p50_ok, CAST(1 AS BIGINT) AS p90_ok, CAST(1 AS BIGINT) AS p99_ok",
+      "q44_repetition" ->
+        raw"""WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+             |w AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+             |wc AS (SELECT doc_id, tok, COUNT(*) AS n FROM w GROUP BY 1, 2),
+             |ws AS (SELECT doc_id, MAX(n) AS mx, CAST(SUM(n) AS BIGINT) AS tot FROM wc GROUP BY doc_id),
+             |bgr AS (SELECT doc_id, t[CAST(i + 1 AS INT)] || ' ' || t[CAST(i + 2 AS INT)] AS bgram
+             |        FROM toks, LATERAL unnest(range(len(t) - 1)) AS r(i) WHERE len(t) >= 2),
+             |bc AS (SELECT doc_id, bgram, COUNT(*) AS n FROM bgr GROUP BY 1, 2),
+             |bs AS (SELECT doc_id, MAX(n) AS mxb, CAST(SUM(n) AS BIGINT) AS totb FROM bc GROUP BY doc_id)
+             |SELECT ws.doc_id, tot AS n_tokens,
+             |  CAST(mx AS DOUBLE) / tot AS top_word_frac,
+             |  coalesce(CAST(mxb AS DOUBLE) / totb, 0.0) AS top_bigram_frac
+             |FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id
+             |ORDER BY ws.doc_id""".stripMargin,
       "q41_range_join" ->
         """WITH bands(band, lo, hi) AS (VALUES ('low', 0.0, 10.0), ('mid', 10.0, 100.0), ('high', 100.0, 1e9))
           |SELECT band, COUNT(*) AS n,

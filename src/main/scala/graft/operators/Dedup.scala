@@ -363,6 +363,58 @@ object Dedup {
       .distinct()
   }
 
+  /** Oracle-able hyperplane LSH: like `embeddingNearDupLSH` but every
+    * step is deterministic PORTABLE arithmetic, so DuckDB can replay the
+    * whole pipeline bit-for-bit (the Gaussian-plane variant's
+    * java.util.Random stream is JVM-only). Hyperplane j is the ±1 vector
+    * with component d = parity of (aⱼ·d + bⱼ) mod P (the shared `affine`
+    * families); signature bit j = sign of a LEFT-FOLD dot product over
+    * the embedding cast to double — both engines fold left, so the fp
+    * sums are identical. Candidates share one 8-bit sub-band of the
+    * 16-bit signature; exact cosine ≥ threshold confirms (same
+    * expression-vs-list_dot_product parity the q22 oracle proves).
+    *
+    * Rademacher (±1) hyperplanes satisfy the same sign-LSH property as
+    * Gaussian ones in expectation (Achlioptas-style sparse projections);
+    * 16 bits / 2 bands is sized for ~10⁴ vectors — at larger n widen the
+    * signature exactly as embeddingNearDupLSH's scaladoc prescribes.
+    * Output: (id_a, id_b) with id_a < id_b.
+    */
+  def hyperplaneLshPortable(emb: DataFrame, threshold: Double,
+                            numPlanes: Int = 16, bandBits: Int = 8): DataFrame = {
+    require(numPlanes <= affine.length && numPlanes % bandBits == 0)
+    val numBands = numPlanes / bandBits
+    val bandMask = (1L << bandBits) - 1L
+    val dots = (0 until numPlanes).map { j =>
+      val (a, b) = affine(j)
+      aggregate(sequence(lit(1), size(col("embedding"))), lit(0.0),
+        (acc, d) => acc +
+          when(((lit(a) * d + lit(b)) % lit(P)) % 2L === 1L, lit(1.0)).otherwise(lit(-1.0)) *
+            element_at(col("embedding"), d).cast("double"))
+    }
+    val sigExpr = (0 until numPlanes)
+      .map(j => when(dots(j) > 0.0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+    val sig = emb.select(col("vec_id"), col("embedding"), sigExpr.as("sig"))
+    val banded = sig.select(col("vec_id"), col("embedding"),
+      explode(array((0 until numBands).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sig"), bandBits * b).bitwiseAND(lit(bandMask)).as("bits"))
+      }: _*)).as("bb"))
+      .select(col("vec_id"), col("embedding"), col("bb.band"), col("bb.bits"))
+    val a = banded.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
+      col("band"), col("bits"))
+    val b = banded.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
+      col("band"), col("bits"))
+    a.join(b, Seq("band", "bits"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.VectorExpressions.cosineSim(col("ea"), col("eb")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
   def embeddingNearDup(emb: DataFrame, threshold: Double): DataFrame = {
     val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
     val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"))

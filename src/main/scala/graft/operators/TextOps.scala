@@ -66,6 +66,39 @@ object TextOps {
   def bpeishTokenCount(text: Column): Column =
     regexp_count(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]")).cast("long")
 
+  /** Repetition signals (the Gopher-style quality filters): the fraction
+    * of all token occurrences taken by the single most frequent token,
+    * and the fraction of all bigram occurrences taken by the most
+    * frequent bigram. High values flag boilerplate/spam for pipeline
+    * filtering. Two explode→count aggregations (map-side combinable — the
+    * canonical word-count shape, linear at any scale) joined per doc;
+    * docs with <2 tokens get top_bigram_frac 0.
+    * Output: (doc_id, n_tokens, top_word_frac, top_bigram_frac).
+    */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    val toks = split(trim(lower(col("text"))), "\\s+")
+    val words = docs.select(col("doc_id"), explode(toks).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("mx"), sum(col("n")).as("tot"))
+    // adjacent-token bigrams; the token array is bound as a lambda var
+    // (1-element-array transform) so element_at reads the bound value
+    // instead of re-splitting per element (see Dedup.shingleHashes)
+    val bigramArr = flatten(transform(array(toks), ts =>
+      transform(sequence(lit(0), size(ts) - 2),
+        i => concat(element_at(ts, i + 1), lit(" "), element_at(ts, i + 2)))))
+    val bigrams = docs.filter(size(toks) >= 2)
+      .select(col("doc_id"), explode(bigramArr).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("mxb"), sum(col("n")).as("totb"))
+    words.join(bigrams, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("tot").cast("long").as("n_tokens"),
+        (col("mx").cast("double") / col("tot")).as("top_word_frac"),
+        coalesce(col("mxb").cast("double") / col("totb"), lit(0.0)).as("top_bigram_frac"))
+  }
+
   /** Content fingerprint: md5 of normalized text (lowercase, collapsed
     * whitespace) — stable across engines, so exact-dup detection can run
     * on the 32-byte digest instead of the full text at 100 TB.

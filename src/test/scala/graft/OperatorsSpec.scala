@@ -749,6 +749,49 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.subsetOf(exact), "LSH produced a pair exact cosine rejects")
   }
 
+  test("portable hyperplane LSH: finds planted near-dup, subset of exact, deterministic") {
+    import spark.implicits._
+    val rnd = new java.util.Random(7)
+    val baseVec = Array.fill(64)(rnd.nextFloat() * 2f - 1f)
+    val nearDup = baseVec.map(x => x + (rnd.nextFloat() - 0.5f) * 0.01f)
+    val others = (2L until 100L).map(i => (i, Array.fill(64)(rnd.nextFloat() * 2f - 1f).toSeq))
+    val df = (Seq((0L, baseVec.toSeq), (1L, nearDup.toSeq)) ++ others)
+      .toDF("vec_id", "embedding")
+    val got = Dedup.hyperplaneLshPortable(df, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((0L, 1L)), s"portable LSH missed the planted near-dup: $got")
+    val exact = Dedup.embeddingNearDup(df, 0.95)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(exact), "LSH produced a pair exact cosine rejects")
+    // bit-for-bit deterministic across invocations (the portability claim)
+    val again = Dedup.hyperplaneLshPortable(df, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == again)
+  }
+
+  test("repetitionSignals: known fractions, single-token and repeated docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a b"),        // top word 3/4; bigrams: "a a","a a","a b" → 2/3
+      (2L, "x y z"),          // all distinct: 1/3, bigrams 1/2
+      (3L, "solo"),           // one token: frac 1.0, no bigrams → 0.0
+      (4L, "w w w w")         // fully repeated: 1.0 and 1.0
+    ).toDF("doc_id", "text")
+    val got = TextOps.repetitionSignals(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((4L, 3.0 / 4.0, 2.0 / 3.0)))
+    assert(got(2L) == ((3L, 1.0 / 3.0, 1.0 / 2.0)))
+    assert(got(3L) == ((1L, 1.0, 0.0)))
+    assert(got(4L) == ((4L, 1.0, 1.0)))
+  }
+
+  test("sketch gates q46/q47 hold at sf0.001 (HLL within 5%, quantiles within 1%)") {
+    val q46 = SparkEntry.queries("q46_hll_distinct")(spark, sf).head()
+    assert(q46.getLong(0) == 1L && q46.getLong(1) == 1L, s"HLL gate failed: $q46")
+    val q47 = SparkEntry.queries("q47_quantile_sketch")(spark, sf).head()
+    assert((0 until 3).forall(q47.getLong(_) == 1L), s"quantile gate failed: $q47")
+  }
+
   test("cosine ANN (L2 index on normalized vectors) equals exact cosine ranks") {
     val embN = ExactKnn.normalized(emb, "embedding")
     val (model, index) = RabitqIndex.build(spark, embN, numClusters = 8, seed = 3L)
