@@ -500,6 +500,36 @@ object SparkEntry {
         .orderBy(col("win_start"), col("event_type"))
     }),
 
+    "q49_stream_dedup" -> ((s, dir) => {
+      val name = s"docs_dedup_${streamCounter.incrementAndGet()}"
+      graft.streaming.DocsStream
+        .distinctFingerprints(s, s"$dir/documents.parquet", name)
+        .orderBy(col("fp"))
+    }),
+
+    // ---------------- ANN approximate-path gate ----------------------------
+    "q48_ann_paths_gate" -> ((s, dir) => {
+      // makes the two structurally-unoracled ANN paths driver-checkable:
+      // (a) the saved-index/partition-pruned path must return EXACTLY the
+      // in-memory path's rows at the same parameters (q24 vs q31 configs),
+      // (b) partial-probe recall@10 vs exact kNN must clear a 0.8 floor
+      // (nprobe 8/16 measures ~0.89 across sf0.001..sf0.1). Constant-1
+      // oracle turns both invariants into hash checks.
+      val (model, index) = annIndex(s, dir)
+      val base = T(s, dir, "embeddings"); val qs = annQueries(s, dir)
+      val mem = RabitqQuery.topK(s, model, index, base, qs,
+        nprobe = 8, topk = 10, rerank = 100).select("query_id", "neighbor_id", "rank")
+      val disk = RabitqQuery.topKFromDisk(s, diskIndex(s, dir), base, qs,
+        nprobe = 8, topk = 10, rerank = 100).select("query_id", "neighbor_id", "rank")
+      val truth = ExactKnn.l2TopK(base, qs, 10)
+      val consistent = mem.exceptAll(disk).unionAll(disk.exceptAll(mem))
+        .agg(count(lit(1)).as("n_diff"))
+        .select((col("n_diff") === 0).cast("long").as("paths_consistent"))
+      val recallOk = ExactKnn.recall(mem, truth, 10)
+        .select((col("recall") >= 0.8).cast("long").as("recall_ok"))
+      consistent.crossJoin(recallOk)
+    }),
+
     // ---------------- multimodal ------------------------------------------
     "q26_media_stats" -> ((s, dir) => {
       Multimodal.mediaStats(Multimodal.mediaFromDocuments(T(s, dir, "documents")))
@@ -697,6 +727,10 @@ object SparkEntry {
       "q28_ann_recall" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",
       "q46_hll_distinct" ->
         "SELECT CAST(1 AS BIGINT) AS user_ok, CAST(1 AS BIGINT) AS event_ok",
+      "q48_ann_paths_gate" ->
+        "SELECT CAST(1 AS BIGINT) AS paths_consistent, CAST(1 AS BIGINT) AS recall_ok",
+      "q49_stream_dedup" ->
+        "SELECT DISTINCT md5(text) AS fp FROM documents ORDER BY fp",
       "q47_quantile_sketch" ->
         "SELECT CAST(1 AS BIGINT) AS p50_ok, CAST(1 AS BIGINT) AS p90_ok, CAST(1 AS BIGINT) AS p99_ok",
       "q44_repetition" ->

@@ -21,11 +21,17 @@ import graft.functions.VectorOps
   *    parallel local-then-global top-k at identical results.
   *
   * Observability (reference metrics analog, `/root/reference/src/metrics.rs`):
-  * the plan carries `observe` aggregates named `rabitq_rough` /
-  * `rabitq_precise` counting estimated vs exactly-scored candidates;
-  * attach a QueryExecutionListener to collect them per action.
+  * the plan carries `observe` aggregates named `rabitq_rough_<i>` /
+  * `rabitq_precise_<i>` (unique suffix per pipeline instance) counting
+  * estimated vs exactly-scored candidates; attach a
+  * QueryExecutionListener and match on the name prefix.
   */
 object RabitqQuery {
+
+  // observe() names must be unique within a plan — a query composing two
+  // pipelines (e.g. the disk-vs-memory consistency gate) would otherwise
+  // throw DUPLICATED_METRICS_NAME. Listeners match on the stable prefix.
+  private val obsCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Per-(query, probed-cluster) state (Q3–Q7). */
   private case class Probe(
@@ -67,10 +73,11 @@ object RabitqQuery {
         (lit(2.0) * ad - col("sum_q")) * col("factor_ip") * col("delta") -
         col("error_bound").cast("double") * sqrt(col("centroid_d2").cast("double"))
 
+    val obsId = obsCounter.incrementAndGet()
     val candidates = index
       .join(broadcast(probes), Seq("cluster_id"))
       .select(col("query_id"), col("vec_id"), rough.as("rough"))
-      .observe("rabitq_rough", count(lit(1)).as("n_rough"))
+      .observe(s"rabitq_rough_$obsId", count(lit(1)).as("n_rough"))
 
     val shortlist = TopK.perGroup(candidates, "query_id", "vec_id", "rough", rerank,
       outId = "vec_id", outScore = "rough")
@@ -80,7 +87,7 @@ object RabitqQuery {
       .join(broadcast(queries), Seq("query_id"))
       .select(col("query_id"), col("vec_id"),
         sqrt(graft.functions.VectorExpressions.l2sq(col("qvec"), col("embedding"))).as("dist"))
-      .observe("rabitq_precise", count(lit(1)).as("n_precise"))
+      .observe(s"rabitq_precise_$obsId", count(lit(1)).as("n_precise"))
 
     TopK.perGroup(exact, "query_id", "vec_id", "dist", topk,
       outId = "neighbor_id", outScore = "dist")

@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming exact-dedup over the `documents` table (north-star
+  * extension): fingerprint each arriving doc (md5 of the raw text) and
+  * keep only first-seen fingerprints via watermarked stateful
+  * `dropDuplicates` — the continuous-ingest counterpart of
+  * `operators.Dedup.exact`.
+  *
+  * WHICH duplicate survives a micro-batch is not deterministic, so the
+  * oracle-able output is the distinct fingerprint SET (identical no
+  * matter which copy wins), not the surviving doc ids. At scale the
+  * 1-hour watermark bounds dedup state to the fingerprints seen in the
+  * last hour per the usual streaming-dedup contract; the batch operator
+  * covers whole-corpus dedup.
+  */
+object DocsStream {
+
+  val docsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+
+  /** Run the dedup stream to completion over a static dir (AvailableNow,
+    * memory sink) and return the distinct-fingerprint frame.
+    */
+  def distinctFingerprints(spark: SparkSession, path: String, queryName: String): DataFrame = {
+    val f = new java.io.File(path)
+    val (dir, glob) = if (f.isFile) (f.getParent, f.getName) else (path, "*")
+    val q = spark.readStream
+      .schema(docsSchema)
+      .option("pathGlobFilter", glob)
+      .parquet(dir)
+      .select(md5(col("text")).as("fp"))
+      .withColumn("ts", current_timestamp())
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("fp")
+      .select("fp")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+}

@@ -206,8 +206,10 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
       override def onSuccess(funcName: String, qe: org.apache.spark.sql.execution.QueryExecution,
                              durationNs: Long): Unit = {
-        qe.observedMetrics.get("rabitq_rough").foreach(r => rough = r.getAs[Long]("n_rough"))
-        qe.observedMetrics.get("rabitq_precise").foreach(r => precise = r.getAs[Long]("n_precise"))
+        qe.observedMetrics.collect { case (n, r) if n.startsWith("rabitq_rough") =>
+          rough = r.getAs[Long]("n_rough") }
+        qe.observedMetrics.collect { case (n, r) if n.startsWith("rabitq_precise") =>
+          precise = r.getAs[Long]("n_precise") }
       }
       override def onFailure(funcName: String, qe: org.apache.spark.sql.execution.QueryExecution,
                              exception: Exception): Unit = ()
