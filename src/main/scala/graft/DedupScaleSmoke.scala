@@ -93,9 +93,29 @@ object DedupScaleSmoke {
       .filter(col("id_b") === col("id_a") + half && col("id_a") < planted)
       .count()
 
+    // ---- 3) linear text-analysis throughput (repetition + vocab) --------
+    // regenerate the doc frame (released after stage 1) and time the two
+    // corpus-level text aggregations — both must stay map-side-combinable
+    // single-shuffle shapes at any n
+    val docs2 = spark.range(n).select(col("id").as("doc_id"), textCol.as("text"))
+      .repartition(cpus.toInt).persist()
+    docs2.count()
+    val t2 = System.nanoTime()
+    val nRep = TextOps.repetitionSignals(docs2).count()
+    val repSec = (System.nanoTime() - t2) / 1e9
+    val t3 = System.nanoTime()
+    val vocab = docs2.select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n_occurrences"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("n_occurrences").desc, col("tok")).limit(100).count()
+    val vocabSec = (System.nanoTime() - t3) / 1e9
+    docs2.unpersist()
+
     println(s"""{"dedup_scale_smoke":{"n_docs":$n,"planted":$planted,""" +
       s""""minhash_sec":$minhashSec,"minhash_pairs":$nPairs,"minhash_planted_found":$plantedFound,""" +
-      s""""lsh_sec":$lshSec,"lsh_pairs":$ndPairs,"lsh_planted_found":$ndPlanted}}""")
+      s""""lsh_sec":$lshSec,"lsh_pairs":$ndPairs,"lsh_planted_found":$ndPlanted,""" +
+      s""""repetition_sec":$repSec,"repetition_rows":$nRep,"vocab_sec":$vocabSec,"vocab_rows":$vocab}}""")
     spark.stop()
   }
 }

@@ -337,6 +337,20 @@ object SparkEntry {
     "q44_repetition" -> ((s, dir) => {
       TextOps.repetitionSignals(T(s, dir, "documents")).orderBy(col("doc_id"))
     }),
+    "q50_vocab_topk" -> ((s, dir) => {
+      // corpus vocabulary building (the tokenizer/IDF precursor): top-100
+      // tokens by total occurrences with document frequency — one
+      // explode, one map-side-combinable aggregate, TakeOrdered limit
+      val toks = split(trim(lower(col("text"))), "\\s+")
+      T(s, dir, "documents")
+        .select(col("doc_id"), explode(toks).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).as("n_occurrences"),
+          countDistinct(col("doc_id")).as("df"))
+        .orderBy(col("n_occurrences").desc, col("tok"))
+        .limit(100)
+    }),
     "q19_fingerprint" -> ((s, dir) => {
       T(s, dir, "documents")
         .select(col("doc_id"),
@@ -731,6 +745,11 @@ object SparkEntry {
         "SELECT CAST(1 AS BIGINT) AS paths_consistent, CAST(1 AS BIGINT) AS recall_ok",
       "q49_stream_dedup" ->
         "SELECT DISTINCT md5(text) AS fp FROM documents ORDER BY fp",
+      "q50_vocab_topk" ->
+        raw"""WITH w AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok FROM documents)
+             |SELECT tok, COUNT(*) AS n_occurrences, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+             |FROM w WHERE length(tok) > 0
+             |GROUP BY tok ORDER BY n_occurrences DESC, tok LIMIT 100""".stripMargin,
       "q47_quantile_sketch" ->
         "SELECT CAST(1 AS BIGINT) AS p50_ok, CAST(1 AS BIGINT) AS p90_ok, CAST(1 AS BIGINT) AS p99_ok",
       "q44_repetition" ->
