@@ -509,6 +509,40 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.forall(_.getLong(2) == 7L))
   }
 
+  test("asof join equals reference semantics on randomized data (nulls, dups, ties)") {
+    import spark.implicits._
+    // brute-force reference: for each left row, the right row with equal
+    // non-null key, non-null ts <= left ts, max (ts, tieBreak) with NULL
+    // tieBreak ordering smallest — i.e. max_by(struct(ts, tb)) over an
+    // equi-join, computed driver-side
+    val rnd = new scala.util.Random(42)
+    def optKey() = if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(5).toLong)
+    val left = (0 until 200).map(i =>
+      (i.toLong, optKey(), rnd.nextInt(100).toLong))            // (lid, k, ts)
+    val right = (0 until 200).map(i =>
+      (optKey(), if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(100).toLong),
+        if (rnd.nextInt(8) == 0) None else Some(i.toLong)))     // (rk, rts, tb)
+    // duplicate some left rows exactly
+    val leftAll = left ++ left.take(20)
+    val expect = leftAll.map { case (lid, k, ts) =>
+      val matches = right.filter(r => k.isDefined && r._1 == k && r._2.exists(_ <= ts))
+      val best = if (matches.isEmpty) None
+        else Some(matches.maxBy(r => (r._2.get, r._3.getOrElse(Long.MinValue))))
+      (lid, k, ts, best.flatMap(_._3))
+    }.groupBy(identity).view.mapValues(_.size).toMap
+    val l = leftAll.toDF("lid", "k", "ts")
+    val r = right.toDF("rk", "rts", "tb")
+    val got = AsofJoin.asof(l, r, "k", "rk", "ts", "rts", "tb")
+      .collect().map(row => (
+        row.getLong(0),
+        if (row.isNullAt(1)) None else Some(row.getLong(1)),
+        row.getLong(2),
+        if (row.isNullAt(5)) None else Some(row.getLong(5))))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    assert(got == expect,
+      s"diff: ${(got.toSet diff expect.toSet).take(5)} / ${(expect.toSet diff got.toSet).take(5)}")
+  }
+
   test("asof join hot key: O(L+R), no per-key fan-out, no join in the plan") {
     import spark.implicits._
     val n = 10000L
