@@ -310,47 +310,52 @@ object Dedup {
     agg.select(col("doc_id"), sig.as("sig"))
   }
 
-  /** Scale path for embedding near-dup: random-hyperplane LSH. 64 seeded
-    * Gaussian directions → sign-bit signature; candidates share one of
-    * `numBands` sub-bands of 64/numBands bits (P(bit match) = 1 − θ/π);
-    * exact cosine then confirms ≥ threshold. No O(n²) scan — this is the
-    * variant that survives large n, with `embeddingNearDup` as its
-    * oracle-able exact counterpart.
+  /** Scale path for embedding near-dup: random-hyperplane LSH.
+    * `numPlanes` seeded Gaussian directions → sign-bit signature;
+    * candidates share one of `numBands` sub-bands of numPlanes/numBands
+    * bits (P(bit match) = 1 − θ/π); exact cosine then confirms ≥
+    * threshold. No O(n²) scan — this is the variant that survives large
+    * n, with `embeddingNearDup` as its oracle-able exact counterpart.
     *
     * BAND WIDTH MUST SCALE WITH n: expected candidates ≈
-    * numBands · n² / 2^(64/numBands+1) for uncorrelated vectors, so 8-bit
-    * bands (numBands=8) are fine to ~10⁴ vectors but explode at 10⁶ —
-    * there use numBands=4 (16-bit bands, 65k buckets): recall for a
-    * cos≥0.99 pair is still ≈ 0.994 (= 1−(1−(1−θ/π)^16)^4) while
-    * candidates stay ~15·n. At 10⁹, widen the signature (two 64-bit
-    * words) rather than dropping below 4 bands.
+    * numBands · n² / 2^(bandBits+1) for uncorrelated vectors, so 8-bit
+    * bands (64/8) are fine to ~10⁴ vectors but explode at 10⁶ — there
+    * use 16-bit bands (65k buckets): recall for a cos≥0.99 pair is
+    * still ≈ 0.994 (= 1−(1−(1−θ/π)^16)^4) while candidates stay ~15·n.
+    * At 10⁸–10⁹, hold ≥4 bands for recall and WIDEN the signature
+    * instead: numPlanes=128, numBands=4 gives 32-bit bands (4·10⁹
+    * buckets, ~n²/2³³ expected collisions per band) — the signature is
+    * packed per band, so any numPlanes = numBands × bandBits ≤ 64·bands
+    * works without code changes.
     */
   def embeddingNearDupLSH(spark: SparkSession, emb: DataFrame, threshold: Double,
-                          seed: Long = 42L, numBands: Int = 8): DataFrame = {
-    require(64 % numBands == 0, "numBands must divide 64")
-    val bandBits = 64 / numBands
-    val bandMask = (1L << bandBits) - 1L
+                          seed: Long = 42L, numBands: Int = 8,
+                          numPlanes: Int = 64): DataFrame = {
+    require(numPlanes % numBands == 0, "numBands must divide numPlanes")
+    val bandBits = numPlanes / numBands
+    require(bandBits <= 64, "a band must fit in one long")
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
     val rnd = new java.util.Random(seed)
-    val planes = Array.fill(64, dim)(rnd.nextGaussian().toFloat)
+    val planes = Array.fill(numPlanes, dim)(rnd.nextGaussian().toFloat)
     val bPlanes = spark.sparkContext.broadcast(planes)
-    val sigUdf = udf { (v: Seq[Float]) =>
+    // one long PER BAND (bit i of band b = sign of plane b*bandBits+i) —
+    // equivalent to slicing a packed signature, but width-unbounded
+    val bandsUdf = udf { (v: Seq[Float]) =>
       val x = v.toArray
-      var sig = 0L
-      var j = 0
-      while (j < 64) {
-        if (VectorOps.dot(x, bPlanes.value(j)) > 0) sig |= (1L << j)
-        j += 1
-      }
-      sig
+      Array.tabulate(numBands) { b =>
+        var bits = 0L
+        var i = 0
+        while (i < bandBits) {
+          if (VectorOps.dot(x, bPlanes.value(b * bandBits + i)) > 0) bits |= (1L << i)
+          i += 1
+        }
+        bits
+      }.toSeq
     }
-    val sig = emb.select(col("vec_id"), col("embedding"), sigUdf(col("embedding")).as("sig"))
-    val banded = sig.select(col("vec_id"), col("embedding"),
-      explode(array((0 until numBands).map { b =>
-        struct(lit(b).as("band"),
-          shiftright(col("sig"), bandBits * b).bitwiseAND(lit(bandMask)).as("bits"))
-      }: _*)).as("bb"))
-      .select(col("vec_id"), col("embedding"), col("bb.band"), col("bb.bits"))
+    val banded = emb
+      .select(col("vec_id"), col("embedding"), bandsUdf(col("embedding")).as("bands"))
+      .select(col("vec_id"), col("embedding"),
+        posexplode(col("bands")).as(Seq("band", "bits")))
     val a = banded.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
       col("band"), col("bits"))
     val b = banded.select(col("vec_id").as("id_b"), col("embedding").as("eb"),

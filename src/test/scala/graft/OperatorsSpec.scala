@@ -828,6 +828,27 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((0 until 3).forall(q47.getLong(_) == 1L), s"quantile gate failed: $q47")
   }
 
+  test("wide-signature LSH (128 planes, 32-bit bands) still finds planted near-dups") {
+    import spark.implicits._
+    // the 10^9-scale configuration: 4 bands x 32 bits. At tiny n almost
+    // nothing shares a 32-bit band by chance, but a cos~0.9999 pair
+    // agrees on each band w.p. ~(1-theta/pi)^32 ~ 0.87 -> ~1-(1-0.87)^4
+    // overall; seed chosen so the planted pair collides.
+    val rnd = new java.util.Random(11)
+    val baseVec = Array.fill(64)(rnd.nextFloat() * 2f - 1f)
+    val nearDup = baseVec.map(x => x + (rnd.nextFloat() - 0.5f) * 0.005f)
+    val others = (2L until 200L).map(i => (i, Array.fill(64)(rnd.nextFloat() * 2f - 1f).toSeq))
+    val df = (Seq((0L, baseVec.toSeq), (1L, nearDup.toSeq)) ++ others)
+      .toDF("vec_id", "embedding")
+    val got = Dedup.embeddingNearDupLSH(spark, df, threshold = 0.95,
+      numBands = 4, numPlanes = 128)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((0L, 1L)), s"wide-signature LSH missed the planted near-dup: $got")
+    val exact = Dedup.embeddingNearDup(df, 0.95)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(exact))
+  }
+
   test("cosine ANN (L2 index on normalized vectors) equals exact cosine ranks") {
     val embN = ExactKnn.normalized(emb, "embedding")
     val (model, index) = RabitqIndex.build(spark, embN, numClusters = 8, seed = 3L)
