@@ -22,6 +22,11 @@ object Serve {
 
   private val queriesServed = new AtomicLong(0)
 
+  // must be set before the HttpServer class initializes: without
+  // TCP_NODELAY the response write stalls in the Nagle/delayed-ACK
+  // handshake and every request floors at ~40 ms regardless of compute
+  System.setProperty("sun.net.httpserver.nodelay", "true")
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val port = if (args.length > 1) args(1).toInt else 18080
@@ -39,12 +44,20 @@ object Serve {
 
   /** Build the index, persist base + index, and start serving. Returns the
     * server (caller stops it).
+    *
+    * Two engines per request (reference-parity default, Spark opt-in):
+    *  - default: the driver-memory HotTier — microsecond arithmetic, no
+    *    job scheduling, byte-identical results (the reference service's
+    *    in-RAM shape, `crates/service/src/main.rs:68-96`);
+    *  - `"engine":"spark"` in the body: the distributed plan
+    *    (`RabitqQuery.topK`) — the path that scales past driver RAM.
     */
   def start(spark: SparkSession, sfDir: String, port: Int): HttpServer = {
     val base = spark.read.parquet(s"$sfDir/embeddings.parquet").persist()
     val (model, index0) = RabitqIndex.build(spark, base, numClusters = 16, seed = 42L)
     val index = index0.persist()
     index.count(); base.count() // warm caches before first request
+    val hot = HotTier.fromIndex(spark, model, index, base)
 
     // loopback only: this demo tier has no auth; production would sit
     // behind Spark Connect / a gateway
@@ -58,14 +71,19 @@ object Serve {
         val vec = parseFloatArray(body, "query")
         val topK = parseInt(body, "top_k").getOrElse(10)
         val probe = parseInt(body, "probe").getOrElse(8)
-        import spark.implicits._
-        val qDf = Seq((0L, vec.toSeq)).toDF("query_id", "qvec")
-        val rows = RabitqQuery.topK(spark, model, index, base, qDf,
-          nprobe = probe, topk = topK, rerank = math.max(4 * topK, 64))
-          .orderBy(col("rank")).select("neighbor_id", "dist").collect()
+        val rerank = math.max(4 * topK, 64)
+        val results: Array[(Long, Double)] =
+          if (body.contains("\"engine\"") && body.contains("\"spark\"")) {
+            import spark.implicits._
+            val qDf = Seq((0L, vec.toSeq)).toDF("query_id", "qvec")
+            RabitqQuery.topK(spark, model, index, base, qDf,
+              nprobe = probe, topk = topK, rerank = rerank)
+              .orderBy(col("rank")).select("neighbor_id", "dist").collect()
+              .map(r => (r.getLong(0), r.getDouble(1)))
+          } else hot.query(vec, probe, topK, rerank)
         queriesServed.incrementAndGet()
-        val ids = rows.map(_.getLong(0)).mkString("[", ",", "]")
-        val scores = rows.map(_.getDouble(1)).mkString("[", ",", "]")
+        val ids = results.map(_._1).mkString("[", ",", "]")
+        val scores = results.map(_._2).mkString("[", ",", "]")
         respond(ex, 200, s"""{"ids":$ids,"scores":$scores}""")
       } catch {
         case e: Throwable =>

@@ -34,12 +34,15 @@ object RabitqQuery {
   private val obsCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Per-(query, probed-cluster) state (Q3–Q7). */
-  private case class Probe(
+  private[operators] case class Probe(
       query_id: Long, cluster_id: Int, centroid_d2: Float, lb: Float, delta: Float,
       sum_q: Int, planes: Array[Long])
 
-  /** Pure probe computation for one query vector against the model. */
-  private def computeProbes(model: RabitqModel, queryId: Long, qvec: Array[Float],
+  /** Pure probe computation for one query vector against the model
+    * (shared with the driver-memory HotTier, so both paths probe
+    * identically).
+    */
+  private[operators] def computeProbes(model: RabitqModel, queryId: Long, qvec: Array[Float],
                             nprobe: Int): Seq[Probe] = {
     val y = VectorOps.rotate(model.rotation, VectorOps.pad(qvec, 64))
     val dists = model.centroids.zipWithIndex.map { case (c, i) =>

@@ -849,6 +849,26 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.subsetOf(exact))
   }
 
+  test("HotTier results are byte-identical to the Spark ANN path") {
+    val (model, index) = RabitqIndex.build(spark, emb, numClusters = 8, seed = 3L)
+    val hot = HotTier.fromIndex(spark, model, index, emb)
+    val queries = ExactKnn.queriesFromEmbeddings(emb, 10)
+    val qRows = queries.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    for ((nprobe, rerank) <- Seq((4, 50), (8, 10000))) {
+      val sparkRes = RabitqQuery.topK(spark, model, index, emb, queries,
+        nprobe = nprobe, topk = 10, rerank = rerank)
+        .select("query_id", "neighbor_id", "dist", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+      val hotRes = qRows.flatMap { case (qid, v) =>
+        hot.query(v, nprobe, 10, rerank).zipWithIndex.map { case ((id, d), i) =>
+          (qid, id, d, i + 1L)
+        }
+      }.toSet
+      assert(hotRes == sparkRes,
+        s"nprobe=$nprobe rerank=$rerank: ${(hotRes diff sparkRes).take(3)} vs ${(sparkRes diff hotRes).take(3)}")
+    }
+  }
+
   test("cosine ANN (L2 index on normalized vectors) equals exact cosine ranks") {
     val embN = ExactKnn.normalized(emb, "embedding")
     val (model, index) = RabitqIndex.build(spark, embN, numClusters = 8, seed = 3L)
