@@ -414,6 +414,37 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // ---------------- window-function / grouping-set breadth ---------------
+    "q51_window_fns" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      T(s, dir, "orders").select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        ntile(4).over(w).cast("int").as("quartile"),
+        first(col("o_orderkey")).over(w).as("first_order"))
+        .orderBy(col("o_orderkey"))
+    }),
+    "q52_cube" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec3(col("l_quantity"))).cast("double").as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+    "q53_semi_join" -> ((s, dir) => {
+      // customers with at least one high-value order (IN-subquery shape →
+      // left semi join; no duplication of the left side)
+      val c = T(s, dir, "customer")
+      val o = T(s, dir, "orders").filter(col("o_totalprice") > 300000.0)
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // ---------------- sketch-accuracy gates --------------------------------
     "q46_hll_distinct" -> ((s, dir) => {
       // HyperLogLog++ distinct-count sketch vs exact, as a driver-visible
@@ -743,6 +774,24 @@ object SparkEntry {
         "SELECT CAST(1 AS BIGINT) AS user_ok, CAST(1 AS BIGINT) AS event_ok",
       "q48_ann_paths_gate" ->
         "SELECT CAST(1 AS BIGINT) AS paths_consistent, CAST(1 AS BIGINT) AS recall_ok",
+      "q51_window_fns" ->
+        """SELECT o_orderkey, o_custkey,
+          |  lag(o_totalprice, 1) OVER w AS prev_price,
+          |  lead(o_totalprice, 1) OVER w AS next_price,
+          |  CAST(ntile(4) OVER w AS INT) AS quartile,
+          |  first_value(o_orderkey) OVER w AS first_order
+          |FROM orders
+          |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+          |ORDER BY o_orderkey""".stripMargin,
+      "q52_cube" ->
+        """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,3))) AS DOUBLE) AS sum_qty
+          |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+          |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+      "q53_semi_join" ->
+        """SELECT c_custkey, c_mktsegment FROM customer
+          |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0)
+          |ORDER BY c_custkey""".stripMargin,
       "q49_stream_dedup" ->
         "SELECT DISTINCT md5(text) AS fp FROM documents ORDER BY fp",
       "q50_vocab_topk" ->
