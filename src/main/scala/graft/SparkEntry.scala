@@ -575,6 +575,26 @@ object SparkEntry {
       consistent.crossJoin(recallOk)
     }),
 
+    "q54_pipeline" -> ((s, dir) => {
+      // the end-to-end training-data pipeline in ONE plan: exact-dedup
+      // survivors → quality floor (length + alpha ratio) → language
+      // filter → corpus statistics. Integer-only output keeps the oracle
+      // hash independent of double summation order.
+      val docs = T(s, dir, "documents")
+      val survivors = Dedup.exact(docs).select("doc_id")
+      val kept = docs.join(survivors, Seq("doc_id"), "left_semi")
+      val quality = TextOps.qualityFeatures(kept)
+        .filter(col("n_tokens") >= 20 && col("alpha_ratio") >= 0.5)
+        .select("doc_id", "n_tokens")
+      val lang = kept.select(col("doc_id"), TextOps.langId(col("text")).as("lang"))
+      quality.join(lang, Seq("doc_id"))
+        .filter(col("lang") === "en")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          min(col("n_tokens")).as("min_tokens"),
+          max(col("n_tokens")).as("max_tokens"))
+    }),
+
     // ---------------- multimodal ------------------------------------------
     "q26_media_stats" -> ((s, dir) => {
       Multimodal.mediaStats(Multimodal.mediaFromDocuments(T(s, dir, "documents")))
@@ -792,6 +812,30 @@ object SparkEntry {
         """SELECT c_custkey, c_mktsegment FROM customer
           |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0)
           |ORDER BY c_custkey""".stripMargin,
+      "q54_pipeline" ->
+        """WITH survivors AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+          |kept AS (SELECT d.doc_id, d.text FROM documents d
+          |         WHERE d.doc_id IN (SELECT doc_id FROM survivors)),
+          |q AS (SELECT doc_id,
+          |        CASE WHEN length(trim(text)) = 0 THEN 0
+          |             ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) END AS n_tokens,
+          |        CASE WHEN length(text) = 0 THEN 0.0
+          |             ELSE CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length(text) END AS alpha_ratio,
+          |        CASE WHEN greatest(
+          |               len(regexp_extract_all(text, '\b(the|and|of|is|to|with)\b')),
+          |               len(regexp_extract_all(text, '\b(el|la|de|que|los|una)\b')),
+          |               len(regexp_extract_all(text, '\b(der|die|das|und|ist|nicht)\b')),
+          |               len(regexp_extract_all(text, '\b(le|la|les|des|est|une)\b'))) = 0 THEN 'unknown'
+          |             WHEN len(regexp_extract_all(text, '\b(the|and|of|is|to|with)\b')) = greatest(
+          |               len(regexp_extract_all(text, '\b(the|and|of|is|to|with)\b')),
+          |               len(regexp_extract_all(text, '\b(el|la|de|que|los|una)\b')),
+          |               len(regexp_extract_all(text, '\b(der|die|das|und|ist|nicht)\b')),
+          |               len(regexp_extract_all(text, '\b(le|la|les|des|est|une)\b'))) THEN 'en'
+          |             ELSE 'other' END AS lang
+          |      FROM kept)
+          |SELECT COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+          |  MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens
+          |FROM q WHERE n_tokens >= 20 AND round(alpha_ratio, 4) >= 0.5 AND lang = 'en'""".stripMargin,
       "q49_stream_dedup" ->
         "SELECT DISTINCT md5(text) AS fp FROM documents ORDER BY fp",
       "q50_vocab_topk" ->
