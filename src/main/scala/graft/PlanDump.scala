@@ -11,6 +11,9 @@ import org.apache.spark.sql.SparkSession
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
+    // keep dedup pipelines lazy so their full plan (not a checkpointed
+    // Scan ExistingRDD stub) is what gets printed
+    System.setProperty("graft.dedup.lazyPlans", "true")
     val which = if (args.nonEmpty) args(0) else "all"
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
     val spark = SparkSession.builder()

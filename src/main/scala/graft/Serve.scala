@@ -73,7 +73,7 @@ object Serve {
         val probe = parseInt(body, "probe").getOrElse(8)
         val rerank = math.max(4 * topK, 64)
         val results: Array[(Long, Double)] =
-          if (body.contains("\"engine\"") && body.contains("\"spark\"")) {
+          if (parseString(body, "engine").contains("spark")) {
             import spark.implicits._
             val qDf = Seq((0L, vec.toSeq)).toDF("query_id", "qvec")
             RabitqQuery.topK(spark, model, index, base, qDf,
@@ -129,6 +129,12 @@ object Serve {
     require(m.find(), s"missing array field '$key'")
     val body = m.group(1).trim
     if (body.isEmpty) Array.empty else body.split(",").map(_.trim.toFloat)
+  }
+
+  private[graft] def parseString(json: String, key: String): Option[String] = {
+    val m = java.util.regex.Pattern
+      .compile("\"" + key + "\"\\s*:\\s*\"([^\"]*)\"").matcher(json)
+    if (m.find()) Some(m.group(1)) else None
   }
 
   private[graft] def parseInt(json: String, key: String): Option[Int] = {

@@ -54,11 +54,19 @@ object Dedup {
     * only storage the caller holds is the checkpointed result itself,
     * which the ContextCleaner reclaims once the frame is unreferenced.
     * Cost: the result is computed at call time rather than lazily.
+    *
+    * Set system property `graft.dedup.lazyPlans=true` to skip the eager
+    * checkpoint (keeping the full lazy plan inspectable — PlanDump does
+    * this); in that mode the intermediate caches stay registered for the
+    * session, the exact leak the default mode exists to prevent.
     */
   private def materializeAndRelease(result: DataFrame, cached: DataFrame*): DataFrame = {
-    val out = result.localCheckpoint(true)
-    cached.foreach(_.unpersist())
-    out
+    if (sys.props.get("graft.dedup.lazyPlans").contains("true")) result
+    else {
+      val out = result.localCheckpoint(true)
+      cached.foreach(_.unpersist())
+      out
+    }
   }
 
   /** 64 affine hash families (aᵢ·h + bᵢ) mod P over a base hash h, with

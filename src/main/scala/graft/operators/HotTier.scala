@@ -25,7 +25,6 @@ import graft.functions.VectorOps
   */
 final class HotTier private (
     model: RabitqModel,
-    clusterIds: Array[Int],                  // dense slot -> cluster_id
     slotOf: Map[Int, Int],                   // cluster_id -> dense slot
     vecIds: Array[Array[Long]],              // per slot
     codes: Array[Array[Array[Long]]],        // per slot, per vector
@@ -75,8 +74,7 @@ object HotTier {
     val rows = index.select("vec_id", "cluster_id", "code", "factor_ip",
       "factor_ppc", "error_bound", "cds").collect()
     val byCluster = rows.groupBy(_.getInt(1)).toArray.sortBy(_._1)
-    val clusterIds = byCluster.map(_._1)
-    val slotOf = clusterIds.zipWithIndex.toMap
+    val slotOf = byCluster.map(_._1).zipWithIndex.toMap
     val vecIds = byCluster.map(_._2.map(_.getLong(0)))
     val codes = byCluster.map(_._2.map(_.getSeq[Long](2).toArray))
     val fip = byCluster.map(_._2.map(_.getFloat(3)))
@@ -87,6 +85,6 @@ object HotTier {
     base.select("vec_id", "embedding").collect().foreach { r =>
       baseVecs.put(r.getLong(0), r.getSeq[Float](1).toArray)
     }
-    new HotTier(model, clusterIds, slotOf, vecIds, codes, fip, fppc, err, cds, baseVecs)
+    new HotTier(model, slotOf, vecIds, codes, fip, fppc, err, cds, baseVecs)
   }
 }

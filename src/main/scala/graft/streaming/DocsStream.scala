@@ -13,10 +13,14 @@ import org.apache.spark.sql.streaming.Trigger
   *
   * WHICH duplicate survives a micro-batch is not deterministic, so the
   * oracle-able output is the distinct fingerprint SET (identical no
-  * matter which copy wins), not the surviving doc ids. At scale the
-  * 1-hour watermark bounds dedup state to the fingerprints seen in the
-  * last hour per the usual streaming-dedup contract; the batch operator
-  * covers whole-corpus dedup.
+  * matter which copy wins), not the surviving doc ids. State is bounded
+  * via `dropDuplicatesWithinWatermark` — plain `dropDuplicates("fp")`
+  * would keep every fingerprint ever seen in the state store forever,
+  * because watermark eviction only applies when the event-time column is
+  * part of the dedup key (SPARK-42931). Duplicates separated by more
+  * than the 1-hour delay can both survive — that is the documented
+  * streaming-dedup contract; the batch operator covers whole-corpus
+  * dedup.
   */
 object DocsStream {
 
@@ -36,7 +40,7 @@ object DocsStream {
       .select(md5(col("text")).as("fp"))
       .withColumn("ts", current_timestamp())
       .withWatermark("ts", "1 hour")
-      .dropDuplicates("fp")
+      .dropDuplicatesWithinWatermark("fp")
       .select("fp")
       .writeStream
       .outputMode("append")
