@@ -20,8 +20,6 @@ import graft.operators._
   */
 object Serve {
 
-  private val queriesServed = new AtomicLong(0)
-
   // must be set before the HttpServer class initializes: without
   // TCP_NODELAY the response write stalls in the Nagle/delayed-ACK
   // handshake and every request floors at ~40 ms regardless of compute
@@ -30,13 +28,14 @@ object Serve {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val port = if (args.length > 1) args(1).toInt else 18080
+    val indexDir = if (args.length > 2) Some(args(2)) else None
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val server = start(spark, sfDir, port)
+    val server = start(spark, sfDir, port, indexDir)
     println(s"graft serving on :$port (Ctrl-C to stop)")
     sys.addShutdownHook { server.stop(0); spark.stop() } // V4 graceful stop
     Thread.currentThread().join()
@@ -52,12 +51,20 @@ object Serve {
     *  - `"engine":"spark"` in the body: the distributed plan
     *    (`RabitqQuery.topK`) — the path that scales past driver RAM.
     */
-  def start(spark: SparkSession, sfDir: String, port: Int): HttpServer = {
+  def start(spark: SparkSession, sfDir: String, port: Int,
+            indexDir: Option[String] = None): HttpServer = {
     val base = spark.read.parquet(s"$sfDir/embeddings.parquet").persist()
-    val (model, index0) = RabitqIndex.build(spark, base, numClusters = 16, seed = 42L)
+    // load a persisted index when given one (the reference service's cold
+    // start: model from disk, no training); otherwise train in-process
+    val (model, index0) = indexDir match {
+      case Some(dir) => RabitqIndex.load(spark, dir)
+      case None => RabitqIndex.build(spark, base, numClusters = 16, seed = 42L)
+    }
     val index = index0.persist()
     index.count(); base.count() // warm caches before first request
     val hot = HotTier.fromIndex(spark, model, index, base)
+    // per-server counter (a JVM-global would bleed across serve instances)
+    val queriesServed = new AtomicLong(0)
 
     // loopback only: this demo tier has no auth; production would sit
     // behind Spark Connect / a gateway

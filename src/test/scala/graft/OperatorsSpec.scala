@@ -394,6 +394,34 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   // ---------------- http serving tier --------------------------------------
+  test("HTTP service cold-starts from a saved index dir; spark engine opt-in agrees") {
+    val dir = java.nio.file.Files.createTempDirectory("serve_idx").toString
+    val (model, index) = RabitqIndex.build(spark, emb, numClusters = 8, seed = 3L)
+    RabitqIndex.save(spark, model, index, dir)
+    val port = {
+      val s = new java.net.ServerSocket(0)
+      try s.getLocalPort finally s.close()
+    }
+    val server = graft.Serve.start(spark, sf, port, Some(dir))
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      val qvec = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      def post(extra: String) = client.send(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(s"http://localhost:$port/query"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+            s"""{"query": ${qvec.mkString("[", ",", "]")}, "top_k": 5, "probe": 8$extra}"""))
+          .build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+      val hot = post("")
+      val viaSpark = post(""", "engine": "spark"""")
+      assert(graft.Serve.parseFloatArray(hot, "ids").toSeq ==
+        graft.Serve.parseFloatArray(viaSpark, "ids").toSeq,
+        s"hot=$hot spark=$viaSpark")
+      assert(graft.Serve.parseFloatArray(hot, "ids").head.toLong == 0L)
+    } finally server.stop(0)
+  }
+
   test("HTTP query service answers /query, /health, /metrics") {
     val port = {
       val s = new java.net.ServerSocket(0)
