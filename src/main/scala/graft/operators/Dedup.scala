@@ -80,16 +80,15 @@ object Dedup {
     IndexedSeq.fill(64)((1L + rng.nextInt(1000000000).toLong, rng.nextInt(1000000000).toLong))
   }
 
-  /** Portable polynomial string hash: base 131, mod P, over ascii codes —
-    * the `TextOps.rollingHash` arithmetic applied to a single value.
-    * Pure column expression (codegen) and byte-identical in DuckDB via
-    * `list_reduce` (the q19 fingerprint oracle proves the pattern).
+  /** Portable polynomial string hash: base 131, mod P, over character
+    * codes — the `TextOps.rollingHash` arithmetic applied to a single
+    * value. Native codegen expression (`PolyHashString`) with arithmetic
+    * byte-identical to DuckDB's `list_reduce` replay (the q19
+    * fingerprint oracle proves the pattern) and to the interpreted
+    * `aggregate(split(...))` HOF chain it replaces.
     */
   def polyHash(s: Column, base: Long = 131L): Column =
-    aggregate(
-      filter(split(s, ""), c => length(c) > 0),
-      lit(0L),
-      (acc, c) => (acc * lit(base) + ascii(c).cast("long")) % lit(P))
+    graft.functions.TextExpressions.polyHash(s, base, P)
 
   /** Word n-gram shingles as 64-bit hashes, WITHOUT materializing the
     * shingle strings: xxhash64 over the n token columns directly, inside a

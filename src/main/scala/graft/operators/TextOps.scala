@@ -108,15 +108,12 @@ object TextOps {
 
   /** Rolling polynomial hash of the normalized text (base 131, mod 1e9+7 —
     * modular so the arithmetic is portable: DuckDB raises on i64 overflow
-    * where the JVM wraps) — a cheap non-cryptographic fingerprint;
-    * expressed with `aggregate` over characters to stay in codegen.
+    * where the JVM wraps) — a cheap non-cryptographic fingerprint, as a
+    * native codegen expression (identical arithmetic to the DuckDB
+    * `list_reduce` oracle).
     */
   def rollingHash(text: Column): Column = {
     val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
-    val chars = split(norm, "")
-    aggregate(
-      filter(chars, c => length(c) > 0),
-      lit(0L),
-      (acc, c) => (acc * lit(131L) + ascii(c).cast("long")) % lit(1000000007L))
+    graft.functions.TextExpressions.polyHash(norm, 131L, 1000000007L)
   }
 }
