@@ -192,11 +192,15 @@ object VectorExpressions {
   def asymDot(code: Column, planes: Column): Column =
     ColumnShim.column(AsymDotF32(ColumnShim.expression(code), ColumnShim.expression(planes)))
 
-  /** Register as SQL functions (graft_l2sq, graft_cosine, graft_asymdot). */
+  /** Register as SQL functions (graft_l2sq, graft_cosine, graft_asymdot,
+    * graft_polyhash).
+    */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_l2sq", es => L2SqF32(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_cosine", es => CosineSimF32(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_asymdot", es => AsymDotF32(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_polyhash",
+      es => PolyHashString(es.head, 131L, 1000000007L), "built-in")
   }
 }

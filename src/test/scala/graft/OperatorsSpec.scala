@@ -948,6 +948,27 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   // ---------------- codegen expressions ---------------------------------
+  test("PolyHashString: codegen span, SQL registration, fold parity incl. empty/unicode") {
+    import spark.implicits._
+    val cases = Seq("hello", "", "a", "w123 w456", "héllo wörld", "  spaces  ")
+    def fold(s: String): Long =
+      s.foldLeft(0L)((acc, c) => (acc * 131L + c.toLong) % 1000000007L)
+    val df = cases.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "s")
+    val got = df.select(col("id"),
+      graft.functions.TextExpressions.polyHash(col("s"), 131L, 1000000007L).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cases.zipWithIndex.foreach { case (s, i) => assert(got(i.toLong) == fold(s), s"'$s'") }
+    // SQL surface + codegen span on a file-backed scan
+    graft.functions.VectorExpressions.register(spark)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    docs.createOrReplaceTempView("polyhash_docs")
+    val viaSql = spark.sql("SELECT graft_polyhash(text) AS h FROM polyhash_docs").count()
+    assert(viaSql == docs.count())
+    val plan = docs.select(graft.functions.TextExpressions.polyHash(col("text"), 131L, 1000000007L))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [graft_polyhash"), plan)
+  }
+
   test("codegen vector expressions match the Scala kernels and stay in WholeStageCodegen") {
     import spark.implicits._
     import graft.functions.{VectorOps, VectorExpressions => VE}
