@@ -60,6 +60,13 @@ object Serve {
       case Some(dir) => RabitqIndex.load(spark, dir)
       case None => RabitqIndex.build(spark, base, numClusters = 16, seed = 42L)
     }
+    // fail fast on a mismatched saved index (wrong dataset/scale factor):
+    // a silent mismatch surfaces later as per-query NPEs (index vec_ids
+    // absent from the base map) or quietly wrong neighbors
+    val baseDim = base.select(size(col("embedding"))).head().getInt(0)
+    require(model.params.dim == baseDim,
+      s"saved index dim ${model.params.dim} != base embedding dim $baseDim — " +
+        s"index at ${indexDir.getOrElse("?")} was built from a different dataset")
     val index = index0.persist()
     index.count(); base.count() // warm caches before first request
     val hot = HotTier.fromIndex(spark, model, index, base)

@@ -9,19 +9,20 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression for the portable polynomial string hash
-  * (base-B fold of character values mod P) that anchors every
+  * (base-B fold of Unicode CODEPOINTS mod P) that anchors every
   * oracle-replayable signature pipeline (minhash shingles, simhash token
   * votes, rolling fingerprints).
   *
-  * Replaces the interpreted `aggregate(filter(split(s, "")), ...)` HOF
-  * chain, which allocates a per-character array and evaluates a lambda
-  * per char with no codegen. Arithmetic is IDENTICAL: iterate UTF-16
-  * code units (what Spark's `split(s, "") → ascii(c)` produced — for
-  * the ASCII corpora both equal DuckDB's codepoint semantics),
-  * acc = (acc·base + char) mod P. Inside a higher-order `transform`
-  * the expression still runs via eval() — a tight char loop instead of
-  * the Column machinery — and outside HOFs it participates in
-  * whole-stage codegen.
+  * Replaces the interpreted `aggregate(filter(split(s, "")), ascii(c))`
+  * HOF chain, which allocated a per-character array and evaluated a
+  * lambda per char with no codegen. Arithmetic is identical: Spark's
+  * `split(s, "")` is codepoint-aware and `ascii(c)` returns
+  * `codePointAt(0)`, and DuckDB's `ascii(substring(tok, i, 1))` is
+  * likewise codepoint-based — so the fold walks UTF-8 bytes and decodes
+  * codepoints directly (no String copy, surrogate pairs fold as ONE
+  * step). Inside a higher-order `transform` the expression still runs
+  * via eval() — a tight byte loop — and outside HOFs it participates in
+  * whole-stage codegen (both paths call the same static `hash`).
   */
 case class PolyHashString(child: Expression, base: Long, mod: Long)
     extends UnaryExpression {
@@ -34,35 +35,41 @@ case class PolyHashString(child: Expression, base: Long, mod: Long)
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_polyhash"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
-    var acc = 0L
-    var i = 0
-    val n = s.length
-    while (i < n) {
-      acc = (acc * base + s.charAt(i).toLong) % mod
-      i += 1
-    }
-    acc
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    PolyHashString.hash(input.asInstanceOf[UTF8String], base, mod)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c => {
-      val s = ctx.freshName("s"); val i = ctx.freshName("i")
-      val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
-      s"""
-         |java.lang.String $s = $c.toString();
-         |long $acc = 0L;
-         |int $n = $s.length();
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc = ($acc * ${base}L + (long) $s.charAt($i)) % ${mod}L;
-         |}
-         |${ev.value} = $acc;
-         |""".stripMargin
-    })
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.PolyHashString.hash($c, ${base}L, ${mod}L);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+object PolyHashString {
+  /** Codepoint fold over the raw UTF-8 bytes — no String allocation.
+    * Called from both the interpreted and generated paths.
+    */
+  def hash(s: UTF8String, base: Long, mod: Long): Long = {
+    val n = s.numBytes()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val b = s.getByte(i) & 0xFF
+      var cp = 0
+      var len = 1
+      if (b < 0x80) { cp = b }
+      else if ((b & 0xE0) == 0xC0) { cp = b & 0x1F; len = 2 }
+      else if ((b & 0xF0) == 0xE0) { cp = b & 0x0F; len = 3 }
+      else { cp = b & 0x07; len = 4 }
+      if (i + len > n) len = 1 // malformed tail: fold the lone byte, stay in bounds
+      var j = 1
+      while (j < len) { cp = (cp << 6) | (s.getByte(i + j) & 0x3F); j += 1 }
+      acc = (acc * base + cp) % mod
+      i += len
+    }
+    acc
+  }
 }
 
 object TextExpressions {

@@ -200,7 +200,10 @@ object VectorExpressions {
     reg.createOrReplaceTempFunction("graft_l2sq", es => L2SqF32(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_cosine", es => CosineSimF32(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_asymdot", es => AsymDotF32(es(0), es(1)), "built-in")
-    reg.createOrReplaceTempFunction("graft_polyhash",
-      es => PolyHashString(es.head, 131L, 1000000007L), "built-in")
+    reg.createOrReplaceTempFunction("graft_polyhash", es => {
+      require(es.length == 1,
+        s"graft_polyhash takes exactly 1 argument (base/mod are fixed at 131/1e9+7), got ${es.length}")
+      PolyHashString(es.head, 131L, 1000000007L)
+    }, "built-in")
   }
 }

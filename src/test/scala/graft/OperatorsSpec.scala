@@ -950,14 +950,24 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
   // ---------------- codegen expressions ---------------------------------
   test("PolyHashString: codegen span, SQL registration, fold parity incl. empty/unicode") {
     import spark.implicits._
-    val cases = Seq("hello", "", "a", "w123 w456", "héllo wörld", "  spaces  ")
+    // incl. a supplementary-plane char: the fold must consume ONE
+    // codepoint step (like split(s,'')→ascii and DuckDB), not two
+    // UTF-16 surrogate steps
+    val cases = Seq("hello", "", "a", "w123 w456", "héllo wörld", "  spaces  ", "a😀b")
     def fold(s: String): Long =
-      s.foldLeft(0L)((acc, c) => (acc * 131L + c.toLong) % 1000000007L)
+      s.codePoints().toArray.foldLeft(0L)((acc, cp) => (acc * 131L + cp) % 1000000007L)
     val df = cases.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "s")
     val got = df.select(col("id"),
       graft.functions.TextExpressions.polyHash(col("s"), 131L, 1000000007L).as("h"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     cases.zipWithIndex.foreach { case (s, i) => assert(got(i.toLong) == fold(s), s"'$s'") }
+    // parity with the HOF chain the expression replaced
+    val viaHof = df.select(col("id"), aggregate(
+      filter(split(col("s"), ""), c => length(c) > 0),
+      lit(0L),
+      (acc, c) => (acc * lit(131L) + ascii(c).cast("long")) % lit(1000000007L)).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaHof == got, "expression diverges from the replaced aggregate/split/ascii chain")
     // SQL surface + codegen span on a file-backed scan
     graft.functions.VectorExpressions.register(spark)
     val docs = spark.read.parquet(s"$sf/documents.parquet")
