@@ -72,7 +72,97 @@ object PolyHashString {
   }
 }
 
+/** Fused word-shingle hasher: whitespace-tokenize, polynomial-hash each
+  * token (codepoint fold, like [[PolyHashString]]), then fold each
+  * n-token window into one shingle hash — all in a single expression
+  * pass over the string, no intermediate token/string arrays.
+  *
+  * Replaces the `transform(split(...), polyHash) → transform(sequence,
+  * window-fold)` HOF chain in `Dedup.minhashPairs` with identical
+  * arithmetic (asserted by spec, and by the unchanged q20 DuckDB
+  * oracle): token separator class matches Java regex `\s+`
+  * ([ \t\n\x0B\f\r] — the corpus is pre-trimmed/lowered by the caller),
+  * shingle fold is acc = (acc·base + tokHash) mod `mod` over the
+  * window. Returns array<long> of (numTokens − n + 1) hashes; empty
+  * when the text has fewer than n tokens.
+  */
+case class ShinglePolyHashes(child: Expression, n: Int, base: Long, mod: Long)
+    extends UnaryExpression {
+  require(n >= 1, "shingle width must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string argument, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_polyhash"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val hs = ShinglePolyHashes.shingles(input.asInstanceOf[UTF8String], n, base, mod)
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(hs)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+         |  graft.functions.ShinglePolyHashes.shingles($c, $n, ${base}L, ${mod}L));
+         |""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShinglePolyHashes {
+  private def isWs(b: Int): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  /** Token polyhashes then n-window shingle folds, single byte pass.
+    * Tokenization matches `split(s, "\\s+")` on pre-trimmed input:
+    * maximal non-whitespace runs; an empty string yields one empty
+    * token (hash 0), same as Spark's split.
+    */
+  def shingles(s: UTF8String, n: Int, base: Long, mod: Long): Array[Long] = {
+    val nb = s.numBytes()
+    val toks = new scala.collection.mutable.ArrayBuffer[Long]()
+    var i = 0
+    var acc = 0L
+    var inTok = false
+    while (i < nb) {
+      val b = s.getByte(i) & 0xFF
+      if (b < 0x80 && isWs(b)) {
+        if (inTok) { toks += acc; acc = 0L; inTok = false }
+        i += 1
+      } else {
+        inTok = true
+        var cp = 0
+        var len = 1
+        if (b < 0x80) { cp = b }
+        else if ((b & 0xE0) == 0xC0) { cp = b & 0x1F; len = 2 }
+        else if ((b & 0xF0) == 0xE0) { cp = b & 0x0F; len = 3 }
+        else { cp = b & 0x07; len = 4 }
+        if (i + len > nb) len = 1
+        var j = 1
+        while (j < len) { cp = (cp << 6) | (s.getByte(i + j) & 0x3F); j += 1 }
+        acc = (acc * base + cp) % mod
+        i += len
+      }
+    }
+    if (inTok || nb == 0) toks += acc // trailing token; "" → one empty token like split
+    val t = toks.length
+    if (t < n) Array.empty[Long]
+    else Array.tabulate(t - n + 1) { k =>
+      var h = 0L
+      var j = 0
+      while (j < n) { h = (h * base + toks(k + j)) % mod; j += 1 }
+      h
+    }
+  }
+}
+
 object TextExpressions {
   def polyHash(s: Column, base: Long, mod: Long): Column =
     ColumnShim.column(PolyHashString(ColumnShim.expression(s), base, mod))
+  def shinglePolyHashes(s: Column, n: Int, base: Long, mod: Long): Column =
+    ColumnShim.column(ShinglePolyHashes(ColumnShim.expression(s), n, base, mod))
 }

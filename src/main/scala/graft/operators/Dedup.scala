@@ -220,17 +220,14 @@ object Dedup {
     // chars hashed once, then n token hashes folded with base 131 mod P)
     // instead of re-hashing every character of every shingle — an n-fold
     // cut in char-level work that the DuckDB oracle replays identically.
-    val toks = split(trim(lower(col("text"))), "\\s+")
-    val tokHashes = transform(toks, t => polyHash(t))
-    // bind the token-hash array as a lambda variable (see shingleHashes):
-    // each element_at must read the bound array, not re-run the per-char
-    // hashing of every token
-    val shingleArr = flatten(transform(array(tokHashes), th =>
-      transform(sequence(lit(0), size(th) - n),
-        i => (0 until n).foldLeft(lit(0L): Column)((acc, j) =>
-          (acc * lit(131L) + element_at(th, i + j + 1)) % lit(P)))))
+    // The tokenize → per-token hash → window fold runs as ONE fused
+    // codegen expression (ShinglePolyHashes) over the normalized text;
+    // the expression returns an empty array below n tokens, which
+    // explode() then drops — same doc set as the old size(toks) >= n
+    // filter on the split column.
+    val shingleArr = graft.functions.TextExpressions
+      .shinglePolyHashes(trim(lower(col("text"))), n, 131L, P)
     val sh = docs
-      .filter(size(toks) >= n)
       .select(col("doc_id"), explode(shingleArr).as("s"))
       .distinct()
       .persist()

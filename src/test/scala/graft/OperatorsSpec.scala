@@ -979,6 +979,31 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("*(1) Project [graft_polyhash"), plan)
   }
 
+  test("ShinglePolyHashes equals the HOF token-hash + window-fold chain it replaced") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val docs = ((0 until 60).map { i =>
+      val len = rnd.nextInt(8) // includes 0/1/2-token docs below the n=3 cutoff
+      (i.toLong, Seq.fill(len)("w" + rnd.nextInt(20)).mkString(" "))
+    } ++ Seq((100L, ""), (101L, "one"), (102L, "héllo wörld a😀b mixed  spaces"))).toDF("doc_id", "text")
+    val n = 3
+    val norm = trim(lower(col("text")))
+    // the replaced chain, reconstructed
+    val toks = split(norm, "\\s+")
+    val tokHashes = transform(toks, t => graft.functions.TextExpressions.polyHash(t, 131L, 1000000007L))
+    val oldArr = flatten(transform(array(tokHashes), th =>
+      transform(sequence(lit(0), size(th) - n),
+        i => (0 until n).foldLeft(lit(0L): org.apache.spark.sql.Column)((acc, j) =>
+          (acc * lit(131L) + element_at(th, i + j + 1)) % lit(1000000007L)))))
+    val old = docs.filter(size(toks) >= n)
+      .select(col("doc_id"), explode(oldArr).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val fused = docs.select(col("doc_id"), explode(
+        graft.functions.TextExpressions.shinglePolyHashes(norm, n, 131L, 1000000007L)).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(fused == old)
+  }
+
   test("codegen vector expressions match the Scala kernels and stay in WholeStageCodegen") {
     import spark.implicits._
     import graft.functions.{VectorOps, VectorExpressions => VE}
