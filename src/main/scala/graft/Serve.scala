@@ -62,11 +62,18 @@ object Serve {
     }
     // fail fast on a mismatched saved index (wrong dataset/scale factor):
     // a silent mismatch surfaces later as per-query NPEs (index vec_ids
-    // absent from the base map) or quietly wrong neighbors
-    val baseDim = base.select(size(col("embedding"))).head().getInt(0)
-    require(model.params.dim == baseDim,
-      s"saved index dim ${model.params.dim} != base embedding dim $baseDim — " +
-        s"index at ${indexDir.getOrElse("?")} was built from a different dataset")
+    // absent from the base map) or quietly wrong neighbors. Only the
+    // load path can mismatch — a freshly built index is tautologically
+    // consistent, so skip the extra job there.
+    indexDir.foreach { dir =>
+      val baseDim = base.select(size(col("embedding"))).limit(1).collect()
+        .headOption.map(_.getInt(0))
+        .getOrElse(throw new IllegalArgumentException(
+          s"base embeddings at $sfDir are empty — nothing to serve"))
+      require(model.params.dim == baseDim,
+        s"saved index dim ${model.params.dim} != base embedding dim $baseDim — " +
+          s"index at $dir was built from a different dataset")
+    }
     val index = index0.persist()
     index.count(); base.count() // warm caches before first request
     val hot = HotTier.fromIndex(spark, model, index, base)

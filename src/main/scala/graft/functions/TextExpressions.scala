@@ -118,43 +118,65 @@ object ShinglePolyHashes {
     b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
 
   /** Token polyhashes then n-window shingle folds, single byte pass.
-    * Tokenization matches `split(s, "\\s+")` on pre-trimmed input:
-    * maximal non-whitespace runs; an empty string yields one empty
-    * token (hash 0), same as Spark's split.
+    * Tokenization matches Spark's `split(s, "\\s+")` (limit −1) exactly,
+    * INCLUDING boundary empty tokens: leading whitespace yields a
+    * leading "" token (hash 0), trailing whitespace a trailing one, and
+    * "" yields [""], because Spark's trim strips only ASCII spaces — a
+    * doc bounded by \t/\n survives trim and the replaced chain (and the
+    * DuckDB oracle) fold that empty token.
+    *
+    * Malformed UTF-8 never swallows a separator: a lead byte is only
+    * honored when its continuation bytes are genuine (0b10xxxxxx);
+    * otherwise the single byte folds alone — unlike a naive decoder
+    * that would consume the following whitespace into a bogus
+    * codepoint and merge two tokens.
     */
   def shingles(s: UTF8String, n: Int, base: Long, mod: Long): Array[Long] = {
     val nb = s.numBytes()
-    val toks = new scala.collection.mutable.ArrayBuffer[Long]()
+    val toks = new scala.collection.mutable.ArrayBuilder.ofLong
     var i = 0
     var acc = 0L
     var inTok = false
-    while (i < nb) {
-      val b = s.getByte(i) & 0xFF
-      if (b < 0x80 && isWs(b)) {
-        if (inTok) { toks += acc; acc = 0L; inTok = false }
-        i += 1
-      } else {
-        inTok = true
-        var cp = 0
-        var len = 1
-        if (b < 0x80) { cp = b }
-        else if ((b & 0xE0) == 0xC0) { cp = b & 0x1F; len = 2 }
-        else if ((b & 0xF0) == 0xE0) { cp = b & 0x0F; len = 3 }
-        else { cp = b & 0x07; len = 4 }
-        if (i + len > nb) len = 1
-        var j = 1
-        while (j < len) { cp = (cp << 6) | (s.getByte(i + j) & 0x3F); j += 1 }
-        acc = (acc * base + cp) % mod
-        i += len
+    var nToks = 0
+    def emit(): Unit = { toks += acc; acc = 0L; nToks += 1 }
+    if (nb == 0) emit() // "" → [""], like split
+    else {
+      if (isWs(s.getByte(0) & 0xFF)) emit() // leading boundary empty token
+      while (i < nb) {
+        val b = s.getByte(i) & 0xFF
+        if (b < 0x80 && isWs(b)) {
+          if (inTok) { emit(); inTok = false }
+          i += 1
+        } else {
+          inTok = true
+          var cp = 0
+          var len = 1
+          if (b < 0x80) { cp = b }
+          else if ((b & 0xE0) == 0xC0) { cp = b & 0x1F; len = 2 }
+          else if ((b & 0xF0) == 0xE0) { cp = b & 0x0F; len = 3 }
+          else if ((b & 0xF8) == 0xF0) { cp = b & 0x07; len = 4 }
+          if (i + len > nb) len = 1
+          var j = 1
+          var valid = true
+          while (valid && j < len) {
+            if ((s.getByte(i + j) & 0xC0) != 0x80) valid = false else j += 1
+          }
+          if (!valid || len == 1) { cp = b; len = 1 }
+          else { j = 1; while (j < len) { cp = (cp << 6) | (s.getByte(i + j) & 0x3F); j += 1 } }
+          acc = (acc * base + cp) % mod
+          i += len
+        }
       }
+      if (inTok) emit() // trailing real token
+      if (isWs(s.getByte(nb - 1) & 0xFF)) emit() // trailing boundary empty token
     }
-    if (inTok || nb == 0) toks += acc // trailing token; "" → one empty token like split
-    val t = toks.length
+    val th = toks.result()
+    val t = nToks
     if (t < n) Array.empty[Long]
     else Array.tabulate(t - n + 1) { k =>
       var h = 0L
       var j = 0
-      while (j < n) { h = (h * base + toks(k + j)) % mod; j += 1 }
+      while (j < n) { h = (h * base + th(k + j)) % mod; j += 1 }
       h
     }
   }

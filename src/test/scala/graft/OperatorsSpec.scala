@@ -985,7 +985,11 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val docs = ((0 until 60).map { i =>
       val len = rnd.nextInt(8) // includes 0/1/2-token docs below the n=3 cutoff
       (i.toLong, Seq.fill(len)("w" + rnd.nextInt(20)).mkString(" "))
-    } ++ Seq((100L, ""), (101L, "one"), (102L, "héllo wörld a😀b mixed  spaces"))).toDF("doc_id", "text")
+    } ++ Seq((100L, ""), (101L, "one"), (102L, "héllo wörld a😀b mixed  spaces"),
+      // Spark trim strips only SPACES: tab/newline-bounded docs keep the
+      // boundary whitespace, and split(s, "\s+") (limit -1) then yields
+      // boundary EMPTY tokens — the fused tokenizer must fold them too
+      (103L, "\ta b c"), (104L, "a b\t"), (105L, "x\ny z\t"), (106L, "\t\t"))).toDF("doc_id", "text")
     val n = 3
     val norm = trim(lower(col("text")))
     // the replaced chain, reconstructed
@@ -1002,6 +1006,14 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
         graft.functions.TextExpressions.shinglePolyHashes(norm, n, 131L, 1000000007L)).as("s"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
     assert(fused == old)
+
+    // malformed UTF-8 must never swallow a whitespace separator: a stray
+    // continuation byte followed by a space and a token stays TWO tokens
+    val bad = org.apache.spark.unsafe.types.UTF8String.fromBytes(
+      Array[Byte](0x80.toByte, ' '.toByte, 'a'.toByte))
+    val hs = graft.functions.ShinglePolyHashes.shingles(bad, 1, 131L, 1000000007L)
+    assert(hs.length == 2, s"tokens merged across malformed bytes: ${hs.toSeq}")
+    assert(hs(1) == 'a'.toLong % 1000000007L)
   }
 
   test("codegen vector expressions match the Scala kernels and stay in WholeStageCodegen") {
