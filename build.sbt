@@ -16,6 +16,10 @@ run / fork := true
 // and the default LoggedOutput prefixes every line with "[info] ", which
 // breaks downstream parsers (BENCH_r01/r02 both recorded parsed:null).
 ThisBuild / outputStrategy := Some(StdoutOutput)
+// ...and suppress sbt's "[success] Total time: ..." trailer so the bench
+// JSON line is the LAST thing on stdout: the bench consumer keeps only the
+// final ~2000 chars (BENCH_r03 captured a tail that starts mid-line).
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -42,17 +42,28 @@ object Bench {
     // round-comparable metric; pass 2 = steady-state floor
     val results = once()
     val warm = once()
+    def fmt(v: Double) = f"$v%.3f"
     def js(m: Map[String, Double]) =
-      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+      m.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val totalWarm = if (warm.nonEmpty) warm.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},""" +
-      s""""total_warm":$totalWarm,"queries_warm":${js(warm)},"sf":"$sfDir"}"""
-    println(json)
+    // "sf0.1" → 0.1; the dir path itself goes in the file, not the line
+    val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
+    // The consumer keeps only the LAST ~2000 chars of stdout, so the line
+    // must be compact (3-decimal times, no warm-pass map) and FINAL (sbt's
+    // "[success]" trailer is disabled in build.sbt). Full detail including
+    // the warm pass goes to $SPARK_GRAFT_BENCH_OUT instead.
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+      s""""queries":${js(results)},"total_warm":${fmt(totalWarm)},"sf":$sfNum}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},""" +
+      s""""total_warm":$totalWarm,"queries_warm":${js(warm)},"sf":$sfNum,"sf_dir":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: Throwable => () }
     spark.stop()
+    // print after spark.stop() so no executor/driver shutdown chatter can
+    // land on stdout below the JSON line
+    println(line)
   }
 }
