@@ -20,6 +20,9 @@ ThisBuild / outputStrategy := Some(StdoutOutput)
 // JSON line is the LAST thing on stdout: the bench consumer keeps only the
 // final ~2000 chars (BENCH_r03 captured a tail that starts mid-line).
 Global / showSuccess := false
+// showSuccess is consumed by sbt's command layer, not a task — exclude it
+// from the unused-key lint (it works; the earlier bench run confirms)
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -89,6 +89,19 @@ object SparkEntry {
 
   private val streamCounter = new AtomicInteger(0)
 
+  // ---- curation constants shared by queries and their oracles ----------
+  // (single source of truth: the oracle SQL embeds these same values, so
+  // Spark and DuckDB can never drift apart on a rate or regex)
+  private val SampleRates = Map("en" -> 0.5, "zh" -> 0.1)
+  private val SampleDefault = 0.3
+  /** Java∩RE2-portable patterns: an email-PII shape (0 hits on the
+    * synthetic corpus — proves no false positives) and a content keyword
+    * (real hits — proves counting and redaction).
+    */
+  private val RedactPatterns = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "kw" -> "\\bkey\\b")
+
   /** Build + materialize every session-cached artifact for `dir` (ANN
     * index, cosine index, disk layout, base count) so benchmark timings
     * measure query plans rather than whichever query happens to pay the
@@ -595,6 +608,45 @@ object SparkEntry {
           max(col("n_tokens")).as("max_tokens"))
     }),
 
+    // ---------------- curation (sampling / decontamination / clustering) --
+    "q55_stratified_sample" -> ((s, dir) => {
+      // per-language keep rates; absent langs fall back to the default.
+      // Hash-deterministic: the same rows survive on any engine/run.
+      Curation.stratifiedSample(T(s, dir, "documents"), col("doc_id"), col("lang"),
+          SampleRates, SampleDefault)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+    "q56_contamination" -> ((s, dir) => {
+      // benchmark set = every 50th doc (stand-in for an eval suite);
+      // flag corpus docs sharing ≥2 distinct trigrams with a bench doc
+      val docs = T(s, dir, "documents")
+      Curation.contamination(docs.filter(col("doc_id") % 50 =!= 0),
+          docs.filter(col("doc_id") % 50 === 0), n = 3, minOverlap = 2)
+        .orderBy(col("doc_id"), col("bench_id"))
+    }),
+    "q57_dedup_clusters" -> ((s, dir) => {
+      // near-dup pairs (simhash hamming ≤3) → transitive dedup clusters
+      val pairs = Dedup.simhashPairs(T(s, dir, "documents"), maxHamming = 3)
+      Curation.connectedComponents(pairs.select("doc_a", "doc_b"))
+        .orderBy(col("doc_id"))
+    }),
+    "q58_redaction_stats" -> ((s, dir) => {
+      Curation.redactionStats(T(s, dir, "documents"), RedactPatterns)
+        .orderBy(col("doc_id"))
+    }),
+    "q59_shard_stats" -> ((s, dir) => {
+      Curation.shardStats(T(s, dir, "documents"), numShards = 8)
+        .orderBy(col("shard"))
+    }),
+    "q60_latest_by_key" -> ((s, dir) => {
+      // CDC latest-wins compaction: newest event per (user, event_type)
+      Curation.latestByKey(T(s, dir, "events"),
+          Seq(col("user_id"), col("event_type")), col("ts"), col("event_id"),
+          Seq("last_event_id" -> col("event_id"), "last_value" -> col("value")))
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
     // ---------------- multimodal ------------------------------------------
     "q26_media_stats" -> ((s, dir) => {
       Multimodal.mediaStats(Multimodal.mediaFromDocuments(T(s, dir, "documents")))
@@ -1018,6 +1070,63 @@ object SparkEntry {
           |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
           |  md5(text) AS payload_md5
           |FROM documents ORDER BY media_id""".stripMargin,
+      "q55_stratified_sample" -> {
+        val (a, b) = Dedup.affine(0); val p = Dedup.P
+        val cases = SampleRates.map { case (k, r) =>
+          s"WHEN '$k' THEN ${math.floor(r * p).toLong}"
+        }.mkString(" ")
+        s"""SELECT doc_id, lang FROM documents
+           |WHERE (($a * (doc_id % $p) + $b) % $p) <
+           |  (CASE lang $cases ELSE ${math.floor(SampleDefault * p).toLong} END)
+           |ORDER BY doc_id""".stripMargin
+      },
+      "q56_contamination" ->
+        raw"""WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+             |sh AS (SELECT DISTINCT doc_id, array_to_string(t[CAST(i + 1 AS INT):CAST(i + 3 AS INT)], ' ') AS shingle
+             |       FROM toks, LATERAL unnest(range(len(t) - 2)) AS r(i) WHERE len(t) >= 3),
+             |b AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 50 = 0),
+             |c AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 50 <> 0)
+             |SELECT c.doc_id, b.bench_id, COUNT(*) AS n_overlap
+             |FROM c JOIN b USING (shingle) GROUP BY 1, 2 HAVING COUNT(*) >= 2
+             |ORDER BY doc_id, bench_id""".stripMargin,
+      "q57_dedup_clusters" ->
+        s"""WITH RECURSIVE pr AS (SELECT doc_a, doc_b FROM ($simhashOracle)),
+           |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr UNION ALL SELECT doc_b, doc_a FROM pr),
+           |reach(node, comp) AS (
+           |  SELECT src, src FROM edges
+           |  UNION
+           |  SELECT e.src, r.comp FROM reach r JOIN edges e ON e.dst = r.node WHERE r.comp < e.src
+           |)
+           |SELECT node AS doc_id, MIN(comp) AS component FROM reach GROUP BY node
+           |ORDER BY doc_id""".stripMargin,
+      "q58_redaction_stats" -> {
+        val counts = RedactPatterns.map { case (nm, re) =>
+          s"CAST(len(regexp_extract_all(text, '$re')) AS BIGINT) AS n_$nm"
+        }.mkString(",\n  ")
+        val redacted = RedactPatterns.foldLeft("text") { case (acc, (_, re)) =>
+          s"regexp_replace($acc, '$re', '[REDACTED]', 'g')"
+        }
+        s"""SELECT doc_id,
+           |  $counts,
+           |  md5($redacted) AS redacted_fp
+           |FROM documents ORDER BY doc_id""".stripMargin
+      },
+      "q59_shard_stats" -> {
+        val (a, b) = Dedup.affine(1); val p = Dedup.P
+        raw"""SELECT (($a * (doc_id % $p) + $b) % $p) % 8 AS shard,
+             |  COUNT(*) AS n_docs,
+             |  CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+             |    ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS total_tokens,
+             |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+             |FROM documents GROUP BY shard ORDER BY shard""".stripMargin
+      },
+      "q60_latest_by_key" ->
+        """SELECT user_id, event_type, event_id AS last_event_id, value AS last_value
+          |FROM (SELECT user_id, event_type, event_id, value,
+          |        row_number() OVER (PARTITION BY user_id, event_type
+          |                           ORDER BY ts DESC, event_id DESC) AS rn
+          |      FROM events) WHERE rn = 1
+          |ORDER BY user_id, event_type""".stripMargin,
     )
   }
 }

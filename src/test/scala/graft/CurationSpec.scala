@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.operators._
+
+class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  val sf = "/root/testdata/sf0.001"
+
+  private def docs: DataFrame = spark.read.parquet(s"$sf/documents.parquet")
+
+  // ---------------- stratified sampling ---------------------------------
+  test("stratifiedSample: deterministic, nested across rates, exact at 0 and 1") {
+    val ids = (keep: DataFrame) => keep.select("doc_id").collect().map(_.getLong(0)).toSet
+    val at = (r: Double) =>
+      ids(Curation.stratifiedSample(docs, col("doc_id"), col("lang"), Map.empty, r))
+    val s10 = at(0.1); val s30 = at(0.3); val s100 = at(1.0)
+    assert(at(0.0).isEmpty)
+    assert(s100.size == docs.count())
+    // same hash + lower threshold ⇒ smaller sample is a SUBSET (nested)
+    assert(s10.subsetOf(s30) && s30.subsetOf(s100))
+    assert(s10.nonEmpty && s10.size < s30.size && s30.size < s100.size)
+    // re-run selects identical rows (no RNG state)
+    assert(at(0.3) == s30)
+    // per-stratum rates apply to the right rows
+    val mixed = Curation.stratifiedSample(docs, col("doc_id"), col("lang"),
+      Map("en" -> 1.0), 0.0)
+    assert(ids(mixed) == ids(docs.filter(col("lang") === "en")))
+  }
+
+  // ---------------- contamination ---------------------------------------
+  test("contamination: planted overlap found, clean doc not flagged, bench side broadcast") {
+    import spark.implicits._
+    val bench = Seq((1000L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "prefix words then alpha beta gamma delta stolen span"), // 2 shared trigrams
+      (2L, "completely different content with no shared window at all"),
+      (3L, "alpha beta gamma inside"))                              // 1 shared trigram
+      .toDF("doc_id", "text")
+    val hits = Curation.contamination(corpus, bench, n = 3, minOverlap = 2)
+    val got = hits.select("doc_id", "bench_id", "n_overlap").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 1000L, 2L))) // doc 3 below minOverlap, doc 2 clean
+    // the benchmark shingle index must broadcast (no corpus-side shuffle)
+    val plan = hits.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+
+  // ---------------- connected components --------------------------------
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("connectedComponents: chains merge transitively, min label wins") {
+    import spark.implicits._
+    // two chains and an isolated pair; 1-2-3 and 20-21-22-23 are NOT
+    // pairwise similar end to end — only transitivity links them
+    val edges = Seq((2L, 1L), (2L, 3L), (10L, 11L), (21L, 20L), (21L, 22L), (22L, 23L))
+    val got = Curation.connectedComponents(edges.toDF("doc_a", "doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
+  }
+
+  test("connectedComponents: random graph equals union-find ground truth") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }
+    val got = Curation.connectedComponents(edges.toDF("doc_a", "doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == unionFind(edges))
+  }
+
+  // ---------------- redaction -------------------------------------------
+  test("redactionStats: counts per pattern and fingerprint of redacted text") {
+    import spark.implicits._
+    val pats = Seq(
+      "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+      "kw" -> "\\bsecret\\b")
+    val df = Seq(
+      (1L, "mail a@b.com and c.d@e.org hold a secret secretly"),
+      (2L, "nothing sensitive here")).toDF("doc_id", "text")
+    val got = Curation.redactionStats(df, pats).orderBy("doc_id").collect()
+    assert(got(0).getLong(1) == 2L) // two emails
+    assert(got(0).getLong(2) == 1L) // \b stops 'secretly'
+    assert(got(1).getLong(1) == 0L && got(1).getLong(2) == 0L)
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest("mail [REDACTED] and [REDACTED] hold a [REDACTED] secretly"
+        .getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(0).getString(3) == expected)
+    // untouched text fingerprints to md5(text)
+    val plain = java.security.MessageDigest.getInstance("MD5")
+      .digest("nothing sensitive here".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(1).getString(3) == plain)
+  }
+
+  // ---------------- shard stats ------------------------------------------
+  test("shardStats: every doc lands in exactly one of numShards shards") {
+    val stats = Curation.shardStats(docs, numShards = 8).collect()
+    val shards = stats.map(_.getLong(0))
+    assert(shards.forall(s => s >= 0 && s < 8))
+    assert(stats.map(_.getLong(1)).sum == docs.count())
+    // hash balance: no shard holds more than 3× the uniform share
+    val mx = stats.map(_.getLong(1)).max
+    assert(mx <= 3 * docs.count() / 8 + 1, s"skewed shards: ${stats.mkString(",")}")
+  }
+
+  // ---------------- latest-by-key compaction ------------------------------
+  test("latestByKey: newest wins, ties broken by tie-break column") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "a", 100L, 10.0), (2L, "a", 200L, 20.0), (3L, "a", 200L, 30.0), // tie on ts
+      (4L, "b", 50L, 5.0),
+      (5L, "c", 70L, 7.0), (6L, "c", 60L, 6.0))
+    val df = rows.toDF("event_id", "k", "tsv", "value")
+      .withColumn("ts", timestamp_micros(col("tsv")))
+    val got = Curation.latestByKey(df, Seq(col("k")), col("ts"), col("event_id"),
+        Seq("last_event_id" -> col("event_id"), "last_value" -> col("value")))
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq(("a", 3L, 30.0), ("b", 4L, 5.0), ("c", 5L, 7.0)))
+    // plan shape: partial aggregation, not a window sort
+    val plan = Curation.latestByKey(df, Seq(col("k")), col("ts"), col("event_id"),
+      Seq("last_event_id" -> col("event_id"))).queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"))
+    assert(!plan.contains("Window"))
+  }
+}
