@@ -31,7 +31,10 @@ object Bench {
       // whichever ANN query runs first — make it loud on stderr
       System.err.println(s"[bench] PREWARM FAILED: $t")
     }
-    def once(): Map[String, Double] = SparkEntry.queries.map { case (name, fn) =>
+    // optional comma-separated query-name filter for single-query timing
+    val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSet)
+    val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    def once(): Map[String, Double] = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case t: Throwable =>
         System.err.println(s"[bench] QUERY FAILED $name: $t"); -1L

@@ -646,6 +646,18 @@ object SparkEntry {
           Seq("last_event_id" -> col("event_id"), "last_value" -> col("value")))
         .orderBy(col("user_id"), col("event_type"))
     }),
+    "q61_stream_asof" -> ((s, dir) => {
+      // STREAMING as-of join over the same data as batch q40: events
+      // stream probes the latest order at-or-before each event time.
+      // Emitted rows must equal the batch as-of join (same oracle SQL)
+      val out = graft.streaming.AsofStream.runOnce(s,
+        T(s, dir, "events"), T(s, dir, "orders"),
+        ("user_id", "ts", "event_id"), ("o_custkey", "o_orderdate", "o_orderkey"))
+      out.filter(col("right_id").isNotNull)
+        .select(col("left_id").as("event_id"), col("key").as("user_id"),
+          col("right_id").as("o_orderkey"))
+        .orderBy(col("event_id"))
+    }),
 
     // ---------------- multimodal ------------------------------------------
     "q26_media_stats" -> ((s, dir) => {
@@ -1127,6 +1139,15 @@ object SparkEntry {
           |                           ORDER BY ts DESC, event_id DESC) AS rn
           |      FROM events) WHERE rn = 1
           |ORDER BY user_id, event_type""".stripMargin,
+      // the streaming as-of emits exactly the batch as-of result — q40's
+      // oracle, minus the user_id projection difference
+      "q61_stream_asof" ->
+        """SELECT e.event_id, e.user_id, o.o_orderkey
+          |FROM events e JOIN orders o
+          |  ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+          |QUALIFY row_number() OVER (PARTITION BY e.event_id
+          |  ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) = 1
+          |ORDER BY e.event_id""".stripMargin,
     )
   }
 }

@@ -78,42 +78,111 @@ object Curation {
     * representative per component instead of per pair (pairwise removal
     * breaks on transitive chains A~B~C where A,C are not a pair).
     *
-    * Algorithm: hash-min label propagation — each round every node takes
-    * the min label among itself and its neighbors (one shuffle per round:
-    * edges ⋈ labels on dst, groupBy src). Rounds = graph diameter, and
-    * near-dup graphs are shallow (clusters are quasi-cliques — duplicates
-    * of a common source all resemble each other), so 3-5 rounds close
-    * real corpora. For adversarially deep graphs the two-phase
-    * large-star/small-star variant (Kiveris et al., "Connected Components
-    * in MapReduce and Beyond") drops rounds to O(log n) at the cost of
-    * edge rewriting; hash-min is the right default here.
-    * Each round localCheckpoints the label frame: lineage stays O(1),
-    * not O(rounds), and convergence is detected by counting changed
-    * labels (a cheap join of two checkpointed frames).
+    * Size-dispatched execution, because the two regimes want opposite
+    * plans:
+    *  - **Small edge set** (≲ `singleTaskMaxPairs`, the near-universal
+    *    case for near-dup graphs — banding already reduced the corpus to
+    *    pairs): ONE task runs union-find over the pair list via
+    *    `mapPartitions` (RDD — genuine per-partition imperative logic).
+    *    O(E·α) with zero iterative scheduling; an iterative DataFrame
+    *    loop on the same input pays ~0.5 s of fixed per-round stage
+    *    overhead regardless of partition width (measured at sf0.1:
+    *    13 rounds × 0.4 s for a 1.1 k-node graph).
+    *  - **Large edge set**: distributed hash-min label propagation —
+    *    each round every node takes the min label among itself and its
+    *    neighbors (edges ⋈ labels on dst, groupBy src). Rounds = graph
+    *    diameter; near-dup graphs are shallow quasi-cliques, so few
+    *    rounds, and each round's fixed cost amortizes over real data.
+    *    The edge list is hash-partitioned on the join key once and
+    *    cached (only the label side moves per round); each round's frame
+    *    is localCheckpointed (lineage stays O(1)); the convergence check
+    *    counts changed labels on the already-materialized partitions.
+    *    For adversarially deep graphs the large-star/small-star variant
+    *    (Kiveris et al., "Connected Components in MapReduce and Beyond")
+    *    would drop rounds to O(log n); not needed for this shape.
+    * Both paths produce identical output (asserted by a forced-path
+    * equality test): min-reachable-doc_id labels.
     *
     * Output: (doc_id, component) for every doc that appears in a pair.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
+      singleTaskMaxPairs: Long = 25000000L): DataFrame = {
+    // materialize the pair list ONCE: the size probe and the solve are
+    // separate actions, and an un-cached upstream (a whole similarity
+    // join, typically) would otherwise run end-to-end for each
+    val p = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+    val pairCount = p.count()
+    if (pairCount <= singleTaskMaxPairs) connectedComponentsSingleTask(p)
+    else connectedComponentsLoop(p, maxIter)
+  }
+
+  /** Union-find over the whole pair list in one task (small-graph path).
+    * ~25M pairs ≈ 400 MB of longs — comfortably one executor's work.
+    */
+  private[graft] def connectedComponentsSingleTask(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    val out = pairs.select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .rdd.map(r => (r.getLong(0), r.getLong(1)))
+      .repartition(1)
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x // path compression
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          parent(x) = r
+          r
+        }
+        it.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          // min id becomes the root, so roots ARE the output labels
+          if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+          else { parent.getOrElseUpdate(ra, ra); () }
+        }
+        parent.keysIterator.toArray.sorted.iterator
+          .map(n => org.apache.spark.sql.Row(n, find(n)))
+      }
+    spark.createDataFrame(out, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("component", org.apache.spark.sql.types.LongType))))
+  }
+
+  /** Distributed hash-min label propagation (large-graph path). */
+  private[graft] def connectedComponentsLoop(pairs: DataFrame, maxIter: Int): DataFrame = {
+    val parts = pairs.sparkSession.sessionState.conf.numShufflePartitions
+    // symmetric edge list, laid out by dst once — every round's
+    // edges⋈labels reuses this partitioning (only labels shuffle)
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .repartition(parts, col("dst"))
       .persist()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("comp"))
+    // round 0 fused with init: label(v) = min(v, min neighbor) — one pass
+    // over edges, no separate distinct-nodes job
+    var labels = edges
+      .groupBy(col("dst"))
+      .agg(min(col("src")).as("m"))
+      .select(col("dst").as("node"), least(col("m"), col("dst")).as("comp"))
       .localCheckpoint(true)
     var changed = 1L
     var iter = 0
+    // env (not sysprop): sbt's forked run JVM inherits the environment
+    // but not -D flags given to sbt itself
+    val debug = sys.env.get("GRAFT_CC_DEBUG").contains("true")
     while (changed > 0 && iter < maxIter) {
+      val t0 = System.nanoTime()
       val nbrMin = edges.join(labels, edges("dst") === labels("node"))
         .groupBy(col("src")).agg(min(col("comp")).as("nbr_comp"))
         .select(col("src").as("node"), col("nbr_comp"))
-      val next = labels.join(nbrMin, Seq("node"), "left")
-        .select(col("node"),
+      val step = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"), col("comp").as("prev"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
         .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("comp", "prev"), Seq("node"))
-        .filter(col("comp") =!= col("prev")).count()
-      labels = next
+      changed = step.filter(col("comp") =!= col("prev")).count()
+      labels = step.select(col("node"), col("comp"))
       iter += 1
+      if (debug) System.err.println(
+        f"[cc] round $iter: changed=$changed ${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
     edges.unpersist()
     labels.select(col("node").as("doc_id"), col("comp").as("component"))

@@ -1,0 +1,149 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming as-of join: the streaming counterpart of
+  * `operators.AsofJoin` — for each left event, the right row with the
+  * same key and the greatest (ts, tieBreak) ≤ the left's event time.
+  *
+  * Contract (the standard watermark trade): a left is emitted only once
+  * the watermark passes its event time, which guarantees every on-time
+  * right that could match it has arrived — so emitted matches equal the
+  * batch as-of join over the same data. Rows that arrive LATE (event
+  * time at or below the current watermark) are dropped by the engine
+  * before the operator sees them — the standard late-data semantics of
+  * every watermarked stateful operator; a left that became ripe in the
+  * same batch it arrived (ts ≤ the batch's watermark but on time at
+  * ingestion) is emitted in that batch.
+  *
+  * State per key is BOUNDED: buffered lefts drain as the watermark
+  * advances (event-time timeout fires the flush even when the key goes
+  * quiet), and of the rights at or below the watermark only the single
+  * latest is kept — any earlier right can never be the as-of match for a
+  * future on-time left (whose ts must exceed the watermark). Rights
+  * above the watermark stay until it passes them. That is the streaming
+  * analog of the batch operator's "no fan-out" property: state holds
+  * O(in-flight window) rows per key, never full history.
+  *
+  * Input is one TAGGED stream (side 0 = right, side 1 = left) — union
+  * upstream if the sides originate from separate sources; a single
+  * watermark on the unioned event-time column then lower-bounds both.
+  */
+object AsofStream {
+
+  case class TaggedIn(key: Long, ts: java.time.Instant, side: Int, id: Long, value: Double) {
+    def tsUs: Long = ts.getEpochSecond * 1000000L + ts.getNano / 1000L
+  }
+  /** rights/lefts both kept sorted ascending by (tsUs, id). */
+  case class AsofState(rights: List[(Long, Long, Double)], lefts: List[(Long, Long, Double)])
+  case class AsofOut(key: Long, left_id: Long, left_ts_us: Long, left_value: Double,
+                     right_id: Option[Long], right_value: Option[Double])
+
+  private def matchRight(rights: List[(Long, Long, Double)], tsUs: Long):
+      Option[(Long, Long, Double)] =
+    rights.takeWhile(_._1 <= tsUs) match {
+      // rights are sorted ascending by (ts, id): last eligible = greatest
+      case Nil => None
+      case elig => Some(elig.maxBy(r => (r._1, r._2)))
+    }
+
+  private def update(key: Long, rows: Iterator[TaggedIn],
+      state: GroupState[AsofState]): Iterator[AsofOut] = {
+    val wmUs = state.getCurrentWatermarkMs() * 1000L
+    val prev = state.getOption.getOrElse(AsofState(Nil, Nil))
+    val incoming = rows.toSeq
+    val rights = (prev.rights ++ incoming.filter(_.side == 0)
+      .map(r => (r.tsUs, r.id, r.value))).sortBy(r => (r._1, r._2))
+    val lefts = (prev.lefts ++ incoming.filter(_.side == 1)
+      .map(l => (l.tsUs, l.id, l.value))).sortBy(l => (l._1, l._2))
+
+    // emit every left at or below the watermark (all its rights are here)
+    val (ripe, pending) = lefts.partition(_._1 <= wmUs)
+    val out = ripe.map { case (ts, id, v) =>
+      val m = matchRight(rights, ts)
+      AsofOut(key, id, ts, v, m.map(_._2), m.map(_._3))
+    }
+
+    // prune rights ≤ watermark down to the single latest — the only one a
+    // future on-time left can still match
+    val (old, live) = rights.partition(_._1 <= wmUs)
+    val kept = (if (old.nonEmpty) List(old.maxBy(r => (r._1, r._2))) else Nil) ++ live
+
+    if (pending.isEmpty && kept.isEmpty) state.remove()
+    else {
+      state.update(AsofState(kept, pending))
+      // wake when the watermark reaches the oldest pending left so it
+      // drains without new traffic on this key; pending heads are > wm
+      // (else they'd have flushed), satisfying the >-watermark rule
+      pending.headOption.foreach(l => state.setTimeoutTimestamp(l._1 / 1000L + 1))
+    }
+    out.iterator
+  }
+
+  /** Tag + union two event-time frames into the operator's input shape.
+    * Both frames must carry (key, ts, id, value)-compatible columns.
+    */
+  def tagged(left: DataFrame, right: DataFrame, key: String, ts: String,
+      id: String, value: String)(implicit spark: SparkSession): Dataset[TaggedIn] = {
+    import spark.implicits._
+    def shape(df: DataFrame, side: Int) = df.select(
+      col(key).as("key"), col(ts).as("ts"), lit(side).as("side"),
+      col(id).as("id"), col(value).as("value"))
+    shape(right, 0).unionByName(shape(left, 1)).as[TaggedIn]
+  }
+
+  /** Apply the stateful as-of join to a watermarked tagged stream. */
+  def asof(tagged: Dataset[TaggedIn]): Dataset[AsofOut] = {
+    import tagged.sparkSession.implicits._
+    tagged.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update _)
+  }
+
+  private val runCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Drive the streaming as-of join over two STATIC frames via
+    * `MemoryStream`, chunked into event-time-ordered micro-batches with
+    * trailing flusher batches so the watermark passes every real left —
+    * emitted rows then equal the batch as-of join exactly (q61's oracle
+    * is literally q40's SQL). MemoryStream is the deterministic test/
+    * verification source; a deployment swaps in Kafka/file streams and
+    * keeps the same `asof` operator. The collect here is the drive
+    * harness, not the operator: state, shuffle, and matching all run
+    * distributed.
+    *
+    * @param left  frame with (key, ts, id) columns — the probe side
+    * @param right frame with (key, ts, id) columns — the lookup side
+    */
+  def runOnce(spark: SparkSession, left: DataFrame, right: DataFrame,
+      leftCols: (String, String, String), rightCols: (String, String, String),
+      chunks: Int = 8): DataFrame = {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def gather(df: DataFrame, cols: (String, String, String), side: Int): Seq[TaggedIn] =
+      df.select(col(cols._1).cast("long"), col(cols._2).cast("timestamp"),
+          col(cols._3).cast("long"))
+        .collect().toSeq
+        .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+        .map(r => TaggedIn(r.getLong(0), r.getTimestamp(1).toInstant, side, r.getLong(2), 0.0))
+    val all = (gather(right, rightCols, 0) ++ gather(left, leftCols, 1))
+      .sortBy(t => (t.tsUs, t.side, t.id))
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[TaggedIn]
+    val name = s"asof_stream_${runCounter.incrementAndGet()}"
+    val q = asof(ms.toDS().withWatermark("ts", "1 second"))
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    val chunkSize = math.max(1, (all.size + chunks - 1) / chunks)
+    all.grouped(chunkSize).foreach { c => ms.addData(c); q.processAllAvailable() }
+    // two flusher batches: the first's max event time becomes the
+    // watermark the second runs with, draining every buffered left
+    val maxUs = if (all.nonEmpty) all.map(_.tsUs).max else 0L
+    (1 to 2).foreach { i =>
+      ms.addData(TaggedIn(-1L, java.time.Instant.ofEpochSecond(maxUs / 1000000L + 86400L * i),
+        0, -1L, 0.0))
+      q.processAllAvailable()
+    }
+    q.stop()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.operators.AsofJoin
+import graft.streaming.AsofStream
+
+class AsofStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  // positive time base: a row whose event time is ≤ the current watermark
+  // is dropped by the engine as late before the operator sees it, and the
+  // INITIAL watermark is 0 — so ts=0 test rows would silently vanish
+  private val Base = 100000000L
+
+  private def mkDf(rows: Seq[(Long, Long, Long)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("key", "tsv", "id")
+      .withColumn("ts", timestamp_micros(col("tsv") + Base))
+      .select("key", "ts", "id")
+  }
+
+  private def streamed(left: DataFrame, right: DataFrame, chunks: Int) =
+    AsofStream.runOnce(spark, left, right, ("key", "ts", "id"), ("key", "ts", "id"), chunks)
+      .select("key", "left_id", "right_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .toSet
+
+  private def batch(left: DataFrame, right: DataFrame) = {
+    val l = left.toDF("key", "ts", "lid")
+    val r = right.toDF("rkey", "rts", "rid")
+    AsofJoin.asof(l, r, "key", "rkey", "ts", "rts", "rid")
+      .select(col("key"), col("lid"), coalesce(col("rid"), lit(-1L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+  }
+
+  test("streaming as-of equals batch as-of: ties, no-match, interleaved keys") {
+    // key 1: left before any right (no match), equal-ts tie between two
+    // rights (greater id wins), left exactly on a right ts (inclusive);
+    // key 2: rights only after all lefts; key 3: dense alternation
+    val right = mkDf(Seq(
+      (1L, 100L, 10L), (1L, 100L, 11L), (1L, 300L, 12L),
+      (2L, 900L, 20L),
+      (3L, 50L, 30L), (3L, 150L, 31L), (3L, 250L, 32L)))
+    val left = mkDf(Seq(
+      (1L, 50L, 1L), (1L, 100L, 2L), (1L, 299L, 3L), (1L, 301L, 4L),
+      (2L, 100L, 5L), (2L, 850L, 6L),
+      (3L, 60L, 7L), (3L, 160L, 8L), (3L, 260L, 9L), (3L, 1000L, 90L)))
+    val expect = batch(left, right)
+    // chunking must not affect results: 1 batch, a few, one-row batches
+    for (chunks <- Seq(1, 4, 17)) {
+      assert(streamed(left, right, chunks) == expect, s"chunks=$chunks")
+    }
+    // spot-check the semantics directly
+    assert(expect.contains((1L, 1L, -1L)))  // before any right
+    assert(expect.contains((1L, 2L, 11L)))  // equal-ts inclusive, id tie-break
+    assert(expect.contains((1L, 4L, 12L)))
+  }
+
+  test("streaming as-of: duplicate left rows each emitted, hot key linear shape") {
+    // 500 lefts and 300 rights on ONE key — the fan-out shape that kills
+    // a join-based formulation; state holds O(window) not O(|L|x|R|)
+    val right = mkDf((0L until 300L).map(i => (7L, i * 10L, 1000L + i)))
+    val dupLeft = mkDf(Seq((7L, 55L, 1L), (7L, 55L, 1L)) ++ // exact duplicates
+      (0L until 498L).map(i => (7L, i * 6L, 2L + i)))
+    val got = AsofStream.runOnce(spark, dupLeft, right,
+        ("key", "ts", "id"), ("key", "ts", "id"), chunks = 6)
+      .select("key", "left_id", "right_id").collect()
+    assert(got.length == 500) // both duplicates present
+    val expect = batch(dupLeft, right)
+    val gotSet = got.map(r => (r.getLong(0), r.getLong(1),
+      if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(gotSet == expect)
+  }
+}

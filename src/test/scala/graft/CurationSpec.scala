@@ -84,14 +84,31 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
   }
 
-  test("connectedComponents: random graph equals union-find ground truth") {
+  test("connectedComponents: random graph equals union-find ground truth on BOTH paths") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
     val edges = Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
       .filter { case (a, b) => a != b }
-    val got = Curation.connectedComponents(edges.toDF("doc_a", "doc_b"))
+    val truth = unionFind(edges)
+    val df = edges.toDF("doc_a", "doc_b")
+    // dispatcher (single-task union-find at this size)
+    val got = Curation.connectedComponents(df)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    assert(got == unionFind(edges))
+    assert(got == truth)
+    // forced iterative hash-min path must produce the identical labeling
+    val gotLoop = Curation.connectedComponentsLoop(df, maxIter = 25)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(gotLoop == truth)
+  }
+
+  test("connectedComponents: long chain converges on the iterative path") {
+    import spark.implicits._
+    // a 13-node path graph (diameter 12, like the sf0.1 simhash graph) —
+    // exercises multi-round propagation under the maxIter bound
+    val chain = (0L until 12L).map(i => (i, i + 1))
+    val got = Curation.connectedComponentsLoop(chain.toDF("doc_a", "doc_b"), maxIter = 25)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == (0L to 12L).map(_ -> 0L).toMap)
   }
 
   // ---------------- redaction -------------------------------------------
