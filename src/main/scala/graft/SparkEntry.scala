@@ -647,16 +647,49 @@ object SparkEntry {
         .orderBy(col("user_id"), col("event_type"))
     }),
     "q61_stream_asof" -> ((s, dir) => {
-      // STREAMING as-of join over the same data as batch q40: events
-      // stream probes the latest order at-or-before each event time.
-      // Emitted rows must equal the batch as-of join (same oracle SQL)
+      // STREAMING as-of join, same semantics as batch q40: events stream
+      // probes the latest order at-or-before each event time. Driven over
+      // a deterministic key subset (1 in 5 users — the oracle applies the
+      // same predicate): the MemoryStream harness replays micro-batches
+      // with full state-store snapshots per batch, and the subset keeps
+      // the drive proportional while exercising identical semantics.
+      // Emitted rows must equal the batch as-of join on the same subset.
       val out = graft.streaming.AsofStream.runOnce(s,
-        T(s, dir, "events"), T(s, dir, "orders"),
+        T(s, dir, "events").filter(col("user_id") % 5 === 0),
+        T(s, dir, "orders").filter(col("o_custkey") % 5 === 0),
         ("user_id", "ts", "event_id"), ("o_custkey", "o_orderdate", "o_orderkey"))
       out.filter(col("right_id").isNotNull)
         .select(col("left_id").as("event_id"), col("key").as("user_id"),
           col("right_id").as("o_orderkey"))
         .orderBy(col("event_id"))
+    }),
+
+    "q62_training_order" -> ((s, dir) => {
+      // deterministic global training order (reproducible "shuffle"):
+      // head of the order is TakeOrderedAndProject — bounded per-partition
+      // heaps, never a full global sort for a bounded read
+      T(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          Curation.trainingOrder(col("doc_id")).as("pos"))
+        .orderBy(col("pos"), col("doc_id"))
+        .limit(200)
+    }),
+    "q63_curation_capstone" -> ((s, dir) => {
+      // the full curation pipeline in ONE lazy plan: exact-dedup
+      // survivors → drop benchmark docs and contaminated docs (≥2 shared
+      // trigrams with the benchmark) → stratified sample → shard stats.
+      // Integer-only output keeps the oracle hash summation-order-proof
+      val docs = T(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+      val bench = docs.filter(col("doc_id") % 50 === 0)
+      val survivors = Dedup.exact(docs).select("doc_id")
+      val contaminated = Curation.contamination(corpus, bench, n = 3, minOverlap = 2)
+        .select("doc_id").distinct()
+      val kept = corpus.join(survivors, Seq("doc_id"), "left_semi")
+        .join(contaminated, Seq("doc_id"), "left_anti")
+      val sampled = Curation.stratifiedSample(kept, col("doc_id"), col("lang"),
+        SampleRates, SampleDefault)
+      Curation.shardStats(sampled, numShards = 8).orderBy(col("shard"))
     }),
 
     // ---------------- multimodal ------------------------------------------
@@ -1140,14 +1173,47 @@ object SparkEntry {
           |      FROM events) WHERE rn = 1
           |ORDER BY user_id, event_type""".stripMargin,
       // the streaming as-of emits exactly the batch as-of result — q40's
-      // oracle, minus the user_id projection difference
+      // oracle restricted to the driven key subset
       "q61_stream_asof" ->
         """SELECT e.event_id, e.user_id, o.o_orderkey
           |FROM events e JOIN orders o
           |  ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+          |WHERE e.user_id % 5 = 0
           |QUALIFY row_number() OVER (PARTITION BY e.event_id
           |  ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) = 1
           |ORDER BY e.event_id""".stripMargin,
+      "q62_training_order" -> {
+        val (a, b) = Dedup.affine(2); val p = Dedup.P
+        s"""SELECT doc_id, source, (($a * (doc_id % $p) + $b) % $p) AS pos
+           |FROM documents ORDER BY pos, doc_id LIMIT 200""".stripMargin
+      },
+      "q63_curation_capstone" -> {
+        val (a0, b0) = Dedup.affine(0); val (a1, b1) = Dedup.affine(1); val p = Dedup.P
+        val cases = SampleRates.map { case (k, r) =>
+          s"WHEN '$k' THEN ${math.floor(r * p).toLong}"
+        }.mkString(" ")
+        raw"""WITH surv AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+             |toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+             |sh AS (SELECT DISTINCT doc_id, array_to_string(t[CAST(i + 1 AS INT):CAST(i + 3 AS INT)], ' ') AS shingle
+             |       FROM toks, LATERAL unnest(range(len(t) - 2)) AS r(i) WHERE len(t) >= 3),
+             |cont AS (SELECT DISTINCT doc_id FROM (
+             |  SELECT c.doc_id FROM sh c
+             |  JOIN (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 50 = 0) b USING (shingle)
+             |  WHERE c.doc_id % 50 <> 0
+             |  GROUP BY c.doc_id, b.bench_id HAVING COUNT(*) >= 2)),
+             |kept AS (SELECT d.doc_id, d.lang, d.text FROM documents d
+             |  JOIN surv USING (doc_id)
+             |  WHERE d.doc_id % 50 <> 0
+             |    AND d.doc_id NOT IN (SELECT doc_id FROM cont)
+             |    AND (($a0 * (d.doc_id % $p) + $b0) % $p) <
+             |        (CASE d.lang $cases ELSE ${math.floor(SampleDefault * p).toLong} END))
+             |SELECT (($a1 * (doc_id % $p) + $b1) % $p) % 8 AS shard,
+             |  COUNT(*) AS n_docs,
+             |  CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+             |    ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS total_tokens,
+             |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+             |FROM kept GROUP BY shard ORDER BY shard""".stripMargin
+      },
     )
   }
 }

@@ -221,6 +221,17 @@ object Curation {
         sum(col("n_tokens")).as("total_tokens"),
         countDistinct(col("lang")).as("n_langs"))
 
+  /** Deterministic training order: every row gets a pseudo-random but
+    * reproducible position (affine hash of its id — family 2, independent
+    * of the sampling/sharding families), which is the "global shuffle"
+    * a trainer wants: any engine, any run, any partitioning produces the
+    * same order, and a restart can seek to position k. Materializing the
+    * head of the order is `TakeOrderedAndProject` (bounded per-partition
+    * heaps, no global sort); writing the WHOLE order is a range-partition
+    * sort on the hash — Spark's sort machinery, no driver involvement.
+    */
+  def trainingOrder(id: Column): Column = rowHash(id, 2)
+
   /** Latest-record compaction: one surviving row per key, the one with
     * the greatest (ts, tieBreak) — the CDC "latest wins" upsert /
     * changelog-compaction primitive. Implemented as groupBy + max_by on a

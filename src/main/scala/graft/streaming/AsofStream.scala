@@ -118,9 +118,15 @@ object AsofStream {
     */
   def runOnce(spark: SparkSession, left: DataFrame, right: DataFrame,
       leftCols: (String, String, String), rightCols: (String, String, String),
-      chunks: Int = 8): DataFrame = {
+      chunks: Int = 3, stateParts: Int = 4): DataFrame = {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // every micro-batch snapshots the state store per shuffle partition;
+    // size the stream's partition width for the drive (restored after) —
+    // a deployment sizes it to key cardinality instead
+    val defaultParts = spark.sessionState.conf.numShufflePartitions
+    spark.conf.set("spark.sql.shuffle.partitions", stateParts.toString)
+    try {
     def gather(df: DataFrame, cols: (String, String, String), side: Int): Seq[TaggedIn] =
       df.select(col(cols._1).cast("long"), col(cols._2).cast("timestamp"),
           col(cols._3).cast("long"))
@@ -145,5 +151,8 @@ object AsofStream {
     }
     q.stop()
     spark.table(name)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", defaultParts.toString)
+    }
   }
 }
