@@ -32,7 +32,13 @@ object Bench {
       System.err.println(s"[bench] PREWARM FAILED: $t")
     }
     // optional comma-separated query-name filter for single-query timing
-    val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").toSet)
+    val only = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty)
+        System.err.println(s"[bench] UNKNOWN QUERY NAMES (ignored): ${unknown.mkString(",")}")
+    }
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
     def once(): Map[String, Double] = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -45,7 +51,9 @@ object Bench {
     // round-comparable metric; pass 2 = steady-state floor
     val results = once()
     val warm = once()
-    def fmt(v: Double) = f"$v%.3f"
+    // Locale.ROOT: the f-interpolator uses the default locale, which on a
+    // comma-decimal host would render 1,234 and corrupt the JSON
+    def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def js(m: Map[String, Double]) =
       m.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

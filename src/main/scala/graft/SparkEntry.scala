@@ -708,6 +708,26 @@ object SparkEntry {
 
   // ---- generated oracles for the portable-hash signature pipelines ------
 
+  /** DuckDB replay of `Curation.rowHash` — same affine literals, same
+    * overflow-guarding `% P` placement. Single source for every oracle
+    * that samples/shards/orders by the row hash, so the arithmetic can't
+    * drift per query.
+    */
+  private def rowHashSql(family: Int, idCol: String): String = {
+    val (a, b) = Dedup.affine(family)
+    s"(($a * ($idCol % ${Dedup.P}) + $b) % ${Dedup.P})"
+  }
+
+  /** DuckDB replay of the `SampleRates`/`SampleDefault` threshold CASE in
+    * `Curation.stratifiedSample`.
+    */
+  private def sampleThresholdSql(langCol: String): String = {
+    val cases = SampleRates.map { case (k, r) =>
+      s"WHEN '$k' THEN ${math.floor(r * Dedup.P).toLong}"
+    }.mkString(" ")
+    s"(CASE $langCol $cases ELSE ${math.floor(SampleDefault * Dedup.P).toLong} END)"
+  }
+
   /** DuckDB replay of `Dedup.minhashPairs` (n=3, t=0.5, 8 hashes): same
     * polynomial shingle hash, same affine minhash families (literals
     * embedded from `Dedup.affine`), same band join + exact-Jaccard
@@ -1115,16 +1135,10 @@ object SparkEntry {
           |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
           |  md5(text) AS payload_md5
           |FROM documents ORDER BY media_id""".stripMargin,
-      "q55_stratified_sample" -> {
-        val (a, b) = Dedup.affine(0); val p = Dedup.P
-        val cases = SampleRates.map { case (k, r) =>
-          s"WHEN '$k' THEN ${math.floor(r * p).toLong}"
-        }.mkString(" ")
+      "q55_stratified_sample" ->
         s"""SELECT doc_id, lang FROM documents
-           |WHERE (($a * (doc_id % $p) + $b) % $p) <
-           |  (CASE lang $cases ELSE ${math.floor(SampleDefault * p).toLong} END)
-           |ORDER BY doc_id""".stripMargin
-      },
+           |WHERE ${rowHashSql(0, "doc_id")} < ${sampleThresholdSql("lang")}
+           |ORDER BY doc_id""".stripMargin,
       "q56_contamination" ->
         raw"""WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
              |sh AS (SELECT DISTINCT doc_id, array_to_string(t[CAST(i + 1 AS INT):CAST(i + 3 AS INT)], ' ') AS shingle
@@ -1156,15 +1170,13 @@ object SparkEntry {
            |  md5($redacted) AS redacted_fp
            |FROM documents ORDER BY doc_id""".stripMargin
       },
-      "q59_shard_stats" -> {
-        val (a, b) = Dedup.affine(1); val p = Dedup.P
-        raw"""SELECT (($a * (doc_id % $p) + $b) % $p) % 8 AS shard,
+      "q59_shard_stats" ->
+        raw"""SELECT ${rowHashSql(1, "doc_id")} % 8 AS shard,
              |  COUNT(*) AS n_docs,
              |  CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
              |    ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS total_tokens,
              |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
-             |FROM documents GROUP BY shard ORDER BY shard""".stripMargin
-      },
+             |FROM documents GROUP BY shard ORDER BY shard""".stripMargin,
       "q60_latest_by_key" ->
         """SELECT user_id, event_type, event_id AS last_event_id, value AS last_value
           |FROM (SELECT user_id, event_type, event_id, value,
@@ -1182,16 +1194,10 @@ object SparkEntry {
           |QUALIFY row_number() OVER (PARTITION BY e.event_id
           |  ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) = 1
           |ORDER BY e.event_id""".stripMargin,
-      "q62_training_order" -> {
-        val (a, b) = Dedup.affine(2); val p = Dedup.P
-        s"""SELECT doc_id, source, (($a * (doc_id % $p) + $b) % $p) AS pos
-           |FROM documents ORDER BY pos, doc_id LIMIT 200""".stripMargin
-      },
-      "q63_curation_capstone" -> {
-        val (a0, b0) = Dedup.affine(0); val (a1, b1) = Dedup.affine(1); val p = Dedup.P
-        val cases = SampleRates.map { case (k, r) =>
-          s"WHEN '$k' THEN ${math.floor(r * p).toLong}"
-        }.mkString(" ")
+      "q62_training_order" ->
+        s"""SELECT doc_id, source, ${rowHashSql(2, "doc_id")} AS pos
+           |FROM documents ORDER BY pos, doc_id LIMIT 200""".stripMargin,
+      "q63_curation_capstone" ->
         raw"""WITH surv AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
              |toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
              |sh AS (SELECT DISTINCT doc_id, array_to_string(t[CAST(i + 1 AS INT):CAST(i + 3 AS INT)], ' ') AS shingle
@@ -1205,15 +1211,13 @@ object SparkEntry {
              |  JOIN surv USING (doc_id)
              |  WHERE d.doc_id % 50 <> 0
              |    AND d.doc_id NOT IN (SELECT doc_id FROM cont)
-             |    AND (($a0 * (d.doc_id % $p) + $b0) % $p) <
-             |        (CASE d.lang $cases ELSE ${math.floor(SampleDefault * p).toLong} END))
-             |SELECT (($a1 * (doc_id % $p) + $b1) % $p) % 8 AS shard,
+             |    AND ${rowHashSql(0, "d.doc_id")} < ${sampleThresholdSql("d.lang")})
+             |SELECT ${rowHashSql(1, "doc_id")} % 8 AS shard,
              |  COUNT(*) AS n_docs,
              |  CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
              |    ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS total_tokens,
              |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
-             |FROM kept GROUP BY shard ORDER BY shard""".stripMargin
-      },
+             |FROM kept GROUP BY shard ORDER BY shard""".stripMargin,
     )
   }
 }

@@ -169,23 +169,43 @@ object Curation {
     // env (not sysprop): sbt's forked run JVM inherits the environment
     // but not -D flags given to sbt itself
     val debug = sys.env.get("GRAFT_CC_DEBUG").contains("true")
+    // bounded storage residency: each round materializes via persist()
+    // and eagerly releases the previous round's blocks (residency ≤ 2
+    // label frames, not maxIter of them); every 8th round substitutes a
+    // localCheckpoint so lineage depth stays ≤ 8 rounds even though the
+    // intermediate persists get dropped
+    var prevPersisted: Option[DataFrame] = None
     while (changed > 0 && iter < maxIter) {
       val t0 = System.nanoTime()
       val nbrMin = edges.join(labels, edges("dst") === labels("node"))
         .groupBy(col("src")).agg(min(col("comp")).as("nbr_comp"))
         .select(col("src").as("node"), col("nbr_comp"))
-      val step = labels.join(nbrMin, Seq("node"), "left")
+      val stepPlan = labels.join(nbrMin, Seq("node"), "left")
         .select(col("node"), col("comp").as("prev"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
-        .localCheckpoint(true)
-      changed = step.filter(col("comp") =!= col("prev")).count()
+      val checkpointRound = iter % 8 == 7
+      val step = if (checkpointRound) stepPlan.localCheckpoint(true) else stepPlan.persist()
+      changed = step.filter(col("comp") =!= col("prev")).count() // materializes
+      prevPersisted.foreach(_.unpersist())
+      prevPersisted = if (checkpointRound) None else Some(step)
       labels = step.select(col("node"), col("comp"))
       iter += 1
       if (debug) System.err.println(
         f"[cc] round $iter: changed=$changed ${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
     edges.unpersist()
-    labels.select(col("node").as("doc_id"), col("comp").as("component"))
+    // silent wrong answers are worse than failing: an unconverged exit
+    // would label one real component as several
+    if (changed > 0) {
+      prevPersisted.foreach(_.unpersist())
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIter rounds " +
+          s"($changed labels still changing) — raise maxIter for graphs of diameter > $maxIter")
+    }
+    val out = labels.select(col("node").as("doc_id"), col("comp").as("component"))
+      .localCheckpoint(true)
+    prevPersisted.foreach(_.unpersist())
+    out
   }
 
   /** Per-doc pattern counts plus an md5 fingerprint of the text with all

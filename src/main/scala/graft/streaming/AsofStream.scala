@@ -74,10 +74,17 @@ object AsofStream {
     if (pending.isEmpty && kept.isEmpty) state.remove()
     else {
       state.update(AsofState(kept, pending))
-      // wake when the watermark reaches the oldest pending left so it
-      // drains without new traffic on this key; pending heads are > wm
-      // (else they'd have flushed), satisfying the >-watermark rule
-      pending.headOption.foreach(l => state.setTimeoutTimestamp(l._1 / 1000L + 1))
+      // wake when the watermark reaches the oldest pending left (so it
+      // drains) or, failing that, the oldest still-live right (so a key
+      // that goes quiet after a burst of rights still compacts to the
+      // single latest instead of holding the burst forever). Both are
+      // > wm — pending lefts would have flushed and live rights would
+      // have been pruned otherwise — satisfying the >-watermark rule.
+      // A key holding only the single kept right ≤ wm is already at its
+      // floor (that right is the valid match for any future left): no
+      // timeout, state is one row.
+      val wakeUs = pending.headOption.map(_._1).orElse(live.headOption.map(_._1))
+      wakeUs.foreach(ts => state.setTimeoutTimestamp(ts / 1000L + 1))
     }
     out.iterator
   }
@@ -131,7 +138,10 @@ object AsofStream {
       df.select(col(cols._1).cast("long"), col(cols._2).cast("timestamp"),
           col(cols._3).cast("long"))
         .collect().toSeq
-        .filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+        // null key/ts can never join (equi/≤ predicate semantics); a null
+        // id is a malformed identifier — all filtered, matching the inner
+        // oracle, instead of throwing in getLong
+        .filter(r => !r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2))
         .map(r => TaggedIn(r.getLong(0), r.getTimestamp(1).toInstant, side, r.getLong(2), 0.0))
     val all = (gather(right, rightCols, 0) ++ gather(left, leftCols, 1))
       .sortBy(t => (t.tsUs, t.side, t.id))
