@@ -49,8 +49,23 @@ object DedupScaleSmoke {
     val plantedFound = pairs
       .filter(col("doc_b") === col("doc_a") + half && col("doc_a") < planted)
       .count()
+    // ---- 1b) connected components over the near-dup pairs --------------
+    // the clustering step a pipeline runs right after pair generation;
+    // at this pair count it exercises the single-task union-find dispatch
+    val t0b = System.nanoTime()
+    val comps = Curation.connectedComponents(pairs)
+    val ccNodes = comps.count()
+    val ccSec = (System.nanoTime() - t0b) / 1e9
+    val ccComponents = comps.agg(countDistinct(col("component"))).head().getLong(0)
+    // every planted copy must land in the same component as its source
+    val ccPlanted = comps.as("c")
+      .join(comps.select(col("doc_id").as("src_id"), col("component").as("src_comp")),
+        col("c.doc_id") === col("src_id") + half)
+      .filter(col("c.doc_id") < half + planted && col("c.component") === col("src_comp"))
+      .count()
     pairs.unpersist(); docs.unpersist()
-    println(s"""{"dedup_scale_minhash":{"n_docs":$n,"sec":$minhashSec,"pairs":$nPairs,"planted_found":$plantedFound}}""")
+    println(s"""{"dedup_scale_minhash":{"n_docs":$n,"sec":$minhashSec,"pairs":$nPairs,"planted_found":$plantedFound,""" +
+      s""""cc_sec":$ccSec,"cc_nodes":$ccNodes,"cc_components":$ccComponents,"cc_planted_clustered":$ccPlanted}}""")
 
     // ---- 2) embedding hyperplane-LSH near-dup ---------------------------
     // zero-mean random vectors (cos ≈ 0 between random pairs, so band
