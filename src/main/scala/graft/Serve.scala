@@ -58,7 +58,17 @@ object Serve {
     // start: model from disk, no training); otherwise train in-process
     val (model, index0) = indexDir match {
       case Some(dir) => RabitqIndex.load(spark, dir)
-      case None => RabitqIndex.build(spark, base, numClusters = 16, seed = 42L)
+      case None =>
+        // √n clusters (IVF rule of thumb, clamped): a fixed small k makes
+        // every query rough-scan n·nprobe/k candidates — at 200k vectors
+        // and k=16 that is ~100k asymDots per request (p50 ≈ 58 ms where
+        // k=447 scans ~3.6k and serves in single-digit ms)
+        val nBase = base.count()
+        val k = math.max(16, math.min(1024, math.sqrt(nBase.toDouble).toInt))
+        // sampled fit beyond the driver-friendly range, exact fit below it
+        if (nBase > 100000L)
+          RabitqIndex.buildSampled(spark, base, numClusters = k, sampleN = 100000L, seed = 42L)
+        else RabitqIndex.build(spark, base, numClusters = k, seed = 42L)
     }
     // fail fast on a mismatched saved index (wrong dataset/scale factor):
     // a silent mismatch surfaces later as per-query NPEs (index vec_ids

@@ -13,10 +13,11 @@ import java.util.concurrent.atomic.AtomicInteger
   * reports p50/p95/p99 latency plus aggregate QPS.
   *
   *   sbt "runMain graft.ServeBench /root/testdata/sf0.001 200 4"
+  *   sbt "runMain graft.ServeBench gen:200000:64 2000 8"   # synthetic 200k×64
   */
 object ServeBench {
   def main(args: Array[String]): Unit = {
-    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
+    val sfArg = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
     val nQueries = if (args.length > 1) args(1).toInt else 200
     val concurrency = if (args.length > 2) args(2).toInt else 4
 
@@ -30,6 +31,27 @@ object ServeBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // "gen:n:dim" → serve a synthetic corpus well beyond the testdata
+    // sizes (deterministic splitmix-mixed vectors, the ScaleSmoke family),
+    // written once to a temp dir in the testdata layout
+    val sfDir = if (!sfArg.startsWith("gen:")) sfArg else {
+      val parts = sfArg.split(":"); val n = parts(1).toLong; val dim = parts(2).toInt
+      val out = java.nio.file.Files.createTempDirectory("graft_serve_gen_").toString
+      val genUdf = udf { (id: Long) =>
+        Array.tabulate(dim) { j =>
+          var x = (id + 7919L) * 0x9E3779B97F4A7C15L + j * 0xBF58476D1CE4E5B9L
+          x ^= (x >>> 30); x *= 0xBF58476D1CE4E5B9L
+          x ^= (x >>> 27); x *= 0x94D049BB133111EBL
+          x ^= (x >>> 31)
+          (x % 10000L).toFloat / 10000f
+        }.toSeq
+      }
+      spark.range(n).select(col("id").as("vec_id"), genUdf(col("id")).as("embedding"))
+        .write.parquet(s"$out/embeddings.parquet")
+      System.err.println(s"[servebench] generated $n x $dim vectors at $out")
+      out
+    }
 
     val port = {
       val s = new java.net.ServerSocket(0)

@@ -68,6 +68,36 @@ class AsofStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(expect.contains((1L, 4L, 12L)))
   }
 
+  test("streaming as-of: rights arriving AFTER lefts in processing time still match") {
+    import spark.implicits._
+    import graft.streaming.AsofStream.TaggedIn
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def at(us: Long) = java.time.Instant.ofEpochSecond(0).plusNanos((Base + us) * 1000L)
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[TaggedIn]
+    val q = AsofStream.asof(ms.toDS().withWatermark("ts", "1 second"))
+      .writeStream.outputMode("append").format("memory").queryName("asof_ooo").start()
+    // batch 1: ONLY lefts (ts 100..300) — watermark still 0, nothing emits
+    ms.addData(Seq(TaggedIn(1L, at(100), 1, 1L, 0.0), TaggedIn(1L, at(200), 1, 2L, 0.0),
+      TaggedIn(1L, at(300), 1, 3L, 0.0)))
+    q.processAllAvailable()
+    // batch 2: the rights those lefts need arrive AFTERWARD in processing
+    // time (but on time in event time — watermark hasn't passed them)
+    ms.addData(Seq(TaggedIn(1L, at(50), 0, 10L, 0.0), TaggedIn(1L, at(150), 0, 11L, 0.0),
+      TaggedIn(1L, at(250), 0, 12L, 0.0)))
+    q.processAllAvailable()
+    // flusher batches advance the watermark past everything
+    (1 to 2).foreach { i =>
+      ms.addData(Seq(TaggedIn(-1L, at(2000000L * i + 2000000L), 0, -1L, 0.0)))
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table("asof_ooo").select("left_id", "right_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // each left matched the latest right ≤ its ts even though every right
+    // arrived after every left
+    assert(got == Set((1L, 10L), (2L, 11L), (3L, 12L)))
+  }
+
   test("streaming as-of: duplicate left rows each emitted, hot key linear shape") {
     // 500 lefts and 300 rights on ONE key — the fan-out shape that kills
     // a join-based formulation; state holds O(window) not O(|L|x|R|)
