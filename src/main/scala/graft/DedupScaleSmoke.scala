@@ -53,7 +53,9 @@ object DedupScaleSmoke {
     // the clustering step a pipeline runs right after pair generation;
     // at this pair count it exercises the single-task union-find dispatch
     val t0b = System.nanoTime()
-    val comps = Curation.connectedComponents(pairs)
+    // persist: the verification actions below would otherwise re-run the
+    // union-find pipeline once per action (and twice for the self-join)
+    val comps = Curation.connectedComponents(pairs).persist()
     val ccNodes = comps.count()
     val ccSec = (System.nanoTime() - t0b) / 1e9
     val ccComponents = comps.agg(countDistinct(col("component"))).head().getLong(0)
@@ -63,7 +65,7 @@ object DedupScaleSmoke {
         col("c.doc_id") === col("src_id") + half)
       .filter(col("c.doc_id") < half + planted && col("c.component") === col("src_comp"))
       .count()
-    pairs.unpersist(); docs.unpersist()
+    comps.unpersist(); pairs.unpersist(); docs.unpersist()
     println(s"""{"dedup_scale_minhash":{"n_docs":$n,"sec":$minhashSec,"pairs":$nPairs,"planted_found":$plantedFound,""" +
       s""""cc_sec":$ccSec,"cc_nodes":$ccNodes,"cc_components":$ccComponents,"cc_planted_clustered":$ccPlanted}}""")
 
@@ -75,18 +77,8 @@ object DedupScaleSmoke {
     // nudged (cos ≈ 0.999)
     val dim = 64
     val genUdf = udf { (id: Long, copyOf: Long) =>
-      def noise(seed: Long, j: Int): Float = {
-        // splitmix64 finalizer: without it the raw product is ADDITIVE in
-        // the seed, so nearby ids get near-constant coordinate offsets —
-        // i.e. highly correlated "random" vectors (cos tails up to 0.9)
-        var x = seed * 0x9E3779B97F4A7C15L + j * 0xBF58476D1CE4E5B9L
-        x ^= (x >>> 30); x *= 0xBF58476D1CE4E5B9L
-        x ^= (x >>> 27); x *= 0x94D049BB133111EBL
-        x ^= (x >>> 31)
-        (x % 10000L).toFloat / 10000f
-      }
       val src = if (copyOf >= 0) copyOf else id
-      val v = Array.tabulate(dim)(j => noise(src + 7919L, j))
+      val v = Array.tabulate(dim)(j => graft.functions.VectorOps.syntheticNoise(src + 7919L, j))
       if (copyOf >= 0) v(0) += 0.01f
       v.toSeq
     }

@@ -39,15 +39,7 @@ object ScaleSmoke {
     // materialization): cluster centers from hash noise, points = center
     // + small noise
     val genUdf = udf { (id: Long) =>
-      def noise(seed: Long, j: Int): Float = {
-        // splitmix64 finalizer breaks the additive id→coordinate
-        // structure of the raw product (else nearby ids correlate)
-        var x = seed * 0x9E3779B97F4A7C15L + j * 0xBF58476D1CE4E5B9L
-        x ^= (x >>> 30); x *= 0xBF58476D1CE4E5B9L
-        x ^= (x >>> 27); x *= 0x94D049BB133111EBL
-        x ^= (x >>> 31)
-        (x % 10000L).toFloat / 10000f
-      }
+      val noise = graft.functions.VectorOps.syntheticNoise _
       val c = (id % 100L) + 1L
       // 0.25 noise vs ~0.29 center std: clusters overlap, so probe
       // selection actually has to work (0.08 made recall trivially 1.0)

@@ -101,7 +101,12 @@ object Serve {
         val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
         val vec = parseFloatArray(body, "query")
         val topK = parseInt(body, "top_k").getOrElse(10)
-        val probe = parseInt(body, "probe").getOrElse(8)
+        // default probe follows k so the probed FRACTION (not count) is
+        // corpus-size-invariant — the fixed 8 was 50% of the old fixed
+        // k=16, and silently shrinking to 8/k would degrade default-recall
+        // as corpora grow; explicit "probe" in the request overrides
+        val probe = parseInt(body, "probe")
+          .getOrElse(math.max(8, (model.params.numClusters + 1) / 2))
         val rerank = math.max(4 * topK, 64)
         val results: Array[(Long, Double)] =
           if (parseString(body, "engine").contains("spark")) {

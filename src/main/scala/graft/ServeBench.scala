@@ -36,21 +36,31 @@ object ServeBench {
     // sizes (deterministic splitmix-mixed vectors, the ScaleSmoke family),
     // written once to a temp dir in the testdata layout
     val sfDir = if (!sfArg.startsWith("gen:")) sfArg else {
-      val parts = sfArg.split(":"); val n = parts(1).toLong; val dim = parts(2).toInt
-      val out = java.nio.file.Files.createTempDirectory("graft_serve_gen_").toString
+      val parts = sfArg.split(":")
+      require(parts.length == 3, s"expected gen:n:dim, got '$sfArg'")
+      val (n, dim) =
+        try (parts(1).toLong, parts(2).toInt)
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"expected integer n and dim in gen:n:dim, got '$sfArg'")
+        }
+      val out = java.nio.file.Files.createTempDirectory("graft_serve_gen_")
+      // generated corpus is scratch — remove it when the bench exits
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        if (Files.exists(out))
+          Files.walk(out).sorted(Comparator.reverseOrder[Path]())
+            .forEach(p => { Files.deleteIfExists(p); () })
+      }))
       val genUdf = udf { (id: Long) =>
-        Array.tabulate(dim) { j =>
-          var x = (id + 7919L) * 0x9E3779B97F4A7C15L + j * 0xBF58476D1CE4E5B9L
-          x ^= (x >>> 30); x *= 0xBF58476D1CE4E5B9L
-          x ^= (x >>> 27); x *= 0x94D049BB133111EBL
-          x ^= (x >>> 31)
-          (x % 10000L).toFloat / 10000f
-        }.toSeq
+        Array.tabulate(dim)(j =>
+          graft.functions.VectorOps.syntheticNoise(id + 7919L, j)).toSeq
       }
       spark.range(n).select(col("id").as("vec_id"), genUdf(col("id")).as("embedding"))
         .write.parquet(s"$out/embeddings.parquet")
       System.err.println(s"[servebench] generated $n x $dim vectors at $out")
-      out
+      out.toString
     }
 
     val port = {

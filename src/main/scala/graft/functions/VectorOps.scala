@@ -233,4 +233,19 @@ object VectorOps {
     val g = math.sqrt(g2.toDouble)
     cds + g2 + lb * factorPpc + (2.0 * asymdot - sumQ) * factorIp * delta - errorBound * g
   }
+
+  /** Deterministic synthetic-vector coordinate in (-1, 1): splitmix64
+    * finalizer over (seed, j). The finalizer matters — the raw product is
+    * ADDITIVE in the seed, so nearby ids would get near-constant
+    * coordinate offsets (highly correlated "random" vectors, cosine tails
+    * to 0.9). One shared kernel for every scale/serve smoke generator so
+    * the distribution can't silently diverge between harnesses.
+    */
+  def syntheticNoise(seed: Long, j: Int): Float = {
+    var x = seed * 0x9E3779B97F4A7C15L + j * 0xBF58476D1CE4E5B9L
+    x ^= (x >>> 30); x *= 0xBF58476D1CE4E5B9L
+    x ^= (x >>> 27); x *= 0x94D049BB133111EBL
+    x ^= (x >>> 31)
+    (x % 10000L).toFloat / 10000f
+  }
 }
