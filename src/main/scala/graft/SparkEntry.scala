@@ -704,6 +704,15 @@ object SparkEntry {
           col("n_bytes"))
         .orderBy(col("media_id"))
     }),
+    "q64_wav_decode" -> ((s, dir) => {
+      // REAL container decode: synthesize PCM16 WAV payloads from text
+      // (deterministic formula), parse them with the genuine RIFF walker,
+      // and emit integer metadata + sample folds. The oracle computes the
+      // expected output INDEPENDENTLY from the text via the same sample
+      // formula — a byte-layout or parser bug breaks the hash match.
+      val media = Multimodal.wavMediaFromDocuments(T(s, dir, "documents"), sampleRate = 8000)
+      Multimodal.decodeWav(media).orderBy(col("media_id"))
+    }),
   )
 
   // ---- generated oracles for the portable-hash signature pipelines ------
@@ -1134,6 +1143,21 @@ object SparkEntry {
           |  CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END AS media_type,
           |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
           |  md5(text) AS payload_md5
+          |FROM documents ORDER BY media_id""".stripMargin,
+      // expected WAV decode computed from the TEXT, not the bytes — the
+      // independent side of the parse-vs-construct cross-check. Sample
+      // formula mirrors Multimodal.wavBytes: (codepoint % 4096 − 2048)·16
+      "q64_wav_decode" ->
+        """SELECT doc_id AS media_id,
+          |  CAST(8000 AS BIGINT) AS sample_rate,
+          |  CAST(1 AS BIGINT) AS n_channels,
+          |  CAST(16 AS BIGINT) AS bits_per_sample,
+          |  CAST(length(text) AS BIGINT) AS n_samples,
+          |  CAST(COALESCE(list_max(list_transform(range(1, length(text) + 1),
+          |    i -> abs((ascii(substring(text, CAST(i AS INT), 1)) % 4096 - 2048) * 16))), 0) AS BIGINT) AS peak,
+          |  CAST((COALESCE(list_sum(list_transform(range(1, length(text) + 1),
+          |    i -> (ascii(substring(text, CAST(i AS INT), 1)) % 4096 - 2048) * 16)), 0)
+          |    % 1000000007 + 1000000007) % 1000000007 AS BIGINT) AS checksum
           |FROM documents ORDER BY media_id""".stripMargin,
       "q55_stratified_sample" ->
         s"""SELECT doc_id, lang FROM documents

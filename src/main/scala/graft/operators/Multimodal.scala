@@ -91,4 +91,107 @@ object Multimodal {
       col("media_type"),
       col("n_bytes"),
       md5(col("payload")).as("payload_md5"))
+
+  // ---- real container parsing (the non-stubbed multimodal tier) --------
+
+  /** Deterministic PCM16 mono WAV payload built from text codepoints:
+    * sample i = (cpᵢ mod 4096 − 2048)·16 (exactly spans the i16 range).
+    * Construction scaffolding for the parse-vs-construct cross-check
+    * (q64): the corpus has no real audio, so the payloads are synthesized
+    * — but from a formula the DuckDB oracle can evaluate INDEPENDENTLY
+    * over the same text, so any byte-layout or parsing bug breaks the
+    * hash match. The parser below is the deliverable.
+    */
+  def wavBytes(text: String, sampleRate: Int): Array[Byte] = {
+    val cps = text.codePoints().toArray
+    val dataSize = cps.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataSize)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1) // PCM, mono
+    bb.putInt(sampleRate); bb.putInt(sampleRate * 2) // byte rate
+    bb.putShort(2); bb.putShort(16) // block align, bits
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(dataSize)
+    cps.foreach(cp => bb.putShort((((cp % 4096) - 2048) * 16).toShort))
+    bb.array()
+  }
+
+  /** REAL RIFF/WAVE container parse + PCM16 decode — pure JVM, no codec
+    * library needed, which is why THIS part of the multimodal tier is not
+    * stubbed (compressed codecs remain `decodeStub`). Validates magics,
+    * walks chunks (odd sizes are pad-aligned per the RIFF spec, unknown
+    * chunks skipped), reads the fmt header, and folds the PCM16 samples
+    * into peak amplitude and a portable mod-P checksum.
+    */
+  def parseWav(bytes: Array[Byte]): (Long, Long, Long, Long, Long, Long) = {
+    val P = 1000000007L
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def str4(): String = { val a = new Array[Byte](4); bb.get(a); new String(a, "US-ASCII") }
+    require(bytes.length >= 12 && str4() == "RIFF", "not a RIFF container")
+    bb.getInt() // declared riff size; trust actual bounds instead
+    require(str4() == "WAVE", "not a WAVE file")
+    var rate = -1L; var ch = -1L; var bits = -1L
+    var nSamples = 0L; var peak = 0L; var sum = 0L
+    while (bb.remaining() >= 8) {
+      val id = str4(); val size = bb.getInt()
+      require(size >= 0 && bb.position() + size <= bytes.length,
+        s"chunk '$id' size $size overruns payload")
+      val next = bb.position() + size + (size & 1) // odd chunks pad 1 byte
+      id match {
+        case "fmt " =>
+          require(size >= 16, s"fmt chunk too short: $size")
+          val fmt = bb.getShort(); ch = bb.getShort().toLong
+          rate = bb.getInt().toLong; bb.getInt(); bb.getShort()
+          bits = bb.getShort().toLong
+          require(fmt == 1 && bits == 16, s"unsupported encoding fmt=$fmt bits=$bits")
+        case "data" =>
+          require(rate > 0, "data chunk before fmt")
+          var i = 0
+          while (i + 1 < size) {
+            val s = bb.getShort().toLong
+            nSamples += 1
+            val a = math.abs(s); if (a > peak) peak = a
+            sum += s
+            i += 2
+          }
+        case _ => () // LIST/INFO/etc — skip
+      }
+      bb.position(math.min(next, bytes.length))
+    }
+    require(rate > 0, "missing fmt chunk")
+    (rate, ch, bits, nSamples, peak, ((sum % P) + P) % P)
+  }
+
+  /** Media frame with synthesized WAV payloads (payload construction is
+    * scaffolding; see `wavBytes`).
+    */
+  def wavMediaFromDocuments(docs: DataFrame, sampleRate: Int): DataFrame = {
+    val mk = udf((text: String) => wavBytes(if (text == null) "" else text, sampleRate))
+    docs.select(col("doc_id").as("media_id"), mk(col("text")).as("payload"))
+  }
+
+  /** Decode a WAV media frame: per-partition imperative parse (the
+    * codec-handle pattern — same execution shape a real codec needs).
+    * Output: (media_id, sample_rate, n_channels, bits_per_sample,
+    * n_samples, peak, checksum) — all integers, oracle-friendly.
+    */
+  def decodeWav(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("sample_rate", LongType, nullable = false),
+      StructField("n_channels", LongType, nullable = false),
+      StructField("bits_per_sample", LongType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("peak", LongType, nullable = false),
+      StructField("checksum", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col("media_id"), col("payload")).mapPartitions { rows =>
+      rows.map { r =>
+        val (rate, ch, bits, n, peak, sum) = parseWav(r.getAs[Array[Byte]]("payload"))
+        Row(r.getLong(0), rate, ch, bits, n, peak, sum)
+      }
+    }(enc)
+  }
 }

@@ -145,6 +145,33 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mx <= 3 * docs.count() / 8 + 1, s"skewed shards: ${stats.mkString(",")}")
   }
 
+  // ---------------- WAV container parse -----------------------------------
+  test("parseWav: roundtrips wavBytes, skips foreign chunks, rejects junk") {
+    import graft.operators.Multimodal
+    val (rate, ch, bits, n, peak, sum) = Multimodal.parseWav(Multimodal.wavBytes("AB", 8000))
+    assert((rate, ch, bits, n) == ((8000L, 1L, 16L, 2L)))
+    // 'A'=65, 'B'=66 → samples (65-2048)*16=-31728, (66-2048)*16=-31712
+    assert(peak == 31728L)
+    assert(sum == ((-31728L - 31712L) % 1000000007L + 1000000007L) % 1000000007L)
+    // empty text → header-only file, zero samples
+    assert(Multimodal.parseWav(Multimodal.wavBytes("", 44100)) ==
+      ((44100L, 1L, 16L, 0L, 0L, 0L)))
+    // an odd-sized foreign chunk BEFORE fmt/data must be pad-skipped
+    val base = Multimodal.wavBytes("A", 8000)
+    val foreign = Array[Byte]('J', 'U', 'N', 'K', 3, 0, 0, 0, 1, 2, 3, 0) // size 3 + pad
+    val spliced = base.take(12) ++ foreign ++ base.drop(12)
+    val bb = java.nio.ByteBuffer.wrap(spliced).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(4, spliced.length - 8) // patch riff size
+    assert(Multimodal.parseWav(spliced)._4 == 1L)
+    // non-RIFF bytes fail loudly, not silently
+    intercept[IllegalArgumentException] {
+      Multimodal.parseWav("definitely not audio".getBytes("UTF-8"))
+    }
+    // a chunk whose declared size overruns the payload fails loudly
+    val truncated = base.dropRight(1)
+    intercept[IllegalArgumentException] { Multimodal.parseWav(truncated) }
+  }
+
   // ---------------- latest-by-key compaction ------------------------------
   test("latestByKey: newest wins, ties broken by tie-break column") {
     import spark.implicits._
