@@ -1152,7 +1152,7 @@ object SparkEntry {
           |  CAST(8000 AS BIGINT) AS sample_rate,
           |  CAST(1 AS BIGINT) AS n_channels,
           |  CAST(16 AS BIGINT) AS bits_per_sample,
-          |  CAST(length(text) AS BIGINT) AS n_samples,
+          |  CAST(COALESCE(length(text), 0) AS BIGINT) AS n_samples,
           |  CAST(COALESCE(list_max(list_transform(range(1, length(text) + 1),
           |    i -> abs((ascii(substring(text, CAST(i AS INT), 1)) % 4096 - 2048) * 16))), 0) AS BIGINT) AS peak,
           |  CAST((COALESCE(list_sum(list_transform(range(1, length(text) + 1),

@@ -136,7 +136,9 @@ object Multimodal {
     var nSamples = 0L; var peak = 0L; var sum = 0L
     while (bb.remaining() >= 8) {
       val id = str4(); val size = bb.getInt()
-      require(size >= 0 && bb.position() + size <= bytes.length,
+      // bound check in Long: position + a near-Int.MaxValue size wraps
+      // negative in Int and would slip past the guard
+      require(size >= 0 && bb.position().toLong + size <= bytes.length,
         s"chunk '$id' size $size overruns payload")
       val next = bb.position() + size + (size & 1) // odd chunks pad 1 byte
       id match {
@@ -146,6 +148,9 @@ object Multimodal {
           rate = bb.getInt().toLong; bb.getInt(); bb.getShort()
           bits = bb.getShort().toLong
           require(fmt == 1 && bits == 16, s"unsupported encoding fmt=$fmt bits=$bits")
+          // n_samples/peak/checksum fold interleaved samples, which only
+          // equals per-frame semantics for mono — reject anything else
+          require(ch == 1, s"only mono supported, got $ch channels")
         case "data" =>
           require(rate > 0, "data chunk before fmt")
           var i = 0
