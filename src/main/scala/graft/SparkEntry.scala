@@ -713,6 +713,13 @@ object SparkEntry {
       val media = Multimodal.wavMediaFromDocuments(T(s, dir, "documents"), sampleRate = 8000)
       Multimodal.decodeWav(media).orderBy(col("media_id"))
     }),
+    "q65_bmp_decode" -> ((s, dir) => {
+      // image-side counterpart of q64: synthesize 24-bit BMPs from text,
+      // parse with the genuine BMP walker (row padding, header checks),
+      // oracle recomputes expected output from the text independently
+      val media = Multimodal.bmpMediaFromDocuments(T(s, dir, "documents"))
+      Multimodal.decodeBmp(media).orderBy(col("media_id"))
+    }),
   )
 
   // ---- generated oracles for the portable-hash signature pipelines ------
@@ -1158,6 +1165,23 @@ object SparkEntry {
           |  CAST((COALESCE(list_sum(list_transform(range(1, length(text) + 1),
           |    i -> (ascii(substring(text, CAST(i AS INT), 1)) % 4096 - 2048) * 16)), 0)
           |    % 1000000007 + 1000000007) % 1000000007 AS BIGINT) AS checksum
+          |FROM documents ORDER BY media_id""".stripMargin,
+      // expected BMP decode from the TEXT: pixel channel-sum per codepoint
+      // cp is (cp%256 + 7cp%256 + 13cp%256); height 0 for empty text
+      "q65_bmp_decode" ->
+        """SELECT doc_id AS media_id,
+          |  CAST(COALESCE(length(text), 0) AS BIGINT) AS width,
+          |  CAST(CASE WHEN COALESCE(length(text), 0) = 0 THEN 0 ELSE 1 END AS BIGINT) AS height,
+          |  CAST(24 AS BIGINT) AS bpp,
+          |  CAST(COALESCE(length(text), 0) AS BIGINT) AS n_pixels,
+          |  CAST(COALESCE(list_max(list_transform(range(1, length(text) + 1),
+          |    i -> (ascii(substring(text, CAST(i AS INT), 1)) % 256)
+          |       + (ascii(substring(text, CAST(i AS INT), 1)) * 7 % 256)
+          |       + (ascii(substring(text, CAST(i AS INT), 1)) * 13 % 256))), 0) AS BIGINT) AS peak,
+          |  CAST(COALESCE(list_sum(list_transform(range(1, length(text) + 1),
+          |    i -> (ascii(substring(text, CAST(i AS INT), 1)) % 256)
+          |       + (ascii(substring(text, CAST(i AS INT), 1)) * 7 % 256)
+          |       + (ascii(substring(text, CAST(i AS INT), 1)) * 13 % 256))), 0) % 1000000007 AS BIGINT) AS checksum
           |FROM documents ORDER BY media_id""".stripMargin,
       "q55_stratified_sample" ->
         s"""SELECT doc_id, lang FROM documents

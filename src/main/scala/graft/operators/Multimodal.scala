@@ -169,6 +169,100 @@ object Multimodal {
     (rate, ch, bits, nSamples, peak, ((sum % P) + P) % P)
   }
 
+  /** Deterministic 24-bit BMP payload from text codepoints: a 1-row
+    * bitmap, pixel i = (B,G,R) = (cpᵢ mod 256, 7·cpᵢ mod 256,
+    * 13·cpᵢ mod 256), rows padded to 4 bytes per the BMP spec.
+    * Construction scaffolding for q65's parse-vs-construct cross-check —
+    * `parseBmp` is the deliverable.
+    */
+  def bmpBytes(text: String): Array[Byte] = {
+    val cps = text.codePoints().toArray
+    val w = cps.length; val h = if (w == 0) 0 else 1
+    val rowBytes = (w * 3 + 3) / 4 * 4
+    val dataSize = rowBytes * h
+    val bb = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte); bb.put('M'.toByte)
+    bb.putInt(54 + dataSize); bb.putShort(0); bb.putShort(0); bb.putInt(54)
+    bb.putInt(40); bb.putInt(w); bb.putInt(h) // BITMAPINFOHEADER
+    bb.putShort(1); bb.putShort(24) // planes, bpp
+    bb.putInt(0); bb.putInt(dataSize) // BI_RGB, image size
+    bb.putInt(2835); bb.putInt(2835); bb.putInt(0); bb.putInt(0)
+    cps.foreach { cp =>
+      bb.put((cp % 256).toByte); bb.put((cp * 7 % 256).toByte); bb.put((cp * 13 % 256).toByte)
+    }
+    var pad = w * 3
+    while (pad < rowBytes) { bb.put(0.toByte); pad += 1 }
+    bb.array()
+  }
+
+  /** REAL BMP container parse — the image-side counterpart of `parseWav`
+    * (BI_RGB 24-bit needs no codec). Validates the 'BM' magic and
+    * BITMAPINFOHEADER, walks rows from the declared pixel offset
+    * honoring 4-byte row padding, and folds pixels into the peak
+    * channel-sum and a portable mod-P checksum.
+    */
+  def parseBmp(bytes: Array[Byte]): (Long, Long, Long, Long, Long, Long) = {
+    val P = 1000000007L
+    require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M', "not a BMP file")
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val pixelOffset = bb.getInt(10)
+    val infoSize = bb.getInt(14)
+    require(infoSize >= 40, s"unsupported info header size $infoSize")
+    val w = bb.getInt(18); val h = bb.getInt(22)
+    val bpp = bb.getShort(28).toInt
+    val compression = bb.getInt(30)
+    require(w >= 0 && h >= 0, s"top-down/negative dimensions unsupported: ${w}x$h")
+    require(bpp == 24 && compression == 0, s"unsupported encoding bpp=$bpp compression=$compression")
+    val rowBytes = (w * 3 + 3) / 4 * 4
+    require(pixelOffset.toLong + rowBytes.toLong * h <= bytes.length,
+      s"pixel data ${w}x$h overruns payload")
+    var peak = 0L; var sum = 0L
+    var row = 0
+    while (row < h) {
+      var x = 0
+      var p = pixelOffset + row * rowBytes
+      while (x < w) {
+        val s = (bytes(p) & 0xff).toLong + (bytes(p + 1) & 0xff) + (bytes(p + 2) & 0xff)
+        if (s > peak) peak = s
+        sum += s
+        p += 3; x += 1
+      }
+      row += 1
+    }
+    (w.toLong, h.toLong, bpp.toLong, w.toLong * h, peak, sum % P)
+  }
+
+  /** Media frame with synthesized BMP payloads (construction scaffolding;
+    * see `bmpBytes`).
+    */
+  def bmpMediaFromDocuments(docs: DataFrame): DataFrame = {
+    val mk = udf((text: String) => bmpBytes(if (text == null) "" else text))
+    docs.select(col("doc_id").as("media_id"), mk(col("text")).as("payload"))
+  }
+
+  /** Decode a BMP media frame (per-partition imperative parse, like
+    * `decodeWav`). Output: (media_id, width, height, bpp, n_pixels,
+    * peak, checksum) — all integers.
+    */
+  def decodeBmp(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", LongType, nullable = false),
+      StructField("height", LongType, nullable = false),
+      StructField("bpp", LongType, nullable = false),
+      StructField("n_pixels", LongType, nullable = false),
+      StructField("peak", LongType, nullable = false),
+      StructField("checksum", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col("media_id"), col("payload")).mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, bpp, n, peak, sum) = parseBmp(r.getAs[Array[Byte]]("payload"))
+        Row(r.getLong(0), w, h, bpp, n, peak, sum)
+      }
+    }(enc)
+  }
+
   /** Media frame with synthesized WAV payloads (payload construction is
     * scaffolding; see `wavBytes`).
     */

@@ -172,6 +172,37 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] { Multimodal.parseWav(truncated) }
   }
 
+  test("parseBmp: roundtrips bmpBytes across row paddings, handles multi-row, rejects junk") {
+    import graft.operators.Multimodal
+    // widths 0..5 cover all four 4-byte row-padding residues
+    for (txt <- Seq("", "A", "AB", "ABC", "ABCD", "ABCDE")) {
+      val (w, h, bpp, n, peak, sum) = Multimodal.parseBmp(Multimodal.bmpBytes(txt))
+      val cps = txt.codePoints().toArray
+      val sums = cps.map(cp => (cp % 256) + (cp * 7 % 256) + (cp * 13 % 256)).map(_.toLong)
+      assert((w, h, bpp, n) == ((cps.length.toLong, if (cps.isEmpty) 0L else 1L, 24L, cps.length.toLong)))
+      assert(peak == (if (sums.isEmpty) 0L else sums.max))
+      assert(sum == sums.sum % 1000000007L)
+    }
+    // hand-built 2x2: rows are read bottom-up-agnostic here (fold is
+    // order-independent), but padding must be skipped per row
+    val bb = java.nio.ByteBuffer.allocate(54 + 16).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte); bb.put('M'.toByte); bb.putInt(54 + 16)
+    bb.putShort(0); bb.putShort(0); bb.putInt(54)
+    bb.putInt(40); bb.putInt(2); bb.putInt(2); bb.putShort(1); bb.putShort(24)
+    bb.putInt(0); bb.putInt(16); bb.putInt(0); bb.putInt(0); bb.putInt(0); bb.putInt(0)
+    // row 0: pixels (1,1,1),(2,2,2) + 2 pad; row 1: (3,3,3),(4,4,4) + 2 pad
+    Seq(1, 1, 1, 2, 2, 2, 0, 0, 3, 3, 3, 4, 4, 4, 0, 0).foreach(v => bb.put(v.toByte))
+    val (w2, h2, _, n2, peak2, sum2) = Multimodal.parseBmp(bb.array())
+    assert((w2, h2, n2) == ((2L, 2L, 4L)))
+    assert(peak2 == 12L && sum2 == 3L + 6L + 9L + 12L) // pad bytes NOT folded
+    intercept[IllegalArgumentException] {
+      Multimodal.parseBmp("not an image at all........................................".getBytes)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.parseBmp(Multimodal.bmpBytes("ABC").dropRight(1))
+    }
+  }
+
   // ---------------- latest-by-key compaction ------------------------------
   test("latestByKey: newest wins, ties broken by tie-break column") {
     import spark.implicits._
