@@ -664,6 +664,21 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    "q66_stream_upsert" -> ((s, dir) => {
+      // STREAMING CDC upsert view (batch q60's counterpart): per-key
+      // latest-wins state emits an Update-mode changelog; compacting the
+      // changelog gives the final view, which must equal batch
+      // latest-by-key on the same (1-in-7 users) subset — same oracle
+      val changelog = graft.streaming.UpsertStream.runOnce(s,
+        T(s, dir, "events").filter(col("user_id") % 7 === 0))
+      changelog.groupBy(col("user_id"), col("event_type"))
+        .agg(max_by(struct(col("last_event_id"), col("last_value")),
+          struct(col("ts_us"), col("last_event_id"))).as("w"))
+        .select(col("user_id"), col("event_type"),
+          col("w.last_event_id").as("last_event_id"),
+          col("w.last_value").as("last_value"))
+        .orderBy(col("user_id"), col("event_type"))
+    }),
     "q62_training_order" -> ((s, dir) => {
       // deterministic global training order (reproducible "shuffle"):
       // head of the order is TakeOrderedAndProject — bounded per-partition
@@ -1245,6 +1260,14 @@ object SparkEntry {
       "q62_training_order" ->
         s"""SELECT doc_id, source, ${rowHashSql(2, "doc_id")} AS pos
            |FROM documents ORDER BY pos, doc_id LIMIT 200""".stripMargin,
+      // q60's latest-by-key oracle restricted to the driven key subset
+      "q66_stream_upsert" ->
+        """SELECT user_id, event_type, event_id AS last_event_id, value AS last_value
+          |FROM (SELECT user_id, event_type, event_id, value,
+          |        row_number() OVER (PARTITION BY user_id, event_type
+          |                           ORDER BY ts DESC, event_id DESC) AS rn
+          |      FROM events WHERE user_id % 7 = 0) WHERE rn = 1
+          |ORDER BY user_id, event_type""".stripMargin,
       "q63_curation_capstone" ->
         raw"""WITH surv AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
              |toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming latest-wins upsert view — the streaming counterpart of
+  * `Curation.latestByKey` (batch q60) and the CDC changelog-compaction
+  * primitive: per key, state holds ONE winner (greatest (ts, tieBreak)),
+  * and every micro-batch that changes a key's winner emits the new
+  * winner row (Update output mode — a changelog a sink upserts by key).
+  *
+  * State is O(1) per key by construction (a single winner row — no
+  * history, no watermark needed); the changelog consumer compacts by
+  * taking each key's row with the greatest (ts, tieBreak), which equals
+  * the batch latest-by-key over the same data regardless of how rows
+  * were batched (winners are monotone per key).
+  */
+object UpsertStream {
+
+  case class EvIn(user_id: Long, event_type: String, ts: java.time.Instant,
+                  event_id: Long, value: Double) {
+    def tsUs: Long = ts.getEpochSecond * 1000000L + ts.getNano / 1000L
+  }
+  case class Winner(ts_us: Long, event_id: Long, value: Double)
+  case class UpOut(user_id: Long, event_type: String, last_event_id: Long,
+                   last_value: Double, ts_us: Long)
+
+  private def step(key: (Long, String), rows: Iterator[EvIn],
+      state: GroupState[Winner]): UpOut = {
+    val best = (state.getOption.iterator ++
+      rows.map(e => Winner(e.tsUs, e.event_id, e.value)))
+      .maxBy(w => (w.ts_us, w.event_id))
+    state.update(best)
+    UpOut(key._1, key._2, best.event_id, best.value, best.ts_us)
+  }
+
+  def upsert(ds: Dataset[EvIn]): Dataset[UpOut] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(e => (e.user_id, e.event_type))
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(step _)
+  }
+
+  private val runCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Drive the upsert over a static events frame via MemoryStream
+    * micro-batches and return the raw CHANGELOG (one row per key per
+    * batch in which its winner changed — Update mode re-emits the
+    * winner). Compacting the changelog by max (ts_us, last_event_id)
+    * per key yields the final upsert view.
+    */
+  def runOnce(spark: SparkSession, events: DataFrame, chunks: Int = 3,
+      stateParts: Int = 4): DataFrame = {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val defaultParts = spark.sessionState.conf.numShufflePartitions
+    spark.conf.set("spark.sql.shuffle.partitions", stateParts.toString)
+    try {
+      val rows = events
+        .select(col("user_id").cast("long"), col("event_type"),
+          col("ts").cast("timestamp"), col("event_id").cast("long"),
+          col("value").cast("double"))
+        .collect().toSeq
+        .filter(r => !r.isNullAt(0) && !r.isNullAt(1) && !r.isNullAt(2) && !r.isNullAt(3))
+        .map(r => EvIn(r.getLong(0), r.getString(1), r.getTimestamp(2).toInstant,
+          r.getLong(3), r.getDouble(4)))
+        .sortBy(e => (e.tsUs, e.event_id))
+      val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EvIn]
+      val name = s"upsert_stream_${runCounter.incrementAndGet()}"
+      val q = upsert(ms.toDS())
+        .writeStream.outputMode("update").format("memory").queryName(name).start()
+      val chunkSize = math.max(1, (rows.size + chunks - 1) / chunks)
+      rows.grouped(chunkSize).foreach { c => ms.addData(c); q.processAllAvailable() }
+      q.stop()
+      spark.table(name)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", defaultParts.toString)
+    }
+  }
+}
