@@ -125,7 +125,8 @@ object Multimodal {
     * chunks skipped), reads the fmt header, and folds the PCM16 samples
     * into peak amplitude and a portable mod-P checksum.
     */
-  def parseWav(bytes: Array[Byte]): (Long, Long, Long, Long, Long, Long) = {
+  def parseWav(bytes: Array[Byte],
+               onSample: Long => Unit = _ => ()): (Long, Long, Long, Long, Long, Long) = {
     val P = 1000000007L
     val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     def str4(): String = { val a = new Array[Byte](4); bb.get(a); new String(a, "US-ASCII") }
@@ -159,6 +160,7 @@ object Multimodal {
             nSamples += 1
             val a = math.abs(s); if (a > peak) peak = a
             sum += s
+            onSample(s)
             i += 2
           }
         case _ => () // LIST/INFO/etc — skip
@@ -214,9 +216,13 @@ object Multimodal {
     val compression = bb.getInt(30)
     require(w >= 0 && h >= 0, s"top-down/negative dimensions unsupported: ${w}x$h")
     require(bpp == 24 && compression == 0, s"unsupported encoding bpp=$bpp compression=$compression")
-    val rowBytes = (w * 3 + 3) / 4 * 4
-    require(pixelOffset.toLong + rowBytes.toLong * h <= bytes.length,
+    // row stride in Long: a hostile width near Int.MaxValue/3 would wrap
+    // w*3+3 negative in Int and slip past the overrun guard below
+    val rowBytesL = (w.toLong * 3 + 3) / 4 * 4
+    require(pixelOffset >= 54, s"pixel offset $pixelOffset inside headers")
+    require(pixelOffset.toLong + rowBytesL * h <= bytes.length,
       s"pixel data ${w}x$h overruns payload")
+    val rowBytes = rowBytesL.toInt
     var peak = 0L; var sum = 0L
     var row = 0
     while (row < h) {
@@ -259,6 +265,35 @@ object Multimodal {
       rows.map { r =>
         val (w, h, bpp, n, peak, sum) = parseBmp(r.getAs[Array[Byte]]("payload"))
         Row(r.getLong(0), w, h, bpp, n, peak, sum)
+      }
+    }(enc)
+  }
+
+  /** Audio feature extraction over REAL decoded samples (the q27
+    * successor — no stub anywhere on this path): parse the WAV container
+    * with the genuine RIFF walker, bucket each PCM16 sample into `bins`
+    * equal-width amplitude bins over [-32768, 32768), and emit one row
+    * per non-empty bin. Integer-only output, so a SQL oracle can replay
+    * the expected histogram from the source text independently of the
+    * byte layout (the same parse-vs-construct cross-check as q64).
+    * Per-partition imperative parse — the codec-handle pattern.
+    * Output: (media_id, bin, n).
+    */
+  def wavFeatures(media: DataFrame, bins: Int): DataFrame = {
+    require(bins > 0 && 65536 % bins == 0, s"bins must divide the i16 range: $bins")
+    val width = 65536 / bins
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("bin", LongType, nullable = false),
+      StructField("n", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col("media_id"), col("payload")).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val hist = new Array[Long](bins)
+        parseWav(r.getAs[Array[Byte]]("payload"),
+          s => hist(((s + 32768L) / width).toInt) += 1)
+        val mid = r.getLong(0)
+        (0 until bins).iterator.filter(hist(_) > 0).map(b => Row(mid, b.toLong, hist(b)))
       }
     }(enc)
   }

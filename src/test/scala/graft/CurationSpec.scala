@@ -201,6 +201,38 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] {
       Multimodal.parseBmp(Multimodal.bmpBytes("ABC").dropRight(1))
     }
+    // hostile header: width near Int.MaxValue/3 overflows an Int row
+    // stride ((w*3+3) wraps negative) — must fail the overrun check, not
+    // reach the pixel loop; likewise a pixel offset inside the headers
+    val hostile = Multimodal.bmpBytes("AB")
+    val hb = java.nio.ByteBuffer.wrap(hostile).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    hb.putInt(18, Int.MaxValue / 3)
+    intercept[IllegalArgumentException] { Multimodal.parseBmp(hostile) }
+    val badOff = Multimodal.bmpBytes("AB")
+    java.nio.ByteBuffer.wrap(badOff).order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(10, 2)
+    intercept[IllegalArgumentException] { Multimodal.parseBmp(badOff) }
+  }
+
+  test("wavFeatures: histogram over decoded samples equals per-codepoint expectation") {
+    import graft.operators.Multimodal
+    import org.apache.spark.sql.functions._
+    val docs = spark.createDataFrame(Seq(
+      (1L, "AAB"), (2L, ""), (3L, "zz  z"))).toDF("doc_id", "text")
+    val media = Multimodal.wavMediaFromDocuments(docs, sampleRate = 8000)
+    val got = Multimodal.wavFeatures(media, bins = 2048)
+      .orderBy("media_id", "bin")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def bins(txt: String): Seq[(Long, Long)] =
+      txt.codePoints().toArray.map(cp => ((cp % 4096 - 2048) * 16 + 32768L) / 32)
+        .groupBy(identity).toSeq.map { case (b, xs) => (b, xs.length.toLong) }.sortBy(_._1)
+    val expected = Seq(1L -> "AAB", 3L -> "zz  z").flatMap { case (id, txt) =>
+      bins(txt).map { case (b, n) => (id, b, n) }
+    }.sorted
+    assert(got.toSeq == expected) // doc 2 (empty) emits no rows
+    // coarse 8-bin histogram still sums to n_samples
+    val total = Multimodal.wavFeatures(media, bins = 8).agg(sum("n")).head.getLong(0)
+    assert(total == "AAB".length + "zz  z".length)
+    intercept[IllegalArgumentException] { Multimodal.wavFeatures(media, bins = 7) }
   }
 
   // ---------------- latest-by-key compaction ------------------------------
