@@ -25,7 +25,11 @@ object ScaleSmoke {
     // rough-estimate noise grows with dim (1-bit codes): at dim≫64 the
     // shortlist must widen for the true neighbors to survive into rerank
     val rerank = if (args.length > 4) args(4).toInt else 200
-    val nQueries = 100
+    // large values (e.g. 100000) exercise the batch-scoring path: probes
+    // are computed executor-side, so the probe build must parallelize
+    // instead of serializing on the driver. Recall vs brute force is only
+    // measured for small batches (the exact baseline is quadratic).
+    val nQueries = if (args.length > 5) args(5).toInt else 100
 
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -62,16 +66,18 @@ object ScaleSmoke {
 
     val t1 = System.nanoTime()
     val approx = RabitqQuery.topK(spark, model, indexP, base, queries,
-      nprobe = nprobe, topk = 10, rerank = rerank)
+      nprobe = nprobe, topk = 10, rerank = rerank, largeBatch = nQueries > 1000)
     val nres = approx.count()
     val querySec = (System.nanoTime() - t1) / 1e9
 
-    val t2 = System.nanoTime()
-    val truth = ExactKnn.l2TopK(base, queries, 10)
-    val recall = ExactKnn.recall(approx, truth, 10).head().getDouble(0)
-    val exactSec = (System.nanoTime() - t2) / 1e9
+    val (recall, exactSec) = if (nQueries <= 1000) {
+      val t2 = System.nanoTime()
+      val truth = ExactKnn.l2TopK(base, queries, 10)
+      val r = ExactKnn.recall(approx, truth, 10).head().getDouble(0)
+      (r, (System.nanoTime() - t2) / 1e9)
+    } else (-1.0, -1.0) // exact baseline is quadratic — skipped at batch scale
 
-    println(s"""{"scale_smoke":{"n":$n,"k":$k,"nprobe":$nprobe,"dim":$dim,"rerank":$rerank,"build_sec":$buildSec,""" +
+    println(s"""{"scale_smoke":{"n":$n,"k":$k,"nprobe":$nprobe,"dim":$dim,"rerank":$rerank,"n_queries":$nQueries,"build_sec":$buildSec,""" +
       s""""query_sec":$querySec,"qps":${nQueries / querySec},"results":$nres,""" +
       s""""recall_at_10":$recall,"exact_baseline_sec":$exactSec}}""")
     spark.stop()

@@ -38,17 +38,29 @@ object RabitqQuery {
       query_id: Long, cluster_id: Int, centroid_d2: Float, lb: Float, delta: Float,
       sum_q: Int, planes: Array[Long])
 
+  private def rotatedQuery(model: RabitqModel, qvec: Array[Float]): Array[Float] =
+    VectorOps.rotate(model.rotation, VectorOps.pad(qvec, 64))
+
+  /** Top-nprobe (centroid_d2, cluster_id) for a rotated query — the ONE
+    * centroid scan both the full probe computation and the disk path's
+    * static prune enumeration go through, so tie-breaking can never
+    * diverge between them.
+    */
+  private def nearestCentroids(model: RabitqModel, y: Array[Float],
+                               nprobe: Int): Seq[(Double, Int)] =
+    model.centroids.zipWithIndex.map { case (c, i) =>
+      (VectorOps.l2sq(y, c), i)
+    }.sortBy(identity).take(nprobe).toSeq
+
   /** Pure probe computation for one query vector against the model
     * (shared with the driver-memory HotTier, so both paths probe
     * identically).
     */
   private[operators] def computeProbes(model: RabitqModel, queryId: Long, qvec: Array[Float],
                             nprobe: Int): Seq[Probe] = {
-    val y = VectorOps.rotate(model.rotation, VectorOps.pad(qvec, 64))
-    val dists = model.centroids.zipWithIndex.map { case (c, i) =>
-      (VectorOps.l2sq(y, c), i)
-    }.sortBy(identity).take(nprobe)
-    dists.toSeq.map { case (cd2, cid) =>
+    val y = rotatedQuery(model, qvec)
+    val dists = nearestCentroids(model, y, nprobe)
+    dists.map { case (cd2, cid) =>
       val res = VectorOps.subtract(y, model.centroids(cid))
       var lb = Float.MaxValue; var ub = Float.MinValue
       var i = 0
@@ -66,9 +78,18 @@ object RabitqQuery {
   /** Q8–Q14 given the probe table: rough estimate (codegen expression +
     * column arithmetic — no UDF on the candidate scan), shortlist by
     * bounded top-k, exact rerank against base, final top-k.
+    *
+    * `largeBatch = false` (the serving shape): the query batch is small
+    * by contract, so probes/shortlist/queries all broadcast and the index
+    * never shuffles. `largeBatch = true` (the batch-scoring shape, e.g.
+    * scoring one corpus against another): those sides are |queries|-sized
+    * and would OOM a broadcast — plain equi-joins let Spark pick
+    * shuffled/sort-merge joins, which partition and spill.
     */
   private def fromProbes(index: DataFrame, base: DataFrame, queries: DataFrame,
-                         probes: DataFrame, topk: Int, rerank: Int): DataFrame = {
+                         probes: DataFrame, topk: Int, rerank: Int,
+                         largeBatch: Boolean = false): DataFrame = {
+    def side(df: DataFrame): DataFrame = if (largeBatch) df else broadcast(df)
     val ad = graft.functions.VectorExpressions.asymDot(col("code"), col("planes"))
     val rough =
       col("cds").cast("double") + col("centroid_d2") +
@@ -78,7 +99,7 @@ object RabitqQuery {
 
     val obsId = obsCounter.incrementAndGet()
     val candidates = index
-      .join(broadcast(probes), Seq("cluster_id"))
+      .join(side(probes), Seq("cluster_id"))
       .select(col("query_id"), col("vec_id"), rough.as("rough"))
       .observe(s"rabitq_rough_$obsId", count(lit(1)).as("n_rough"))
 
@@ -86,8 +107,8 @@ object RabitqQuery {
       outId = "vec_id", outScore = "rough")
       .select("query_id", "vec_id")
 
-    val exact = base.join(broadcast(shortlist), Seq("vec_id"))
-      .join(broadcast(queries), Seq("query_id"))
+    val exact = base.join(side(shortlist), Seq("vec_id"))
+      .join(side(queries), Seq("query_id"))
       .select(col("query_id"), col("vec_id"),
         sqrt(graft.functions.VectorExpressions.l2sq(col("qvec"), col("embedding"))).as("dist"))
       .observe(s"rabitq_precise_$obsId", count(lit(1)).as("n_precise"))
@@ -96,23 +117,9 @@ object RabitqQuery {
       outId = "neighbor_id", outScore = "dist")
   }
 
-  /** Schema-explicit probe frame: the query batch is driver-collected
-    * (model-sized by contract — same bound as the broadcast it feeds) and
-    * probes materialize as explicit Rows. Deliberately NOT a case-class
-    * encoder: the `Probe` ExpressionEncoder's generated serializer fails
-    * Janino compilation under layered classloaders ("no applicable
-    * method ... centroid_d2()") and silently falls back to interpreted
-    * encoding with a costly compile-attempt per query — explicit Rows
-    * sidestep codegen entirely for this tiny frame.
-    */
-  private def probesDf(spark: SparkSession, model: RabitqModel, queries: DataFrame,
-                       nprobe: Int): (DataFrame, Seq[Probe]) = {
-    import org.apache.spark.sql.Row
+  private val probeSchema: org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
-    val qRows = queries.select(col("query_id"), col("qvec")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    val probes = qRows.flatMap { case (qid, v) => computeProbes(model, qid, v, nprobe) }.toSeq
-    val schema = StructType(Seq(
+    StructType(Seq(
       StructField("query_id", LongType, nullable = false),
       StructField("cluster_id", IntegerType, nullable = false),
       StructField("centroid_d2", FloatType, nullable = false),
@@ -120,10 +127,45 @@ object RabitqQuery {
       StructField("delta", FloatType, nullable = false),
       StructField("sum_q", IntegerType, nullable = false),
       StructField("planes", ArrayType(LongType, containsNull = false), nullable = false)))
-    val rows = probes.map(p =>
-      Row(p.query_id, p.cluster_id, p.centroid_d2, p.lb, p.delta, p.sum_q, p.planes.toSeq))
-    (spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema), probes)
   }
+
+  /** Probe frame computed EXECUTOR-SIDE: the model broadcasts to the
+    * query partitions and each partition quantizes its own queries, so a
+    * 100× query batch parallelizes instead of serializing on the driver
+    * (probe cost is nprobe × |queries| rotations + quantizations). The
+    * frame stays schema-explicit Rows, deliberately NOT a case-class
+    * encoder: the `Probe` ExpressionEncoder's generated serializer fails
+    * Janino compilation under layered classloaders ("no applicable
+    * method ... centroid_d2()") and silently falls back to interpreted
+    * encoding with a costly compile-attempt per query — explicit Rows
+    * sidestep codegen entirely for this small frame.
+    */
+  private def probesDf(spark: SparkSession, model: RabitqModel, queries: DataFrame,
+                       nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    val bModel = spark.sparkContext.broadcast(model)
+    val enc = org.apache.spark.sql.Encoders.row(probeSchema)
+    queries.select(col("query_id"), col("qvec")).mapPartitions { rows =>
+      val m = bModel.value
+      rows.flatMap { r =>
+        computeProbes(m, r.getLong(0), r.getSeq[Float](1).toArray, nprobe).iterator.map(p =>
+          Row(p.query_id, p.cluster_id, p.centroid_d2, p.lb, p.delta, p.sum_q, p.planes.toSeq))
+      }
+    }(enc)
+  }
+
+  /** Driver-side enumeration of the probed cluster ids — ONLY for the
+    * disk path, where the ids must be known at plan time to statically
+    * prune the partitioned scan. Runs just the centroid scan (no
+    * quantization) over the plan-time-small query batch; the actual probe
+    * state is still computed executor-side by `probesDf`.
+    */
+  private def probedClusterIds(model: RabitqModel, queries: DataFrame,
+                               nprobe: Int): Seq[Int] =
+    queries.select(col("qvec")).collect().iterator.flatMap { r =>
+      val y = rotatedQuery(model, r.getSeq[Float](0).toArray)
+      nearestCentroids(model, y, nprobe).map(_._2)
+    }.toArray.distinct.sorted.toSeq
 
   /** Approximate top-k over an in-memory index DataFrame.
     *
@@ -133,24 +175,25 @@ object RabitqQuery {
     * Output: (query_id, neighbor_id, dist, rank).
     */
   def topK(spark: SparkSession, model: RabitqModel, index: DataFrame, base: DataFrame,
-           queries: DataFrame, nprobe: Int, topk: Int, rerank: Int): DataFrame = {
-    val (probes, _) = probesDf(spark, model, queries, nprobe)
-    fromProbes(index, base, queries, probes, topk, rerank)
+           queries: DataFrame, nprobe: Int, topk: Int, rerank: Int,
+           largeBatch: Boolean = false): DataFrame = {
+    fromProbes(index, base, queries, probesDf(spark, model, queries, nprobe), topk, rerank,
+      largeBatch)
   }
 
-  /** Approximate top-k against a SAVED index directory. The probe set is
-    * computed driver-side from the (small, by contract) query batch, so
-    * the probed cluster ids are known at plan time and the index scan is
-    * STATICALLY partition-pruned — only nprobe × |queries| cluster
-    * directories are read, the Spark analog of the reference's CSR offset
-    * slices (`/root/reference/src/rabitq.rs:318-326`).
+  /** Approximate top-k against a SAVED index directory. The probed
+    * cluster IDS are enumerated driver-side from the (plan-time-small, by
+    * contract) query batch so the index scan is STATICALLY partition-
+    * pruned — only nprobe × |queries| cluster directories are read, the
+    * Spark analog of the reference's CSR offset slices
+    * (`/root/reference/src/rabitq.rs:318-326`). The probe STATE itself is
+    * computed executor-side like the in-memory path.
     */
   def topKFromDisk(spark: SparkSession, dir: String, base: DataFrame,
                    queries: DataFrame, nprobe: Int, topk: Int, rerank: Int): DataFrame = {
     val (model, index) = RabitqIndex.load(spark, dir)
-    val (pDf, probes) = probesDf(spark, model, queries, nprobe)
-    val probed = probes.map(_.cluster_id).distinct.sorted
+    val probed = probedClusterIds(model, queries, nprobe)
     val pruned = index.filter(col("cluster_id").isin(probed: _*))
-    fromProbes(pruned, base, queries, pDf, topk, rerank)
+    fromProbes(pruned, base, queries, probesDf(spark, model, queries, nprobe), topk, rerank)
   }
 }
