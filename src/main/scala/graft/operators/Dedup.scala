@@ -356,20 +356,26 @@ object Dedup {
         bits
       }.toSeq
     }
+    // ID-ONLY CANDIDATES: the band exchange carries (band, bits, vec_id) —
+    // never the embedding. A banded self-join that kept the vectors would
+    // shuffle numBands full copies of the corpus; joining on ids and
+    // fetching the embeddings in the verification join (the minhashPairs
+    // shape) shuffles numBands × 20 bytes per vector instead, and the
+    // (usually far smaller) candidate set pays the vector fetch.
     val banded = emb
-      .select(col("vec_id"), col("embedding"), bandsUdf(col("embedding")).as("bands"))
-      .select(col("vec_id"), col("embedding"),
-        posexplode(col("bands")).as(Seq("band", "bits")))
-    val a = banded.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
-      col("band"), col("bits"))
-    val b = banded.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
-      col("band"), col("bits"))
-    a.join(b, Seq("band", "bits"))
+      .select(col("vec_id"), posexplode(bandsUdf(col("embedding"))).as(Seq("band", "bits")))
+    val a = banded.select(col("vec_id").as("id_a"), col("band"), col("bits"))
+    val b = banded.select(col("vec_id").as("id_b"), col("band"), col("bits"))
+    val candidates = a.join(b, Seq("band", "bits"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    val ea = emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+    val eb = emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+    candidates.join(ea, Seq("id_a")).join(eb, Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         graft.functions.VectorExpressions.cosineSim(col("ea"), col("eb")).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
-      .distinct()
   }
 
   /** Oracle-able hyperplane LSH: like `embeddingNearDupLSH` but every
@@ -404,24 +410,29 @@ object Dedup {
     val sigExpr = (0 until numPlanes)
       .map(j => when(dots(j) > 0.0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_.bitwiseOR(_))
-    val sig = emb.select(col("vec_id"), col("embedding"), sigExpr.as("sig"))
-    val banded = sig.select(col("vec_id"), col("embedding"),
+    // id-only candidates, exactly as embeddingNearDupLSH: nothing heavier
+    // than (band, bits, vec_id) crosses the band exchange; the verification
+    // join fetches the embeddings for the (small) candidate set only
+    val sig = emb.select(col("vec_id"), sigExpr.as("sig"))
+    val banded = sig.select(col("vec_id"),
       explode(array((0 until numBands).map { b =>
         struct(lit(b).as("band"),
           shiftright(col("sig"), bandBits * b).bitwiseAND(lit(bandMask)).as("bits"))
       }: _*)).as("bb"))
-      .select(col("vec_id"), col("embedding"), col("bb.band"), col("bb.bits"))
-    val a = banded.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
-      col("band"), col("bits"))
-    val b = banded.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
-      col("band"), col("bits"))
-    a.join(b, Seq("band", "bits"))
+      .select(col("vec_id"), col("bb.band"), col("bb.bits"))
+    val a = banded.select(col("vec_id").as("id_a"), col("band"), col("bits"))
+    val b = banded.select(col("vec_id").as("id_b"), col("band"), col("bits"))
+    val candidates = a.join(b, Seq("band", "bits"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    val ea = emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+    val eb = emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
+    candidates.join(ea, Seq("id_a")).join(eb, Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         graft.functions.VectorExpressions.cosineSim(col("ea"), col("eb")).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
       .select("id_a", "id_b")
-      .distinct()
   }
 
   def embeddingNearDup(emb: DataFrame, threshold: Double): DataFrame = {

@@ -220,7 +220,10 @@ object Multimodal {
     // w*3+3 negative in Int and slip past the overrun guard below
     val rowBytesL = (w.toLong * 3 + 3) / 4 * 4
     require(pixelOffset >= 54, s"pixel offset $pixelOffset inside headers")
-    require(pixelOffset.toLong + rowBytesL * h <= bytes.length,
+    // overrun guard by DIVISION, not multiplication: with hostile w AND h
+    // both near Int.MaxValue, rowBytesL * h (~1.4e19) wraps negative even
+    // in Long and a product-form require would pass spuriously
+    require(h == 0 || rowBytesL <= (bytes.length.toLong - pixelOffset) / h,
       s"pixel data ${w}x$h overruns payload")
     val rowBytes = rowBytesL.toInt
     var peak = 0L; var sum = 0L

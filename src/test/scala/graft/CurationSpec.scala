@@ -211,6 +211,13 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     val badOff = Multimodal.bmpBytes("AB")
     java.nio.ByteBuffer.wrap(badOff).order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(10, 2)
     intercept[IllegalArgumentException] { Multimodal.parseBmp(badOff) }
+    // hostile width AND height: rowBytesL * h (~1.4e19) wraps negative
+    // even in LONG — the division-form guard must still reject it with
+    // IllegalArgumentException, not reach the pixel loop and AIOOBE
+    val hostile2 = Multimodal.bmpBytes("AB")
+    val hb2 = java.nio.ByteBuffer.wrap(hostile2).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    hb2.putInt(18, Int.MaxValue - 2); hb2.putInt(22, Int.MaxValue - 2)
+    intercept[IllegalArgumentException] { Multimodal.parseBmp(hostile2) }
   }
 
   test("wavFeatures: histogram over decoded samples equals per-codepoint expectation") {

@@ -877,6 +877,31 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.subsetOf(exact))
   }
 
+  test("banded-LSH exchanges carry ids only — no embedding below the band exchange") {
+    import spark.implicits._
+    val rnd = new java.util.Random(13)
+    val df = (0L until 50L).map(i => (i, Array.fill(32)(rnd.nextFloat() * 2f - 1f).toSeq))
+      .toDF("vec_id", "embedding")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for ((name, q) <- Seq(
+        "gaussian" -> Dedup.embeddingNearDupLSH(spark, df, threshold = 0.95),
+        "portable" -> Dedup.hyperplaneLshPortable(df, threshold = 0.95))) {
+        val bandExchanges = q.queryExecution.executedPlan.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+            if e.outputPartitioning.toString.contains("band") => e
+        }
+        assert(bandExchanges.nonEmpty, s"$name: no band exchange found")
+        bandExchanges.foreach { e =>
+          val arrayCols = e.child.output.filter(
+            _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+          assert(arrayCols.isEmpty,
+            s"$name: band exchange shuffles vector columns ${arrayCols.map(_.name)}")
+        }
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("HotTier results are byte-identical to the Spark ANN path") {
     val (model, index) = RabitqIndex.build(spark, emb, numClusters = 8, seed = 3L)
     val hot = HotTier.fromIndex(spark, model, index, emb)
