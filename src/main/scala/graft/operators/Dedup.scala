@@ -331,6 +331,12 @@ object Dedup {
     * buckets, ~n²/2³³ expected collisions per band) — the signature is
     * packed per band, so any numPlanes = numBands × bandBits ≤ 64·bands
     * works without code changes.
+    *
+    * PRECONDITION: `vec_id` must be a key of `emb` (unique). Candidate
+    * pairs are distinct()-ed before verification, so a duplicate vec_id
+    * would make the 1:N embedding-fetch joins emit duplicate
+    * (id_a, id_b) rows. All engine sources guarantee this (parquet
+    * vec_id is the row key); dedupe first if yours doesn't.
     */
   def embeddingNearDupLSH(spark: SparkSession, emb: DataFrame, threshold: Double,
                           seed: Long = 42L, numBands: Int = 8,

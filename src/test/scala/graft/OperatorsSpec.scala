@@ -882,7 +882,12 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rnd = new java.util.Random(13)
     val df = (0L until 50L).map(i => (i, Array.fill(32)(rnd.nextFloat() * 2f - 1f).toSeq))
       .toDF("vec_id", "embedding")
+    // at 50 rows Spark would broadcast the band join (no exchange at all),
+    // so force the shuffle the assertion is about; restore prior confs after
+    val prevAdaptive = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       for ((name, q) <- Seq(
         "gaussian" -> Dedup.embeddingNearDupLSH(spark, df, threshold = 0.95),
@@ -899,7 +904,10 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
             s"$name: band exchange shuffles vector columns ${arrayCols.map(_.name)}")
         }
       }
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAdaptive)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+    }
   }
 
   test("HotTier results are byte-identical to the Spark ANN path") {
