@@ -795,6 +795,16 @@ object SparkEntry {
       val media = Multimodal.bmpMediaFromDocuments(T(s, dir, "documents"))
       Multimodal.decodeBmp(media).orderBy(col("media_id"))
     }),
+    "q67_bmp_features" -> ((s, dir) => {
+      // image-side feature extraction over REAL decoded pixels (q27's BMP
+      // counterpart — both real decoders now feed a feature query):
+      // per-channel color histogram, 16 bins of width 16. The oracle
+      // replays the expected histogram from the source text via the pixel
+      // formula (cp%256, 7cp%256, 13cp%256) — parse-vs-construct per pixel
+      val media = Multimodal.bmpMediaFromDocuments(T(s, dir, "documents"))
+      Multimodal.bmpFeatures(media, bins = 16)
+        .orderBy(col("media_id"), col("channel"), col("bin"))
+    }),
   )
 
   // ---- generated oracles for the portable-hash signature pipelines ------
@@ -1277,6 +1287,23 @@ object SparkEntry {
           |       + (ascii(substring(text, CAST(i AS INT), 1)) * 7 % 256)
           |       + (ascii(substring(text, CAST(i AS INT), 1)) * 13 % 256))), 0) % 1000000007 AS BIGINT) AS checksum
           |FROM documents ORDER BY media_id""".stripMargin,
+      // expected BMP channel histogram from the TEXT (pixel formula
+      // mirrors Multimodal.bmpBytes; channel 0/1/2 = b/g/r storage order,
+      // bin width 16 = 256/16) — q67's independent parse-vs-construct side
+      "q67_bmp_features" ->
+        """WITH px AS (SELECT doc_id AS media_id,
+          |    list_transform(range(1, length(text) + 1),
+          |      i -> ascii(substring(text, CAST(i AS INT), 1))) AS cps
+          |  FROM documents),
+          |ch AS (
+          |  SELECT media_id, 0 AS channel, cp % 256 AS v FROM px, LATERAL unnest(cps) AS u(cp)
+          |  UNION ALL
+          |  SELECT media_id, 1 AS channel, cp * 7 % 256 AS v FROM px, LATERAL unnest(cps) AS u(cp)
+          |  UNION ALL
+          |  SELECT media_id, 2 AS channel, cp * 13 % 256 AS v FROM px, LATERAL unnest(cps) AS u(cp))
+          |SELECT media_id, CAST(channel AS BIGINT) AS channel,
+          |  CAST(v // 16 AS BIGINT) AS bin, COUNT(*) AS n
+          |FROM ch GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
       "q55_stratified_sample" ->
         s"""SELECT doc_id, lang FROM documents
            |WHERE ${rowHashSql(0, "doc_id")} < ${sampleThresholdSql("lang")}

@@ -206,6 +206,21 @@ object Multimodal {
     */
   def parseBmp(bytes: Array[Byte]): (Long, Long, Long, Long, Long, Long) = {
     val P = 1000000007L
+    var peak = 0L; var sum = 0L
+    val (w, h, bpp) = walkBmp(bytes) { (b, g, r) =>
+      val s = b.toLong + g + r
+      if (s > peak) peak = s
+      sum += s
+    }
+    (w.toLong, h.toLong, bpp.toLong, w.toLong * h, peak, sum % P)
+  }
+
+  /** Validated BMP pixel walk shared by `parseBmp` and `bmpFeatures`:
+    * header checks + padded-row traversal, calling `visit(b, g, r)` per
+    * pixel (storage order — BMP rows are bottom-up, irrelevant to the
+    * per-pixel folds here). Returns (width, height, bpp).
+    */
+  private def walkBmp(bytes: Array[Byte])(visit: (Int, Int, Int) => Unit): (Int, Int, Int) = {
     require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M', "not a BMP file")
     val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     val pixelOffset = bb.getInt(10)
@@ -226,20 +241,49 @@ object Multimodal {
     require(h == 0 || rowBytesL <= (bytes.length.toLong - pixelOffset) / h,
       s"pixel data ${w}x$h overruns payload")
     val rowBytes = rowBytesL.toInt
-    var peak = 0L; var sum = 0L
     var row = 0
     while (row < h) {
       var x = 0
       var p = pixelOffset + row * rowBytes
       while (x < w) {
-        val s = (bytes(p) & 0xff).toLong + (bytes(p + 1) & 0xff) + (bytes(p + 2) & 0xff)
-        if (s > peak) peak = s
-        sum += s
+        visit(bytes(p) & 0xff, bytes(p + 1) & 0xff, bytes(p + 2) & 0xff)
         p += 3; x += 1
       }
       row += 1
     }
-    (w.toLong, h.toLong, bpp.toLong, w.toLong * h, peak, sum % P)
+    (w, h, bpp)
+  }
+
+  /** Image feature extraction over REAL decoded pixels — the BMP
+    * counterpart of `wavFeatures`, so both real decoders feed a feature
+    * query: walk the validated pixel rows and histogram each channel
+    * (0 = blue, 1 = green, 2 = red — BMP storage order) into `bins`
+    * equal-width buckets over [0, 256). Integer-only output lets a SQL
+    * oracle replay the expected histogram from the source text
+    * independently of the byte layout. Output: (media_id, channel, bin, n).
+    */
+  def bmpFeatures(media: DataFrame, bins: Int): DataFrame = {
+    require(bins > 0 && 256 % bins == 0, s"bins must divide the channel range: $bins")
+    val width = 256 / bins
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("channel", LongType, nullable = false),
+      StructField("bin", LongType, nullable = false),
+      StructField("n", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col("media_id"), col("payload")).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val hist = new Array[Long](3 * bins)
+        walkBmp(r.getAs[Array[Byte]]("payload")) { (b, g, r2) =>
+          hist(b / width) += 1
+          hist(bins + g / width) += 1
+          hist(2 * bins + r2 / width) += 1
+        }
+        val mid = r.getLong(0)
+        (0 until 3 * bins).iterator.filter(hist(_) > 0)
+          .map(i => Row(mid, (i / bins).toLong, (i % bins).toLong, hist(i)))
+      }
+    }(enc)
   }
 
   /** Media frame with synthesized BMP payloads (construction scaffolding;

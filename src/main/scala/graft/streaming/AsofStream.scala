@@ -165,4 +165,85 @@ object AsofStream {
       spark.conf.set("spark.sql.shuffle.partitions", defaultParts.toString)
     }
   }
+
+  /** Drive the streaming as-of join from a PARQUET FILE SOURCE — the
+    * non-harness path a deployment actually runs: inputs never touch the
+    * driver. The tagged union is written DISTRIBUTED as event-time-ordered
+    * chunk files (chunk boundaries from exact quantiles of the event
+    * time — the only driver materialization is that O(chunks) scalar
+    * list), then `readStream.parquet` with `maxFilesPerTrigger=1`
+    * replays one file per micro-batch, oldest first, so the watermark
+    * advances chunk by chunk exactly as a live source would. State is
+    * kept in the RocksDB state-store provider (incremental changelog
+    * instead of full HDFS-backed snapshots per batch) — the store a
+    * large-state deployment uses.
+    *
+    * Emitted rows equal the batch as-of join over the same inputs (same
+    * contract as `runOnce`); the chunking-invariance and file-vs-memory
+    * equality specs pin that.
+    */
+  def runFileSource(spark: SparkSession, left: DataFrame, right: DataFrame,
+      leftCols: (String, String, String), rightCols: (String, String, String),
+      dir: String, chunks: Int = 3, stateParts: Int = 4): DataFrame = {
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val defaultParts = spark.sessionState.conf.numShufflePartitions
+    val defaultStore = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.shuffle.partitions", stateParts.toString)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def shape(df: DataFrame, cols: (String, String, String), side: Int) = df.select(
+        col(cols._1).cast("long").as("key"), col(cols._2).cast("timestamp").as("ts"),
+        lit(side).as("side"), col(cols._3).cast("long").as("id"),
+        lit(0.0).as("value"))
+        .filter(col("key").isNotNull && col("ts").isNotNull && col("id").isNotNull)
+      val tagged = shape(right, rightCols, 0).unionByName(shape(left, leftCols, 1))
+        .withColumn("ts_us", unix_micros(col("ts")))
+      // event-time chunk boundaries: exact quantiles (err 0), not a global
+      // sort — each chunk write below is a parallel filtered scan
+      val bounds = tagged.stat
+        .approxQuantile("ts_us", (1 until chunks).map(_.toDouble / chunks).toArray, 0.0)
+        .map(_.toLong)
+      val maxUs = tagged.agg(max(col("ts_us"))).head() match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
+      val lo = Long.MinValue +: bounds
+      val hi = bounds :+ Long.MaxValue
+      val inDir = s"$dir/in"
+      (0 until chunks).foreach { i =>
+        tagged.filter(col("ts_us") > lo(i) && col("ts_us") <= hi(i))
+          .drop("ts_us").coalesce(1)
+          .write.mode("append").parquet(inDir)
+      }
+      // flusher files, exactly as runOnce: the first advances the max
+      // event time, the second runs with the resulting watermark and
+      // drains every buffered left
+      (1 to 2).foreach { i =>
+        spark.range(1).select(lit(-1L).as("key"),
+          timestamp_micros(lit(maxUs + 86400L * 1000000L * i)).as("ts"),
+          lit(0).as("side"), lit(-1L).as("id"), lit(0.0).as("value"))
+          .coalesce(1).write.mode("append").parquet(inDir)
+      }
+      import spark.implicits._
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "key BIGINT, ts TIMESTAMP, side INT, id BIGINT, value DOUBLE")
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
+        .parquet(inDir).as[TaggedIn]
+      val name = s"asof_fstream_${runCounter.incrementAndGet()}"
+      val q = asof(src.withWatermark("ts", "1 second"))
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .option("checkpointLocation", s"$dir/ckpt").start()
+      q.processAllAvailable()
+      q.stop()
+      spark.table(name)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", defaultParts.toString)
+      defaultStore match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }

@@ -127,6 +127,37 @@ class AsofStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("file-source drive (parquet + RocksDB state) equals memory harness and batch") {
+    // the non-harness path: inputs written distributed as time-ordered
+    // chunk files, replayed one file per micro-batch through the SAME
+    // asof operator with the RocksDB state store — results must be
+    // identical to both the MemoryStream drive and the batch join
+    val right = mkDf(Seq(
+      (1L, 100L, 10L), (1L, 100L, 11L), (1L, 300L, 12L),
+      (2L, 900L, 20L),
+      (3L, 50L, 30L), (3L, 150L, 31L), (3L, 250L, 32L)))
+    val left = mkDf(Seq(
+      (1L, 50L, 1L), (1L, 100L, 2L), (1L, 299L, 3L), (1L, 301L, 4L),
+      (2L, 100L, 5L), (2L, 850L, 6L),
+      (3L, 60L, 7L), (3L, 160L, 8L), (3L, 260L, 9L), (3L, 1000L, 90L)))
+    val expect = batch(left, right)
+    val dir = java.nio.file.Files.createTempDirectory("asof_fsrc").toString
+    try {
+      val got = AsofStream.runFileSource(spark, left, right,
+          ("key", "ts", "id"), ("key", "ts", "id"), dir, chunks = 3)
+        .select("key", "left_id", "right_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+        .toSet
+      assert(got == expect, s"file-source drive diverged: ${(got diff expect).take(3)}")
+      assert(got == streamed(left, right, 3))
+      // the conf swap must not leak out of the drive
+      assert(spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+        .forall(!_.contains("RocksDB")))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("streaming as-of: duplicate left rows each emitted, hot key linear shape") {
     // 500 lefts and 300 rights on ONE key — the fan-out shape that kills
     // a join-based formulation; state holds O(window) not O(|L|x|R|)

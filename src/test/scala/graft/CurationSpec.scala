@@ -242,6 +242,36 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] { Multimodal.wavFeatures(media, bins = 7) }
   }
 
+  test("bmpFeatures: channel histogram over decoded pixels equals per-codepoint expectation") {
+    import graft.operators.Multimodal
+    import org.apache.spark.sql.functions._
+    val docs = spark.createDataFrame(Seq(
+      (1L, "AAB"), (2L, ""), (3L, "zz  z"))).toDF("doc_id", "text")
+    val media = Multimodal.bmpMediaFromDocuments(docs)
+    val got = Multimodal.bmpFeatures(media, bins = 16)
+      .orderBy("media_id", "channel", "bin")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    def hist(txt: String): Seq[(Long, Long, Long)] = {
+      val cps = txt.codePoints().toArray
+      (for {
+        (f, ch) <- Seq((cp: Int) => cp % 256, (cp: Int) => cp * 7 % 256,
+          (cp: Int) => cp * 13 % 256).zipWithIndex
+        (bin, xs) <- cps.map(cp => f(cp) / 16).groupBy(identity).toSeq
+      } yield (ch.toLong, bin.toLong, xs.length.toLong)).sorted
+    }
+    val expected = Seq(1L -> "AAB", 3L -> "zz  z").flatMap { case (id, txt) =>
+      hist(txt).map { case (ch, b, n) => (id, ch, b, n) }
+    }.sorted
+    assert(got.toSeq == expected) // doc 2 (empty) emits no rows
+    // every channel's histogram sums to the pixel count
+    val perChannel = Multimodal.bmpFeatures(media, bins = 4)
+      .groupBy("channel").agg(sum("n").as("t")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val nPix = ("AAB".length + "zz  z".length).toLong
+    assert(perChannel == Map(0L -> nPix, 1L -> nPix, 2L -> nPix))
+    intercept[IllegalArgumentException] { Multimodal.bmpFeatures(media, bins = 7) }
+  }
+
   // ---------------- latest-by-key compaction ------------------------------
   test("latestByKey: newest wins, ties broken by tie-break column") {
     import spark.implicits._
