@@ -151,14 +151,16 @@ object AsofStream {
       .writeStream.outputMode("append").format("memory").queryName(name).start()
     val chunkSize = math.max(1, (all.size + chunks - 1) / chunks)
     all.grouped(chunkSize).foreach { c => ms.addData(c); q.processAllAvailable() }
-    // two flusher batches: the first's max event time becomes the
-    // watermark the second runs with, draining every buffered left
+    // ONE flusher batch suffices: its max event time advances the
+    // watermark, and the engine then runs the required no-data batch
+    // (constructNextBatch only signals noNewData once the last execution
+    // no longer requiresAnotherBatch, so processAllAvailable blocks until
+    // that drain batch — where the event-time timeouts fire and every
+    // buffered left flushes — has committed)
     val maxUs = if (all.nonEmpty) all.map(_.tsUs).max else 0L
-    (1 to 2).foreach { i =>
-      ms.addData(TaggedIn(-1L, java.time.Instant.ofEpochSecond(maxUs / 1000000L + 86400L * i),
-        0, -1L, 0.0))
-      q.processAllAvailable()
-    }
+    ms.addData(TaggedIn(-1L, java.time.Instant.ofEpochSecond(maxUs / 1000000L + 86400L),
+      0, -1L, 0.0))
+    q.processAllAvailable()
     q.stop()
     spark.table(name)
     } finally {
@@ -216,15 +218,12 @@ object AsofStream {
           .drop("ts_us").coalesce(1)
           .write.mode("append").parquet(inDir)
       }
-      // flusher files, exactly as runOnce: the first advances the max
-      // event time, the second runs with the resulting watermark and
-      // drains every buffered left
-      (1 to 2).foreach { i =>
-        spark.range(1).select(lit(-1L).as("key"),
-          timestamp_micros(lit(maxUs + 86400L * 1000000L * i)).as("ts"),
-          lit(0).as("side"), lit(-1L).as("id"), lit(0.0).as("value"))
-          .coalesce(1).write.mode("append").parquet(inDir)
-      }
+      // one flusher file, exactly as runOnce: it advances the watermark
+      // and the engine's required no-data batch drains the buffered lefts
+      spark.range(1).select(lit(-1L).as("key"),
+        timestamp_micros(lit(maxUs + 86400L * 1000000L)).as("ts"),
+        lit(0).as("side"), lit(-1L).as("id"), lit(0.0).as("value"))
+        .coalesce(1).write.mode("append").parquet(inDir)
       import spark.implicits._
       val schema = org.apache.spark.sql.types.StructType.fromDDL(
         "key BIGINT, ts TIMESTAMP, side INT, id BIGINT, value DOUBLE")
