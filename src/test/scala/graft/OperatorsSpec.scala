@@ -910,6 +910,38 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("largeBatch=true plans shuffled joins — no broadcast on query-sized sides") {
+    val (model, index) = RabitqIndex.build(spark, emb, numClusters = 8, seed = 3L)
+    val queries = ExactKnn.queriesFromEmbeddings(emb, 10)
+    // -1 threshold simulates "sides too big to broadcast" (what largeBatch
+    // is for); AQE off so the executed plan is the static one under test
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val large = RabitqQuery.topK(spark, model, index, emb, queries,
+        nprobe = 4, topk = 10, rerank = 50, largeBatch = true)
+      val bx = large.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+      }
+      assert(bx.isEmpty,
+        s"largeBatch=true must not broadcast query-sized sides; found ${bx.length}")
+      val small = RabitqQuery.topK(spark, model, index, emb, queries,
+        nprobe = 4, topk = 10, rerank = 50)
+      val smallBx = small.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+      }
+      // the serving shape broadcasts BY HINT, immune to the threshold
+      assert(smallBx.nonEmpty, "small-batch path lost its broadcast hints")
+      // identical results either way — join strategy only
+      assert(large.collect().map(_.toSeq).toSet == small.collect().map(_.toSeq).toSet)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+    }
+  }
+
   test("HotTier results are byte-identical to the Spark ANN path") {
     val (model, index) = RabitqIndex.build(spark, emb, numClusters = 8, seed = 3L)
     val hot = HotTier.fromIndex(spark, model, index, emb)
