@@ -272,6 +272,38 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException] { Multimodal.bmpFeatures(media, bins = 7) }
   }
 
+  test("decodeStub contract: deterministic dim-sized features, null-safe, schema-extending") {
+    // decodeStub is the documented codec EXTENSION POINT (see README):
+    // a production codec swaps in behind the same mapPartitions shape.
+    // This pins the contract a replacement must keep: output schema =
+    // input schema + features[dim]; deterministic across runs and
+    // partitionings; null payload -> zero vector, never a crash.
+    import graft.operators.Multimodal
+    val docs = spark.createDataFrame(Seq(
+      (1L, "hello"), (2L, "world!"), (3L, null.asInstanceOf[String]))).toDF("doc_id", "text")
+    val media = Multimodal.mediaFromDocuments(docs)
+      .withColumn("payload",
+        when(col("media_id") === 3L, lit(null).cast("binary")).otherwise(col("payload")))
+    val out = Multimodal.decodeStub(spark, media, dim = 8)
+    assert(out.schema.fieldNames.toSeq ==
+      media.schema.fieldNames.toSeq :+ "features")
+    val rows = out.select("media_id", "features").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toMap
+    assert(rows.values.forall(_.length == 8))
+    assert(rows(3L).forall(_ == 0.0f)) // null payload -> zero vector
+    // deterministic under repartitioning (per-partition init must not
+    // change values)
+    val rows2 = Multimodal.decodeStub(spark, media.repartition(7), dim = 8)
+      .select("media_id", "features").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toMap
+    assert(rows == rows2)
+    // known value: "hello" bytes folded mod 8
+    val expected = new Array[Float](8)
+    "hello".getBytes("UTF-8").zipWithIndex.foreach { case (b, i) =>
+      expected(i % 8) += (b & 0xff) / 255.0f }
+    assert(rows(1L) == expected.toSeq)
+  }
+
   // ---------------- latest-by-key compaction ------------------------------
   test("latestByKey: newest wins, ties broken by tie-break column") {
     import spark.implicits._
