@@ -77,4 +77,52 @@ object UpsertStream {
       spark.conf.set("spark.sql.shuffle.partitions", defaultParts.toString)
     }
   }
+
+  /** Drive the upsert from a PARQUET FILE SOURCE — the non-harness path:
+    * inputs never touch the driver. One DISTRIBUTED write shards the
+    * events into `chunks` files (`repartition(chunks)` — winners are
+    * monotone per key, so changelog compaction is batching-order-proof
+    * and no event-time ordering of the files is needed, unlike the as-of
+    * drive); `readStream` + `maxFilesPerTrigger=1` then replays one file
+    * per micro-batch with the RocksDB state-store provider. Returns the
+    * raw changelog; compacting it equals batch latest-by-key (spec).
+    */
+  def runFileSource(spark: SparkSession, events: DataFrame, dir: String,
+      chunks: Int = 3, stateParts: Int = 4): DataFrame = {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val defaultParts = spark.sessionState.conf.numShufflePartitions
+    val defaultStore = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.shuffle.partitions", stateParts.toString)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val inDir = s"$dir/in"
+      events
+        .select(col("user_id").cast("long"), col("event_type"),
+          col("ts").cast("timestamp"), col("event_id").cast("long"),
+          col("value").cast("double"))
+        .filter(col("user_id").isNotNull && col("event_type").isNotNull &&
+          col("ts").isNotNull && col("event_id").isNotNull)
+        .repartition(chunks)
+        .write.mode("overwrite").parquet(inDir)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        "user_id BIGINT, event_type STRING, ts TIMESTAMP, event_id BIGINT, value DOUBLE")
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir).as[EvIn]
+      val name = s"upsert_fstream_${runCounter.incrementAndGet()}"
+      val q = upsert(src)
+        .writeStream.outputMode("update").format("memory").queryName(name)
+        .option("checkpointLocation", s"$dir/ckpt").start()
+      q.processAllAvailable()
+      q.stop()
+      spark.table(name)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", defaultParts.toString)
+      defaultStore match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }

@@ -158,6 +158,40 @@ class AsofStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("upsert file-source drive (parquet + RocksDB state) equals batch latest-by-key") {
+    import spark.implicits._
+    import graft.operators.Curation
+    val rows = Seq(
+      (1L, "a", 100L, 10.0), (2L, "a", 200L, 20.0), (3L, "a", 200L, 30.0),
+      (4L, "b", 50L, 5.0),
+      (5L, "c", 70L, 7.0), (6L, "c", 60L, 6.0),
+      (7L, "a", 150L, 15.0))
+    val df = rows.toDF("event_id", "event_type", "tsv", "value")
+      .withColumn("ts", timestamp_micros(col("tsv") + Base))
+      .withColumn("user_id", lit(9L))
+      .select("user_id", "event_type", "ts", "event_id", "value")
+    val expect = Curation.latestByKey(df, Seq(col("user_id"), col("event_type")),
+        col("ts"), col("event_id"),
+        Seq("last_event_id" -> col("event_id"), "last_value" -> col("value")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("upsert_fsrc").toString
+    try {
+      val changelog = graft.streaming.UpsertStream.runFileSource(spark, df, dir, chunks = 3)
+      val got = changelog.groupBy(col("user_id"), col("event_type"))
+        .agg(max_by(struct(col("last_event_id"), col("last_value")),
+          struct(col("ts_us"), col("last_event_id"))).as("w"))
+        .select(col("user_id"), col("event_type"), col("w.last_event_id"), col("w.last_value"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(got == expect)
+      // one row per key per batch at most; conf swap must not leak
+      assert(changelog.count() <= 3L * 4)
+      assert(spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+        .forall(!_.contains("RocksDB")))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("streaming as-of: duplicate left rows each emitted, hot key linear shape") {
     // 500 lefts and 300 rights on ONE key — the fan-out shape that kills
     // a join-based formulation; state holds O(window) not O(|L|x|R|)
