@@ -33,12 +33,15 @@ object VectorOps {
     var i = 0
     val n = math.min(a.length, b.length)
     while (i < n) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
-    // unmatched tail (padding vs unpadded): treat missing entries as 0
+    // unmatched tail (padding vs unpadded): treat missing entries as 0.
+    // Square in f64 like the main loop (and like L2SqF32's codegen) —
+    // an f32 square here loses ~1e-3 absolute per tail element at
+    // magnitude ~100, which the pad-isometry property caught.
     var j = n
     val la = a.length; val lb = b.length
-    while (j < la) { s += a(j) * a(j); j += 1 }
+    while (j < la) { val d = a(j).toDouble; s += d * d; j += 1 }
     j = n
-    while (j < lb) { s += b(j) * b(j); j += 1 }
+    while (j < lb) { val d = b(j).toDouble; s += d * d; j += 1 }
     s
   }
 
