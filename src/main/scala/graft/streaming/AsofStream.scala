@@ -184,9 +184,15 @@ object AsofStream {
     * contract as `runOnce`); the chunking-invariance and file-vs-memory
     * equality specs pin that.
     */
+  /** @param parquetSink when true, the stream writes to a parquet sink
+    *   under `dir` instead of the in-driver memory sink — the shape a
+    *   real deployment uses, and the only one that holds when the OUTPUT
+    *   is corpus-sized (the scale smoke drives 1M rows through it).
+    */
   def runFileSource(spark: SparkSession, left: DataFrame, right: DataFrame,
       leftCols: (String, String, String), rightCols: (String, String, String),
-      dir: String, chunks: Int = 3, stateParts: Int = 4): DataFrame = {
+      dir: String, chunks: Int = 3, stateParts: Int = 4,
+      parquetSink: Boolean = false): DataFrame = {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val defaultParts = spark.sessionState.conf.numShufflePartitions
     val defaultStore = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
@@ -231,12 +237,15 @@ object AsofStream {
         .option("maxFilesPerTrigger", "1").option("latestFirst", "false")
         .parquet(inDir).as[TaggedIn]
       val name = s"asof_fstream_${runCounter.incrementAndGet()}"
-      val q = asof(src.withWatermark("ts", "1 second"))
-        .writeStream.outputMode("append").format("memory").queryName(name)
+      val out = asof(src.withWatermark("ts", "1 second"))
+      val writer =
+        if (parquetSink) out.writeStream.format("parquet").option("path", s"$dir/out")
+        else out.writeStream.format("memory").queryName(name)
+      val q = writer.outputMode("append")
         .option("checkpointLocation", s"$dir/ckpt").start()
       q.processAllAvailable()
       q.stop()
-      spark.table(name)
+      if (parquetSink) spark.read.parquet(s"$dir/out") else spark.table(name)
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", defaultParts.toString)
       defaultStore match {
