@@ -48,9 +48,18 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
     // pass 1 = cold (codegen compile, JIT, first scans) — the primary,
-    // round-comparable metric; pass 2 = steady-state floor
+    // round-comparable metric. The warm number is the PER-QUERY MEDIAN of
+    // 3 further passes: single warm passes drifted ±14% round-over-round
+    // with no code change (machine noise), which made rounds incomparable
     val results = once()
-    val warm = once()
+    val warmRuns = sys.env.get("SPARK_GRAFT_WARM_RUNS").flatMap(_.toIntOption)
+      .filter(_ >= 1).getOrElse(3)
+    val warmPasses = (1 to warmRuns).map(_ => once())
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val warm = selected.keys.map(n => n -> median(warmPasses.map(_(n)))).toMap
     // Locale.ROOT: the f-interpolator uses the default locale, which on a
     // comma-decimal host would render 1,234 and corrupt the JSON
     def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -67,7 +76,8 @@ object Bench {
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       s""""queries":${js(results)},"total_warm":${fmt(totalWarm)},"sf":$sfNum}"""
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},""" +
-      s""""total_warm":$totalWarm,"queries_warm":${js(warm)},"sf":$sfNum,"sf_dir":"$sfDir"}"""
+      s""""total_warm":$totalWarm,"queries_warm":${js(warm)},"warm_runs":$warmRuns,""" +
+      s""""warm_passes":[${warmPasses.map(js).mkString(",")}],"sf":$sfNum,"sf_dir":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -64,10 +64,11 @@ object CurationScaleSmoke {
     }
 
     // ---- q58 shape: redaction stats (codegen regex, linear) -------------
-    val (nRedacted, redactSec) = timed {
-      Curation.redactionStats(docs, Seq(
+    val ((redactHits, nDocs), redactSec) = timed {
+      val r = Curation.redactionStats(docs, Seq(
           "w4x" -> "w4\\d\\d\\b", "w123" -> "\\bw123\\b"))
-        .agg(sum(col("n_w4x")), sum(col("n_w123")), count(lit(1))).head().getLong(2)
+        .agg(sum(col("n_w4x")), sum(col("n_w123")), count(lit(1))).head()
+      (r.getLong(0) + r.getLong(1), r.getLong(2))
     }
 
     // ---- q59 shape: shard assignment + stats (map-side combine) ---------
@@ -98,7 +99,7 @@ object CurationScaleSmoke {
     println(s"""{"curation_scale_smoke":{"n_docs":$n,""" +
       s""""sample_sec":$sampleSec,"sample_rows_per_sec":${rps(sampleSec)},"n_sampled":$nSampled,""" +
       s""""contam_sec":$contamSec,"n_contaminated":$nContaminated,"planted_hit":$plantedHit,""" +
-      s""""redact_sec":$redactSec,"redact_rows_per_sec":${rps(redactSec)},"n_redacted":$nRedacted,""" +
+      s""""redact_sec":$redactSec,"redact_rows_per_sec":${rps(redactSec)},"n_redaction_hits":$redactHits,"n_docs_scanned":$nDocs,""" +
       s""""shard_sec":$shardSec,"shard_rows_per_sec":${rps(shardSec)},"n_shards":$nShards,""" +
       s""""order_head_sec":$orderSec,"n_head":$nHead,""" +
       s""""latest_sec":$latestSec,"latest_rows_per_sec":${rps(latestSec)},"n_keys":$nKeys}}""")

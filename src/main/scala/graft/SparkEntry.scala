@@ -704,23 +704,24 @@ object SparkEntry {
       // STREAMING as-of join, same semantics as batch q40: events stream
       // probes the latest order at-or-before each event time. Driven over
       // a deterministic key subset (1 in 5 users — the oracle applies the
-      // same predicate): the MemoryStream harness replays micro-batches
-      // with full state-store snapshots per batch, and the subset keeps
-      // the drive proportional while exercising identical semantics.
-      // Emitted rows must equal the batch as-of join on the same subset.
+      // same predicate). This declares the DEPLOYMENT drive: parquet
+      // file-source micro-batches (`maxFilesPerTrigger=1`, mtime-ordered
+      // replay) + RocksDB state store + parquet sink — inputs and outputs
+      // never touch the driver; the MemoryStream `runOnce` remains the
+      // small-spec harness, spec-pinned equal. Emitted rows must equal
+      // the batch as-of join on the same subset (q40's oracle verbatim).
       // chunks=1/stateParts=2: per-micro-batch fixed cost (planning +
-      // state-store commit + offset log) dominates this drive, so it runs
-      // the minimum that still proves progressive watermark drain — data
-      // batch at wm=0 (everything buffers), flusher batch (ripe lefts
+      // state-store commit + offset log) dominates the sf0.01 drive, so it
+      // runs the minimum that still proves progressive watermark drain —
+      // data batch at wm=0 (everything buffers), flusher batch (ripe lefts
       // emit), then the engine's required no-data batch (timeouts drain
-      // the rest). The chunking-invariance spec pins that results are
-      // chunking-independent, so the smaller drive loses no semantics —
-      // only harness tax (was 5 batches x 4 state parts; now 3 x 2).
-      val out = graft.streaming.AsofStream.runOnce(s,
+      // the rest); the chunking-invariance spec pins chunk-independence.
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q61_").toString
+      val out = graft.streaming.AsofStream.runFileSource(s,
         T(s, dir, "events").filter(col("user_id") % 5 === 0),
         T(s, dir, "orders").filter(col("o_custkey") % 5 === 0),
         ("user_id", "ts", "event_id"), ("o_custkey", "o_orderdate", "o_orderkey"),
-        chunks = 1, stateParts = 2)
+        dir = tmp, chunks = 1, stateParts = 2, parquetSink = true)
       out.filter(col("right_id").isNotNull)
         .select(col("left_id").as("event_id"), col("key").as("user_id"),
           col("right_id").as("o_orderkey"))
@@ -731,9 +732,15 @@ object SparkEntry {
       // STREAMING CDC upsert view (batch q60's counterpart): per-key
       // latest-wins state emits an Update-mode changelog; compacting the
       // changelog gives the final view, which must equal batch
-      // latest-by-key on the same (1-in-7 users) subset — same oracle
-      val changelog = graft.streaming.UpsertStream.runOnce(s,
-        T(s, dir, "events").filter(col("user_id") % 7 === 0))
+      // latest-by-key on the same (1-in-7 users) subset — same oracle.
+      // Declared on the DEPLOYMENT drive: parquet file source + RocksDB
+      // state store + foreachBatch parquet changelog sink (nothing on the
+      // driver); compaction is batching-order-proof (winners are monotone
+      // per key), so the chunk count only sets micro-batch granularity.
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q66_").toString
+      val changelog = graft.streaming.UpsertStream.runFileSource(s,
+        T(s, dir, "events").filter(col("user_id") % 7 === 0),
+        dir = tmp, chunks = 2, stateParts = 2, parquetSink = true)
       changelog.groupBy(col("user_id"), col("event_type"))
         .agg(max_by(struct(col("last_event_id"), col("last_value")),
           struct(col("ts_us"), col("last_event_id"))).as("w"))

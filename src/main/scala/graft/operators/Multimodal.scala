@@ -272,7 +272,9 @@ object Multimodal {
       StructField("n", LongType, nullable = false)))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     media.select(col("media_id"), col("payload")).mapPartitions { rows =>
-      rows.flatMap { r =>
+      // a null payload is an absent medium, not a malformed one: emit no
+      // histogram rows (mirrors decodeStub's null contract) instead of NPE
+      rows.filter(!_.isNullAt(1)).flatMap { r =>
         val hist = new Array[Long](3 * bins)
         walkBmp(r.getAs[Array[Byte]]("payload")) { (b, g, r2) =>
           hist(b / width) += 1

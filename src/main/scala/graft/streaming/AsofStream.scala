@@ -208,21 +208,43 @@ object AsofStream {
       val tagged = shape(right, rightCols, 0).unionByName(shape(left, leftCols, 1))
         .withColumn("ts_us", unix_micros(col("ts")))
       // event-time chunk boundaries: exact quantiles (err 0), not a global
-      // sort — each chunk write below is a parallel filtered scan
-      val bounds = tagged.stat
-        .approxQuantile("ts_us", (1 until chunks).map(_.toDouble / chunks).toArray, 0.0)
-        .map(_.toLong)
+      // sort — each chunk write below is a parallel filtered scan.
+      // chunks=1 needs no boundaries (approxQuantile returns null for an
+      // empty probability array — don't call it)
+      val bounds =
+        if (chunks <= 1) Array.empty[Long]
+        else tagged.stat
+          .approxQuantile("ts_us", (1 until chunks).map(_.toDouble / chunks).toArray, 0.0)
+          .map(_.toLong)
       val maxUs = tagged.agg(max(col("ts_us"))).head() match {
         case r if r.isNullAt(0) => 0L
         case r => r.getLong(0)
       }
+      // empty input ⇒ approxQuantile returns an empty array — degrade to a
+      // single (empty) chunk instead of indexing past the bounds
       val lo = Long.MinValue +: bounds
       val hi = bounds :+ Long.MaxValue
+      val effChunks = bounds.length + 1
       val inDir = s"$dir/in"
-      (0 until chunks).foreach { i =>
+      // FileStreamSource replays files in modification-time order, and part
+      // files written in quick succession can share an mtime on
+      // coarse-granularity filesystems — ties then replay in arbitrary
+      // listing order, letting a later chunk advance the watermark past an
+      // earlier one (whose rows would be dropped as late, silently diverging
+      // from the batch join). Stamp each chunk's files with strictly
+      // increasing mtimes so replay order never depends on fs granularity.
+      val inDirFile = new java.io.File(inDir.stripPrefix("file:"))
+      val stamped = scala.collection.mutable.Set.empty[String]
+      val mtime0 = System.currentTimeMillis() - (effChunks + 2L) * 60000L
+      def stampNewFiles(stampMs: Long): Unit =
+        Option(inDirFile.listFiles).getOrElse(Array.empty[java.io.File])
+          .filter(f => f.isFile && !stamped.contains(f.getName))
+          .foreach { f => f.setLastModified(stampMs); stamped += f.getName }
+      (0 until effChunks).foreach { i =>
         tagged.filter(col("ts_us") > lo(i) && col("ts_us") <= hi(i))
           .drop("ts_us").coalesce(1)
           .write.mode("append").parquet(inDir)
+        stampNewFiles(mtime0 + i * 60000L)
       }
       // one flusher file, exactly as runOnce: it advances the watermark
       // and the engine's required no-data batch drains the buffered lefts
@@ -230,6 +252,7 @@ object AsofStream {
         timestamp_micros(lit(maxUs + 86400L * 1000000L)).as("ts"),
         lit(0).as("side"), lit(-1L).as("id"), lit(0.0).as("value"))
         .coalesce(1).write.mode("append").parquet(inDir)
+      stampNewFiles(mtime0 + effChunks * 60000L)
       import spark.implicits._
       val schema = org.apache.spark.sql.types.StructType.fromDDL(
         "key BIGINT, ts TIMESTAMP, side INT, id BIGINT, value DOUBLE")

@@ -87,8 +87,15 @@ object UpsertStream {
     * per micro-batch with the RocksDB state-store provider. Returns the
     * raw changelog; compacting it equals batch latest-by-key (spec).
     */
+  /** @param parquetSink when true, each micro-batch's changelog slice is
+    *   appended DISTRIBUTED to parquet under `dir/out` via `foreachBatch`
+    *   (Update mode has no native file sink — a deployment upserts into a
+    *   keyed store; the append-log + compaction here is the same shape) and
+    *   nothing lands on the driver. False keeps the in-driver memory sink
+    *   for the small-spec harness.
+    */
   def runFileSource(spark: SparkSession, events: DataFrame, dir: String,
-      chunks: Int = 3, stateParts: Int = 4): DataFrame = {
+      chunks: Int = 3, stateParts: Int = 4, parquetSink: Boolean = false): DataFrame = {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val defaultParts = spark.sessionState.conf.numShufflePartitions
@@ -111,12 +118,18 @@ object UpsertStream {
       val src = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(inDir).as[EvIn]
       val name = s"upsert_fstream_${runCounter.incrementAndGet()}"
-      val q = upsert(src)
-        .writeStream.outputMode("update").format("memory").queryName(name)
+      val out = upsert(src)
+      val writer =
+        if (parquetSink) out.writeStream.foreachBatch {
+          (batch: Dataset[UpOut], _: Long) =>
+            batch.write.mode("append").parquet(s"$dir/out")
+        }
+        else out.writeStream.format("memory").queryName(name)
+      val q = writer.outputMode("update")
         .option("checkpointLocation", s"$dir/ckpt").start()
       q.processAllAvailable()
       q.stop()
-      spark.table(name)
+      if (parquetSink) spark.read.parquet(s"$dir/out") else spark.table(name)
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", defaultParts.toString)
       defaultStore match {
