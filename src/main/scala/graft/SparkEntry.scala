@@ -821,6 +821,30 @@ object SparkEntry {
       Multimodal.bmpFeatures(media, bins = 16)
         .orderBy(col("media_id"), col("channel"), col("bin"))
     }),
+    "q68_fvecs_roundtrip" -> ((s, dir) => {
+      // fvecs/u64vecs codec parity — the reference's PRIMARY IO format
+      // (/root/reference/src/utils.rs:280-330): export the embeddings
+      // through the fvecs writer plus a u64vecs label sidecar, re-ingest
+      // both via the binaryFile readers, and join on file position. The
+      // declared output is computed ENTIRELY from the re-ingested bytes;
+      // hash-matching the parquet-sourced oracle proves the codec is
+      // bit-exact f32/u64 end to end (writer ordering ⇒ position = rank
+      // of vec_id, which the oracle replays with row_number).
+      val tmp = java.nio.file.Files.createTempDirectory("graft_q68_").toString
+      val emb = T(s, dir, "embeddings")
+      graft.sources.Fvecs.writeFvecs(
+        emb.select(col("vec_id"), col("embedding").as("vec")), s"$tmp/emb.fvecs")
+      graft.sources.Fvecs.writeU64vecs(
+        emb.select(col("vec_id"), array(col("label").cast("long")).as("vec")),
+        s"$tmp/labels.u64vecs")
+      val vecs = graft.sources.Fvecs.readFvecs(s, s"$tmp/emb.fvecs")
+      val labels = graft.sources.Fvecs.readU64vecs(s, s"$tmp/labels.u64vecs")
+        .select(col("vec_id"), col("vec").getItem(0).as("label"))
+      vecs.join(labels, "vec_id")
+        .select(col("vec_id"), size(col("vec")).cast("long").as("dim"),
+          col("vec"), col("label"))
+        .orderBy(col("vec_id"))
+    }),
   )
 
   // ---- generated oracles for the portable-hash signature pipelines ------
@@ -1320,6 +1344,13 @@ object SparkEntry {
           |SELECT media_id, CAST(channel AS BIGINT) AS channel,
           |  CAST(v // 16 AS BIGINT) AS bin, COUNT(*) AS n
           |FROM ch GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+      // fvecs position = rank of vec_id (writer orders by vec_id); the
+      // roundtrip is bit-exact, so the parquet embedding IS the oracle
+      "q68_fvecs_roundtrip" ->
+        """SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS vec_id,
+          |  CAST(len(embedding) AS BIGINT) AS dim, embedding AS vec,
+          |  CAST(label AS BIGINT) AS label
+          |FROM embeddings ORDER BY vec_id""".stripMargin,
       "q55_stratified_sample" ->
         s"""SELECT doc_id, lang FROM documents
            |WHERE ${rowHashSql(0, "doc_id")} < ${sampleThresholdSql("lang")}
