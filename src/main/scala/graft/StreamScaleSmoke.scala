@@ -48,11 +48,12 @@ object StreamScaleSmoke {
       chunks = chunks, stateParts = cpus.toInt, parquetSink = true)
     val streamSec = (System.nanoTime() - t0) / 1e9
 
-    // order-independent equality: count + sum of a row hash, computed
-    // distributed on both sides
+    // order-independent equality: count + XOR of a row hash, computed
+    // distributed on both sides (bit_xor, not sum — summing ~1M random
+    // 64-bit hashes overflows Long under ANSI mode)
     def sig(df: org.apache.spark.sql.DataFrame) = df.agg(
       count(lit(1)).as("n"),
-      sum(xxhash64(col("key"), col("left_id"), col("right_id"))).as("h")).head()
+      bit_xor(xxhash64(col("key"), col("left_id"), col("right_id"))).as("h")).head()
     val sStream = sig(streamed
       .select(col("key"), col("left_id"),
         coalesce(col("right_id"), lit(-1L)).as("right_id")))
