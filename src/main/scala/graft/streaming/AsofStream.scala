@@ -196,9 +196,16 @@ object AsofStream {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val defaultParts = spark.sessionState.conf.numShufflePartitions
     val defaultStore = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val defaultChangelog =
+      spark.conf.getOption("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", stateParts.toString)
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // incremental changelog commits instead of a full RocksDB snapshot
+    // upload per micro-batch — the configuration a large-state deployment
+    // runs, and most of the per-batch fixed cost at small state
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
     try {
       def shape(df: DataFrame, cols: (String, String, String), side: Int) = df.select(
         col(cols._1).cast("long").as("key"), col(cols._2).cast("timestamp").as("ts"),
@@ -216,10 +223,6 @@ object AsofStream {
         else tagged.stat
           .approxQuantile("ts_us", (1 until chunks).map(_.toDouble / chunks).toArray, 0.0)
           .map(_.toLong)
-      val maxUs = tagged.agg(max(col("ts_us"))).head() match {
-        case r if r.isNullAt(0) => 0L
-        case r => r.getLong(0)
-      }
       // empty input ⇒ approxQuantile returns an empty array — degrade to a
       // single (empty) chunk instead of indexing past the bounds
       val lo = Long.MinValue +: bounds
@@ -241,15 +244,20 @@ object AsofStream {
           .filter(f => f.isFile && !stamped.contains(f.getName))
           .foreach { f => f.setLastModified(stampMs); stamped += f.getName }
       (0 until effChunks).foreach { i =>
-        tagged.filter(col("ts_us") > lo(i) && col("ts_us") <= hi(i))
-          .drop("ts_us").coalesce(1)
+        val chunk = if (effChunks == 1) tagged  // no boundaries — skip the filter
+          else tagged.filter(col("ts_us") > lo(i) && col("ts_us") <= hi(i))
+        chunk.drop("ts_us").coalesce(1)
           .write.mode("append").parquet(inDir)
         stampNewFiles(mtime0 + i * 60000L)
       }
-      // one flusher file, exactly as runOnce: it advances the watermark
-      // and the engine's required no-data batch drains the buffered lefts
+      // one flusher file, exactly as runOnce: it advances the watermark and
+      // the engine's required no-data batch drains the buffered lefts. A
+      // CONSTANT far-future event time (year 2200) replaces a max(ts)
+      // aggregate over the input — one fewer full scan; any on-time event
+      // is below it by construction (event-time data beyond 2200 would be
+      // upstream corruption, filtered by a deployment's validity bounds)
       spark.range(1).select(lit(-1L).as("key"),
-        timestamp_micros(lit(maxUs + 86400L * 1000000L)).as("ts"),
+        timestamp_micros(lit(7258118400000000L)).as("ts"),
         lit(0).as("side"), lit(-1L).as("id"), lit(0.0).as("value"))
         .coalesce(1).write.mode("append").parquet(inDir)
       stampNewFiles(mtime0 + effChunks * 60000L)
@@ -274,6 +282,12 @@ object AsofStream {
       defaultStore match {
         case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
         case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      defaultChangelog match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", v)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
       }
     }
   }

@@ -100,9 +100,14 @@ object UpsertStream {
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val defaultParts = spark.sessionState.conf.numShufflePartitions
     val defaultStore = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    val defaultChangelog =
+      spark.conf.getOption("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", stateParts.toString)
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // incremental changelog commits, not a full snapshot per micro-batch
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
     try {
       val inDir = s"$dir/in"
       events
@@ -135,6 +140,12 @@ object UpsertStream {
       defaultStore match {
         case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
         case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      defaultChangelog match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", v)
+        case None => spark.conf.unset(
+          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
       }
     }
   }
