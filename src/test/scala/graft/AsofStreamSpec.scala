@@ -192,6 +192,38 @@ class AsofStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("file-source chunk files carry strictly increasing mtimes in event-time order") {
+    // FileStreamSource replays in modification-time order; files written in
+    // quick succession can tie on coarse-mtime filesystems and then replay
+    // in arbitrary listing order — an out-of-order chunk would advance the
+    // watermark past earlier chunks and silently drop their rows. The drive
+    // must therefore stamp strictly increasing mtimes matching event-time
+    // order.
+    val right = mkDf(Seq((1L, 100L, 10L), (1L, 300L, 12L), (2L, 900L, 20L)))
+    val left = mkDf(Seq((1L, 50L, 1L), (1L, 299L, 3L), (2L, 850L, 6L),
+      (1L, 600L, 7L), (2L, 950L, 8L)))
+    val dir = java.nio.file.Files.createTempDirectory("asof_mtime").toString
+    try {
+      AsofStream.runFileSource(spark, left, right,
+        ("key", "ts", "id"), ("key", "ts", "id"), dir, chunks = 3)
+      val files = new java.io.File(s"$dir/in").listFiles
+        .filter(f => f.isFile && f.getName.startsWith("part-"))
+      assert(files.length == 4, s"3 chunks + flusher expected: ${files.map(_.getName).toSeq}")
+      val mtimes = files.map(_.lastModified)
+      assert(mtimes.distinct.length == files.length,
+        s"chunk mtimes must be strictly distinct: ${mtimes.toSeq}")
+      // replay order (mtime ascending) must equal event-time order
+      val maxTsByMtime = files.sortBy(_.lastModified).map { f =>
+        spark.read.parquet(f.getAbsolutePath)
+          .agg(max(unix_micros(col("ts")))).head().getLong(0)
+      }
+      assert(maxTsByMtime.sameElements(maxTsByMtime.sorted),
+        s"mtime order diverges from event-time order: ${maxTsByMtime.toSeq}")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("streaming as-of: duplicate left rows each emitted, hot key linear shape") {
     // 500 lefts and 300 rights on ONE key — the fan-out shape that kills
     // a join-based formulation; state holds O(window) not O(|L|x|R|)
