@@ -270,6 +270,14 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     val nPix = ("AAB".length + "zz  z".length).toLong
     assert(perChannel == Map(0L -> nPix, 1L -> nPix, 2L -> nPix))
     intercept[IllegalArgumentException] { Multimodal.bmpFeatures(media, bins = 7) }
+    // a null payload is an absent medium: no histogram rows, never a
+    // crash (mediaSchema declares payload nullable — the codec-path
+    // contract decodeStub pins applies to the real decoders too)
+    val withNull = media.withColumn("payload",
+      when(col("media_id") === 1L, lit(null).cast("binary")).otherwise(col("payload")))
+    val nullSafe = Multimodal.bmpFeatures(withNull, bins = 16)
+    assert(nullSafe.filter(col("media_id") === 1L).count() == 0L)
+    assert(nullSafe.filter(col("media_id") === 3L).count() > 0L)
   }
 
   test("decodeStub contract: deterministic dim-sized features, null-safe, schema-extending") {
