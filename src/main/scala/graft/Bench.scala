@@ -54,7 +54,16 @@ object Bench {
     val results = once()
     val warmRuns = sys.env.get("SPARK_GRAFT_WARM_RUNS").flatMap(_.toIntOption)
       .filter(_ >= 1).getOrElse(3)
-    val warmPasses = (1 to warmRuns).map(_ => once())
+    val warmPasses = (1 to warmRuns).map { _ =>
+      // let the ContextCleaner reclaim dropped localCheckpoint/persist
+      // blocks and stopped-stream state from the previous pass before
+      // timing the next — reclamation is reference-triggered and lazy, so
+      // without the nudge later passes time the accumulation, not the
+      // queries (observed warm totals rising 54.8 → 59.1 → 60.6 s)
+      System.gc()
+      Thread.sleep(500)
+      once()
+    }
     def median(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
