@@ -26,6 +26,42 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private def emb: DataFrame = spark.read.parquet(s"$sf/embeddings.parquet")
 
+  // ---------------- bucketed co-located join ----------------------------
+  test("bucketed tables join with ZERO exchanges and match the plain join") {
+    // the corpus-vs-corpus join strategy: both sides bucketed on the join
+    // key at ingest, so every subsequent join satisfies its distribution
+    // requirement at read time — no shuffle of either side, ever again
+    import graft.sources.Bucketed
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val lineitem = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_quantity")
+    Bucketed.writeBucketed(orders, "orders_b", "o_orderkey", 8)
+    Bucketed.writeBucketed(lineitem, "lineitem_b", "l_orderkey", 8)
+    // at sf0.001 the planner would (correctly) broadcast the small side
+    // and skip the bucketed scan; disable auto-broadcast to pin the
+    // corpus-vs-corpus shape where neither side fits in a broadcast —
+    // the regime bucketing exists for
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Bucketed.bucketedJoin(spark, "orders_b", "lineitem_b",
+        "o_orderkey", "l_orderkey")
+      // plan: no Exchange anywhere — bucket i joins bucket i task-locally
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$plan")
+      assert(plan.contains("Bucketed: true"),
+        s"both scans must be bucketed scans:\n$plan")
+      // and the result is the plain join's result
+      val expect = orders.join(lineitem, col("o_orderkey") === col("l_orderkey"))
+        .agg(count(lit(1)), sum(col("l_quantity").cast("long"))).head()
+      val got = joined
+        .agg(count(lit(1)), sum(col("l_quantity").cast("long"))).head()
+      assert(got == expect)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+  }
+
   // ---------------- top-k aggregator -----------------------------------
   test("TopKAgg matches sort-based top-k on random data") {
     import spark.implicits._
