@@ -134,7 +134,13 @@ object UpsertStream {
         .option("checkpointLocation", s"$dir/ckpt").start()
       q.processAllAvailable()
       q.stop()
-      if (parquetSink) spark.read.parquet(s"$dir/out") else spark.table(name)
+      if (parquetSink) {
+        // empty input ⇒ zero micro-batches ⇒ foreachBatch never ran and
+        // $dir/out does not exist — an empty changelog, not an error
+        if (new java.io.File(s"$dir/out".stripPrefix("file:")).exists())
+          spark.read.parquet(s"$dir/out")
+        else spark.emptyDataset[UpOut].toDF()
+      } else spark.table(name)
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", defaultParts.toString)
       defaultStore match {

@@ -224,6 +224,32 @@ class AsofStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("file-source drives tolerate empty inputs (quantile bounds, missing sink dir)") {
+    // ADVICE r7: with empty input approxQuantile returns an empty array —
+    // the chunk loop must degrade to one empty chunk, not index past the
+    // bounds; and the upsert parquet sink must return an empty changelog
+    // when zero micro-batches ever fired (no $dir/out on disk)
+    val none = mkDf(Seq.empty)
+    val d1 = java.nio.file.Files.createTempDirectory("asof_empty").toString
+    val d2 = java.nio.file.Files.createTempDirectory("upsert_empty").toString
+    try {
+      val asofOut = AsofStream.runFileSource(spark, none, none,
+        ("key", "ts", "id"), ("key", "ts", "id"), d1, chunks = 3, parquetSink = true)
+      assert(asofOut.count() == 0L)
+      import spark.implicits._
+      val noEvents = Seq.empty[(Long, String, Long, Long, Double)]
+        .toDF("user_id", "event_type", "tsv", "event_id", "value")
+        .withColumn("ts", timestamp_micros(col("tsv")))
+        .select("user_id", "event_type", "ts", "event_id", "value")
+      val upOut = graft.streaming.UpsertStream.runFileSource(
+        spark, noEvents, d2, chunks = 2, parquetSink = true)
+      assert(upOut.count() == 0L)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d1))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d2))
+    }
+  }
+
   test("streaming as-of: duplicate left rows each emitted, hot key linear shape") {
     // 500 lefts and 300 rights on ONE key — the fan-out shape that kills
     // a join-based formulation; state holds O(window) not O(|L|x|R|)
