@@ -832,6 +832,40 @@ object SparkEntry {
       Multimodal.bmpFeatures(media, bins = 16)
         .orderBy(col("media_id"), col("channel"), col("bin"))
     }),
+    "q69_heuristic_rerank" -> ((s, dir) => {
+      // Q11: the reference's heuristic reranker
+      // (/root/reference/src/rerank.rs:117-177, WINDOW_SIZE=12) — the
+      // dynamically-tightening-threshold scan, parallel across queries.
+      // Like q24, the k-means clustering has no SQL replay, so the driver
+      // check is an invariant gate:
+      //   recall_ok  recall@10 vs exact kNN clears 0.8 — the heuristic's
+      //              pruning must not cost material recall at this scale;
+      //   dist_ok    every returned dist IS the true L2 of its pair;
+      //   pruned_ok  exact scores strictly fewer than candidates and > 0
+      //              — the threshold actually pruned (the heuristic's
+      //              entire point), not degenerated to exhaustive rerank.
+      val (model, index) = annIndex(s, dir)
+      val base = T(s, dir, "embeddings"); val qs = annQueries(s, dir)
+      val h = RabitqQuery.heuristicTopK(s, model, index, base, qs,
+        nprobe = 8, topk = 10, window = 12)
+        .localCheckpoint()
+      val truth = ExactKnn.l2TopK(base, qs, 10)
+      val recallOk = ExactKnn.recall(h, truth, 10)
+        .select((col("recall") >= 0.8).cast("long").as("recall_ok"))
+      val checked = base
+        .join(broadcast(h), col("vec_id") === col("neighbor_id"))
+        .join(broadcast(qs), Seq("query_id"))
+        .select(col("dist"),
+          sqrt(graft.functions.VectorExpressions.l2sq(col("qvec"), col("embedding")))
+            .as("true_dist"))
+      val distOk = checked.agg(max(abs(col("dist") - col("true_dist"))).as("max_err"))
+        .select((col("max_err") < 1e-6).cast("long").as("dist_ok"))
+      val prunedOk = h.groupBy(col("query_id"))
+        .agg(max(col("n_precise")).as("p"), max(col("n_candidates")).as("c"))
+        .agg(sum(col("p")).as("p"), sum(col("c")).as("c"))
+        .select((col("p") > 0 && col("p") < col("c")).cast("long").as("pruned_ok"))
+      recallOk.crossJoin(distOk).crossJoin(prunedOk)
+    }),
     "q68_fvecs_roundtrip" -> ((s, dir) => {
       // fvecs/u64vecs codec parity — the reference's PRIMARY IO format
       // (/root/reference/src/utils.rs:280-330): export the embeddings
@@ -1071,6 +1105,9 @@ object SparkEntry {
         "SELECT CAST(1 AS BIGINT) AS user_ok, CAST(1 AS BIGINT) AS event_ok",
       "q48_ann_paths_gate" ->
         "SELECT CAST(1 AS BIGINT) AS paths_consistent, CAST(1 AS BIGINT) AS recall_ok",
+      "q69_heuristic_rerank" ->
+        """SELECT CAST(1 AS BIGINT) AS recall_ok, CAST(1 AS BIGINT) AS dist_ok,
+          |  CAST(1 AS BIGINT) AS pruned_ok""".stripMargin,
       "q51_window_fns" ->
         """SELECT o_orderkey, o_custkey,
           |  lag(o_totalprice, 1) OVER w AS prev_price,

@@ -181,6 +181,109 @@ object RabitqQuery {
       largeBatch)
   }
 
+  /** Q11 — the reference's HEURISTIC reranker
+    * (`/root/reference/src/rerank.rs:117-177`, `WINDOW_SIZE=12` at
+    * `src/consts.rs:12`), re-expressed Spark-first. The reference streams
+    * candidates serially with a dynamically-tightening threshold: a
+    * candidate is scored exactly only when its rough estimate beats the
+    * threshold, accepted when the exact distance does too, and after every
+    * `window` accepted candidates the threshold drops to that window's max
+    * accepted distance. Output can differ from the exhaustive Q10 rerank —
+    * that is the heuristic's contract (fewer exact computations for a
+    * small recall risk).
+    *
+    * Spark shape: the fold is INHERENTLY SERIAL per query (each decision
+    * feeds the next threshold), so it runs as a single streaming pass per
+    * query — `repartition(query_id)` + `sortWithinPartitions` + a
+    * mapPartitions state machine with O(topk) memory — and parallelizes
+    * ACROSS queries. Candidate order is the deterministic analog of the
+    * reference's arrival order: probe rank (ascending centroid distance),
+    * then vec_id (storage order within a cluster). Q10's bounded-shortlist
+    * + join remains the default/scale path (SURVEY §4): it needs no
+    * per-query serialization and its shuffle volume is rerank-bounded,
+    * while this path moves every probed-cluster embedding into the fold.
+    *
+    * Output: (query_id, neighbor_id, dist, rank, n_precise, n_candidates)
+    * — the per-query counters are the reference's precise/rough METRICS
+    * analog, carried per row for gate aggregation.
+    */
+  def heuristicTopK(spark: SparkSession, model: RabitqModel, index: DataFrame,
+      base: DataFrame, queries: DataFrame, nprobe: Int, topk: Int,
+      window: Int = 12): DataFrame = {
+    import org.apache.spark.sql.Row
+    val probes = probesDf(spark, model, queries, nprobe)
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("centroid_d2"), col("cluster_id"))
+    val ranked = probes.withColumn("probe_rank", row_number().over(wRank))
+    val ad = graft.functions.VectorExpressions.asymDot(col("code"), col("planes"))
+    val rough =
+      col("cds").cast("double") + col("centroid_d2") +
+        col("lb").cast("double") * col("factor_ppc") +
+        (lit(2.0) * ad - col("sum_q")) * col("factor_ip") * col("delta") -
+        col("error_bound").cast("double") * sqrt(col("centroid_d2").cast("double"))
+    val withVecs = index
+      .join(broadcast(ranked), Seq("cluster_id"))
+      .select(col("query_id"), col("probe_rank"), col("vec_id"), rough.as("rough"))
+      .join(base.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .join(broadcast(queries.select(col("query_id"), col("qvec"))), Seq("query_id"))
+      .select(col("query_id"), col("probe_rank"), col("vec_id"), col("rough"),
+        col("embedding"), col("qvec"))
+    val outSchema = {
+      import org.apache.spark.sql.types._
+      StructType(Seq(
+        StructField("query_id", LongType, nullable = false),
+        StructField("neighbor_id", LongType, nullable = false),
+        StructField("dist", DoubleType, nullable = false),
+        StructField("rank", LongType, nullable = false),
+        StructField("n_precise", LongType, nullable = false),
+        StructField("n_candidates", LongType, nullable = false)))
+    }
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    withVecs.repartition(col("query_id"))
+      .sortWithinPartitions(col("query_id"), col("probe_rank"), col("vec_id"))
+      .mapPartitions { rows =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+        // accepted candidates beyond topk can never surface — a bounded
+        // max-heap replaces the reference's append-then-select_nth
+        val heap = scala.collection.mutable.PriorityQueue
+          .empty[(Double, Long)](Ordering.by(identity))
+        var curQ = 0L; var started = false
+        var threshold = Double.MaxValue; var recentMax = Double.MinValue
+        var cnt = 0; var precise = 0L; var seen = 0L
+        def flush(): Unit = if (started) {
+          val ranked = heap.dequeueAll.toArray.sortBy(identity)
+          ranked.iterator.zipWithIndex.foreach { case ((d2, id), i) =>
+            out += Row(curQ, id, math.sqrt(d2), (i + 1).toLong, precise, seen)
+          }
+        }
+        rows.foreach { r =>
+          val q = r.getLong(0)
+          if (!started || q != curQ) {
+            flush()
+            curQ = q; started = true
+            threshold = Double.MaxValue; recentMax = Double.MinValue
+            cnt = 0; precise = 0L; seen = 0L; heap.clear()
+          }
+          seen += 1
+          if (r.getDouble(3) < threshold) {
+            val acc = VectorOps.l2sq(r.getSeq[Float](5).toArray, r.getSeq[Float](4).toArray)
+            precise += 1
+            if (acc < threshold) {
+              heap.enqueue((acc, r.getLong(2)))
+              if (heap.size > topk) heap.dequeue()
+              cnt += 1
+              if (acc > recentMax) recentMax = acc
+              if (cnt >= window) {
+                threshold = recentMax; cnt = 0; recentMax = Double.MinValue
+              }
+            }
+          }
+        }
+        flush()
+        out.iterator
+      }(enc)
+  }
+
   /** Approximate top-k against a SAVED index directory. The probed
     * cluster IDS are enumerated driver-side from the (plan-time-small, by
     * contract) query batch so the index scan is STATICALLY partition-

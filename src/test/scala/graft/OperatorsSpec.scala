@@ -182,6 +182,45 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r >= 0.9, s"sf0.1 recall@10 = $r < 0.9")
   }
 
+  test("heuristicTopK: unbounded window equals brute force; tight window prunes") {
+    // reference heuristic reranker semantics (rerank.rs:117-177): with a
+    // window no candidate stream can fill, the threshold never tightens,
+    // every candidate is scored exactly, and full-probe heuristic IS
+    // brute force; with the reference's window=12 the threshold must
+    // actually prune (fewer exact scores than candidates) at bounded
+    // recall cost
+    val (model, index) = RabitqIndex.build(spark, emb, numClusters = 8, seed = 5L)
+    index.persist()
+    val q = ExactKnn.queriesFromEmbeddings(emb, 8)
+    val truth = ExactKnn.l2TopK(emb, q, 10)
+    val unbounded = RabitqQuery.heuristicTopK(spark, model, index, emb, q,
+      nprobe = 8, topk = 10, window = Int.MaxValue)
+    assert(ExactKnn.recall(unbounded, truth, 10).head().getDouble(0) == 1.0)
+    // unbounded heuristic scores every candidate exactly once
+    val ub = unbounded.groupBy("query_id")
+      .agg(max("n_precise").as("p"), max("n_candidates").as("c"))
+      .filter(col("p") =!= col("c")).count()
+    assert(ub == 0L)
+    // reported distances are true L2 distances
+    val checked = emb
+      .join(unbounded, col("vec_id") === col("neighbor_id"))
+      .join(q, Seq("query_id"))
+      .select(col("dist"),
+        sqrt(graft.functions.VectorExpressions.l2sq(col("qvec"), col("embedding")))
+          .as("true_dist"))
+      .agg(max(abs(col("dist") - col("true_dist")))).head().getDouble(0)
+    assert(checked < 1e-6)
+    val pruned = RabitqQuery.heuristicTopK(spark, model, index, emb, q,
+      nprobe = 8, topk = 10, window = 12)
+    val stats = pruned.groupBy("query_id")
+      .agg(max("n_precise").as("p"), max("n_candidates").as("c"))
+      .agg(sum(col("p")).as("p"), sum(col("c")).as("c")).head()
+    assert(stats.getLong(0) > 0L && stats.getLong(0) < stats.getLong(1),
+      s"window=12 must prune: precise=${stats.getLong(0)} of ${stats.getLong(1)}")
+    assert(ExactKnn.recall(pruned, truth, 10).head().getDouble(0) >= 0.8)
+    index.unpersist()
+  }
+
   test("incremental append: encode new vectors against the frozen model, stays exact") {
     val first = emb.filter(col("vec_id") < 250)
     val rest = emb.filter(col("vec_id") >= 250)
