@@ -832,6 +832,16 @@ object SparkEntry {
       Multimodal.bmpFeatures(media, bins = 16)
         .orderBy(col("media_id"), col("channel"), col("bin"))
     }),
+    "q70_bmp_resize" -> ((s, dir) => {
+      // media RESIZE as a payload→payload transform: nearest-neighbor
+      // downsample by 3 (real decode → sample → real re-encode), verified
+      // by re-decoding the RESIZED bytes with the genuine BMP parser. The
+      // oracle replays every 3rd codepoint from the source text — the
+      // q65/q67 parse-vs-construct pattern, now through TWO codec passes
+      val media = Multimodal.bmpMediaFromDocuments(T(s, dir, "documents"))
+      Multimodal.decodeBmp(Multimodal.resizeBmp(media, factor = 3))
+        .orderBy(col("media_id"))
+    }),
     "q69_heuristic_rerank" -> ((s, dir) => {
       // Q11: the reference's heuristic reranker
       // (/root/reference/src/rerank.rs:117-177, WINDOW_SIZE=12) — the
@@ -1108,6 +1118,29 @@ object SparkEntry {
       "q69_heuristic_rerank" ->
         """SELECT CAST(1 AS BIGINT) AS recall_ok, CAST(1 AS BIGINT) AS dist_ok,
           |  CAST(1 AS BIGINT) AS pruned_ok""".stripMargin,
+      // nearest-neighbor ×3 downsample of the 1×len(text) synthetic BMP
+      // keeps codepoints 0, 3, 6, … — replayed from the text with the
+      // same per-pixel channel formula as q65/q67
+      "q70_bmp_resize" ->
+        """WITH px AS (
+          |  SELECT doc_id AS media_id, text,
+          |    CAST(ceil(length(text) / 3.0) AS BIGINT) AS rw
+          |  FROM documents),
+          |sel AS (
+          |  SELECT media_id,
+          |    ascii(substring(text, CAST(j * 3 + 1 AS INT), 1)) AS cp
+          |  FROM px, LATERAL unnest(range(0, rw)) AS t(j)),
+          |v AS (
+          |  SELECT media_id, cp % 256 + cp * 7 % 256 + cp * 13 % 256 AS s FROM sel)
+          |SELECT p.media_id, p.rw AS width,
+          |  CAST(CASE WHEN p.rw > 0 THEN 1 ELSE 0 END AS BIGINT) AS height,
+          |  CAST(24 AS BIGINT) AS bpp,
+          |  p.rw * CAST(CASE WHEN p.rw > 0 THEN 1 ELSE 0 END AS BIGINT) AS n_pixels,
+          |  CAST(COALESCE(MAX(v.s), 0) AS BIGINT) AS peak,
+          |  CAST(COALESCE(SUM(v.s), 0) % 1000000007 AS BIGINT) AS checksum
+          |FROM px p LEFT JOIN v USING (media_id)
+          |GROUP BY p.media_id, p.rw
+          |ORDER BY p.media_id""".stripMargin,
       "q51_window_fns" ->
         """SELECT o_orderkey, o_custkey,
           |  lag(o_totalprice, 1) OVER w AS prev_price,

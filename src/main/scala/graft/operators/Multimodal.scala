@@ -318,6 +318,61 @@ object Multimodal {
     }(enc)
   }
 
+  /** Nearest-neighbor BMP resize — the RESIZE stage of a media pipeline
+    * as a payload→payload transform: decode via the validated pixel walk,
+    * sample source pixel (x·f, y·f) for each output pixel, and RE-ENCODE
+    * a well-formed BI_RGB 24-bit BMP (output dims ⌈w/f⌉×⌈h/f⌉, 4-byte row
+    * padding). Chainable with `decodeBmp`/`bmpFeatures`, which is how q70
+    * verifies it: the resized payload must itself parse as a valid BMP
+    * whose pixels the oracle replays from the source text. Null payloads
+    * are skipped (absent medium, the codec-path contract); factor 1 is
+    * the identity on pixels. Per-partition imperative transcode — the
+    * codec-handle pattern, no driver involvement.
+    */
+  def resizeBmp(media: DataFrame, factor: Int): DataFrame = {
+    require(factor >= 1, s"resize factor must be >= 1: $factor")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col("media_id"), col("payload")).mapPartitions { rows =>
+      rows.filter(!_.isNullAt(1)).map { r =>
+        val bytes = r.getAs[Array[Byte]]("payload")
+        val flat = new scala.collection.mutable.ArrayBuffer[Int]()
+        val (w, h, _) = walkBmp(bytes) { (b, g, r2) => flat += b; flat += g; flat += r2 }
+        val ow = if (w == 0) 0 else (w + factor - 1) / factor
+        val oh = if (h == 0) 0 else (h + factor - 1) / factor
+        val rowBytes = (ow * 3 + 3) / 4 * 4
+        val dataSize = rowBytes * oh
+        val bb = java.nio.ByteBuffer.allocate(54 + dataSize)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put('B'.toByte); bb.put('M'.toByte)
+        bb.putInt(54 + dataSize); bb.putShort(0); bb.putShort(0); bb.putInt(54)
+        bb.putInt(40); bb.putInt(ow); bb.putInt(oh)
+        bb.putShort(1); bb.putShort(24)
+        bb.putInt(0); bb.putInt(dataSize)
+        bb.putInt(2835); bb.putInt(2835); bb.putInt(0); bb.putInt(0)
+        var y = 0
+        while (y < oh) {
+          var x = 0
+          while (x < ow) {
+            val si = (y * factor * w + x * factor) * 3
+            bb.put(flat(si).toByte); bb.put(flat(si + 1).toByte); bb.put(flat(si + 2).toByte)
+            x += 1
+          }
+          var pad = ow * 3
+          while (pad < rowBytes) { bb.put(0.toByte); pad += 1 }
+          y += 1
+        }
+        // schema-ful row: Spark elides ser/deser between adjacent object
+        // nodes, so a chained decodeBmp/bmpFeatures receives THIS object
+        // and its name-based field access needs the schema attached
+        new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+          Array(r.getLong(0), bb.array()), outSchema): Row
+      }
+    }(enc)
+  }
+
   /** Audio feature extraction over REAL decoded samples (the q27
     * successor — no stub anywhere on this path): parse the WAV container
     * with the genuine RIFF walker, bucket each PCM16 sample into `bins`

@@ -280,6 +280,30 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(nullSafe.filter(col("media_id") === 3L).count() > 0L)
   }
 
+  test("resizeBmp: factor 1 is identity, nearest-neighbor picks every f-th pixel, null-safe") {
+    import graft.operators.Multimodal
+    import org.apache.spark.sql.functions._
+    val docs = spark.createDataFrame(Seq(
+      (1L, "ABCDE"), (2L, ""), (3L, "xy"))).toDF("doc_id", "text")
+    val media = Multimodal.bmpMediaFromDocuments(docs)
+    def digest(df: org.apache.spark.sql.DataFrame) =
+      Multimodal.decodeBmp(df).collect()
+        .map(r => (r.getLong(0), r.toSeq.drop(1))).toMap
+    // factor 1: re-encode must be pixel-identical to the source
+    assert(digest(Multimodal.resizeBmp(media, 1)) == digest(media))
+    // factor 2 on "ABCDE" keeps codepoints A, C, E (indices 0, 2, 4)
+    val d2 = digest(Multimodal.resizeBmp(media, 2))
+    def s(c: Char) = (c.toInt % 256) + (c.toInt * 7 % 256) + (c.toInt * 13 % 256)
+    val expSum = (s('A') + s('C') + s('E')).toLong
+    assert(d2(1L) == Seq(3L, 1L, 24L, 3L, Seq('A', 'C', 'E').map(s).max.toLong, expSum))
+    assert(d2(2L) == Seq(0L, 0L, 24L, 0L, 0L, 0L)) // empty image stays empty
+    assert(d2(3L)(3) == 1L) // "xy" -> 1 pixel ('x')
+    // null payload: skipped, not a crash
+    val withNull = media.withColumn("payload",
+      when(col("media_id") === 3L, lit(null).cast("binary")).otherwise(col("payload")))
+    assert(Multimodal.resizeBmp(withNull, 2).count() == 2L)
+  }
+
   test("decodeStub contract: deterministic dim-sized features, null-safe, schema-extending") {
     // decodeStub is the documented codec EXTENSION POINT (see README):
     // a production codec swaps in behind the same mapPartitions shape.
