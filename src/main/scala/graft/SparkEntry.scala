@@ -832,6 +832,15 @@ object SparkEntry {
       Multimodal.bmpFeatures(media, bins = 16)
         .orderBy(col("media_id"), col("channel"), col("bin"))
     }),
+    "q71_wav_resample" -> ((s, dir) => {
+      // audio FRAME-SAMPLE: PCM decimation ×4 as a payload→payload
+      // transform (real RIFF parse → keep every 4th sample → real
+      // re-encode at rate/4), verified by re-decoding the resampled
+      // bytes; oracle replays every 4th codepoint's sample from the text
+      val media = Multimodal.wavMediaFromDocuments(T(s, dir, "documents"), sampleRate = 8000)
+      Multimodal.decodeWav(Multimodal.resampleWav(media, factor = 4))
+        .orderBy(col("media_id"))
+    }),
     "q70_bmp_resize" -> ((s, dir) => {
       // media RESIZE as a payload→payload transform: nearest-neighbor
       // downsample by 3 (real decode → sample → real re-encode), verified
@@ -1118,6 +1127,23 @@ object SparkEntry {
       "q69_heuristic_rerank" ->
         """SELECT CAST(1 AS BIGINT) AS recall_ok, CAST(1 AS BIGINT) AS dist_ok,
           |  CAST(1 AS BIGINT) AS pruned_ok""".stripMargin,
+      // ×4 PCM decimation keeps codepoints 0, 4, 8, … — q64's sample
+      // formula over every 4th character, at rate 8000/4
+      "q71_wav_resample" ->
+        """SELECT doc_id AS media_id,
+          |  CAST(2000 AS BIGINT) AS sample_rate,
+          |  CAST(1 AS BIGINT) AS n_channels,
+          |  CAST(16 AS BIGINT) AS bits_per_sample,
+          |  CAST(ceil(COALESCE(length(text), 0) / 4.0) AS BIGINT) AS n_samples,
+          |  CAST(COALESCE(list_max(list_transform(
+          |    range(0, CAST(ceil(COALESCE(length(text), 0) / 4.0) AS BIGINT)),
+          |    j -> abs((ascii(substring(text, CAST(j * 4 + 1 AS INT), 1)) % 4096 - 2048) * 16))),
+          |    0) AS BIGINT) AS peak,
+          |  CAST((COALESCE(list_sum(list_transform(
+          |    range(0, CAST(ceil(COALESCE(length(text), 0) / 4.0) AS BIGINT)),
+          |    j -> (ascii(substring(text, CAST(j * 4 + 1 AS INT), 1)) % 4096 - 2048) * 16)), 0)
+          |    % 1000000007 + 1000000007) % 1000000007 AS BIGINT) AS checksum
+          |FROM documents ORDER BY media_id""".stripMargin,
       // nearest-neighbor ×3 downsample of the 1×len(text) synthetic BMP
       // keeps codepoints 0, 3, 6, … — replayed from the text with the
       // same per-pixel channel formula as q65/q67

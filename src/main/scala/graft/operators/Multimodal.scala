@@ -373,6 +373,46 @@ object Multimodal {
     }(enc)
   }
 
+  /** PCM decimation — the audio FRAME-SAMPLE stage as a payload→payload
+    * transform (the WAV analog of `resizeBmp`): parse with the genuine
+    * RIFF walker, keep every `factor`-th sample, and re-encode a
+    * well-formed mono PCM16 WAV at sampleRate/factor. Chainable with
+    * `decodeWav`/`wavFeatures` — q71 verifies by re-decoding the
+    * resampled bytes and hash-matching a text-replay oracle through both
+    * codec passes. Null payloads are skipped; factor 1 is the identity
+    * on samples. Per-partition imperative transcode, no driver.
+    */
+  def resampleWav(media: DataFrame, factor: Int): DataFrame = {
+    require(factor >= 1, s"resample factor must be >= 1: $factor")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    media.select(col("media_id"), col("payload")).mapPartitions { rows =>
+      rows.filter(!_.isNullAt(1)).map { r =>
+        val bytes = r.getAs[Array[Byte]]("payload")
+        val kept = new scala.collection.mutable.ArrayBuffer[Short]()
+        var i = 0L
+        val (rate, _, _, _, _, _) =
+          parseWav(bytes, s => { if (i % factor == 0) kept += s.toShort; i += 1 })
+        val newRate = math.max(1L, rate / factor).toInt
+        val dataSize = kept.length * 2
+        val bb = java.nio.ByteBuffer.allocate(44 + dataSize)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + dataSize)
+        bb.put("WAVE".getBytes("US-ASCII"))
+        bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+        bb.putShort(1); bb.putShort(1)
+        bb.putInt(newRate); bb.putInt(newRate * 2)
+        bb.putShort(2); bb.putShort(16)
+        bb.put("data".getBytes("US-ASCII")); bb.putInt(dataSize)
+        kept.foreach(bb.putShort(_))
+        new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+          Array(r.getLong(0), bb.array()), outSchema): Row
+      }
+    }(enc)
+  }
+
   /** Audio feature extraction over REAL decoded samples (the q27
     * successor — no stub anywhere on this path): parse the WAV container
     * with the genuine RIFF walker, bucket each PCM16 sample into `bins`

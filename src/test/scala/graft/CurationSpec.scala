@@ -304,6 +304,32 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Multimodal.resizeBmp(withNull, 2).count() == 2L)
   }
 
+  test("resampleWav: factor 1 is identity, decimation keeps every f-th sample, rate divides") {
+    import graft.operators.Multimodal
+    import org.apache.spark.sql.functions._
+    val docs = spark.createDataFrame(Seq(
+      (1L, "ABCDE"), (2L, ""), (3L, "xy"))).toDF("doc_id", "text")
+    val media = Multimodal.wavMediaFromDocuments(docs, sampleRate = 8000)
+    def digest(df: org.apache.spark.sql.DataFrame) =
+      Multimodal.decodeWav(df).collect()
+        .map(r => (r.getLong(0), r.toSeq.drop(1))).toMap
+    val id = digest(Multimodal.resampleWav(media, 1))
+    val orig = digest(media)
+    // factor 1: identical samples at identical rate
+    assert(id == orig)
+    val d2 = digest(Multimodal.resampleWav(media, 2))
+    def s(c: Char) = ((c.toInt % 4096) - 2048) * 16L
+    val sel = Seq('A', 'C', 'E').map(s)
+    val P = 1000000007L
+    // "ABCDE" decimated by 2 keeps samples for A, C, E at rate 4000
+    assert(d2(1L) == Seq(4000L, 1L, 16L, 3L, sel.map(math.abs).max,
+      ((sel.sum % P) + P) % P))
+    assert(d2(2L)(3) == 0L) // empty audio stays empty
+    val withNull = media.withColumn("payload",
+      when(col("media_id") === 3L, lit(null).cast("binary")).otherwise(col("payload")))
+    assert(Multimodal.resampleWav(withNull, 2).count() == 2L)
+  }
+
   test("decodeStub contract: deterministic dim-sized features, null-safe, schema-extending") {
     // decodeStub is the documented codec EXTENSION POINT (see README):
     // a production codec swaps in behind the same mapPartitions shape.
