@@ -94,6 +94,11 @@ object SparkEntry {
   // Spark and DuckDB can never drift apart on a rate or regex)
   private val SampleRates = Map("en" -> 0.5, "zh" -> 0.1)
   private val SampleDefault = 0.3
+  /** q75 target training mixture: domains absent from the map (es) are
+    * excluded — the mixture defines the training distribution.
+    */
+  private val MixWeights = Map("en" -> 0.4, "de" -> 0.2, "fr" -> 0.2, "zh" -> 0.2)
+  private val MixBudget = 300L
   /** Java∩RE2-portable patterns: an email-PII shape (0 hits on the
     * synthetic corpus — proves no false positives) and a content keyword
     * (real hits — proves counting and redaction).
@@ -909,6 +914,30 @@ object SparkEntry {
           col("vec"), col("label"))
         .orderBy(col("vec_id"))
     }),
+
+    // ---------------- training-batch preparation -------------------------
+    "q72_seq_pack" -> ((s, dir) => {
+      // concat-and-chunk packing at a 1024-token budget across 8
+      // deterministic shards; per-shard window, no global sort
+      TrainingPrep.sequencePack(T(s, dir, "documents"), budget = 1024,
+          nShards = 8, hashFamily = 3)
+        .orderBy(col("shard"), col("pack_id"))
+    }),
+    "q73_chunk_overlap" -> ((s, dir) => {
+      // 200-char windows at stride 150 (50-char overlap); narrow plan
+      TrainingPrep.chunkOverlap(T(s, dir, "documents"), width = 200, stride = 150)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+    "q74_embed_int8" -> ((s, dir) => {
+      // symmetric per-vector int8 quantization; integer-only outputs so
+      // the cross-engine comparison is exact
+      TrainingPrep.int8Quant(T(s, dir, "embeddings")).orderBy(col("vec_id"))
+    }),
+    "q75_domain_mix" -> ((s, dir) => {
+      TrainingPrep.domainMix(T(s, dir, "documents"), MixWeights, MixBudget,
+          hashFamily = 4)
+        .orderBy(col("lang"))
+    }),
   )
 
   // ---- generated oracles for the portable-hash signature pipelines ------
@@ -931,6 +960,19 @@ object SparkEntry {
       s"WHEN '$k' THEN ${math.floor(r * Dedup.P).toLong}"
     }.mkString(" ")
     s"(CASE $langCol $cases ELSE ${math.floor(SampleDefault * Dedup.P).toLong} END)"
+  }
+
+  /** DuckDB replay of the `MixWeights` lookup in `TrainingPrep.domainMix`:
+    * weights as explicit DOUBLE casts (DuckDB parses bare decimal literals
+    * as DECIMAL, whose exact arithmetic would diverge from Spark's f64),
+    * NULL for unlisted domains so the WHERE drops them like the inner
+    * join does.
+    */
+  private def mixWeightSql(langCol: String): String = {
+    val cases = MixWeights.toSeq.sortBy(_._1).map { case (k, w) =>
+      s"WHEN '$k' THEN CAST($w AS DOUBLE)"
+    }.mkString(" ")
+    s"(CASE $langCol $cases ELSE NULL END)"
   }
 
   /** DuckDB replay of `Dedup.minhashPairs` (n=3, t=0.5, 8 hashes): same
@@ -1549,6 +1591,62 @@ object SparkEntry {
              |    ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS total_tokens,
              |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
              |FROM kept GROUP BY shard ORDER BY shard""".stripMargin,
+      // q72: same affine shard hash, same token-count expression as q16,
+      // same first-token pack rule (offset // budget via f64 floor — both
+      // engines do float division then floor on exact-in-f64 integers)
+      "q72_seq_pack" ->
+        raw"""WITH d AS (SELECT doc_id, ${rowHashSql(3, "doc_id")} % 8 AS shard,
+             |  CASE WHEN length(trim(text)) = 0 THEN 0
+             |       ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) END AS n_tokens
+             |  FROM documents),
+             |c AS (SELECT shard, n_tokens,
+             |  SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM d)
+             |SELECT shard, CAST(floor((cum - n_tokens) / 1024) AS BIGINT) AS pack_id,
+             |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+             |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      // q73: substr is 1-based character addressing in both engines; the
+      // chunk count ⌊(len−1)/150⌋+1 is replayed with integer division
+      "q73_chunk_overlap" ->
+        """WITH nz AS (SELECT doc_id, text FROM documents WHERE length(text) > 0),
+          |ch AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+          |         substr(text, CAST(i * 150 + 1 AS INT), 200) AS chunk
+          |       FROM nz, LATERAL unnest(range((length(text) - 1) // 150 + 1)) AS r(i))
+          |SELECT doc_id, chunk_idx, CAST(length(chunk) AS BIGINT) AS chunk_len,
+          |  md5(chunk) AS chunk_md5
+          |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+      // q74: identical f64 expression tree (widen f32 → abs-max → one
+      // division → round-half-away-from-zero) so integer codes match
+      // bit-for-bit; checksum/zero-count/range are exact comparisons
+      "q74_embed_int8" ->
+        """WITH ex AS (SELECT vec_id, CAST(i AS BIGINT) AS i,
+          |    CAST(v[CAST(i + 1 AS INT)] AS DOUBLE) AS x
+          |  FROM (SELECT vec_id, embedding AS v FROM embeddings) AS e,
+          |    LATERAL unnest(range(len(v))) AS r(i)),
+          |sc AS (SELECT vec_id, MAX(abs(x)) AS amax FROM ex GROUP BY 1),
+          |co AS (SELECT ex.vec_id, ex.i,
+          |    CASE WHEN sc.amax = 0 THEN 0
+          |         ELSE CAST(round(ex.x / (sc.amax / CAST(127 AS DOUBLE))) AS BIGINT) END AS c
+          |  FROM ex JOIN sc USING (vec_id))
+          |SELECT vec_id, COUNT(*) AS n_dims,
+          |  CAST(SUM(c * (i + 1)) AS BIGINT) AS checksum,
+          |  CAST(SUM(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+          |  CAST(MAX(c) AS BIGINT) AS max_code, CAST(MIN(c) AS BIGINT) AS min_code
+          |FROM co GROUP BY 1 ORDER BY 1""".stripMargin,
+      // q75: rate_d = min(1, budget·w_d/n_d) replayed with the same f64
+      // operation order; selection via affine family 4, like the Spark side
+      "q75_domain_mix" ->
+        s"""WITH cnt AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+           |th AS (SELECT lang, n,
+           |    CAST(floor(LEAST(CAST(1.0 AS DOUBLE),
+           |      CAST(${MixBudget} AS DOUBLE) * ${mixWeightSql("lang")} / n) * ${Dedup.P}) AS BIGINT) AS t
+           |  FROM cnt WHERE ${mixWeightSql("lang")} IS NOT NULL),
+           |sel AS (SELECT d.lang, d.doc_id,
+           |    CASE WHEN ${rowHashSql(4, "d.doc_id")} < th.t THEN 1 ELSE 0 END AS s
+           |  FROM documents d JOIN th USING (lang))
+           |SELECT lang, COUNT(*) AS n_available, CAST(SUM(s) AS BIGINT) AS n_selected,
+           |  CAST(SUM(s * doc_id) AS BIGINT) AS sel_sum
+           |FROM sel GROUP BY 1 ORDER BY 1""".stripMargin,
     )
   }
 }

@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-batch preparation operators: the last mile between a curated
+  * corpus and a training run. (North-star extensions beyond the reference's
+  * vector surface, like `Curation`/`TextOps` — the reference engine,
+  * kemingy/rabitq, has no data-preparation tier.)
+  *
+  * Scale stance shared by all four operators:
+  *   - packing is SHARD-LOCAL: the only global operation a naive packer
+  *     needs (one totally-ordered cumulative sum) is replaced by a
+  *     per-shard window, so the sort parallelizes across shards and no
+  *     single task ever sees more than corpus/nShards rows;
+  *   - chunking and quantization are per-row codegen expressions
+  *     (explode + substring, higher-order array folds) — embarrassingly
+  *     parallel, no shuffle at all;
+  *   - domain mixing reuses the deterministic affine row hash
+  *     (`Curation.rowHash`), so the mix is reproducible across retries and
+  *     engines, and the per-domain rate table is a tiny broadcast join —
+  *     the 100 TB corpus streams through a map-side filter.
+  */
+object TrainingPrep {
+
+  /** Concat-and-chunk sequence packing (the standard LLM pretraining
+    * batcher): documents are deterministically sharded, concatenated in
+    * doc_id order within each shard, and the token stream is cut into
+    * fixed-`budget` packs; a document belongs to the pack containing its
+    * first token. Output: one row per (shard, pack) with the number of
+    * documents starting in the pack and their total token count.
+    *
+    * The window is PARTITIONED by shard — Spark sorts each shard's rows
+    * independently (no global sort, no single-partition window), which is
+    * what lets the plan scale linearly with shard count. Pack ids are
+    * local to a shard by construction.
+    */
+  def sequencePack(docs: DataFrame, budget: Long, nShards: Int,
+      hashFamily: Int): DataFrame = {
+    val shard = Curation.rowHash(col("doc_id"), hashFamily) % nShards
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"), shard.as("shard"),
+        TextOps.tokenCount(col("text")).as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      // first token of this doc sits at offset (cum - n_tokens) in the
+      // shard's concatenated stream; its pack = offset / budget
+      .withColumn("pack_id", floor((col("cum") - col("n_tokens")) / lit(budget)))
+      .groupBy(col("shard"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"))
+  }
+
+  /** Overlapping fixed-width chunking (RAG / long-context windowing):
+    * every document is cut into character windows of `width` starting at
+    * multiples of `stride` (stride < width ⇒ overlap of width − stride).
+    * Empty documents produce no chunks. Output: one row per chunk with its
+    * index, length, and md5 — enough for a downstream embed-the-chunks
+    * stage to join back, and for an engine-independent oracle to replay.
+    *
+    * Pure narrow plan: filter → explode(sequence) → substring. No shuffle;
+    * chunk count per doc is ⌈(len − width)/stride⌉ + 1 = ⌊(len−1)/stride⌋ + 1,
+    * so output size is bounded by corpus_chars/stride — linear.
+    */
+  def chunkOverlap(docs: DataFrame, width: Int, stride: Int): DataFrame = {
+    require(stride >= 1 && width >= stride, "need width >= stride >= 1")
+    val nChunks = floor((length(col("text")) - 1) / lit(stride)).cast("int")
+    docs
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0), nChunks)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("text").substr(col("chunk_idx") * stride + 1, lit(width)).as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"),
+        length(col("chunk")).cast("long").as("chunk_len"),
+        md5(col("chunk")).as("chunk_md5"))
+  }
+
+  /** Per-vector symmetric int8 quantization (embedding compression for
+    * ANN serving / training caches): scale = max|vᵢ|/127, codeᵢ =
+    * round(vᵢ/scale) ∈ [−127, 127]; the all-zero vector maps to all-zero
+    * codes. Output is integer-only (position-weighted checksum, zero
+    * count, code range) so the oracle comparison is exact — float64
+    * arithmetic (f32 widening, one division, round-half-away-from-zero)
+    * is IEEE-identical across engines as long as the expression tree
+    * matches, which the oracle replays verbatim.
+    *
+    * Whole computation is higher-order array folds on the codegen path —
+    * per-row, no shuffle, no UDF.
+    */
+  def int8Quant(emb: DataFrame): DataFrame = {
+    val vd = transform(col("embedding"), x => x.cast("double"))
+    val amax = aggregate(vd, lit(0d), (a, x) => greatest(a, abs(x)))
+    val withCodes = emb
+      .select(col("vec_id"), col("embedding"), amax.as("amax"))
+      .withColumn("codes", transform(col("embedding"), x =>
+        when(col("amax") === 0d, lit(0L))
+          .otherwise(round(x.cast("double") / (col("amax") / lit(127.0))).cast("long"))))
+    withCodes.select(
+      col("vec_id"),
+      size(col("embedding")).cast("long").as("n_dims"),
+      aggregate(
+        zip_with(col("codes"), sequence(lit(1L), size(col("codes")).cast("long")),
+          (c, i) => c * i),
+        lit(0L), (a, x) => a + x).as("checksum"),
+      aggregate(col("codes"), lit(0L),
+        (a, c) => a + when(c === 0L, 1L).otherwise(0L)).as("n_zero"),
+      aggregate(col("codes"), lit(-128L), (a, c) => greatest(a, c)).as("max_code"),
+      aggregate(col("codes"), lit(128L), (a, c) => least(a, c)).as("min_code"))
+  }
+
+  /** Weighted domain mixing: given target mixture weights per domain and a
+    * total budget, derive per-domain keep rates rate_d = min(1, budget·w_d
+    * / n_d) and select deterministically via the affine row hash —
+    * rerunnable, engine-portable, and nested across budgets (same hash,
+    * monotone thresholds). Domains absent from `weights` are excluded:
+    * the mixture DEFINES the training distribution.
+    *
+    * Plan shape for 100 TB: the per-domain count is a map-side-combinable
+    * aggregate producing |domains| rows; the rate table broadcast-joins
+    * back onto the corpus (no corpus shuffle) and selection is a codegen
+    * filter. One lazy plan, no driver round-trip.
+    */
+  def domainMix(docs: DataFrame, weights: Map[String, Double], budget: Long,
+      hashFamily: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wdf = weights.toSeq.toDF("lang", "w")
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val thresholds = counts.join(wdf, "lang")
+      .withColumn("t",
+        floor(least(lit(1.0), lit(budget.toDouble) * col("w") / col("n")) * lit(Dedup.P)))
+    val sel = (Curation.rowHash(col("doc_id"), hashFamily) < col("t")).cast("long")
+    docs.join(broadcast(thresholds), "lang")
+      .select(col("lang"), col("doc_id"), sel.as("s"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_available"), sum(col("s")).as("n_selected"),
+        sum(col("s") * col("doc_id")).as("sel_sum"))
+  }
+}

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.operators._
+
+class TrainingPrepSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  val sf = "/root/testdata/sf0.001"
+  private def docs: DataFrame = spark.read.parquet(s"$sf/documents.parquet")
+  private def emb: DataFrame = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  private def docsOf(rows: Seq[(Long, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  // ---------------- sequence packing ------------------------------------
+  test("sequencePack: conserves tokens, assigns by first-token offset") {
+    // single shard, budget 4; tokens per doc: 3, 2, 4, 1 → offsets 0,3,5,9
+    // → packs 0,0,1,2
+    val d = docsOf(Seq(0L -> "a b c", 1L -> "d e", 2L -> "f g h i", 3L -> "j"))
+    val out = TrainingPrep.sequencePack(d, budget = 4, nShards = 1, hashFamily = 3)
+      .orderBy("pack_id").collect()
+    assert(out.map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((0L, 2L, 5L), (1L, 1L, 4L), (2L, 1L, 1L)))
+  }
+
+  test("sequencePack: token conservation and shard-locality on real docs") {
+    val out = TrainingPrep.sequencePack(docs, budget = 1024, nShards = 8, hashFamily = 3)
+    val packed = out.agg(sum("pack_tokens"), sum("n_docs")).head()
+    val direct = docs.agg(
+      sum(TextOps.tokenCount(col("text"))), count(lit(1))).head()
+    assert(packed.getLong(0) == direct.getLong(0)) // every token in exactly one pack
+    assert(packed.getLong(1) == direct.getLong(1)) // every doc in exactly one pack
+    assert(out.filter(col("pack_id") < 0 || col("shard") < 0 || col("shard") >= 8).isEmpty)
+    // deterministic: rerun is identical
+    assert(out.exceptAll(TrainingPrep.sequencePack(docs, 1024, 8, 3)).isEmpty)
+    // a giant doc spanning several budgets still lands in exactly one pack
+    val big = docsOf(Seq(0L -> Seq.fill(10)("t").mkString(" "), 1L -> "a b"))
+    val bigOut = TrainingPrep.sequencePack(big, budget = 3, nShards = 1, hashFamily = 3)
+      .orderBy("pack_id").collect()
+    // doc0 at offset 0 → pack 0 (10 tokens); doc1 at offset 10 → pack 3
+    assert(bigOut.map(r => (r.getLong(1), r.getLong(3))).toSeq ==
+      Seq((0L, 10L), (3L, 2L)))
+  }
+
+  // ---------------- overlapping chunking --------------------------------
+  test("chunkOverlap: exact windows, overlap reconstruction, empty-doc drop") {
+    val text = "0123456789" // len 10, width 4, stride 3 → starts 0,3,6,9
+    val d = docsOf(Seq(7L -> text, 8L -> ""))
+    val out = TrainingPrep.chunkOverlap(d, width = 4, stride = 3)
+      .orderBy("doc_id", "chunk_idx").collect()
+    assert(out.forall(_.getLong(0) == 7L)) // empty doc produces no chunks
+    assert(out.map(_.getLong(2)).toSeq == Seq(4L, 4L, 4L, 1L))
+    val expectMd5 = Seq("0123", "3456", "6789", "9").map { s =>
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }
+    assert(out.map(_.getString(3)).toSeq == expectMd5)
+    // real docs: chunks tile every document exactly —
+    val byIdx = TrainingPrep.chunkOverlap(docs, width = 200, stride = 150)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_len"))
+      .groupBy("doc_id")
+      .agg(max(col("chunk_idx") * 150 + col("chunk_len")).as("covered"),
+        count(lit(1)).as("n_chunks"))
+      .join(docs.select(col("doc_id"), length(col("text")).cast("long").as("len")), "doc_id")
+    // last chunk reaches exactly the end of the doc; chunk count matches
+    assert(byIdx.filter(col("covered") =!= col("len")).isEmpty)
+    assert(byIdx.filter(col("n_chunks") =!=
+      (floor((col("len") - 1) / 150) + 1)).isEmpty)
+  }
+
+  // ---------------- int8 quantization -----------------------------------
+  test("int8Quant: bounded codes, zero vector, scale invariance") {
+    val out = TrainingPrep.int8Quant(emb)
+    assert(out.filter(col("max_code") > 127 || col("min_code") < -127).isEmpty)
+    assert(out.filter(col("n_dims") =!= 64).isEmpty)
+    // at least one code per vector hits ±127 (the abs-max element)
+    assert(out.filter(col("max_code") =!= 127 && col("min_code") =!= -127).isEmpty)
+    // zero vector → all-zero codes
+    import spark.implicits._
+    val zero = Seq((0L, Array(0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val zr = TrainingPrep.int8Quant(zero).head()
+    assert(zr.getLong(2) == 0L && zr.getLong(3) == 3L)
+    // codes are invariant under power-of-two rescaling (exact in f64)
+    val scaled = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x * lit(4.0f)).as("embedding"))
+    assert(TrainingPrep.int8Quant(scaled).exceptAll(out).isEmpty)
+  }
+
+  // ---------------- domain mixing ---------------------------------------
+  test("domainMix: clamped rates, exclusion, monotone in budget") {
+    val w = Map("en" -> 0.5, "de" -> 0.5)
+    val out = TrainingPrep.domainMix(docs, w, budget = 100, hashFamily = 4)
+      .orderBy("lang").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("de", "en")) // others excluded
+    assert(out.forall(r => r.getLong(2) <= r.getLong(1)))    // selected ⊆ available
+    // budget beyond corpus size → rate clamps to 1, everything selected
+    val all = TrainingPrep.domainMix(docs, w, budget = 1000000, hashFamily = 4)
+      .collect()
+    assert(all.forall(r => r.getLong(2) == r.getLong(1)))
+    // monotone: bigger budget never selects fewer (same hash, higher threshold)
+    val small = TrainingPrep.domainMix(docs, w, budget = 40, hashFamily = 4)
+      .orderBy("lang").collect()
+    assert(small.zip(out).forall { case (s, b) => s.getLong(2) <= b.getLong(2) })
+    // deterministic rerun
+    val again = TrainingPrep.domainMix(docs, w, budget = 100, hashFamily = 4)
+      .orderBy("lang").collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+}
