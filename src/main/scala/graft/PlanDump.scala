@@ -26,10 +26,17 @@ object PlanDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (which == "all") SparkEntry.queries.keys.toSeq.sorted else Seq(which)
+    // --exec: run the query first and print the FINAL adaptive plan —
+    // AQE decisions (ReusedExchange stage-cache hits, runtime join
+    // demotions, coalesced partitions) only exist post-execution
+    val exec = args.contains("--exec")
     names.foreach { name =>
       println(s"\n========== $name ==========")
-      try SparkEntry.queries(name)(spark, sfDir).explain("formatted")
-      catch { case e: Throwable => println(s"  failed: ${e.getMessage}") }
+      try {
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        if (exec) { df.count(); println(df.queryExecution.executedPlan.toString) }
+        else df.explain("formatted")
+      } catch { case e: Throwable => println(s"  failed: ${e.getMessage}") }
     }
     spark.stop()
   }

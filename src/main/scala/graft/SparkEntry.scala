@@ -938,6 +938,11 @@ object SparkEntry {
           hashFamily = 4)
         .orderBy(col("lang"))
     }),
+    "q76_tfidf_top" -> ((s, dir) => {
+      // per-doc top TF-IDF term; score rounded before the argmax so the
+      // winner is engine-stable (see TextOps.tfidfTopTerm)
+      TextOps.tfidfTopTerm(T(s, dir, "documents")).orderBy(col("doc_id"))
+    }),
   )
 
   // ---- generated oracles for the portable-hash signature pipelines ------
@@ -1647,6 +1652,25 @@ object SparkEntry {
            |SELECT lang, COUNT(*) AS n_available, CAST(SUM(s) AS BIGINT) AS n_selected,
            |  CAST(SUM(s * doc_id) AS BIGINT) AS sel_sum
            |FROM sel GROUP BY 1 ORDER BY 1""".stripMargin,
+      // q76: tf·ln(N/df) with the same f64 operation order; the 4-decimal
+      // round happens BEFORE the per-doc argmax in both engines, so a
+      // last-ulp ln() difference cannot flip the winning term
+      "q76_tfidf_top" ->
+        raw"""WITH toks AS (SELECT doc_id, t AS term
+             |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ts
+             |        FROM documents) AS d, LATERAL unnest(ts) AS u(t)
+             |  WHERE length(t) > 0),
+             |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+             |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+             |n AS (SELECT COUNT(*) AS n FROM documents),
+             |sc AS (SELECT doc_id, term, tf, df,
+             |    round(tf * ln(CAST(n AS DOUBLE) / df), 4) AS tfidf
+             |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+             |    ORDER BY tfidf DESC, term) AS rn FROM sc)
+             |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+             |  tfidf
+             |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     )
   }
 }

@@ -116,4 +116,43 @@ object TextOps {
     val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
     graft.functions.TextExpressions.polyHash(norm, 131L, 1000000007L)
   }
+
+  /** Per-document top TF-IDF term (the keyword-extraction / relevance
+    * primitive): tf·ln(N/df) over whitespace tokens, scored per
+    * (doc, term), argmax per doc with a deterministic (rounded-score
+    * desc, term asc) order. The score is rounded to 4 decimals BEFORE the
+    * argmax so last-ulp `ln` differences between engines cannot flip the
+    * winner — the same cross-engine float discipline as q17's ratios.
+    *
+    * Scale shape: ONE corpus scan. tf is a (doc, term) aggregate
+    * (map-side combinable — local term repetitions collapse before the
+    * exchange); df is a COUNT WINDOW over the tf relation partitioned by
+    * term, not a separate aggregate-and-join — a join formulation makes
+    * Spark recompute the whole tf subtree for the df side (verified: no
+    * ReusedExchange even under AQE), i.e. a second corpus scan and a
+    * second (doc, term) shuffle, where the window only re-exchanges the
+    * already-aggregated tf rows; N is a broadcast 1-row scalar off a
+    * zero-column scan; the per-doc argmax is a rank-1 window that Spark's
+    * WindowGroupLimit rewrites into partial map-side top-1s before the
+    * doc_id exchange, so no full per-doc sort ever materializes.
+    */
+  def tfidfTopTerm(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val scored = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+      .join(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n").cast("double") / col("df")), 4))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"))
+  }
 }

@@ -101,6 +101,30 @@ class TrainingPrepSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(TrainingPrep.int8Quant(scaled).exceptAll(out).isEmpty)
   }
 
+  // ---------------- tf-idf top term -------------------------------------
+  test("tfidfTopTerm: hand-computed example, one row per non-empty doc") {
+    // 3 docs; "rare" appears only in doc 0 → its top term; "the" is in all
+    // docs (idf = ln(1) = 0) so it can never win despite high tf
+    val d = docsOf(Seq(
+      0L -> "the the the rare",
+      1L -> "the shared word",
+      2L -> "the shared word"))
+    val out = TextOps.tfidfTopTerm(d).orderBy("doc_id").collect()
+    assert(out.length == 3)
+    val r0 = out(0)
+    assert(r0.getString(1) == "rare" && r0.getLong(2) == 1L && r0.getLong(3) == 1L)
+    assert(math.abs(r0.getDouble(4) - math.rint(math.log(3.0) * 1e4) / 1e4) < 1e-9)
+    // docs 1,2 tie on {shared, word} (same tf, same df) → term-asc tiebreak
+    assert(out(1).getString(1) == "shared" && out(2).getString(1) == "shared")
+    // real corpus: exactly one row per doc, df ≤ N, tf ≥ 1, score ≥ 0
+    val real = TextOps.tfidfTopTerm(docs)
+    val nDocs = docs.count()
+    assert(real.count() == nDocs)
+    assert(real.select(countDistinct("doc_id")).head().getLong(0) == nDocs)
+    assert(real.filter(col("tf") < 1 || col("df") < 1 || col("df") > nDocs ||
+      col("tfidf") < 0).isEmpty)
+  }
+
   // ---------------- domain mixing ---------------------------------------
   test("domainMix: clamped rates, exclusion, monotone in budget") {
     val w = Map("en" -> 0.5, "de" -> 0.5)
