@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Training-prep-tier scale smoke: run the q72–q76 operators at 10M docs
+  * / 1M embeddings — far beyond the driver testdata — and report wall
+  * time + rows/sec per stage. Shapes under test: one shard exchange
+  * (packing), zero-shuffle explode (chunking), zero-shuffle array folds
+  * (int8 quant), broadcast rate table (domain mix), and the
+  * tf→window-df→WindowGroupLimit pipeline (tf-idf). Nothing here
+  * materializes to the driver — every stage ends in an aggregate.
+  *
+  *   sbt "runMain graft.TrainingPrepScaleSmoke 10000000 1000000"
+  */
+object TrainingPrepScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.length > 0) args(0).toLong else 10000000L
+    val nVec = if (args.length > 1) args(1).toLong else 1000000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // deterministic 30-token docs from a 50k vocabulary (same generator
+    // family as CurationScaleSmoke), generated distributed
+    val textCol = concat_ws(" ",
+      transform(sequence(lit(0), lit(29)), j =>
+        concat(lit("w"), pmod(xxhash64(col("doc_id") * 31 + j), lit(50000L)))))
+    val langCol = element_at(array(lit("en"), lit("zh"), lit("de"), lit("fr")),
+      (pmod(col("doc_id"), lit(4L)) + 1).cast("int"))
+    val docs = spark.range(n).select(col("id").as("doc_id"))
+      .select(col("doc_id"), langCol.as("lang"), textCol.as("text"))
+      .repartition(cpus.toInt).persist()
+    docs.count() // materialize so stage timings measure the operator
+
+    // ---- q72 shape: sequence packing (one shard exchange + window) ------
+    val (packAgg, packSec) = timed {
+      TrainingPrep.sequencePack(docs, budget = 1024, nShards = 256, hashFamily = 3)
+        .agg(count(lit(1)), sum(col("pack_tokens"))).head()
+    }
+
+    // ---- q73 shape: overlapping chunking (zero-shuffle explode) ---------
+    val (nChunks, chunkSec) = timed {
+      TrainingPrep.chunkOverlap(docs, width = 200, stride = 150).count()
+    }
+
+    // ---- q75 shape: domain mixing (broadcast rate table) ----------------
+    val (mixAgg, mixSec) = timed {
+      TrainingPrep.domainMix(docs,
+          Map("en" -> 0.4, "de" -> 0.2, "fr" -> 0.2, "zh" -> 0.2),
+          budget = n / 4, hashFamily = 4)
+        .agg(sum(col("n_selected")), sum(col("n_available"))).head()
+    }
+
+    // ---- q76 shape: tf-idf top term (tf agg → window df → top-1) --------
+    val (nKeyword, tfidfSec) = timed { TextOps.tfidfTopTerm(docs).count() }
+
+    // ---- q74 shape: int8 quantization (zero-shuffle array folds) --------
+    // deterministic 64-dim float vectors, generated distributed
+    val vecCol = transform(sequence(lit(0), lit(63)), j =>
+      (pmod(xxhash64(col("vec_id") * 131 + j), lit(2001L)) - 1000L)
+        .cast("float") / 1000.0f)
+    val emb = spark.range(nVec).select(col("id").as("vec_id"))
+      .select(col("vec_id"), vecCol.as("embedding"))
+      .repartition(cpus.toInt).persist()
+    emb.count()
+    val (quantAgg, quantSec) = timed {
+      TrainingPrep.int8Quant(emb)
+        .agg(sum(col("checksum")), max(col("max_code")), min(col("min_code"))).head()
+    }
+
+    println(
+      s"""{"metric":"trainingprep_scale_smoke","n_docs":$n,"n_vecs":$nVec,
+         |"pack_sec":${f"$packSec%.1f"},"pack_docs_per_sec":${(n / packSec).toLong},
+         |"n_packs":${packAgg.getLong(0)},"pack_tokens":${packAgg.getLong(1)},
+         |"chunk_sec":${f"$chunkSec%.1f"},"chunk_docs_per_sec":${(n / chunkSec).toLong},"n_chunks":$nChunks,
+         |"mix_sec":${f"$mixSec%.1f"},"mix_docs_per_sec":${(n / mixSec).toLong},
+         |"n_mix_selected":${mixAgg.getLong(0)},"n_mix_available":${mixAgg.getLong(1)},
+         |"tfidf_sec":${f"$tfidfSec%.1f"},"tfidf_docs_per_sec":${(n / tfidfSec).toLong},"n_keywords":$nKeyword,
+         |"quant_sec":${f"$quantSec%.1f"},"quant_vecs_per_sec":${(nVec / quantSec).toLong},
+         |"quant_max_code":${quantAgg.getLong(1)},"quant_min_code":${quantAgg.getLong(2)}}"""
+        .stripMargin.replace("\n", ""))
+    spark.stop()
+  }
+}
