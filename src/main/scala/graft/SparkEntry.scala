@@ -943,6 +943,17 @@ object SparkEntry {
       // winner is engine-stable (see TextOps.tfidfTopTerm)
       TextOps.tfidfTopTerm(T(s, dir, "documents")).orderBy(col("doc_id"))
     }),
+    "q77_length_buckets" -> ((s, dir) => {
+      // padding-efficiency report: width-64 token buckets, integer-only
+      TrainingPrep.lengthBuckets(T(s, dir, "documents"), width = 64)
+        .orderBy(col("bucket"))
+    }),
+    "q78_jl_project" -> ((s, dir) => {
+      // deterministic Rademacher JL projection 64 → 16 dims; long-form
+      // (vec_id, j, proj) with the fold-order-exact DuckDB replay
+      TrainingPrep.jlProject(T(s, dir, "embeddings"), outDims = 16)
+        .orderBy(col("vec_id"), col("j"))
+    }),
   )
 
   // ---- generated oracles for the portable-hash signature pipelines ------
@@ -1671,6 +1682,39 @@ object SparkEntry {
              |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
              |  tfidf
              |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+      // q77: width-64 buckets over the q16 token count; pure integer
+      // arithmetic ((n-1) // 64 replayed as f64 floor — exact for these
+      // magnitudes in both engines)
+      "q77_length_buckets" ->
+        raw"""WITH t AS (SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+             |    ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) END AS n_tokens
+             |  FROM documents),
+             |b AS (SELECT n_tokens, CAST(floor((n_tokens - 1) / 64) AS BIGINT) AS bucket
+             |  FROM t WHERE n_tokens > 0)
+             |SELECT bucket, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+             |  MAX(n_tokens) AS max_tokens,
+             |  COUNT(*) * (bucket + 1) * 64 AS padded_tokens,
+             |  COUNT(*) * (bucket + 1) * 64 - CAST(SUM(n_tokens) AS BIGINT) AS waste_tokens
+             |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+      // q78: same ±1 planes as q45's LSH (affine parity), same LEFT-FOLD
+      // dot (list_reduce ≡ Spark aggregate fold order), ×1/√16 then
+      // round(4) — the projected values themselves, not just their signs.
+      // The trailing + 0.0 normalizes −0.0 (C rounding) to +0.0 (JVM
+      // decimal rounding) so the engines agree at the zero boundary
+      "q78_jl_project" -> {
+        val projs = (0 until 16).map { j =>
+          val (a, b) = Dedup.affine(j)
+          s"""round(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+             |    list_transform(range(1, len(embedding) + 1),
+             |      d -> (CASE WHEN (($a*d+$b) % ${Dedup.P}) % 2 = 1 THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)
+             |           * CAST(embedding[CAST(d AS INT)] AS DOUBLE))),
+             |    (acc, x) -> acc + x) * CAST(0.25 AS DOUBLE), 4) + CAST(0 AS DOUBLE)""".stripMargin
+        }.mkString(",\n")
+        raw"""WITH p AS (SELECT vec_id, [$projs] AS pr FROM embeddings)
+             |SELECT vec_id, CAST(j AS BIGINT) AS j, pr[CAST(j + 1 AS INT)] AS proj
+             |FROM p, LATERAL unnest(range(len(pr))) AS r(j)
+             |ORDER BY vec_id, j""".stripMargin
+      },
     )
   }
 }

@@ -138,4 +138,63 @@ object TrainingPrep {
       .agg(count(lit(1)).as("n_available"), sum(col("s")).as("n_selected"),
         sum(col("s") * col("doc_id")).as("sel_sum"))
   }
+
+  /** Length-bucketed batching stats (the padding-efficiency report every
+    * fixed-shape trainer needs): documents are bucketed by token count
+    * into width-`width` buckets (bucket b holds lengths in
+    * (b·width, (b+1)·width]), and each bucket reports its document count,
+    * token sum/max, the padded token count if every doc were padded to
+    * the bucket's top boundary, and the resulting waste. Integer-only
+    * arithmetic — no float anywhere.
+    *
+    * Plan shape: one map-side-combinable aggregate keyed by the ~dozens
+    * of buckets; output is O(max_len/width) rows regardless of corpus
+    * size. Empty documents (0 tokens) are excluded — they contribute no
+    * training sequence.
+    */
+  def lengthBuckets(docs: DataFrame, width: Int): DataFrame = {
+    require(width >= 1, "bucket width must be positive")
+    docs
+      .select(TextOps.tokenCount(col("text")).as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("bucket", floor((col("n_tokens") - 1) / lit(width)))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
+      .withColumn("padded_tokens", col("n_docs") * (col("bucket") + 1) * width)
+      .withColumn("waste_tokens", col("padded_tokens") - col("sum_tokens"))
+  }
+
+  /** Johnson–Lindenstrauss random projection to `outDims` dimensions with
+    * deterministic Rademacher (±1) planes — embedding compression for
+    * downstream clustering/dedup where approximate geometry suffices.
+    * Plane j's component for dimension d is the parity of the j-th shared
+    * affine family at d (exactly `Dedup.hyperplaneLshPortable`'s planes —
+    * this operator keeps the projected VALUES where LSH keeps only the
+    * signs), scaled by 1/√outDims. The dot is a LEFT-FOLD over the
+    * embedding widened to f64, so an engine that replays the same fold
+    * order reproduces the sums bit-for-bit; the output is rounded to 4
+    * decimals per coordinate, then normalized with `+ 0.0` — a tiny
+    * negative sum rounds to −0.0 under C-style rounding (DuckDB) but to
+    * +0.0 under decimal rounding (JVM BigDecimal), and IEEE
+    * `−0.0 + 0.0 = +0.0` erases exactly that divergence on both engines.
+    *
+    * Zero-shuffle per-row computation (array folds + posexplode); output
+    * is long-form (vec_id, j, proj) for oracle-friendly comparison.
+    */
+  def jlProject(emb: DataFrame, outDims: Int): DataFrame = {
+    require(outDims >= 1 && outDims <= Dedup.affine.length)
+    val scale = 1.0 / math.sqrt(outDims.toDouble)
+    val projections = (0 until outDims).map { j =>
+      val (a, b) = Dedup.affine(j)
+      round(aggregate(sequence(lit(1), size(col("embedding"))), lit(0.0),
+        (acc, d) => acc +
+          when(((lit(a) * d + lit(b)) % lit(Dedup.P)) % 2L === 1L, lit(1.0))
+            .otherwise(lit(-1.0)) *
+            element_at(col("embedding"), d).cast("double")) * lit(scale), 4) + lit(0.0)
+    }
+    emb.select(col("vec_id"),
+        posexplode(array(projections: _*)).as(Seq("j", "proj")))
+      .select(col("vec_id"), col("j").cast("long").as("j"), col("proj"))
+  }
 }

@@ -125,6 +125,53 @@ class TrainingPrepSpec extends AnyFunSuite with BeforeAndAfterAll {
       col("tfidf") < 0).isEmpty)
   }
 
+  // ---------------- length-bucketed batching stats ----------------------
+  test("lengthBuckets: conservation, bounds, non-negative waste") {
+    val out = TrainingPrep.lengthBuckets(docs, width = 64)
+    val totals = out.agg(sum("n_docs"), sum("sum_tokens")).head()
+    val direct = docs.select(TextOps.tokenCount(col("text")).as("nt"))
+      .filter(col("nt") > 0).agg(count(lit(1)), sum("nt")).head()
+    assert(totals.getLong(0) == direct.getLong(0))
+    assert(totals.getLong(1) == direct.getLong(1))
+    // every bucket's max fits its top boundary and exceeds the one below;
+    // waste is exactly padded − sum and never negative
+    assert(out.filter(col("max_tokens") > (col("bucket") + 1) * 64 ||
+      col("max_tokens") <= col("bucket") * 64).isEmpty)
+    assert(out.filter(col("waste_tokens") =!=
+      col("padded_tokens") - col("sum_tokens")).isEmpty)
+    assert(out.filter(col("waste_tokens") < 0).isEmpty)
+    // a doc of exactly 64 tokens belongs to bucket 0 (top boundary closed)
+    val edge = TrainingPrep.lengthBuckets(
+      docsOf(Seq(0L -> Seq.fill(64)("t").mkString(" "))), width = 64).head()
+    assert(edge.getLong(0) == 0L && edge.getLong(3) == 64L)
+  }
+
+  // ---------------- JL random projection --------------------------------
+  test("jlProject: plane formula on a basis vector, norm concentration") {
+    import spark.implicits._
+    // e_1 → proj_j = ±1/√16 with the sign = parity of affine_j at d = 1
+    val e1 = Seq((0L, Array(1f) ++ Array.fill(63)(0f))).toDF("vec_id", "embedding")
+    val got = TrainingPrep.jlProject(e1, outDims = 16)
+      .orderBy("j").collect().map(_.getDouble(2))
+    val expect = (0 until 16).map { j =>
+      val (a, b) = Dedup.affine(j)
+      if (((a * 1 + b) % Dedup.P) % 2 == 1) 0.25 else -0.25
+    }
+    assert(got.toSeq == expect)
+    // real embeddings: 16 coords per vector, deterministic rerun,
+    // and E[‖proj‖²] = ‖v‖² (JL isometry in expectation) within loose
+    // bounds on the corpus mean
+    val proj = TrainingPrep.jlProject(emb, outDims = 16)
+    assert(proj.groupBy("vec_id").count().filter(col("count") =!= 16).isEmpty)
+    assert(proj.exceptAll(TrainingPrep.jlProject(emb, outDims = 16)).isEmpty)
+    val ratio = proj.groupBy("vec_id").agg(sum(col("proj") * col("proj")).as("p2"))
+      .join(emb.select(col("vec_id"),
+        aggregate(transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+          lit(0d), (a, x) => a + x).as("n2")), "vec_id")
+      .agg(avg(col("p2") / col("n2"))).head().getDouble(0)
+    assert(ratio > 0.5 && ratio < 2.0, s"mean norm ratio $ratio")
+  }
+
   // ---------------- domain mixing ---------------------------------------
   test("domainMix: clamped rates, exclusion, monotone in budget") {
     val w = Map("en" -> 0.5, "de" -> 0.5)
