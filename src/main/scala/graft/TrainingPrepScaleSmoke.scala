@@ -64,6 +64,12 @@ object TrainingPrepScaleSmoke {
     // ---- q76 shape: tf-idf top term (tf agg → window df → top-1) --------
     val (nKeyword, tfidfSec) = timed { TextOps.tfidfTopTerm(docs).count() }
 
+    // ---- q77 shape: length buckets (map-side-combinable aggregate) ------
+    val (bucketWaste, bucketSec) = timed {
+      TrainingPrep.lengthBuckets(docs, width = 16)
+        .agg(sum(col("waste_tokens"))).head().getLong(0)
+    }
+
     // ---- q74 shape: int8 quantization (zero-shuffle array folds) --------
     // deterministic 64-dim float vectors, generated distributed
     val vecCol = transform(sequence(lit(0), lit(63)), j =>
@@ -78,6 +84,12 @@ object TrainingPrepScaleSmoke {
         .agg(sum(col("checksum")), max(col("max_code")), min(col("min_code"))).head()
     }
 
+    // ---- q78 shape: JL projection (zero-shuffle folds + posexplode) -----
+    val (jlAgg, jlSec) = timed {
+      TrainingPrep.jlProject(emb, outDims = 16)
+        .agg(count(lit(1)), avg(col("proj") * col("proj"))).head()
+    }
+
     println(
       s"""{"metric":"trainingprep_scale_smoke","n_docs":$n,"n_vecs":$nVec,
          |"pack_sec":${f"$packSec%.1f"},"pack_docs_per_sec":${(n / packSec).toLong},
@@ -86,8 +98,11 @@ object TrainingPrepScaleSmoke {
          |"mix_sec":${f"$mixSec%.1f"},"mix_docs_per_sec":${(n / mixSec).toLong},
          |"n_mix_selected":${mixAgg.getLong(0)},"n_mix_available":${mixAgg.getLong(1)},
          |"tfidf_sec":${f"$tfidfSec%.1f"},"tfidf_docs_per_sec":${(n / tfidfSec).toLong},"n_keywords":$nKeyword,
+         |"bucket_sec":${f"$bucketSec%.1f"},"bucket_docs_per_sec":${(n / bucketSec).toLong},"bucket_waste":$bucketWaste,
          |"quant_sec":${f"$quantSec%.1f"},"quant_vecs_per_sec":${(nVec / quantSec).toLong},
-         |"quant_max_code":${quantAgg.getLong(1)},"quant_min_code":${quantAgg.getLong(2)}}"""
+         |"quant_max_code":${quantAgg.getLong(1)},"quant_min_code":${quantAgg.getLong(2)},
+         |"jl_sec":${f"$jlSec%.1f"},"jl_vecs_per_sec":${(nVec / jlSec).toLong},
+         |"jl_rows":${jlAgg.getLong(0)},"jl_mean_sq":${f"${jlAgg.getDouble(1)}%.4f"}}"""
         .stripMargin.replace("\n", ""))
     spark.stop()
   }
