@@ -172,6 +172,41 @@ class TrainingPrepSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ratio > 0.5 && ratio < 2.0, s"mean norm ratio $ratio")
   }
 
+  // ---------------- plan shapes (the 100 TB claims, pinned) --------------
+  test("plans: shuffle-free chunk/quant/jl; one data exchange for packing; " +
+      "broadcast-only corpus path for mix; single corpus scan for tfidf") {
+    import org.apache.spark.sql.execution.exchange.{ShuffleExchangeExec, BroadcastExchangeExec}
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // AQE off so the executed plan is the static one under test
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def shuffles(df: DataFrame): Int =
+        df.queryExecution.executedPlan.collect { case _: ShuffleExchangeExec => 1 }.sum
+      // chunking, int8 quantization, JL projection: narrow, zero-shuffle
+      assert(shuffles(TrainingPrep.chunkOverlap(docs, 200, 150)) == 0)
+      assert(shuffles(TrainingPrep.int8Quant(emb)) == 0)
+      assert(shuffles(TrainingPrep.jlProject(emb, 16)) == 0)
+      // packing: exactly ONE data exchange (the shard hash); the pack
+      // aggregation reuses the window's shard distribution
+      assert(shuffles(TrainingPrep.sequencePack(docs, 1024, 8, 3)) == 1)
+      // domain mix: the corpus side is never shuffled — only the tiny
+      // per-lang count aggregate (2 exchanges) moves, and the rate table
+      // comes back as a broadcast
+      val mix = TrainingPrep.domainMix(docs, Map("en" -> 0.5), 100, 4)
+      assert(shuffles(mix) == 2)
+      assert(mix.queryExecution.executedPlan.collect {
+        case _: BroadcastExchangeExec => 1 }.sum >= 1)
+      // tf-idf: the corpus (text column) is scanned exactly once; the
+      // second scan is the zero-column N count
+      val tfidf = TextOps.tfidfTopTerm(docs)
+      val textScans = tfidf.queryExecution.executedPlan.collect {
+        case s: FileSourceScanExec if s.schema.fieldNames.contains("text") => 1 }.sum
+      assert(textScans == 1)
+      assert(tfidf.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevA)
+  }
+
   // ---------------- domain mixing ---------------------------------------
   test("domainMix: clamped rates, exclusion, monotone in budget") {
     val w = Map("en" -> 0.5, "de" -> 0.5)
