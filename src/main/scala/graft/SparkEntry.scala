@@ -82,12 +82,32 @@ object SparkEntry {
   private def diskIndex(s: SparkSession, dir: String): String =
     diskIdxCache.getOrElseUpdate(dir, {
       val (model, index) = annIndex(s, dir)
-      val out = java.nio.file.Files.createTempDirectory("graft_idx_").toString
+      val out = graft.TempDirs.create("graft_idx_")
       RabitqIndex.save(s, model, index, out)
       out
     })
 
   private val streamCounter = new AtomicInteger(0)
+
+  // one-time bucketed ingest per sf dir (q79): orders + lineitem written
+  // bucketed AND sorted on the order key — paid once per session, after
+  // which every orders⋈lineitem equi-join is exchange-free on both sides.
+  // 16 buckets: sized for the sf-small fixtures; at corpus scale pick
+  // ≈ table-bytes / target-partition-bytes (sources/Bucketed.scala doc)
+  private val bucketedCache = scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+  private def bucketedTables(s: SparkSession, dir: String): (String, String) =
+    bucketedCache.getOrElseUpdate(dir, {
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_").stripPrefix("_")
+      val (ot, lt) = (s"graft_orders_b_$tag", s"graft_lineitem_b_$tag")
+      graft.sources.Bucketed.writeBucketed(
+        T(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")),
+        ot, "o_orderkey", 16)
+      graft.sources.Bucketed.writeBucketed(
+        T(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice")),
+        lt, "l_orderkey", 16)
+      (ot, lt)
+    })
 
   // ---- curation constants shared by queries and their oracles ----------
   // (single source of truth: the oracle SQL embeds these same values, so
@@ -117,11 +137,15 @@ object SparkEntry {
     cosIndex(s, dir)._2.count()
     diskIndex(s, dir)
     fullRerank(s, dir)
+    // q79's one-time bucketed ingest ("shuffle once at ingest") — warm it
+    // here so the cold bench pass times the zero-exchange JOIN, not the
+    // ingest it exists to amortize
+    bucketedTables(s, dir)
     // first-touch the streaming subsystem (MicroBatchExecution, file
     // source, RocksDB state store JNI, parquet sink) on a 2-row stream so
     // q61/q66's cold numbers time the operators, not one-time class/
     // native-library loading — the same reason the index caches warm here
-    val tmp = java.nio.file.Files.createTempDirectory("graft_prewarm_stream_").toString
+    val tmp = graft.TempDirs.create("graft_prewarm_stream_")
     val two = s.range(2).select(col("id").as("key"),
       org.apache.spark.sql.functions.timestamp_micros(col("id") * 1000000L + 1000000L).as("ts"),
       col("id").as("id"))
@@ -732,7 +756,7 @@ object SparkEntry {
       // data batch at wm=0 (everything buffers), flusher batch (ripe lefts
       // emit), then the engine's required no-data batch (timeouts drain
       // the rest); the chunking-invariance spec pins chunk-independence.
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q61_").toString
+      val tmp = graft.TempDirs.create("graft_q61_")
       val out = graft.streaming.AsofStream.runFileSource(s,
         T(s, dir, "events").filter(col("user_id") % 5 === 0),
         T(s, dir, "orders").filter(col("o_custkey") % 5 === 0),
@@ -753,7 +777,7 @@ object SparkEntry {
       // state store + foreachBatch parquet changelog sink (nothing on the
       // driver); compaction is batching-order-proof (winners are monotone
       // per key), so the chunk count only sets micro-batch granularity.
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q66_").toString
+      val tmp = graft.TempDirs.create("graft_q66_")
       val changelog = graft.streaming.UpsertStream.runFileSource(s,
         T(s, dir, "events").filter(col("user_id") % 7 === 0),
         dir = tmp, chunks = 2, stateParts = 2, parquetSink = true)
@@ -898,8 +922,16 @@ object SparkEntry {
       // declared output is computed ENTIRELY from the re-ingested bytes;
       // hash-matching the parquet-sourced oracle proves the codec is
       // bit-exact f32/u64 end to end (writer ordering ⇒ position = rank
-      // of vec_id, which the oracle replays with row_number).
-      val tmp = java.nio.file.Files.createTempDirectory("graft_q68_").toString
+      // of vec_id, which the oracle replays with row_number). The output
+      // is all-scalar (the driver's comparator can't sort array cells):
+      // per row, two fold-order-exact f64 checksums over the re-ingested
+      // floats — plain sum and position-weighted sum — replayed by the
+      // oracle with the q78 list_reduce left-fold pattern. f32→f64 is
+      // exact and both engines run the identical IEEE addition chain, so
+      // the checksums are bit-equal iff every float survived the codec
+      // bit-exactly (a flipped element shifts every later partial sum);
+      // `+ 0.0` normalizes a −0.0 total at the zero boundary.
+      val tmp = graft.TempDirs.create("graft_q68_")
       val emb = T(s, dir, "embeddings")
       graft.sources.Fvecs.writeFvecs(
         emb.select(col("vec_id"), col("embedding").as("vec")), s"$tmp/emb.fvecs")
@@ -911,7 +943,12 @@ object SparkEntry {
         .select(col("vec_id"), col("vec").getItem(0).as("label"))
       vecs.join(labels, "vec_id")
         .select(col("vec_id"), size(col("vec")).cast("long").as("dim"),
-          col("vec"), col("label"))
+          (aggregate(col("vec"), lit(0.0), (acc, x) => acc + x.cast("double"))
+            + lit(0.0)).as("vec_sum"),
+          (aggregate(sequence(lit(1), size(col("vec"))), lit(0.0), (acc, d) =>
+            acc + element_at(col("vec"), d).cast("double") * d.cast("double"))
+            + lit(0.0)).as("vec_wsum"),
+          col("label"))
         .orderBy(col("vec_id"))
     }),
 
@@ -953,6 +990,22 @@ object SparkEntry {
       // (vec_id, j, proj) with the fold-order-exact DuckDB replay
       TrainingPrep.jlProject(T(s, dir, "embeddings"), outDims = 16)
         .orderBy(col("vec_id"), col("j"))
+    }),
+    "q79_bucketed_join" -> ((s, dir) => {
+      // the co-located corpus×corpus equi-join: both sides written
+      // bucketed AND sorted on the join key once per session (the
+      // "shuffle once at ingest, never again" trade —
+      // sources/Bucketed.scala), then joined with ZERO exchanges on
+      // either side (plan spec-asserted in OperatorsSpec); decimal-sum
+      // aggregates so the cross-engine totals are order-independent
+      val (ot, lt) = bucketedTables(s, dir)
+      graft.sources.Bucketed.bucketedJoin(s, ot, lt, "o_orderkey", "l_orderkey")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,3)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,3)")).cast("double")
+            .as("sum_price"))
+        .orderBy(col("o_orderpriority"))
     }),
   )
 
@@ -1208,7 +1261,7 @@ object SparkEntry {
       "q70_bmp_resize" ->
         """WITH px AS (
           |  SELECT doc_id AS media_id, text,
-          |    CAST(ceil(length(text) / 3.0) AS BIGINT) AS rw
+          |    CAST(ceil(COALESCE(length(text), 0) / 3.0) AS BIGINT) AS rw
           |  FROM documents),
           |sel AS (
           |  SELECT media_id,
@@ -1510,10 +1563,19 @@ object SparkEntry {
           |  CAST(v // 16 AS BIGINT) AS bin, COUNT(*) AS n
           |FROM ch GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
       // fvecs position = rank of vec_id (writer orders by vec_id); the
-      // roundtrip is bit-exact, so the parquet embedding IS the oracle
+      // roundtrip is bit-exact, so the parquet embedding IS the oracle:
+      // replay the same left-fold f64 sums (list_reduce ≡ Spark
+      // aggregate fold order, the q78 pattern; + 0.0 normalizes −0.0)
       "q68_fvecs_roundtrip" ->
         """SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS vec_id,
-          |  CAST(len(embedding) AS BIGINT) AS dim, embedding AS vec,
+          |  CAST(len(embedding) AS BIGINT) AS dim,
+          |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          |      list_transform(embedding, x -> CAST(x AS DOUBLE))),
+          |    (acc, x) -> acc + x) + CAST(0 AS DOUBLE) AS vec_sum,
+          |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          |      list_transform(range(1, len(embedding) + 1),
+          |        d -> CAST(embedding[CAST(d AS INT)] AS DOUBLE) * CAST(d AS DOUBLE))),
+          |    (acc, x) -> acc + x) + CAST(0 AS DOUBLE) AS vec_wsum,
           |  CAST(label AS BIGINT) AS label
           |FROM embeddings ORDER BY vec_id""".stripMargin,
       "q55_stratified_sample" ->
@@ -1715,6 +1777,14 @@ object SparkEntry {
              |FROM p, LATERAL unnest(range(len(pr))) AS r(j)
              |ORDER BY vec_id, j""".stripMargin
       },
+      // q79: the bucketing is a physical-layout property — the answer is
+      // the plain equi-join's; decimal sums make the totals fold-order-free
+      "q79_bucketed_join" ->
+        """SELECT o_orderpriority, COUNT(*) AS n_items,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,3))) AS DOUBLE) AS sum_qty,
+          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,3))) AS DOUBLE) AS sum_price
+          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
     )
   }
 }

@@ -9,7 +9,7 @@ import graft.operators._
   * time + rows/sec per stage. Shapes under test: one shard exchange
   * (packing), zero-shuffle explode (chunking), zero-shuffle array folds
   * (int8 quant), broadcast rate table (domain mix), and the
-  * tf→window-df→WindowGroupLimit pipeline (tf-idf). Nothing here
+  * tf→df-agg-join→WindowGroupLimit pipeline (tf-idf). Nothing here
   * materializes to the driver — every stage ends in an aggregate.
   *
   *   sbt "runMain graft.TrainingPrepScaleSmoke 10000000 1000000"
@@ -61,7 +61,7 @@ object TrainingPrepScaleSmoke {
         .agg(sum(col("n_selected")), sum(col("n_available"))).head()
     }
 
-    // ---- q76 shape: tf-idf top term (tf agg → window df → top-1) --------
+    // ---- q76 shape: tf-idf top term (tf agg → df agg-join → top-1) ------
     val (nKeyword, tfidfSec) = timed { TextOps.tfidfTopTerm(docs).count() }
 
     // ---- q77 shape: length buckets (map-side-combinable aggregate) ------
@@ -90,19 +90,24 @@ object TrainingPrepScaleSmoke {
         .agg(count(lit(1)), avg(col("proj") * col("proj"))).head()
     }
 
+    // Locale.ROOT, not the locale-sensitive f-interpolator: on a
+    // comma-decimal host f"%.1f" renders 1,2 and corrupts the JSON line
+    // (the same hazard Bench.scala guards against)
+    def d1(v: Double): String = String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+    def d4(v: Double): String = String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     println(
       s"""{"metric":"trainingprep_scale_smoke","n_docs":$n,"n_vecs":$nVec,
-         |"pack_sec":${f"$packSec%.1f"},"pack_docs_per_sec":${(n / packSec).toLong},
+         |"pack_sec":${d1(packSec)},"pack_docs_per_sec":${(n / packSec).toLong},
          |"n_packs":${packAgg.getLong(0)},"pack_tokens":${packAgg.getLong(1)},
-         |"chunk_sec":${f"$chunkSec%.1f"},"chunk_docs_per_sec":${(n / chunkSec).toLong},"n_chunks":$nChunks,
-         |"mix_sec":${f"$mixSec%.1f"},"mix_docs_per_sec":${(n / mixSec).toLong},
+         |"chunk_sec":${d1(chunkSec)},"chunk_docs_per_sec":${(n / chunkSec).toLong},"n_chunks":$nChunks,
+         |"mix_sec":${d1(mixSec)},"mix_docs_per_sec":${(n / mixSec).toLong},
          |"n_mix_selected":${mixAgg.getLong(0)},"n_mix_available":${mixAgg.getLong(1)},
-         |"tfidf_sec":${f"$tfidfSec%.1f"},"tfidf_docs_per_sec":${(n / tfidfSec).toLong},"n_keywords":$nKeyword,
-         |"bucket_sec":${f"$bucketSec%.1f"},"bucket_docs_per_sec":${(n / bucketSec).toLong},"bucket_waste":$bucketWaste,
-         |"quant_sec":${f"$quantSec%.1f"},"quant_vecs_per_sec":${(nVec / quantSec).toLong},
+         |"tfidf_sec":${d1(tfidfSec)},"tfidf_docs_per_sec":${(n / tfidfSec).toLong},"n_keywords":$nKeyword,
+         |"bucket_sec":${d1(bucketSec)},"bucket_docs_per_sec":${(n / bucketSec).toLong},"bucket_waste":$bucketWaste,
+         |"quant_sec":${d1(quantSec)},"quant_vecs_per_sec":${(nVec / quantSec).toLong},
          |"quant_max_code":${quantAgg.getLong(1)},"quant_min_code":${quantAgg.getLong(2)},
-         |"jl_sec":${f"$jlSec%.1f"},"jl_vecs_per_sec":${(nVec / jlSec).toLong},
-         |"jl_rows":${jlAgg.getLong(0)},"jl_mean_sq":${f"${jlAgg.getDouble(1)}%.4f"}}"""
+         |"jl_sec":${d1(jlSec)},"jl_vecs_per_sec":${(nVec / jlSec).toLong},
+         |"jl_rows":${jlAgg.getLong(0)},"jl_mean_sq":${d4(jlAgg.getDouble(1))}}"""
         .stripMargin.replace("\n", ""))
     spark.stop()
   }

@@ -124,17 +124,28 @@ object TextOps {
     * argmax so last-ulp `ln` differences between engines cannot flip the
     * winner — the same cross-engine float discipline as q17's ratios.
     *
-    * Scale shape: ONE corpus scan. tf is a (doc, term) aggregate
-    * (map-side combinable — local term repetitions collapse before the
-    * exchange); df is a COUNT WINDOW over the tf relation partitioned by
-    * term, not a separate aggregate-and-join — a join formulation makes
-    * Spark recompute the whole tf subtree for the df side (verified: no
-    * ReusedExchange even under AQE), i.e. a second corpus scan and a
-    * second (doc, term) shuffle, where the window only re-exchanges the
-    * already-aggregated tf rows; N is a broadcast 1-row scalar off a
-    * zero-column scan; the per-doc argmax is a rank-1 window that Spark's
-    * WindowGroupLimit rewrites into partial map-side top-1s before the
-    * doc_id exchange, so no full per-doc sort ever materializes.
+    * Scale shape: tf is a (doc, term) aggregate (map-side combinable —
+    * local term repetitions collapse before the exchange); df is
+    * `tf.groupBy(term).count()` joined back on term. The join
+    * formulation costs a recomputation of the tf subtree for the df side
+    * (Catalyst prunes the two branches differently, so their exchanges
+    * don't canonicalize equal and ReusedExchange never fires, even under
+    * AQE) — two embarrassingly-parallel linear passes. The alternative, a
+    * COUNT WINDOW partitioned by term, reads nicer (one tf subtree) but
+    * is a corpus-scale skew killer: window functions have no map-side
+    * combine, so the hottest term ("the" ≈ every doc) serializes its
+    * entire postings list through ONE task — at 10M docs that single
+    * partition dominated the whole pipeline by 8×. The aggregate form
+    * combines per-partition before the term exchange (each task forwards
+    * one row per local term), and the join back is AQE-skew-splittable;
+    * linear recompute beats a serialized hot key at every scale past a
+    * laptop. N is a broadcast 1-row scalar off a zero-column scan; the
+    * per-doc argmax is a rank-1 window that Spark's WindowGroupLimit
+    * rewrites into partial map-side top-1s before the doc_id exchange, so
+    * no full per-doc sort ever materializes (the PerGroupTopK node is not
+    * usable here: its tie-break id is LONG, and the argmax must break
+    * score ties on the lexicographically smallest TERM to stay
+    * engine-stable).
     */
   def tfidfTopTerm(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -142,9 +153,10 @@ object TextOps {
       .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
       .filter(length(col("term")) > 0)
     val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
     val scored = tf
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
+      .join(dfreq, "term")
       .join(broadcast(n))
       .withColumn("tfidf",
         round(col("tf") * log(col("n").cast("double") / col("df")), 4))

@@ -28,17 +28,50 @@ object Bucketed {
     * satisfy sort requirements (one file per bucket), turning the join
     * into a zero-exchange sort-merge.
     */
-  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // a managed-table location left behind by a PREVIOUS process isn't in
+    // this session's in-memory catalog, and saveAsTable refuses to reuse
+    // the directory (LOCATION_ALREADY_EXISTS) — clear it first
+    val loc = new java.io.File(new java.net.URI(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)).toString))
+    if (loc.exists) org.apache.commons.io.FileUtils.deleteQuietly(loc)
     df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
+  }
 
   /** Equi-join two tables previously written by `writeBucketed` with the
     * SAME bucket count on their respective join keys. Plans a sort-merge
     * join with NO Exchange on either side (spec-asserted): bucket i of
     * the left joins bucket i of the right, task-local.
+    *
+    * Fails fast if either table isn't bucketed on its join key or the
+    * bucket counts differ — a mismatch doesn't produce wrong results, it
+    * silently reintroduces an Exchange (Spark re-shuffles the smaller
+    * bucketing), defeating the helper's zero-exchange contract with no
+    * signal until someone reads the plan.
     */
   def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
-      leftKey: String, rightKey: String): DataFrame =
+      leftKey: String, rightKey: String): DataFrame = {
+    def spec(table: String, key: String) = {
+      val bs = spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+        .bucketSpec
+        .getOrElse(throw new IllegalArgumentException(
+          s"table $table is not bucketed — write it with writeBucketed first"))
+      require(bs.bucketColumnNames == Seq(key),
+        s"table $table is bucketed on ${bs.bucketColumnNames.mkString(",")}, " +
+          s"not the join key $key — the join would shuffle")
+      bs
+    }
+    val (l, r) = (spec(leftTable, leftKey), spec(rightTable, rightKey))
+    require(l.numBuckets == r.numBuckets,
+      s"bucket count mismatch: $leftTable has ${l.numBuckets} buckets, " +
+        s"$rightTable has ${r.numBuckets} — rewrite one side with a matching " +
+        "count or the join silently reintroduces an Exchange")
     spark.table(leftTable)
       .join(spark.table(rightTable), col(leftKey) === col(rightKey))
+  }
 }

@@ -62,6 +62,32 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
   }
 
+  test("bucketedJoin fails fast on bucket mismatch instead of silently shuffling") {
+    import graft.sources.Bucketed
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+    // mismatched count: joining would silently plan an Exchange — the
+    // helper must refuse with a diagnosable message instead
+    Bucketed.writeBucketed(orders, "orders_b8", "o_orderkey", 8)
+    Bucketed.writeBucketed(orders, "orders_b4", "o_orderkey", 4)
+    val eCount = intercept[IllegalArgumentException] {
+      Bucketed.bucketedJoin(spark, "orders_b8", "orders_b4", "o_orderkey", "o_orderkey")
+    }
+    assert(eCount.getMessage.contains("bucket count mismatch"))
+    // unbucketed table: same contract
+    orders.write.mode("overwrite").format("parquet").saveAsTable("orders_plain")
+    val ePlain = intercept[IllegalArgumentException] {
+      Bucketed.bucketedJoin(spark, "orders_b8", "orders_plain", "o_orderkey", "o_orderkey")
+    }
+    assert(ePlain.getMessage.contains("not bucketed"))
+    // bucketed on a different column than the join key: refused too
+    Bucketed.writeBucketed(orders, "orders_bwrong", "o_totalprice", 8)
+    val eKey = intercept[IllegalArgumentException] {
+      Bucketed.bucketedJoin(spark, "orders_b8", "orders_bwrong", "o_orderkey", "o_orderkey")
+    }
+    assert(eKey.getMessage.contains("not the join key"))
+  }
+
   // ---------------- top-k aggregator -----------------------------------
   test("TopKAgg matches sort-based top-k on random data") {
     import spark.implicits._

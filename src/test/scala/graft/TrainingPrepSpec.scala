@@ -197,12 +197,22 @@ class TrainingPrepSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(shuffles(mix) == 2)
       assert(mix.queryExecution.executedPlan.collect {
         case _: BroadcastExchangeExec => 1 }.sum >= 1)
-      // tf-idf: the corpus (text column) is scanned exactly once; the
-      // second scan is the zero-column N count
+      // tf-idf (round 9): df is tf.groupBy(term).count() + join back, NOT
+      // a COUNT WINDOW — the window form has no map-side combine, so the
+      // hottest term's whole postings list serialized through ONE task.
+      // The deliberate trade: Catalyst recomputes the tf subtree for the
+      // df branch (pruning diverges, no ReusedExchange), so the text
+      // column is scanned exactly TWICE — both passes embarrassingly
+      // parallel, which beats a serialized hot key at any corpus size.
+      // The ONLY Window left is the rank-1 argmax, bounded map-side by
+      // WindowGroupLimit.
       val tfidf = TextOps.tfidfTopTerm(docs)
       val textScans = tfidf.queryExecution.executedPlan.collect {
         case s: FileSourceScanExec if s.schema.fieldNames.contains("text") => 1 }.sum
-      assert(textScans == 1)
+      assert(textScans == 2)
+      val windows = tfidf.queryExecution.executedPlan.collect {
+        case _: org.apache.spark.sql.execution.window.WindowExec => 1 }.sum
+      assert(windows == 1, "only the rank-1 argmax window may remain")
       assert(tfidf.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevA)
   }
