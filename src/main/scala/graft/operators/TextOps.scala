@@ -124,47 +124,62 @@ object TextOps {
     * argmax so last-ulp `ln` differences between engines cannot flip the
     * winner — the same cross-engine float discipline as q17's ratios.
     *
-    * Scale shape: tf is a (doc, term) aggregate (map-side combinable —
-    * local term repetitions collapse before the exchange); df is
-    * `tf.groupBy(term).count()` joined back on term. The join
-    * formulation costs a recomputation of the tf subtree for the df side
-    * (Catalyst prunes the two branches differently, so their exchanges
-    * don't canonicalize equal and ReusedExchange never fires, even under
-    * AQE) — two embarrassingly-parallel linear passes. The alternative, a
-    * COUNT WINDOW partitioned by term, reads nicer (one tf subtree) but
-    * is a corpus-scale skew killer: window functions have no map-side
-    * combine, so the hottest term ("the" ≈ every doc) serializes its
-    * entire postings list through ONE task — at 10M docs that single
-    * partition dominated the whole pipeline by 8×. The aggregate form
-    * combines per-partition before the term exchange (each task forwards
-    * one row per local term), and the join back is AQE-skew-splittable;
-    * linear recompute beats a serialized hot key at every scale past a
-    * laptop. N is a broadcast 1-row scalar off a zero-column scan; the
-    * per-doc argmax is a rank-1 window that Spark's WindowGroupLimit
-    * rewrites into partial map-side top-1s before the doc_id exchange, so
-    * no full per-doc sort ever materializes (the PerGroupTopK node is not
-    * usable here: its tie-break id is LONG, and the argmax must break
-    * score ties on the lexicographically smallest TERM to stay
-    * engine-stable).
+    * Scale shape (round 9, measured at 10M docs — the third formulation;
+    * the first two are kept in `TfidfProbe` as the A/B record):
+    * the whole pipeline hangs off ONE corpus exchange,
+    * `repartition(doc_id)`, and the TERM never keys a heavy exchange at
+    * all — skew-proof by construction ("the" ≈ every doc costs nothing
+    * anywhere). Downstream of that exchange everything is
+    * partition-local: the (doc, term) tf aggregate needs
+    * ClusteredDistribution(doc_id, term), which hash(doc_id) satisfies
+    * (subset rule) — no second exchange; the per-doc argmax is a
+    * `groupBy(doc_id).min_by(payload, (−tfidf, term))` whose partial
+    * aggregation collapses each doc to ONE candidate before the
+    * (already-satisfied) distribution check — no window, no sort, no
+    * rank. df is computed from the RAW scan as
+    * `explode(array_distinct(tokens))` — per-doc distinctness is an
+    * in-row array op, so the term aggregate partial-combines to ≤|vocab|
+    * rows per task and its exchange is vocab-sized, then broadcasts back
+    * onto tf. N is a broadcast 1-row scalar.
+    *
+    * Why not the alternatives, with 10M-doc numbers (same host, fresh
+    * JVMs): a COUNT WINDOW over tf partitioned by term has no map-side
+    * combine — the hottest term's whole postings list serializes through
+    * ONE task (uniform-vocab r8 smoke: 124 s; Zipfian corpora
+    * unboundedly worse); `tf.groupBy(term).count()` joined back avoids
+    * the hot task but pays 2-3 full (doc, term) exchanges plus a
+    * recomputed tf subtree (841 s shipped-join / 548 s broadcast-join);
+    * this plan: 212 s probe, one corpus exchange, term exchange
+    * vocab-sized. At giant-vocab regimes where dfreq itself outgrows a
+    * broadcast (billions of uniques under Heaps' law), drop the
+    * broadcast hint and let AQE skew-split the term join — the rest of
+    * the plan is unchanged. (PerGroupTopK is not usable for the argmax:
+    * its tie-break id is LONG, and ties must break on the
+    * lexicographically smallest TERM to stay engine-stable; min_by on
+    * struct(−tfidf, term) encodes exactly that order.)
     */
   def tfidfTopTerm(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val toks = docs
-      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
+    val toksCol = tokens(lower(col("text")))
+    val parted = docs.repartition(col("doc_id"))
+    val tf = parted
+      .select(col("doc_id"), explode(toksCol).as("term"))
       .filter(length(col("term")) > 0)
-    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = docs
+      .select(explode(array_distinct(
+        org.apache.spark.sql.functions.filter(toksCol, t => length(t) > 0)))
+        .as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
     val scored = tf
-      .join(dfreq, "term")
+      .join(broadcast(dfreq), "term")
       .join(broadcast(n))
       .withColumn("tfidf",
         round(col("tf") * log(col("n").cast("double") / col("df")), 4))
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("tfidf").desc, col("term"))
-    scored
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf"))
+    scored.groupBy(col("doc_id"))
+      .agg(min_by(struct(col("term"), col("tf"), col("df"), col("tfidf")),
+        struct((-col("tfidf")).as("nt"), col("term"))).as("w"))
+      .select(col("doc_id"), col("w.term").as("term"), col("w.tf").as("tf"),
+        col("w.df").as("df"), col("w.tfidf").as("tfidf"))
   }
 }

@@ -197,23 +197,27 @@ class TrainingPrepSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(shuffles(mix) == 2)
       assert(mix.queryExecution.executedPlan.collect {
         case _: BroadcastExchangeExec => 1 }.sum >= 1)
-      // tf-idf (round 9): df is tf.groupBy(term).count() + join back, NOT
-      // a COUNT WINDOW — the window form has no map-side combine, so the
-      // hottest term's whole postings list serialized through ONE task.
-      // The deliberate trade: Catalyst recomputes the tf subtree for the
-      // df branch (pruning diverges, no ReusedExchange), so the text
-      // column is scanned exactly TWICE — both passes embarrassingly
-      // parallel, which beats a serialized hot key at any corpus size.
-      // The ONLY Window left is the rank-1 argmax, bounded map-side by
-      // WindowGroupLimit.
+      // tf-idf (round 9): ONE corpus exchange (repartition(doc_id)) that
+      // the tf aggregate AND the min_by argmax both reuse via the
+      // distribution subset rule, plus the vocab-sized df exchange whose
+      // input partial-combines map-side (df distinctness is the in-row
+      // array_distinct, so term NEVER keys a corpus-sized exchange — the
+      // hot-term skew of the window form is impossible by construction).
+      // Text is scanned twice (tf branch + in-row df branch), both
+      // narrow; dfreq and N come back as broadcasts; NO window operator
+      // anywhere.
       val tfidf = TextOps.tfidfTopTerm(docs)
       val textScans = tfidf.queryExecution.executedPlan.collect {
         case s: FileSourceScanExec if s.schema.fieldNames.contains("text") => 1 }.sum
       assert(textScans == 2)
+      assert(shuffles(tfidf) == 3,
+        "exactly: the doc_id repartition, the vocab-sized df exchange, " +
+          "and the 1-row SinglePartition exchange under the N count")
       val windows = tfidf.queryExecution.executedPlan.collect {
         case _: org.apache.spark.sql.execution.window.WindowExec => 1 }.sum
-      assert(windows == 1, "only the rank-1 argmax window may remain")
-      assert(tfidf.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+      assert(windows == 0, "no window operator — argmax is partial-combined min_by")
+      assert(tfidf.queryExecution.executedPlan.collect {
+        case _: BroadcastExchangeExec => 1 }.sum >= 2, "dfreq and N broadcast back")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevA)
   }
 
