@@ -95,9 +95,14 @@ object SparkEntry {
   // 16 buckets: sized for the sf-small fixtures; at corpus scale pick
   // ≈ table-bytes / target-partition-bytes (sources/Bucketed.scala doc)
   private val bucketedCache = scala.collection.concurrent.TrieMap.empty[String, (String, String)]
-  private def bucketedTables(s: SparkSession, dir: String): (String, String) =
-    bucketedCache.getOrElseUpdate(dir, {
-      val tag = dir.replaceAll("[^A-Za-z0-9]", "_").stripPrefix("_")
+  private def bucketedTables(s: SparkSession, dir: String): (String, String) = {
+    def build(): (String, String) = {
+      // tag = sanitized dir + hash of the RAW dir string: sanitization is
+      // lossy ('sf-0.1' and 'sf_0.1' both → 'sf_0_1'), so without the hash
+      // two colliding fixture dirs in one JVM would share table names and
+      // silently serve each other's data
+      val tag = dir.replaceAll("[^A-Za-z0-9]", "_").stripPrefix("_") +
+        "_" + java.lang.Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir))
       val (ot, lt) = (s"graft_orders_b_$tag", s"graft_lineitem_b_$tag")
       graft.sources.Bucketed.writeBucketed(
         T(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority")),
@@ -107,7 +112,18 @@ object SparkEntry {
           .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice")),
         lt, "l_orderkey", 16)
       (ot, lt)
-    })
+    }
+    // the cache is JVM-wide but saveAsTable catalog entries are
+    // SESSION-scoped: a second SparkSession in the same JVM would hit the
+    // cache and get names absent from its own catalog — verify the tables
+    // exist in THIS session before serving the cached names, else rebuild
+    bucketedCache.get(dir) match {
+      case Some(t @ (ot, lt))
+          if s.catalog.tableExists(ot) && s.catalog.tableExists(lt) => t
+      case _ =>
+        val t = build(); bucketedCache.put(dir, t); t
+    }
+  }
 
   // ---- curation constants shared by queries and their oracles ----------
   // (single source of truth: the oracle SQL embeds these same values, so
@@ -924,13 +940,18 @@ object SparkEntry {
       // bit-exact f32/u64 end to end (writer ordering ⇒ position = rank
       // of vec_id, which the oracle replays with row_number). The output
       // is all-scalar (the driver's comparator can't sort array cells):
-      // per row, two fold-order-exact f64 checksums over the re-ingested
-      // floats — plain sum and position-weighted sum — replayed by the
-      // oracle with the q78 list_reduce left-fold pattern. f32→f64 is
-      // exact and both engines run the identical IEEE addition chain, so
-      // the checksums are bit-equal iff every float survived the codec
-      // bit-exactly (a flipped element shifts every later partial sum);
-      // `+ 0.0` normalizes a −0.0 total at the zero boundary.
+      // per row, three fold-order-exact f64 checksums over the re-ingested
+      // floats — plain sum, position-weighted sum, and sum of squares —
+      // replayed by the oracle with the q78 list_reduce left-fold pattern.
+      // f32→f64 is exact and both engines run the identical IEEE
+      // addition/multiplication chain, so the checksums detect any
+      // corruption of one or two elements and any reordering; a passing
+      // forgery would have to lie in the joint kernel of two independent
+      // linear functionals AND the quadratic one — not a guarantee of
+      // bit-exactness, but far past any plausible codec failure mode.
+      // `+ 0.0` normalizes a −0.0 total at the zero boundary; vec_wsum's
+      // sequence(1, dim) is guarded for dim = 0 (sequence(1,0) would
+      // descend [1,0] and element_at(vec, 0) errors under ANSI).
       val tmp = graft.TempDirs.create("graft_q68_")
       val emb = T(s, dir, "embeddings")
       graft.sources.Fvecs.writeFvecs(
@@ -945,9 +966,13 @@ object SparkEntry {
         .select(col("vec_id"), size(col("vec")).cast("long").as("dim"),
           (aggregate(col("vec"), lit(0.0), (acc, x) => acc + x.cast("double"))
             + lit(0.0)).as("vec_sum"),
-          (aggregate(sequence(lit(1), size(col("vec"))), lit(0.0), (acc, d) =>
-            acc + element_at(col("vec"), d).cast("double") * d.cast("double"))
-            + lit(0.0)).as("vec_wsum"),
+          when(size(col("vec")) > 0,
+            aggregate(sequence(lit(1), size(col("vec"))), lit(0.0), (acc, d) =>
+              acc + element_at(col("vec"), d).cast("double") * d.cast("double"))
+              + lit(0.0))
+            .otherwise(lit(0.0)).as("vec_wsum"),
+          (aggregate(col("vec"), lit(0.0), (acc, x) =>
+            acc + x.cast("double") * x.cast("double")) + lit(0.0)).as("vec_ss"),
           col("label"))
         .orderBy(col("vec_id"))
     }),
@@ -1006,6 +1031,31 @@ object SparkEntry {
           sum(col("l_extendedprice").cast("decimal(18,3)")).cast("double")
             .as("sum_price"))
         .orderBy(col("o_orderpriority"))
+    }),
+    "q80_span_dedup" -> ((s, dir) => {
+      // span-level (5-word-shingle) cross-document duplication report —
+      // the substring-dedup signal whole-doc dedup misses; only md5
+      // digests ever shuffle (Dedup.spanDupStats)
+      Dedup.spanDupStats(T(s, dir, "documents"), k = 5).orderBy(col("doc_id"))
+    }),
+    "q81_token_curriculum" -> ((s, dir) => {
+      // global token-budget step assignment via the two-phase distributed
+      // prefix sum (no single-partition window); integer-only output
+      TrainingPrep.tokenCurriculum(T(s, dir, "documents"), stepBudget = 2048)
+        .orderBy(col("doc_id"))
+    }),
+    "q82_temperature_mix" -> ((s, dir) => {
+      // τ=0.7 temperature-scaled domain mixture + duplication factors
+      // under a 100k-token epoch budget; domain-sorted left-fold
+      // normalizer so the oracle replays the sum bit-for-bit
+      TrainingPrep.temperatureMix(T(s, dir, "documents"), tau = 0.7,
+          epochTokens = 100000L)
+        .orderBy(col("lang"))
+    }),
+    "q83_unigram_lm" -> ((s, dir) => {
+      // per-doc mean unigram log-likelihood (KenLM-filter stand-in);
+      // corpus-exchange-once plan shape shared with q76
+      TextOps.unigramLogProb(T(s, dir, "documents")).orderBy(col("doc_id"))
     }),
   )
 
@@ -1576,6 +1626,9 @@ object SparkEntry {
           |      list_transform(range(1, len(embedding) + 1),
           |        d -> CAST(embedding[CAST(d AS INT)] AS DOUBLE) * CAST(d AS DOUBLE))),
           |    (acc, x) -> acc + x) + CAST(0 AS DOUBLE) AS vec_wsum,
+          |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          |      list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+          |    (acc, x) -> acc + x) + CAST(0 AS DOUBLE) AS vec_ss,
           |  CAST(label AS BIGINT) AS label
           |FROM embeddings ORDER BY vec_id""".stripMargin,
       "q55_stratified_sample" ->
@@ -1785,6 +1838,64 @@ object SparkEntry {
           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,3))) AS DOUBLE) AS sum_price
           |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
           |GROUP BY 1 ORDER BY 1""".stripMargin,
+      // q80: distinct 5-word spans per doc (md5-digested, as in Spark),
+      // shared = present in >= 2 docs; short docs surface with n_spans 0
+      "q80_span_dedup" ->
+        raw"""WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
+             |sp AS (SELECT DISTINCT doc_id, md5(array_to_string(t[CAST(i + 1 AS INT):CAST(i + 5 AS INT)], ' ')) AS h
+             |       FROM toks, LATERAL unnest(range(len(t) - 4)) AS r(i) WHERE len(t) >= 5),
+             |sd AS (SELECT h, COUNT(*) AS nd FROM sp GROUP BY 1),
+             |pd AS (SELECT doc_id, COUNT(*) AS n_spans,
+             |         SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS n_shared
+             |       FROM sp JOIN sd USING (h) GROUP BY 1)
+             |SELECT doc_id, CAST(COALESCE(n_spans, 0) AS BIGINT) AS n_spans,
+             |  CAST(COALESCE(n_shared, 0) AS BIGINT) AS n_shared,
+             |  ROUND(COALESCE(CAST(n_shared AS DOUBLE) / n_spans, 0), 4) AS shared_frac
+             |FROM documents LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin,
+      // q81: the same prefix sum replayed as a plain SQL window (the
+      // oracle runs at sf-small where a one-task window is fine; the
+      // Spark side is the two-phase distributed scan)
+      "q81_token_curriculum" ->
+        raw"""WITH t AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
+             |    ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) END AS n_tokens
+             |  FROM documents),
+             |c AS (SELECT doc_id, n_tokens,
+             |        SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |      FROM t)
+             |SELECT doc_id, n_tokens, CAST(cum AS BIGINT) AS cum_tokens,
+             |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS step
+             |FROM c ORDER BY doc_id""".stripMargin,
+      // q82: pow on exact per-domain integers; normalizer = left-fold over
+      // the domain-sorted list (list_reduce ≡ Spark aggregate fold)
+      "q82_temperature_mix" ->
+        raw"""WITH c AS (SELECT lang, COUNT(*) AS n_docs,
+             |    SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+             |        ELSE len(string_split_regex(trim(text), '\s+')) END) AS n_tokens
+             |  FROM documents GROUP BY 1),
+             |p AS (SELECT lang, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+             |        pow(CAST(n_tokens AS DOUBLE), 0.7) AS p FROM c),
+             |tp AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE), list(p ORDER BY lang)),
+             |         (acc, x) -> acc + x) AS tp FROM p)
+             |SELECT lang, n_docs, n_tokens, ROUND(p / tp, 4) AS mix_weight,
+             |  ROUND(p / tp * 100000.0 / CAST(n_tokens AS DOUBLE), 4) AS dup_factor
+             |FROM p, tp ORDER BY lang""".stripMargin,
+      // q83: per-doc sum of tf·ln(cnt/total) as a term-sorted left-fold
+      // (q78 fold-order rule), mean rounded to 4 decimals (q76 rule)
+      "q83_unigram_lm" ->
+        raw"""WITH toks AS (SELECT doc_id,
+             |    list_filter(string_split_regex(trim(lower(text)), '\s+'), w -> len(w) > 0) AS t
+             |  FROM documents),
+             |w AS (SELECT doc_id, u.w AS term FROM toks, LATERAL unnest(t) AS u(w)),
+             |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+             |ug AS (SELECT term, COUNT(*) AS cnt FROM w GROUP BY 1),
+             |tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM w),
+             |lp AS (SELECT doc_id, term, tf,
+             |         CAST(tf AS DOUBLE) * ln(CAST(cnt AS DOUBLE) / total) AS lp
+             |       FROM tf JOIN ug USING (term), tot)
+             |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+             |  ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE), list(lp ORDER BY term)),
+             |      (acc, x) -> acc + x) / CAST(SUM(tf) AS DOUBLE), 4) AS avg_logprob
+             |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     )
   }
 }

@@ -450,4 +450,50 @@ object Dedup {
         graft.functions.VectorExpressions.cosineSim(col("ea"), col("eb")).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
+
+  /** Span-level duplication statistics — the document-internal analog of
+    * substring dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better"): for each document, the fraction of its
+    * distinct k-word spans (overlapping word shingles, like B8's shingle
+    * machinery but span-sized) that also occur in at least one OTHER
+    * document. High shared_frac flags boilerplate / templated /
+    * near-copied text that whole-document dedup (q14/q20/q21) misses
+    * because the surrounding words differ.
+    *
+    * Scale shape: spans are md5-digested IN-ROW (array ops, no shuffle),
+    * so only (doc_id, 32-hex digest) pairs ever move — the text itself is
+    * scanned once and never shuffled. Two map-side-combinable aggregates
+    * (per-span doc count; per-doc shared count) plus one digest-keyed
+    * join; a boilerplate span shared by millions of docs is a hot key on
+    * that join, which AQE skew-split handles (the per-span count side is
+    * 1 row per digest, broadcastable in most regimes anyway). Docs with
+    * fewer than k tokens surface with n_spans = 0 rather than vanishing.
+    *
+    * Output: (doc_id, n_spans, n_shared, shared_frac) — n_spans counts
+    * DISTINCT spans per doc, shared_frac rounded to 4 decimals.
+    */
+  def spanDupStats(docs: DataFrame, k: Int = 5): DataFrame = {
+    require(k >= 1, s"span width must be >= 1, got $k")
+    val ts = split(trim(lower(col("text"))), "\\s+")
+    // overlapping k-word spans, digested per row; sequence() would
+    // descend for size < k, hence the guard to an empty array
+    val spans = when(size(ts) >= k,
+      transform(sequence(lit(0), size(ts) - k),
+        i => md5(array_join(slice(ts, i + 1, lit(k)), " "))))
+      .otherwise(array().cast("array<string>"))
+    val pairs = docs
+      .select(col("doc_id"), explode(array_distinct(spans)).as("h"))
+    val spanDocs = pairs.groupBy(col("h"))
+      .agg(count(lit(1)).as("n_docs"))
+    val perDoc = pairs.join(spanDocs, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum((col("n_docs") >= 2).cast("long")).as("n_shared"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        round(coalesce(col("n_shared").cast("double") / col("n_spans"), lit(0.0)), 4)
+          .as("shared_frac"))
+  }
 }

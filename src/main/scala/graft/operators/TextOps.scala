@@ -182,4 +182,48 @@ object TextOps {
       .select(col("doc_id"), col("w.term").as("term"), col("w.tf").as("tf"),
         col("w.df").as("df"), col("w.tfidf").as("tfidf"))
   }
+
+  /** Per-document mean unigram log-likelihood under the corpus's own
+    * unigram distribution — the cheap stand-in for the KenLM-style
+    * perplexity filter every production pipeline runs (CCNet, Gopher):
+    * documents whose words are corpus-typical score near the corpus mean;
+    * gibberish / OOV-heavy / boilerplate-skewed docs fall in the tails.
+    * avg_logprob = (Σ_terms tf·ln(cnt/total)) / n_tokens, natural log.
+    *
+    * Scale shape = `tfidfTopTerm`'s: one corpus exchange
+    * (`repartition(doc_id)`), the (doc, term) tf aggregate partition-local
+    * under it; the unigram table is a vocab-sized map-side-combined
+    * aggregate broadcast back onto tf, so no term ever keys a corpus-sized
+    * exchange ("the" costs nothing anywhere). Float discipline: per-term
+    * lp = tf·ln(cnt/total) is bit-stable per engine pair up to `ln`'s last
+    * ulp; the per-doc SUM is a left-fold in sorted-term order (the q78
+    * fold-order rule) so accumulation order cannot add divergence, and the
+    * final mean rounds to 4 decimals (the q76 round-before-compare rule).
+    */
+  def unigramLogProb(docs: DataFrame): DataFrame = {
+    val toksCol = org.apache.spark.sql.functions.filter(
+      tokens(lower(col("text"))), t => length(t) > 0)
+    val parted = docs.repartition(col("doc_id"))
+    val tf = parted
+      .select(col("doc_id"), explode(toksCol).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val unigrams = docs
+      .select(explode(toksCol).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val total = docs.agg(
+      sum(size(toksCol)).cast("double").as("total"))
+    val lp = tf
+      .join(broadcast(unigrams), "term")
+      .join(broadcast(total))
+      .select(col("doc_id"), col("term"), col("tf"),
+        (col("tf").cast("double") *
+          log(col("cnt").cast("double") / col("total"))).as("lp"))
+    lp.groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        aggregate(sort_array(collect_list(struct(col("term"), col("lp")))),
+          lit(0.0), (acc, s) => acc + s.getField("lp")).as("sum_lp"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("sum_lp") / col("n_tokens").cast("double"), 4)
+          .as("avg_logprob"))
+  }
 }

@@ -182,6 +182,85 @@ object TrainingPrep {
     * Zero-shuffle per-row computation (array folds + posexplode); output
     * is long-form (vec_id, j, proj) for oracle-friendly comparison.
     */
+  /** Token-budget curriculum scheduler: assign every document its global
+    * training step — the index of the fixed-size token batch it falls
+    * into when the corpus is consumed in doc_id order. The core is a
+    * GLOBAL prefix sum, which a naive `Window.orderBy` with no partition
+    * key would serialize through ONE task; here it is the classic
+    * two-phase distributed scan:
+    *
+    *   1. `repartitionByRange(doc_id)` — contiguous doc_id ranges, one
+    *      per partition (range partition p holds ids strictly below
+    *      partition p+1's);
+    *   2. partition-LOCAL running sums via a window keyed on
+    *      `spark_partition_id()` (each task sorts only its own range);
+    *   3. per-partition totals (one row per partition) get their own
+    *      tiny cumulative offset — a window over nShards rows — and
+    *      broadcast-join back.
+    *
+    * The result is invariant to where the range boundaries land (the
+    * prefix sum is over the doc_id total order, not the partitioning),
+    * so range-sampling nondeterminism cannot change the answer. Output
+    * is integer-only: (doc_id, n_tokens, cum_tokens, step) with
+    * step = floor((cum_tokens − n_tokens) / stepBudget) — a document's
+    * step is decided by its FIRST token, matching `sequencePack`'s
+    * containing-pack rule.
+    */
+  def tokenCurriculum(docs: DataFrame, stepBudget: Long,
+      nShards: Int = 32): DataFrame = {
+    require(stepBudget >= 1, s"step budget must be >= 1, got $stepBudget")
+    val toks = TextOps.tokenCount(col("text"))
+    val parted = docs.select(col("doc_id"), toks.as("n_tokens"))
+      .repartitionByRange(nShards, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    val local = parted.withColumn("local_cum",
+      sum(col("n_tokens")).over(
+        Window.partitionBy(col("pid")).orderBy(col("doc_id"))))
+    val offsets = parted.groupBy(col("pid"))
+      .agg(sum(col("n_tokens")).as("ptot"))
+      .withColumn("offset",
+        coalesce(sum(col("ptot")).over(
+          Window.orderBy(col("pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("pid"), col("offset"))
+    local.join(broadcast(offsets), "pid")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("local_cum") + col("offset")).as("cum_tokens"))
+      .withColumn("step",
+        expr(s"(cum_tokens - n_tokens) div $stepBudget"))
+  }
+
+  /** Temperature-scaled domain mixture (the multilingual-sampling rule of
+    * mBERT / XLM-R: p_d ∝ n_d^τ, τ < 1 upweights low-resource domains):
+    * from per-domain token counts, the sampling weight of each domain and
+    * the duplication factor its data sustains under a given epoch token
+    * budget (dup_factor > 1 ⇒ that domain's corpus repeats within one
+    * epoch — the practical overfitting signal this report exists for).
+    *
+    * Cross-engine float discipline: per-domain pow(n, τ) is a single
+    * libm call on an exact integer (bit-stable across engines), but the
+    * normalizing SUM over domains is fold-order-dependent — so it is
+    * computed as a LEFT-FOLD over the domain-sorted list (the q78
+    * pattern), which the oracle replays exactly; outputs round to 4
+    * decimals. Everything is one tiny aggregate over a map-side-combined
+    * per-domain count — the corpus is scanned once, nothing else moves.
+    */
+  def temperatureMix(docs: DataFrame, tau: Double,
+      epochTokens: Long): DataFrame = {
+    val counts = docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(TextOps.tokenCount(col("text"))).as("n_tokens"))
+      .withColumn("p", pow(col("n_tokens").cast("double"), lit(tau)))
+    val tot = counts.agg(
+      aggregate(sort_array(collect_list(struct(col("lang"), col("p")))),
+        lit(0.0), (acc, s) => acc + s.getField("p")).as("tp"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        round(col("p") / col("tp"), 4).as("mix_weight"),
+        round(col("p") / col("tp") * lit(epochTokens.toDouble) /
+          col("n_tokens").cast("double"), 4).as("dup_factor"))
+  }
+
   def jlProject(emb: DataFrame, outDims: Int): DataFrame = {
     require(outDims >= 1 && outDims <= Dedup.affine.length)
     val scale = 1.0 / math.sqrt(outDims.toDouble)

@@ -33,11 +33,15 @@ object Bucketed {
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     // a managed-table location left behind by a PREVIOUS process isn't in
     // this session's in-memory catalog, and saveAsTable refuses to reuse
-    // the directory (LOCATION_ALREADY_EXISTS) — clear it first
-    val loc = new java.io.File(new java.net.URI(
+    // the directory (LOCATION_ALREADY_EXISTS) — clear it first. Hadoop
+    // FileSystem API, not java.io.File: the warehouse may live on any
+    // scheme (file:, hdfs:, s3a:), and new File(new URI(...)) throws for
+    // anything but file:
+    val loc = new org.apache.hadoop.fs.Path(
       spark.sessionState.catalog.defaultTablePath(
-        org.apache.spark.sql.catalyst.TableIdentifier(table)).toString))
-    if (loc.exists) org.apache.commons.io.FileUtils.deleteQuietly(loc)
+        org.apache.spark.sql.catalyst.TableIdentifier(table)))
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
   }

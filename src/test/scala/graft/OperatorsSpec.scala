@@ -449,6 +449,29 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(secs < 60.0, s"hot-shingle case took ${secs}s")
   }
 
+  test("spanDupStats: shared spans counted across docs only, short docs surface") {
+    import spark.implicits._
+    // d0/d1 share exactly one 5-word span ("a b c d e"); d2 is too short
+    // for any span; d3 repeats its own span INTERNALLY (internal repeats
+    // must not count as shared — sharing is a cross-document property)
+    val docs = Seq(
+      (0L, "a b c d e x1 y1 z1 w1 v1"),
+      (1L, "q1 a b c d e r1 s1 t1 u1"),
+      (2L, "p p p p"),
+      (3L, "m n o p q m n o p q")).toDF("doc_id", "text")
+    val out = Dedup.spanDupStats(docs, k = 5).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // 10 tokens → 6 overlapping spans; d3's 6 spans contain one repeat
+    // ("m n o p q" at offsets 0 and 5) → 5 DISTINCT spans, none shared
+    assert(out == Seq((0L, 6L, 1L), (1L, 6L, 1L), (2L, 0L, 0L), (3L, 5L, 0L)))
+    // identical docs: every span shared, frac exactly 1.0
+    val dup = Seq((0L, "a b c d e f g h"), (1L, "a b c d e f g h"))
+      .toDF("doc_id", "text")
+    val fr = Dedup.spanDupStats(dup, k = 5).select("shared_frac")
+      .collect().map(_.getDouble(0)).toSeq
+    assert(fr == Seq(1.0, 1.0))
+  }
+
   test("prefixLen yields the exact rational bound at fp-boundary thresholds") {
     import spark.implicits._
     // (ns, t, exact |s| - ceil(t*|s|) + 1). The first case is the fp trap:

@@ -241,4 +241,85 @@ class TrainingPrepSpec extends AnyFunSuite with BeforeAndAfterAll {
       .orderBy("lang").collect()
     assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
+
+  // ---------------- token curriculum ------------------------------------
+  test("tokenCurriculum: hand-computed steps, first-token rule") {
+    // tokens 3,2,4,1 → cum 3,5,9,10; step = (cum − n) div 4 → 0,0,1,2
+    val d = docsOf(Seq(0L -> "a b c", 1L -> "d e", 2L -> "f g h i", 3L -> "j"))
+    val out = TrainingPrep.tokenCurriculum(d, stepBudget = 4, nShards = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out == Seq((0L, 3L, 3L, 0L), (1L, 2L, 5L, 0L),
+      (2L, 4L, 9L, 1L), (3L, 1L, 10L, 2L)))
+  }
+
+  test("tokenCurriculum: shard-count invariant, monotone, conserves tokens") {
+    val one = TrainingPrep.tokenCurriculum(docs, stepBudget = 2048, nShards = 1)
+    val many = TrainingPrep.tokenCurriculum(docs, stepBudget = 2048, nShards = 7)
+    // the prefix sum is over the doc_id total order — partitioning choice
+    // (including the degenerate single shard) cannot change the answer
+    assert(one.exceptAll(many).isEmpty && many.exceptAll(one).isEmpty)
+    val rows = many.orderBy("doc_id").collect()
+    assert(rows.sliding(2).forall { case Array(a, b) =>
+      a.getLong(2) < b.getLong(2) || b.getLong(1) == 0 } ) // cum strictly grows (0-token docs aside)
+    val total = docs.agg(sum(TextOps.tokenCount(col("text")))).head().getLong(0)
+    assert(rows.last.getLong(2) == total) // last cum = corpus total
+    assert(rows.forall(r => r.getLong(3) == (r.getLong(2) - r.getLong(1)) / 2048))
+  }
+
+  // ---------------- temperature mixing ----------------------------------
+  test("temperatureMix: τ=1 is proportional, τ=0 is uniform, weights sum to 1") {
+    val m1 = TrainingPrep.temperatureMix(docs, tau = 1.0, epochTokens = 100000L)
+      .collect()
+    val total = m1.map(_.getLong(2)).sum.toDouble
+    m1.foreach { r =>
+      assert(math.abs(r.getDouble(3) - r.getLong(2) / total) < 5e-5) }
+    val m0 = TrainingPrep.temperatureMix(docs, tau = 0.0, epochTokens = 100000L)
+      .collect()
+    m0.foreach(r => assert(math.abs(r.getDouble(3) - 1.0 / m0.length) < 5e-5))
+    val mt = TrainingPrep.temperatureMix(docs, tau = 0.7, epochTokens = 100000L)
+      .collect()
+    assert(math.abs(mt.map(_.getDouble(3)).sum - 1.0) < 1e-3) // 4dp rounding slack
+    // τ<1 compresses: the largest domain's weight shrinks vs proportional,
+    // the smallest grows — the low-resource-upweighting the rule exists for
+    val prop = m1.map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val temp = mt.map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val byTokens = m1.sortBy(_.getLong(2))
+    assert(temp(byTokens.last.getString(0)) < prop(byTokens.last.getString(0)))
+    assert(temp(byTokens.head.getString(0)) > prop(byTokens.head.getString(0)))
+  }
+
+  test("temperatureMix: hand-computed two-domain case") {
+    // equal token counts → weights exactly 0.5; dup_factor = 0.5·B/n
+    val d = docsOf(Seq(0L -> "a b c d", 1L -> "e f g h"))
+      .withColumn("lang", when(col("doc_id") === 0, "en").otherwise("de"))
+    val out = TrainingPrep.temperatureMix(d, tau = 0.7, epochTokens = 16L)
+      .orderBy("lang").collect()
+    out.foreach { r =>
+      assert(r.getDouble(3) == 0.5)
+      assert(r.getDouble(4) == 2.0) // 0.5 · 16 / 4
+    }
+  }
+
+  // ---------------- unigram LM quality ----------------------------------
+  test("unigramLogProb: hand-computed, uniform corpus scores 0") {
+    // corpus "a a b" + "b": cnt(a)=2, cnt(b)=2, total=4 →
+    // every term has prob 1/2; both docs average ln(1/2) ≈ −0.6931
+    val d = docsOf(Seq(0L -> "a a b", 1L -> "b"))
+    val out = TextOps.unigramLogProb(d).orderBy("doc_id").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(3L, 1L))
+    out.foreach(r => assert(r.getDouble(2) == -0.6931))
+    // single-word corpus: prob 1, log 0 — and −0.0 must normalize to +0.0
+    val u = docsOf(Seq(0L -> "x x x", 1L -> "x"))
+    TextOps.unigramLogProb(u).collect()
+      .foreach(r => assert(r.getDouble(2) == 0.0))
+  }
+
+  test("unigramLogProb: every non-empty doc scored, corpus-typical ≥ rare") {
+    val out = TextOps.unigramLogProb(docs)
+    val n = docs.filter(length(trim(col("text"))) > 0).count()
+    assert(out.count() == n)
+    // scores are finite and ≤ 0 (probabilities ≤ 1)
+    assert(out.filter(col("avg_logprob") > 0 || isnan(col("avg_logprob"))).isEmpty)
+  }
 }
