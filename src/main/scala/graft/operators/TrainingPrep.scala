@@ -187,21 +187,25 @@ object TrainingPrep {
     * into when the corpus is consumed in doc_id order. The core is a
     * GLOBAL prefix sum, which a naive `Window.orderBy` with no partition
     * key would serialize through ONE task; here it is the classic
-    * two-phase distributed scan:
+    * two-phase distributed scan over DETERMINISTIC contiguous shards:
     *
-    *   1. `repartitionByRange(doc_id)` — contiguous doc_id ranges, one
-    *      per partition (range partition p holds ids strictly below
-    *      partition p+1's);
-    *   2. partition-LOCAL running sums via a window keyed on
-    *      `spark_partition_id()` (each task sorts only its own range);
-    *   3. per-partition totals (one row per partition) get their own
-    *      tiny cumulative offset — a window over nShards rows — and
-    *      broadcast-join back.
+    *   1. shard = floor((doc_id − min_id) · S / (max_id − min_id + 1)) —
+    *      a pure function of doc_id and two broadcast scalars, so shard
+    *      s holds ids strictly below shard s+1's. (NOT
+    *      `repartitionByRange` + `spark_partition_id`: range boundaries
+    *      come from SAMPLING, and the offsets branch of this plan
+    *      re-evaluates its subtree — two range exchanges are not
+    *      guaranteed the same boundaries, and a cross-branch mismatch
+    *      silently corrupts every offset. A deterministic shard function
+    *      makes branch recomputation harmless by construction.)
+    *   2. partition-LOCAL running sums via a window keyed on shard
+    *      (each task sorts only its own contiguous range);
+    *   3. per-shard totals (S rows) get their own tiny cumulative
+    *      offset — a window over S rows — and broadcast-join back.
     *
-    * The result is invariant to where the range boundaries land (the
-    * prefix sum is over the doc_id total order, not the partitioning),
-    * so range-sampling nondeterminism cannot change the answer. Output
-    * is integer-only: (doc_id, n_tokens, cum_tokens, step) with
+    * Shard balance tracks doc_id density (dense ids → uniform shards);
+    * pathological id sparsity skews shard SIZES but never the answer.
+    * Output is integer-only: (doc_id, n_tokens, cum_tokens, step) with
     * step = floor((cum_tokens − n_tokens) / stepBudget) — a document's
     * step is decided by its FIRST token, matching `sequencePack`'s
     * containing-pack rule.
@@ -209,21 +213,30 @@ object TrainingPrep {
   def tokenCurriculum(docs: DataFrame, stepBudget: Long,
       nShards: Int = 32): DataFrame = {
     require(stepBudget >= 1, s"step budget must be >= 1, got $stepBudget")
+    require(nShards >= 1, s"shard count must be >= 1, got $nShards")
     val toks = TextOps.tokenCount(col("text"))
-    val parted = docs.select(col("doc_id"), toks.as("n_tokens"))
-      .repartitionByRange(nShards, col("doc_id"))
-      .withColumn("pid", spark_partition_id())
-    val local = parted.withColumn("local_cum",
+    val bounds = docs.agg(min(col("doc_id")).as("min_id"),
+      max(col("doc_id")).as("max_id"))
+    val sharded = docs.select(col("doc_id"), toks.as("n_tokens"))
+      .join(broadcast(bounds))
+      .withColumn("shard",
+        // least() guards the f64 rounding edge at huge id ranges, where
+        // (max−min)·S/(max−min+1) can round up to exactly S
+        least(lit(nShards - 1),
+          floor((col("doc_id") - col("min_id")).cast("double") * nShards /
+            (col("max_id") - col("min_id") + 1L).cast("double"))).cast("int"))
+      .select(col("doc_id"), col("n_tokens"), col("shard"))
+    val local = sharded.withColumn("local_cum",
       sum(col("n_tokens")).over(
-        Window.partitionBy(col("pid")).orderBy(col("doc_id"))))
-    val offsets = parted.groupBy(col("pid"))
+        Window.partitionBy(col("shard")).orderBy(col("doc_id"))))
+    val offsets = sharded.groupBy(col("shard"))
       .agg(sum(col("n_tokens")).as("ptot"))
       .withColumn("offset",
         coalesce(sum(col("ptot")).over(
-          Window.orderBy(col("pid"))
+          Window.orderBy(col("shard"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("pid"), col("offset"))
-    local.join(broadcast(offsets), "pid")
+      .select(col("shard"), col("offset"))
+    local.join(broadcast(offsets), "shard")
       .select(col("doc_id"), col("n_tokens"),
         (col("local_cum") + col("offset")).as("cum_tokens"))
       .withColumn("step",
