@@ -4,13 +4,16 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.operators._
 
-/** Training-prep-tier scale smoke: run the q72–q76 operators at 10M docs
+/** Training-prep-tier scale smoke: run the q72–q83 operators at 10M docs
   * / 1M embeddings — far beyond the driver testdata — and report wall
   * time + rows/sec per stage. Shapes under test: one shard exchange
   * (packing), zero-shuffle explode (chunking), zero-shuffle array folds
-  * (int8 quant), broadcast rate table (domain mix), and the
-  * tf→df-agg-join→WindowGroupLimit pipeline (tf-idf). Nothing here
-  * materializes to the driver — every stage ends in an aggregate.
+  * (int8 quant), broadcast rate table (domain mix), the
+  * tf→df-agg-join→WindowGroupLimit pipeline (tf-idf), digest-only span
+  * dedup, the two-phase distributed prefix sum (curriculum, with its
+  * defining invariant asserted), the domain-count temperature mix, and
+  * the corpus-exchange-once unigram-LM score. Nothing here materializes
+  * to the driver — every stage ends in an aggregate.
   *
   *   sbt "runMain graft.TrainingPrepScaleSmoke 10000000 1000000"
   */
@@ -90,6 +93,44 @@ object TrainingPrepScaleSmoke {
         .agg(count(lit(1)), avg(col("proj") * col("proj"))).head()
     }
 
+    // ---- q81 shape: token curriculum (two-phase prefix sum) -------------
+    val (curAgg, curSec) = timed {
+      TrainingPrep.tokenCurriculum(docs, stepBudget = 65536, nShards = 256)
+        .agg(max(col("cum_tokens")), max(col("step"))).head()
+    }
+    // the scan's defining invariant: last cumulative = corpus total
+    val totalToks = docs.agg(sum(TextOps.tokenCount(col("text")))).head().getLong(0)
+    require(curAgg.getLong(0) == totalToks,
+      s"prefix sum broke: ${curAgg.getLong(0)} != $totalToks")
+
+    // ---- q82 shape: temperature mixing (domain-count aggregate) ---------
+    val (tmixAgg, tmixSec) = timed {
+      TrainingPrep.temperatureMix(docs, tau = 0.7, epochTokens = 1000000000L)
+        .agg(sum(col("mix_weight")), count(lit(1))).head()
+    }
+
+    // ---- q83 shape: unigram LM score (corpus-exchange-once) -------------
+    val (lmAgg, lmSec) = timed {
+      TextOps.unigramLogProb(docs)
+        .agg(count(lit(1)), avg(col("avg_logprob"))).head()
+    }
+
+    // ---- q80 shape: span dup stats (digest-only shuffles) ---------------
+    // LAST on purpose: its 260M-row digest explode leaves the heap full
+    // of short-lived garbage, and the light aggregates above would pay
+    // its GC aftermath if they ran behind it (first run measured q82 at
+    // 127s that way — 10x its real cost)
+    // 1% of docs re-enter under fresh ids with IDENTICAL text, so every
+    // span of a duplicated doc occurs in exactly 2 docs → expected
+    // shared-doc count ≈ 2·n/100 (random 50k-vocab spans add ~nothing)
+    val spanInput = docs.union(
+      docs.filter(pmod(col("doc_id"), lit(100L)) === 0)
+        .withColumn("doc_id", -col("doc_id") - 1))
+    val (spanAgg, spanSec) = timed {
+      Dedup.spanDupStats(spanInput, k = 5)
+        .agg(count(lit(1)), sum((col("n_shared") > 0).cast("long"))).head()
+    }
+
     // Locale.ROOT, not the locale-sensitive f-interpolator: on a
     // comma-decimal host f"%.1f" renders 1,2 and corrupts the JSON line
     // (the same hazard Bench.scala guards against)
@@ -107,7 +148,15 @@ object TrainingPrepScaleSmoke {
          |"quant_sec":${d1(quantSec)},"quant_vecs_per_sec":${(nVec / quantSec).toLong},
          |"quant_max_code":${quantAgg.getLong(1)},"quant_min_code":${quantAgg.getLong(2)},
          |"jl_sec":${d1(jlSec)},"jl_vecs_per_sec":${(nVec / jlSec).toLong},
-         |"jl_rows":${jlAgg.getLong(0)},"jl_mean_sq":${d4(jlAgg.getDouble(1))}}"""
+         |"jl_rows":${jlAgg.getLong(0)},"jl_mean_sq":${d4(jlAgg.getDouble(1))},
+         |"span_sec":${d1(spanSec)},"span_docs_per_sec":${(n / spanSec).toLong},
+         |"span_docs":${spanAgg.getLong(0)},"span_shared_docs":${spanAgg.getLong(1)},
+         |"cur_sec":${d1(curSec)},"cur_docs_per_sec":${(n / curSec).toLong},
+         |"cur_total_tokens":${curAgg.getLong(0)},"cur_steps":${curAgg.getLong(1) + 1},
+         |"tmix_sec":${d1(tmixSec)},"tmix_weight_sum":${d4(tmixAgg.getDouble(0))},
+         |"tmix_domains":${tmixAgg.getLong(1)},
+         |"lm_sec":${d1(lmSec)},"lm_docs_per_sec":${(n / lmSec).toLong},
+         |"lm_docs":${lmAgg.getLong(0)},"lm_mean":${d4(lmAgg.getDouble(1))}}"""
         .stripMargin.replace("\n", ""))
     spark.stop()
   }

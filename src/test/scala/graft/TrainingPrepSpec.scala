@@ -221,6 +221,59 @@ class TrainingPrepSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevA)
   }
 
+  test("plans: digest-only shuffles for span dedup; sharded windows + " +
+      "broadcast offsets for curriculum; corpus-exchange-once unigram LM") {
+    import org.apache.spark.sql.execution.exchange.{ShuffleExchangeExec, BroadcastExchangeExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec}
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def shuffleSchemas(df: DataFrame) =
+        df.queryExecution.executedPlan.collect {
+          case e: ShuffleExchangeExec => e.schema.fieldNames.toSeq }
+      // q80: the text column NEVER crosses an exchange — spans are
+      // digested in-row, so only (doc_id, 32-hex md5) pairs move
+      val span = Dedup.spanDupStats(docs, k = 5)
+      assert(shuffleSchemas(span).forall(!_.contains("text")),
+        "span dedup must shuffle digests, never documents")
+      // q81: every corpus-sized window is PARTITIONED (by shard); the
+      // only empty-partition window runs over the S-row per-shard totals
+      // (its subtree contains the aggregate), and offsets + bounds come
+      // back as broadcasts
+      val cur = TrainingPrep.tokenCurriculum(docs, stepBudget = 2048, nShards = 7)
+      val wins = cur.queryExecution.executedPlan.collect { case w: WindowExec => w }
+      assert(wins.nonEmpty)
+      val global = wins.filter(_.partitionSpec.isEmpty)
+      assert(global.forall(_.child.collect {
+        case _: HashAggregateExec => 1 }.nonEmpty),
+        "an unpartitioned window may only run over the per-shard totals")
+      assert(cur.queryExecution.executedPlan.collect {
+        case _: BroadcastExchangeExec => 1 }.sum >= 2,
+        "id bounds and shard offsets must broadcast back, not shuffle the corpus")
+      // q83: q76's shape — ONE corpus exchange (doc_id), the vocab-sized
+      // unigram exchange, the 1-row total — and the per-doc fold
+      // aggregate reuses the doc_id distribution (no 4th exchange, no
+      // window); text never crosses an exchange
+      val lm = TextOps.unigramLogProb(docs)
+      assert(lm.queryExecution.executedPlan.collect {
+        case _: ShuffleExchangeExec => 1 }.sum == 3,
+        "exactly: doc_id repartition, unigram exchange, 1-row total count")
+      // the ONE corpus exchange (pre-explode doc_id repartition) is the
+      // only shuffle that carries text; the term-keyed exchange is
+      // vocab-sized partials, never postings
+      assert(shuffleSchemas(lm).count(_.contains("text")) == 1)
+      assert(shuffleSchemas(lm).filter(_.contains("term"))
+        .forall(f => !f.contains("doc_id")),
+        "no (doc, term) postings exchange — term only keys the vocab aggregate")
+      assert(lm.queryExecution.executedPlan.collect {
+        case _: WindowExec => 1 }.sum == 0)
+      assert(lm.queryExecution.executedPlan.collect {
+        case o: ObjectHashAggregateExec => o }.nonEmpty,
+        "per-doc term-sorted fold is the collect_list aggregate pair")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevA)
+  }
+
   // ---------------- domain mixing ---------------------------------------
   test("domainMix: clamped rates, exclusion, monotone in budget") {
     val w = Map("en" -> 0.5, "de" -> 0.5)
