@@ -145,8 +145,17 @@ object TextOps {
     * Why not the alternatives, with 10M-doc numbers (same host, fresh
     * JVMs): a COUNT WINDOW over tf partitioned by term has no map-side
     * combine — the hottest term's whole postings list serializes through
-    * ONE task (uniform-vocab r8 smoke: 124 s; Zipfian corpora
-    * unboundedly worse); `tf.groupBy(term).count()` joined back avoids
+    * ONE task (uniform-vocab r8 smoke: 124 s). The round-10 Zipfian A/B
+    * (TfidfProbe, head term in ~87% of docs) shows the honest shape of
+    * that trade: on local[32] the window is still AHEAD (19.4 s vs
+    * 61.3 s at 2M docs) because the skew penalty scales with cluster
+    * WIDTH, not corpus size — one hot task is only ~3× the mean of 32
+    * tasks, but on 1000 executors it caps the stage at one core's
+    * throughput over ~hot-fraction × corpus rows (100% for a true
+    * "the"). This plan pays ~3× total work that parallelizes perfectly;
+    * the window pays a serial critical path that does not — the right
+    * trade for the cluster regime this engine targets, the wrong one
+    * for a single node. `tf.groupBy(term).count()` joined back avoids
     * the hot task but pays 2-3 full (doc, term) exchanges plus a
     * recomputed tf subtree (841 s shipped-join / 548 s broadcast-join);
     * this plan: 212 s probe, one corpus exchange, term exchange
