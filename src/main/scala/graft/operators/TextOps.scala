@@ -12,7 +12,12 @@ object TextOps {
 
   private def tokens(text: Column): Column = split(trim(text), "\\s+")
 
-  /** Whitespace token count; 0 for blank text. */
+  /** Whitespace token count; 0 for blank text. (Measured alternative:
+    * `regexp_count(trim, "\s+") + 1` avoids materializing the token
+    * array but is only ~8% faster at 20M rows — TokenProbe — so the
+    * split form stays, matching the oracle's `string_split_regex`
+    * shape literally.)
+    */
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0L))
       .otherwise(size(tokens(text)).cast("long"))
