@@ -77,9 +77,28 @@ object ScaleSmoke {
       (r, (System.nanoTime() - t2) / 1e9)
     } else (-1.0, -1.0) // exact baseline is quadratic — skipped at batch scale
 
+    // opt-in A/B for the Q10-vs-Q11 crossover note (SURVEY §2 / PLANS
+    // Q11): the heuristic fold ships every probed-cluster EMBEDDING into
+    // its per-query exchange where the shortlist path moves a
+    // rerank-bounded candidate set — measure both at identical
+    // nprobe/topk so the crossover claim has a number behind it
+    val heuristic = nQueries <= 1000 && args.contains("ab")
+    val (hSec, hRecall) = if (heuristic) {
+      val t3 = System.nanoTime()
+      val h = RabitqQuery.heuristicTopK(spark, model, indexP, base, queries,
+        nprobe = nprobe, topk = 10)
+      h.count()
+      val sec = (System.nanoTime() - t3) / 1e9
+      val truth = ExactKnn.l2TopK(base, queries, 10)
+      (sec, ExactKnn.recall(h, truth, 10).head().getDouble(0))
+    } else (-1.0, -1.0)
+
     println(s"""{"scale_smoke":{"n":$n,"k":$k,"nprobe":$nprobe,"dim":$dim,"rerank":$rerank,"n_queries":$nQueries,"build_sec":$buildSec,""" +
       s""""query_sec":$querySec,"qps":${nQueries / querySec},"results":$nres,""" +
-      s""""recall_at_10":$recall,"exact_baseline_sec":$exactSec}}""")
+      s""""recall_at_10":$recall,"exact_baseline_sec":$exactSec""" +
+      (if (heuristic)
+        s""","heuristic_sec":$hSec,"heuristic_qps":${nQueries / hSec},"heuristic_recall":$hRecall}}"""
+       else "}}"))
     spark.stop()
   }
 }
