@@ -1057,6 +1057,23 @@ object SparkEntry {
       // corpus-exchange-once plan shape shared with q76
       TextOps.unigramLogProb(T(s, dir, "documents")).orderBy(col("doc_id"))
     }),
+    "q84_zorder_key" -> ((s, dir) => {
+      // Morton (Z-order) clustering key over (l_orderkey, l_partkey) —
+      // the multi-dimension data-skipping layout (sources/ZOrder.scala);
+      // bounds via a broadcast 1-row aggregate (the q81 pattern), the
+      // key itself pure codegen integer arithmetic, 16 bits per dim
+      val li = T(s, dir, "lineitem")
+      val bounds = li.agg(
+        min(col("l_orderkey")).as("amin"), max(col("l_orderkey")).as("amax"),
+        min(col("l_partkey")).as("bmin"), max(col("l_partkey")).as("bmax"))
+      li.select(col("l_orderkey"), col("l_partkey"))
+        .join(broadcast(bounds))
+        .select(col("l_orderkey"), col("l_partkey"),
+          graft.sources.ZOrder.zorderKey(
+            col("l_orderkey"), col("amin"), col("amax"),
+            col("l_partkey"), col("bmin"), col("bmax"), bits = 16).as("zkey"))
+        .orderBy(col("zkey"), col("l_orderkey"), col("l_partkey"))
+    }),
   )
 
   // ---- generated oracles for the portable-hash signature pipelines ------
@@ -1896,6 +1913,20 @@ object SparkEntry {
              |  ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE), list(lp ORDER BY term)),
              |      (acc, x) -> acc + x) / CAST(SUM(tf) AS DOUBLE), 4) AS avg_logprob
              |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      // q84: normalization + bit interleave generated from the SAME
+      // ZOrder constants the Spark expression uses (single source of
+      // truth); bounds from a 1-row CTE ≡ the broadcast bounds aggregate
+      "q84_zorder_key" -> {
+        val na = graft.sources.ZOrder.normSql("l_orderkey", "amin", "amax", 16)
+        val nb = graft.sources.ZOrder.normSql("l_partkey", "bmin", "bmax", 16)
+        val il = graft.sources.ZOrder.interleaveSql("na", "nb", 16)
+        s"""WITH bounds AS (SELECT min(l_orderkey) AS amin, max(l_orderkey) AS amax,
+           |    min(l_partkey) AS bmin, max(l_partkey) AS bmax FROM lineitem),
+           |nrm AS (SELECT l_orderkey, l_partkey, $na AS na, $nb AS nb
+           |        FROM lineitem, bounds)
+           |SELECT l_orderkey, l_partkey, CAST($il AS BIGINT) AS zkey
+           |FROM nrm ORDER BY zkey, l_orderkey, l_partkey""".stripMargin
+      },
     )
   }
 }

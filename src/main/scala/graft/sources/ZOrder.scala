@@ -1,0 +1,91 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton) clustering key — the third leg of the layout triad
+  * alongside `partitionBy(cluster_id)` (partition PRUNING, B12) and
+  * `Bucketed` (join CO-LOCATION, q79): writing a table sorted by the
+  * interleaved key clusters rows that are close in EVERY keyed dimension
+  * into the same parquet row groups, so min/max row-group statistics
+  * prune scans with predicates on ANY of the dimensions — the
+  * data-skipping layout Delta/Iceberg expose as OPTIMIZE ZORDER, built
+  * here from plain column arithmetic.
+  *
+  * Shape at 100 TB: the key is a pure per-row codegen expression (no
+  * shuffle of its own); the one-time clustered write is a single
+  * `repartitionByRange(key)` + `sortWithinPartitions(key)` — the same
+  * "shuffle once at ingest, never again" trade as bucketing. A sort by
+  * (a, b) clusters only the leading column; the Morton key keeps both
+  * dimensions selective at once (each additional bit halves the key
+  * range in alternating dimensions).
+  *
+  * Values are first normalized to `bits`-wide integers by affine min/max
+  * scaling — floor((v − min) · 2^bits / (max − min + 1)) — with the
+  * bounds supplied by the caller (at scale: a broadcast 1-row aggregate,
+  * the q81 pattern; bounds are data, not config, so they never go
+  * stale). Normalization + interleave are exact integer arithmetic,
+  * DuckDB-replayable bit for bit (`zorderOracleSql` emits the identical
+  * formula — single source of truth for the q84 oracle).
+  */
+object ZOrder {
+
+  /** Max bits per dimension: 2 dims × 31 bits keeps the interleaved key
+    * inside a signed 64-bit long.
+    */
+  val MaxBits = 31
+
+  /** Normalize `v` from [min, max] to an integer in [0, 2^bits). */
+  def normalize(v: Column, minV: Column, maxV: Column, bits: Int): Column =
+    floor((v - minV).cast("double") * (1L << bits).toDouble /
+      (maxV - minV + lit(1L)).cast("double")).cast("long")
+
+  /** Two-dimensional Morton key over pre-normalized `bits`-wide
+    * integers: bit i of `a` lands at position 2i, bit i of `b` at
+    * 2i + 1. The bit positions are Scala-level constants, so the whole
+    * key is a flat sum of shift/mask terms inside one codegen stage.
+    */
+  def interleave(a: Column, b: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= MaxBits, s"bits must be in [1, $MaxBits], got $bits")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+  }
+
+  /** Normalized Morton key of two columns given their (broadcastable)
+    * bounds.
+    */
+  def zorderKey(a: Column, aMin: Column, aMax: Column,
+      b: Column, bMin: Column, bMax: Column, bits: Int): Column =
+    interleave(normalize(a, aMin, aMax, bits),
+      normalize(b, bMin, bMax, bits), bits)
+
+  /** One-time clustered write: range-partition then sort by the Morton
+    * key so row-group min/max stats are selective on both dimensions.
+    */
+  def zorderWrite(df: DataFrame, key: Column, path: String,
+      partitions: Int): Unit =
+    df.withColumn("zkey", key)
+      .repartitionByRange(partitions, col("zkey"))
+      .sortWithinPartitions(col("zkey"))
+      .write.mode("overwrite").parquet(path)
+
+  /** The identical normalization as ANSI SQL — `mn`/`mx` are SQL
+    * expressions (typically columns of a joined 1-row bounds CTE, the
+    * SQL analog of the Spark side's broadcast bounds aggregate).
+    */
+  def normSql(v: String, mn: String, mx: String, bits: Int): String =
+    s"CAST(floor(CAST($v - $mn AS DOUBLE) * ${(1L << bits).toDouble} / " +
+      s"CAST($mx - $mn + 1 AS DOUBLE)) AS BIGINT)"
+
+  /** The identical interleave as ANSI SQL over two already-normalized
+    * integer expressions — generated from the same bit positions as
+    * `interleave`, so the q84 oracle can never drift from the Scala
+    * expression.
+    */
+  def interleaveSql(na: String, nb: String, bits: Int): String =
+    (0 until bits).map { i =>
+      s"(((($na >> $i) & 1) << ${2 * i}) + ((($nb >> $i) & 1) << ${2 * i + 1}))"
+    }.mkString(" + ")
+}

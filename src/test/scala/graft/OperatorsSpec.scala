@@ -472,6 +472,36 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fr == Seq(1.0, 1.0))
   }
 
+  test("zorderKey: hand-computed Morton curve, grid bijection, identity bounds") {
+    import spark.implicits._
+    import graft.sources.ZOrder
+    // 2-bit grid with identity bounds (floor(v·4/4) = v): the first
+    // cells of the canonical Z curve — (0,0)→0 (1,0)→1 (0,1)→2 (1,1)→3
+    // (2,0)→4 (3,3)→15
+    val cells = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (2L, 0L), (3L, 3L))
+    val keys = cells.toDF("a", "b").select(
+      ZOrder.zorderKey(col("a"), lit(0L), lit(3L),
+        col("b"), lit(0L), lit(3L), bits = 2).as("k"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(keys == Seq(0L, 1L, 2L, 3L, 4L, 15L))
+    // bijection on the full 16×16 grid: 256 distinct keys exactly
+    // covering [0, 4^bits) — every cell gets its own key, so row-group
+    // min/max ranges stay selective in both dimensions
+    val grid = (for (a <- 0L until 16L; b <- 0L until 16L) yield (a, b))
+      .toDF("a", "b").select(
+        ZOrder.zorderKey(col("a"), lit(0L), lit(15L),
+          col("b"), lit(0L), lit(15L), bits = 4).as("k"))
+    assert(grid.distinct().count() == 256)
+    assert(grid.agg(min(col("k")), max(col("k"))).head() ==
+      org.apache.spark.sql.Row(0L, 255L))
+    // non-identity bounds: normalization maps [100, 107] onto 3 bits
+    // order-preservingly; equal inputs collapse to equal keys
+    val n = Seq(100L, 103L, 107L).toDF("v").select(
+      ZOrder.normalize(col("v"), lit(100L), lit(107L), 3).as("nv"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(n == Seq(0L, 3L, 7L))
+  }
+
   test("prefixLen yields the exact rational bound at fp-boundary thresholds") {
     import spark.implicits._
     // (ns, t, exact |s| - ceil(t*|s|) + 1). The first case is the fp trap:
