@@ -116,14 +116,25 @@ object SparkEntry {
     // the cache is JVM-wide but saveAsTable catalog entries are
     // SESSION-scoped: a second SparkSession in the same JVM would hit the
     // cache and get names absent from its own catalog — verify the tables
-    // exist in THIS session before serving the cached names, else rebuild
-    bucketedCache.get(dir) match {
+    // exist in THIS session before serving the cached names, else rebuild.
+    // The miss path is serialized per dir (writeBucketed runs DROP TABLE +
+    // filesystem delete + saveAsTable on dir-derived names — two threads
+    // building concurrently would race those on identical tables)
+    def cachedHit(): Option[(String, String)] = bucketedCache.get(dir) match {
       case Some(t @ (ot, lt))
-          if s.catalog.tableExists(ot) && s.catalog.tableExists(lt) => t
-      case _ =>
-        val t = build(); bucketedCache.put(dir, t); t
+          if s.catalog.tableExists(ot) && s.catalog.tableExists(lt) => Some(t)
+      case _ => None
+    }
+    cachedHit().getOrElse {
+      val lock = bucketedLocks.getOrElseUpdate(dir, new Object)
+      lock.synchronized {
+        cachedHit().getOrElse {
+          val t = build(); bucketedCache.put(dir, t); t
+        }
+      }
     }
   }
+  private val bucketedLocks = scala.collection.concurrent.TrieMap.empty[String, Object]
 
   // ---- curation constants shared by queries and their oracles ----------
   // (single source of truth: the oracle SQL embeds these same values, so
@@ -1894,7 +1905,8 @@ object SparkEntry {
              |tp AS (SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE), list(p ORDER BY lang)),
              |         (acc, x) -> acc + x) AS tp FROM p)
              |SELECT lang, n_docs, n_tokens, ROUND(p / tp, 4) AS mix_weight,
-             |  ROUND(p / tp * 100000.0 / CAST(n_tokens AS DOUBLE), 4) AS dup_factor
+             |  ROUND(CASE WHEN n_tokens = 0 THEN 0.0
+             |    ELSE p / tp * 100000.0 / CAST(n_tokens AS DOUBLE) END, 4) AS dup_factor
              |FROM p, tp ORDER BY lang""".stripMargin,
       // q83: per-doc sum of tf·ln(cnt/total) as a term-sorted left-fold
       // (q78 fold-order rule), mean rounded to 4 decimals (q76 rule)

@@ -226,9 +226,14 @@ object TrainingPrep {
           floor((col("doc_id") - col("min_id")).cast("double") * nShards /
             (col("max_id") - col("min_id") + 1L).cast("double"))).cast("int"))
       .select(col("doc_id"), col("n_tokens"), col("shard"))
+    // explicit ROWS frame: the default RANGE frame would share one
+    // cumulative value across duplicate doc_ids where the oracle's ROWS
+    // frame assigns distinct ones — ROWS keeps the two aligned without
+    // assuming doc_id uniqueness
     val local = sharded.withColumn("local_cum",
       sum(col("n_tokens")).over(
-        Window.partitionBy(col("shard")).orderBy(col("doc_id"))))
+        Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
     val offsets = sharded.groupBy(col("shard"))
       .agg(sum(col("n_tokens")).as("ptot"))
       .withColumn("offset",
@@ -270,8 +275,12 @@ object TrainingPrep {
     counts.crossJoin(broadcast(tot))
       .select(col("lang"), col("n_docs"), col("n_tokens"),
         round(col("p") / col("tp"), 4).as("mix_weight"),
-        round(col("p") / col("tp") * lit(epochTokens.toDouble) /
-          col("n_tokens").cast("double"), 4).as("dup_factor"))
+        // n_tokens = 0 (a domain of all-blank docs) has p = pow(0, τ) = 0,
+        // and 0.0/0.0 is NaN in Spark while DuckDB's ÷0 semantics are
+        // config-dependent — emit 0.0 explicitly (the oracle mirrors this)
+        round(when(col("n_tokens") === 0L, lit(0.0))
+          .otherwise(col("p") / col("tp") * lit(epochTokens.toDouble) /
+            col("n_tokens").cast("double")), 4).as("dup_factor"))
   }
 
   def jlProject(emb: DataFrame, outDims: Int): DataFrame = {

@@ -35,10 +35,17 @@ object ZOrder {
     */
   val MaxBits = 31
 
-  /** Normalize `v` from [min, max] to an integer in [0, 2^bits). */
+  /** Normalize `v` from [min, max] to an integer in [0, 2^bits). The
+    * `least` clamp guards the f64 rounding edge (the q81 `least` rule): at
+    * value ranges approaching 2^50, (max−min)·2^bits/(max−min+1) can round
+    * up to exactly 2^bits, whose bit `bits` the interleave never inspects —
+    * without the clamp the max value's key would silently collapse toward
+    * 0 in that dimension.
+    */
   def normalize(v: Column, minV: Column, maxV: Column, bits: Int): Column =
-    floor((v - minV).cast("double") * (1L << bits).toDouble /
-      (maxV - minV + lit(1L)).cast("double")).cast("long")
+    least(lit((1L << bits) - 1),
+      floor((v - minV).cast("double") * (1L << bits).toDouble /
+        (maxV - minV + lit(1L)).cast("double")).cast("long"))
 
   /** Two-dimensional Morton key over pre-normalized `bits`-wide
     * integers: bit i of `a` lands at position 2i, bit i of `b` at
@@ -76,8 +83,9 @@ object ZOrder {
     * SQL analog of the Spark side's broadcast bounds aggregate).
     */
   def normSql(v: String, mn: String, mx: String, bits: Int): String =
-    s"CAST(floor(CAST($v - $mn AS DOUBLE) * ${(1L << bits).toDouble} / " +
-      s"CAST($mx - $mn + 1 AS DOUBLE)) AS BIGINT)"
+    s"least(CAST(${(1L << bits) - 1} AS BIGINT), " +
+      s"CAST(floor(CAST($v - $mn AS DOUBLE) * ${(1L << bits).toDouble} / " +
+      s"CAST($mx - $mn + 1 AS DOUBLE)) AS BIGINT))"
 
   /** The identical interleave as ANSI SQL over two already-normalized
     * integer expressions — generated from the same bit positions as
