@@ -136,6 +136,29 @@ object SparkEntry {
   }
   private val bucketedLocks = scala.collection.concurrent.TrieMap.empty[String, Object]
 
+  // one-time z-ordered ingest per sf dir (q87): lineitem written clustered
+  // by the 2-dim Morton key over (l_orderkey, l_partkey) — the layout leg
+  // that buys row-group min/max SKIPPING on range predicates over EITHER
+  // dimension (sources/ZOrder.scala), complementing B12's partition
+  // pruning and q79's join co-location. Bounds are computed once from the
+  // data (a 1-row aggregate) and embedded as literals in the ingest key.
+  private val zorderCache = scala.collection.concurrent.TrieMap.empty[String, (String, (Long, Long, Long, Long))]
+  private def zorderedLineitem(s: SparkSession, dir: String): (String, (Long, Long, Long, Long)) =
+    zorderCache.getOrElseUpdate(dir, {
+      val li = T(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      val b = li.agg(
+        min(col("l_orderkey")), max(col("l_orderkey")),
+        min(col("l_partkey")), max(col("l_partkey"))).head()
+      val bounds = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+      val key = graft.sources.ZOrder.zorderKey(
+        col("l_orderkey"), lit(bounds._1), lit(bounds._2),
+        col("l_partkey"), lit(bounds._3), lit(bounds._4), bits = 16)
+      val out = graft.TempDirs.create("graft_zorder_li_")
+      graft.sources.ZOrder.zorderWrite(li, key, out, partitions = 16)
+      (out, bounds)
+    })
+
   // ---- curation constants shared by queries and their oracles ----------
   // (single source of truth: the oracle SQL embeds these same values, so
   // Spark and DuckDB can never drift apart on a rate or regex)
@@ -166,8 +189,10 @@ object SparkEntry {
     fullRerank(s, dir)
     // q79's one-time bucketed ingest ("shuffle once at ingest") — warm it
     // here so the cold bench pass times the zero-exchange JOIN, not the
-    // ingest it exists to amortize
+    // ingest it exists to amortize; q87's z-ordered ingest for the same
+    // reason
     bucketedTables(s, dir)
+    zorderedLineitem(s, dir)
     // first-touch the streaming subsystem (MicroBatchExecution, file
     // source, RocksDB state store JNI, parquet sink) on a 2-row stream so
     // q61/q66's cold numbers time the operators, not one-time class/
@@ -1085,6 +1110,47 @@ object SparkEntry {
             col("l_partkey"), col("bmin"), col("bmax"), bits = 16).as("zkey"))
         .orderBy(col("zkey"), col("l_orderkey"), col("l_partkey"))
     }),
+    "q85_span_mask" -> ((s, dir) => {
+      // the ACTION step behind q80's report: remove every token covered
+      // by a cross-document shared 5-span; kept text surfaces as an md5
+      // scalar so the rewrite is fully oracle-able (Dedup.maskSharedSpans)
+      Dedup.maskSharedSpans(T(s, dir, "documents"), k = 5)
+        .orderBy(col("doc_id"))
+    }),
+    "q86_zorder_key3" -> ((s, dir) => {
+      // 3-dim Morton key over (l_orderkey, l_partkey, l_suppkey) — the
+      // n-dim generalization (bits ≤ 63/d = 21; 16 used), same broadcast
+      // bounds + generated-oracle discipline as q84
+      val li = T(s, dir, "lineitem")
+      val bounds = li.agg(
+        min(col("l_orderkey")).as("amin"), max(col("l_orderkey")).as("amax"),
+        min(col("l_partkey")).as("bmin"), max(col("l_partkey")).as("bmax"),
+        min(col("l_suppkey")).as("cmin"), max(col("l_suppkey")).as("cmax"))
+      li.select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+        .join(broadcast(bounds))
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          graft.sources.ZOrder.zorderKeyN(Seq(
+            (col("l_orderkey"), col("amin"), col("amax")),
+            (col("l_partkey"), col("bmin"), col("bmax")),
+            (col("l_suppkey"), col("cmin"), col("cmax"))), bits = 16).as("zkey"))
+        .orderBy(col("zkey"), col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+    }),
+    "q87_zorder_scan" -> ((s, dir) => {
+      // the READ leg of the z-order layout: a 2-dim range predicate over
+      // the session-cached z-ordered lineitem copy — row-group min/max
+      // stats prune the scan on BOTH dims (spec-asserted vs an unsorted
+      // copy in OperatorsSpec); the answer is layout-independent, so the
+      // oracle runs the same predicate on the plain table
+      val (path, (amin, amax, bmin, bmax)) = zorderedLineitem(s, dir)
+      val (aHi, bHi) = (amin + (amax - amin) / 8, bmin + (bmax - bmin) / 8)
+      s.read.parquet(path)
+        .filter(col("l_orderkey").between(amin, aHi) &&
+          col("l_partkey").between(bmin, bHi))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(dec3(col("l_quantity"))).cast("double").as("sum_qty"),
+          min(col("l_orderkey")).as("min_ok"), max(col("l_orderkey")).as("max_ok"),
+          min(col("l_partkey")).as("min_pk"), max(col("l_partkey")).as("max_pk"))
+    }),
   )
 
   // ---- generated oracles for the portable-hash signature pipelines ------
@@ -1939,6 +2005,58 @@ object SparkEntry {
            |SELECT l_orderkey, l_partkey, CAST($il AS BIGINT) AS zkey
            |FROM nrm ORDER BY zkey, l_orderkey, l_partkey""".stripMargin
       },
+      // q85: the span-removal rewrite replayed in full — same in-row span
+      // digests as q80, shared = digest in >= 2 DISTINCT docs, a token
+      // drops iff a shared span STARTS in [i-k+1, i]; the kept text
+      // compares as an md5 scalar, never as a text column
+      "q85_span_mask" ->
+        raw"""WITH toks AS (SELECT doc_id,
+             |    list_filter(string_split_regex(trim(lower(text)), '\s+'), w -> len(w) > 0) AS t
+             |  FROM documents),
+             |sp AS (SELECT doc_id, i, md5(array_to_string(t[CAST(i + 1 AS INT):CAST(i + 5 AS INT)], ' ')) AS h
+             |       FROM toks, LATERAL unnest(range(len(t) - 4)) AS r(i) WHERE len(t) >= 5),
+             |shared AS (SELECT h FROM (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM sp GROUP BY 1) WHERE nd >= 2),
+             |ss AS (SELECT doc_id, list(DISTINCT i ORDER BY i) AS ss
+             |       FROM sp WHERE h IN (SELECT h FROM shared) GROUP BY 1),
+             |m AS (SELECT toks.doc_id, t, COALESCE(ss, []) AS ss FROM toks LEFT JOIN ss USING (doc_id)),
+             |k AS (SELECT doc_id, len(t) AS n_tokens,
+             |        list_transform(list_filter(range(len(t)),
+             |          i -> len(list_filter(ss, s -> i >= s AND i <= s + 4)) = 0),
+             |          i -> t[CAST(i + 1 AS INT)]) AS kept
+             |      FROM m)
+             |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             |  CAST(len(kept) AS BIGINT) AS n_kept,
+             |  CAST(n_tokens - len(kept) AS BIGINT) AS n_removed,
+             |  md5(COALESCE(array_to_string(kept, ' '), '')) AS kept_hash
+             |FROM k ORDER BY doc_id""".stripMargin,
+      // q86: the 3-dim key generated from the SAME ZOrder bit positions
+      // as the Spark expression (single source of truth, as q84)
+      "q86_zorder_key3" -> {
+        val na = graft.sources.ZOrder.normSql("l_orderkey", "amin", "amax", 16)
+        val nb = graft.sources.ZOrder.normSql("l_partkey", "bmin", "bmax", 16)
+        val nc = graft.sources.ZOrder.normSql("l_suppkey", "cmin", "cmax", 16)
+        val il = graft.sources.ZOrder.interleaveSqlN(Seq("na", "nb", "nc"), 16)
+        s"""WITH bounds AS (SELECT min(l_orderkey) AS amin, max(l_orderkey) AS amax,
+           |    min(l_partkey) AS bmin, max(l_partkey) AS bmax,
+           |    min(l_suppkey) AS cmin, max(l_suppkey) AS cmax FROM lineitem),
+           |nrm AS (SELECT l_orderkey, l_partkey, l_suppkey, $na AS na, $nb AS nb, $nc AS nc
+           |        FROM lineitem, bounds)
+           |SELECT l_orderkey, l_partkey, l_suppkey, CAST($il AS BIGINT) AS zkey
+           |FROM nrm ORDER BY zkey, l_orderkey, l_partkey, l_suppkey""".stripMargin
+      },
+      // q87: the z-ordered LAYOUT does not change the answer — the oracle
+      // runs the identical predicate + decimal aggregate on the plain
+      // table; integer division matches the Scala bound arithmetic
+      "q87_zorder_scan" ->
+        """WITH bounds AS (SELECT min(l_orderkey) AS amin, max(l_orderkey) AS amax,
+          |    min(l_partkey) AS bmin, max(l_partkey) AS bmax FROM lineitem)
+          |SELECT COUNT(*) AS n_rows,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,3))) AS DOUBLE) AS sum_qty,
+          |  min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
+          |  min(l_partkey) AS min_pk, max(l_partkey) AS max_pk
+          |FROM lineitem, bounds
+          |WHERE l_orderkey BETWEEN amin AND amin + (amax - amin) // 8
+          |  AND l_partkey BETWEEN bmin AND bmin + (bmax - bmin) // 8""".stripMargin,
     )
   }
 }

@@ -472,6 +472,68 @@ object Dedup {
     * Output: (doc_id, n_spans, n_shared, shared_frac) — n_spans counts
     * DISTINCT spans per doc, shared_frac rounded to 4 decimals.
     */
+  /** Span-level dedup ACTION — the transform behind `spanDupStats`'s
+    * report (the CCNet/RefinedWeb substring-removal step): every token
+    * covered by at least one SHARED k-span (a span whose digest occurs in
+    * ≥ 2 distinct documents) is REMOVED from the document; the kept
+    * remainder is emitted as scalars — token counts plus an md5 of the
+    * kept text — so the rewrite is oracle-able without ever comparing
+    * full text columns.
+    *
+    * Scale shape: span digesting is in-row (q80's discipline — the text
+    * never feeds the digest aggregates); the shared-span set is id-only
+    * (digest → ≥2-doc flag); per-doc shared START POSITIONS come back as
+    * one int-array per affected doc, joined onto the corpus by doc_id —
+    * ONE corpus exchange (the q76 rule), after which the mask is a pure
+    * in-row higher-order filter (positions i with a shared start in
+    * [i−k+1, i] drop). Cost of the in-row mask is O(tokens × shared
+    * starts) per doc — fine while shared spans are sparse; a doc that is
+    * ~all boilerplate degrades gracefully (its own length bounds the
+    * work). Span digests stay md5 (32-hex) rather than xxhash64's 8
+    * bytes: DuckDB has no xxhash64, and the oracle must replay the digest
+    * bit-for-bit — the 4× wider shuffle unit is the price of a
+    * cross-engine-verifiable pipeline (documented trade, PLANS.md q85).
+    *
+    * Output: (doc_id, n_tokens, n_kept, n_removed, kept_hash), with
+    * n_kept + n_removed = n_tokens by construction (spec-pinned) and
+    * kept_hash = md5 of the space-joined kept tokens (md5('') for a doc
+    * masked to nothing — distinguishable from an originally-empty doc by
+    * n_tokens).
+    */
+  def maskSharedSpans(docs: DataFrame, k: Int = 5): DataFrame = {
+    require(k >= 1, s"span width must be >= 1, got $k")
+    val ts = org.apache.spark.sql.functions.filter(
+      split(trim(lower(col("text"))), "\\s+"), t => length(t) > 0)
+    val spans = when(size(ts) >= k,
+      transform(sequence(lit(0), size(ts) - k),
+        i => md5(array_join(slice(ts, i + 1, lit(k)), " "))))
+      .otherwise(array().cast("array<string>"))
+    // ALL start positions (not distinct spans): a span repeated within
+    // one doc must mask every occurrence once it is shared
+    val starts = docs.select(col("doc_id"),
+      posexplode(spans).as(Seq("i", "h")))
+    val shared = starts.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("h"))
+    val sharedStarts = starts.join(shared, "h")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("i"))).as("ss"))
+    docs.repartition(col("doc_id"))
+      .join(sharedStarts, Seq("doc_id"), "left")
+      .select(col("doc_id"), ts.as("t"),
+        coalesce(col("ss"), array().cast("array<int>")).as("ss"))
+      .select(col("doc_id"), col("t"), col("ss"),
+        org.apache.spark.sql.functions.filter(col("t"),
+          (t, i) => !exists(col("ss"),
+            s => i >= s && i <= s + lit(k - 1))).as("kept"))
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        size(col("kept")).cast("long").as("n_kept"),
+        (size(col("t")) - size(col("kept"))).cast("long").as("n_removed"),
+        md5(array_join(col("kept"), " ")).as("kept_hash"))
+  }
+
   def spanDupStats(docs: DataFrame, k: Int = 5): DataFrame = {
     require(k >= 1, s"span width must be >= 1, got $k")
     val ts = split(trim(lower(col("text"))), "\\s+")

@@ -10,6 +10,51 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** Join strategies for the vocab-sized side of `tfidfTopTerm` /
+    * `unigramLogProb` (the df / unigram-count table keyed on `term`).
+    *
+    * `Broadcast` is right whenever the vocabulary fits an executor
+    * broadcast — every benched regime here. At true web-corpus scale
+    * Heaps' law puts the vocabulary in the billions of uniques, where the
+    * broadcast hint is an executor OOM, not a plan choice: `Shuffle`
+    * forces a shuffle-hash join on `term` instead. Its honest cost: the
+    * (doc, term)-grain tf side re-exchanges keyed on term — a
+    * corpus-token-sized shuffle the broadcast path avoids — with AQE
+    * skew-split absorbing hot terms; that is the unavoidable price once
+    * the vocab side cannot broadcast (measured: VocabProbe, README).
+    * `Auto` probes
+    * `approx_count_distinct(term)` on the (persisted) vocab aggregate and
+    * picks sides at `AutoBroadcastMaxTerms` — the probe costs one
+    * vocab-sized pass that the persist immediately amortizes into the
+    * main join. Both strategies are hash-identical by construction (same
+    * rows, different physical join), spec-pinned in TrainingPrepSpec.
+    */
+  object VocabJoin {
+    val Broadcast = "broadcast"
+    val Shuffle = "shuffle"
+    val Auto = "auto"
+    /** Auto switches to the shuffle join above this estimated vocab size:
+      * ~4M terms × (term + count) ≈ low hundreds of MB broadcast — the
+      * practical executor ceiling.
+      */
+    val AutoBroadcastMaxTerms = 4L * 1000 * 1000
+  }
+
+  /** `tf ⋈ vocab` on `term` under the selected strategy (see VocabJoin). */
+  private def joinVocab(tf: DataFrame, vocab: DataFrame, strategy: String,
+      autoMaxTerms: Long): DataFrame = strategy match {
+    case VocabJoin.Broadcast => tf.join(broadcast(vocab), "term")
+    case VocabJoin.Shuffle => tf.join(vocab.hint("shuffle_hash"), "term")
+    case VocabJoin.Auto =>
+      val v = vocab.persist()
+      val est = v.agg(approx_count_distinct(col("term"))).head().getLong(0)
+      if (est <= autoMaxTerms) tf.join(broadcast(v), "term")
+      else tf.join(v.hint("shuffle_hash"), "term")
+    case other => throw new IllegalArgumentException(
+      s"unknown vocab join strategy '$other' — use one of " +
+        s"${VocabJoin.Broadcast}/${VocabJoin.Shuffle}/${VocabJoin.Auto}")
+  }
+
   private def tokens(text: Column): Column = split(trim(text), "\\s+")
 
   /** Whitespace token count; 0 for blank text. (Measured alternative:
@@ -165,14 +210,18 @@ object TextOps {
     * recomputed tf subtree (841 s shipped-join / 548 s broadcast-join);
     * this plan: 212 s probe, one corpus exchange, term exchange
     * vocab-sized. At giant-vocab regimes where dfreq itself outgrows a
-    * broadcast (billions of uniques under Heaps' law), drop the
-    * broadcast hint and let AQE skew-split the term join — the rest of
-    * the plan is unchanged. (PerGroupTopK is not usable for the argmax:
+    * broadcast (billions of uniques under Heaps' law), pass
+    * `vocabJoin = VocabJoin.Shuffle` (or `Auto`) — the df join becomes a
+    * shuffle-hash join AQE can skew-split and the rest of the plan is
+    * unchanged; both strategies are row-identical, spec-pinned.
+    * (PerGroupTopK is not usable for the argmax:
     * its tie-break id is LONG, and ties must break on the
     * lexicographically smallest TERM to stay engine-stable; min_by on
     * struct(−tfidf, term) encodes exactly that order.)
     */
-  def tfidfTopTerm(docs: DataFrame): DataFrame = {
+  def tfidfTopTerm(docs: DataFrame,
+      vocabJoin: String = VocabJoin.Broadcast,
+      autoMaxTerms: Long = VocabJoin.AutoBroadcastMaxTerms): DataFrame = {
     val toksCol = tokens(lower(col("text")))
     val parted = docs.repartition(col("doc_id"))
     val tf = parted
@@ -185,8 +234,7 @@ object TextOps {
         .as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
-    val scored = tf
-      .join(broadcast(dfreq), "term")
+    val scored = joinVocab(tf, dfreq, vocabJoin, autoMaxTerms)
       .join(broadcast(n))
       .withColumn("tfidf",
         round(col("tf") * log(col("n").cast("double") / col("df")), 4))
@@ -208,13 +256,17 @@ object TextOps {
     * (`repartition(doc_id)`), the (doc, term) tf aggregate partition-local
     * under it; the unigram table is a vocab-sized map-side-combined
     * aggregate broadcast back onto tf, so no term ever keys a corpus-sized
-    * exchange ("the" costs nothing anywhere). Float discipline: per-term
+    * exchange ("the" costs nothing anywhere); at giant-vocab regimes the
+    * unigram join takes the same `vocabJoin` strategies as
+    * `tfidfTopTerm` (see VocabJoin). Float discipline: per-term
     * lp = tf·ln(cnt/total) is bit-stable per engine pair up to `ln`'s last
     * ulp; the per-doc SUM is a left-fold in sorted-term order (the q78
     * fold-order rule) so accumulation order cannot add divergence, and the
     * final mean rounds to 4 decimals (the q76 round-before-compare rule).
     */
-  def unigramLogProb(docs: DataFrame): DataFrame = {
+  def unigramLogProb(docs: DataFrame,
+      vocabJoin: String = VocabJoin.Broadcast,
+      autoMaxTerms: Long = VocabJoin.AutoBroadcastMaxTerms): DataFrame = {
     val toksCol = org.apache.spark.sql.functions.filter(
       tokens(lower(col("text"))), t => length(t) > 0)
     val parted = docs.repartition(col("doc_id"))
@@ -226,8 +278,7 @@ object TextOps {
       .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
     val total = docs.agg(
       sum(size(toksCol)).cast("double").as("total"))
-    val lp = tf
-      .join(broadcast(unigrams), "term")
+    val lp = joinVocab(tf, unigrams, vocabJoin, autoMaxTerms)
       .join(broadcast(total))
       .select(col("doc_id"), col("term"), col("tf"),
         (col("tf").cast("double") *

@@ -30,10 +30,14 @@ import org.apache.spark.sql.functions._
   */
 object ZOrder {
 
-  /** Max bits per dimension: 2 dims × 31 bits keeps the interleaved key
-    * inside a signed 64-bit long.
+  /** Max bits per dimension for the 2-dim key: 2 × 31 keeps the
+    * interleaved key inside a signed 64-bit long. The n-dim forms take
+    * `maxBits(d) = 63 / d` per dimension.
     */
   val MaxBits = 31
+
+  /** Max bits per dimension for a d-dimensional key (d·bits ≤ 63). */
+  def maxBits(dims: Int): Int = 63 / dims
 
   /** Normalize `v` from [min, max] to an integer in [0, 2^bits). The
     * `least` clamp guards the f64 rounding edge (the q81 `least` rule): at
@@ -47,18 +51,28 @@ object ZOrder {
       floor((v - minV).cast("double") * (1L << bits).toDouble /
         (maxV - minV + lit(1L)).cast("double")).cast("long"))
 
-  /** Two-dimensional Morton key over pre-normalized `bits`-wide
-    * integers: bit i of `a` lands at position 2i, bit i of `b` at
-    * 2i + 1. The bit positions are Scala-level constants, so the whole
-    * key is a flat sum of shift/mask terms inside one codegen stage.
+  /** d-dimensional Morton key over pre-normalized `bits`-wide integers:
+    * bit i of dimension j lands at position i·d + j (dimension 0 owns the
+    * least-significant lane, matching Delta/Iceberg's column order
+    * convention where the FIRST zorder column varies fastest). The bit
+    * positions are Scala-level constants, so the whole key is a flat sum
+    * of shift/mask terms inside one codegen stage.
     */
-  def interleave(a: Column, b: Column, bits: Int): Column = {
-    require(bits >= 1 && bits <= MaxBits, s"bits must be in [1, $MaxBits], got $bits")
-    (0 until bits).map { i =>
-      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i) +
-        shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1)
-    }.reduce(_ + _)
+  def interleaveN(cols: Seq[Column], bits: Int): Column = {
+    val d = cols.length
+    require(d >= 1, "at least one dimension required")
+    require(bits >= 1 && bits <= maxBits(d),
+      s"bits must be in [1, ${maxBits(d)}] for $d dims, got $bits")
+    (for (i <- 0 until bits; j <- 0 until d) yield
+      shiftleft(shiftright(cols(j), i).bitwiseAND(lit(1L)), i * d + j))
+      .reduce(_ + _)
   }
+
+  /** Two-dimensional Morton key (the d=2 case of `interleaveN`): bit i
+    * of `a` lands at position 2i, bit i of `b` at 2i + 1.
+    */
+  def interleave(a: Column, b: Column, bits: Int): Column =
+    interleaveN(Seq(a, b), bits)
 
   /** Normalized Morton key of two columns given their (broadcastable)
     * bounds.
@@ -67,6 +81,13 @@ object ZOrder {
       b: Column, bMin: Column, bMax: Column, bits: Int): Column =
     interleave(normalize(a, aMin, aMax, bits),
       normalize(b, bMin, bMax, bits), bits)
+
+  /** Normalized d-dimensional Morton key: each element of `dims` is
+    * (value, min, max) with the bounds typically columns of a broadcast
+    * 1-row aggregate.
+    */
+  def zorderKeyN(dims: Seq[(Column, Column, Column)], bits: Int): Column =
+    interleaveN(dims.map { case (v, mn, mx) => normalize(v, mn, mx, bits) }, bits)
 
   /** One-time clustered write: range-partition then sort by the Morton
     * key so row-group min/max stats are selective on both dimensions.
@@ -87,13 +108,18 @@ object ZOrder {
       s"CAST(floor(CAST($v - $mn AS DOUBLE) * ${(1L << bits).toDouble} / " +
       s"CAST($mx - $mn + 1 AS DOUBLE)) AS BIGINT))"
 
-  /** The identical interleave as ANSI SQL over two already-normalized
+  /** The identical d-dim interleave as ANSI SQL over already-normalized
     * integer expressions — generated from the same bit positions as
-    * `interleave`, so the q84 oracle can never drift from the Scala
-    * expression.
+    * `interleaveN`, so the q84/q86 oracles can never drift from the
+    * Scala expression.
     */
+  def interleaveSqlN(ns: Seq[String], bits: Int): String = {
+    val d = ns.length
+    (for (i <- 0 until bits; j <- 0 until d) yield
+      s"(((${ns(j)} >> $i) & 1) << ${i * d + j})").mkString(" + ")
+  }
+
+  /** The 2-dim SQL interleave (the d=2 case of `interleaveSqlN`). */
   def interleaveSql(na: String, nb: String, bits: Int): String =
-    (0 until bits).map { i =>
-      s"(((($na >> $i) & 1) << ${2 * i}) + ((($nb >> $i) & 1) << ${2 * i + 1}))"
-    }.mkString(" + ")
+    interleaveSqlN(Seq(na, nb), bits)
 }

@@ -472,6 +472,42 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fr == Seq(1.0, 1.0))
   }
 
+  test("maskSharedSpans: covered tokens drop, conservation holds, " +
+      "untouched docs keep their exact text, internal repeats mask once shared") {
+    import spark.implicits._
+    // d0/d1 share "a b c d e": those 5 tokens drop from both, the unique
+    // tails survive. d2 shares nothing → kept verbatim. d3 repeats a span
+    // internally only → NOT shared → kept verbatim.
+    val docs = Seq(
+      (0L, "a b c d e x1 y1 z1 w1 v1"),
+      (1L, "q1 a b c d e r1 s1 t1 u1"),
+      (2L, "p p p p"),
+      (3L, "m n o p q m n o p q")).toDF("doc_id", "text")
+    val out = Dedup.maskSharedSpans(docs, k = 5).orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((0L, 10L, 5L, 5L), (1L, 10L, 5L, 5L), (2L, 4L, 4L, 0L), (3L, 10L, 10L, 0L)))
+    def md5s(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(0).getString(4) == md5s("x1 y1 z1 w1 v1"))
+    assert(out(1).getString(4) == md5s("q1 r1 s1 t1 u1"))
+    assert(out(2).getString(4) == md5s("p p p p"))
+    assert(out(3).getString(4) == md5s("m n o p q m n o p q"))
+    // identical docs mask to NOTHING (every token covered) — md5 of ""
+    val dup = Seq((0L, "a b c d e f g h"), (1L, "a b c d e f g h"))
+      .toDF("doc_id", "text")
+    val masked = Dedup.maskSharedSpans(dup, k = 5).collect()
+    assert(masked.forall(r => r.getLong(2) == 0L && r.getString(4) == md5s("")))
+    // real corpus: conservation (n_kept + n_removed = n_tokens) on every
+    // row, and the action agrees with q80's report — docs with zero
+    // shared spans remove nothing
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+    val real = Dedup.maskSharedSpans(corpus, k = 5)
+    assert(real.filter(col("n_kept") + col("n_removed") =!= col("n_tokens")).isEmpty)
+    val zeroShared = Dedup.spanDupStats(corpus, k = 5)
+      .filter(col("n_shared") === 0).select("doc_id")
+    assert(real.join(zeroShared, "doc_id").filter(col("n_removed") =!= 0).isEmpty)
+  }
+
   test("zorderKey: hand-computed Morton curve, grid bijection, identity bounds") {
     import spark.implicits._
     import graft.sources.ZOrder
@@ -500,6 +536,40 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       ZOrder.normalize(col("v"), lit(100L), lit(107L), 3).as("nv"))
       .collect().map(_.getLong(0)).toSeq
     assert(n == Seq(0L, 3L, 7L))
+  }
+
+  test("interleaveN: d=3 hand-computed cells, grid bijection, 2-dim equivalence") {
+    import spark.implicits._
+    import graft.sources.ZOrder
+    // hand-computed 3-dim Morton cells (bit i of dim j → position 3i+j):
+    // (1,0,0)→1 (0,1,0)→2 (0,0,1)→4 (1,1,1)→7 (2,0,0)→8 (3,3,3)→63
+    val cells = Seq((0L, 0L, 0L), (1L, 0L, 0L), (0L, 1L, 0L), (0L, 0L, 1L),
+      (1L, 1L, 1L), (2L, 0L, 0L), (3L, 3L, 3L))
+    val keys = cells.toDF("a", "b", "c").select(
+      ZOrder.interleaveN(Seq(col("a"), col("b"), col("c")), bits = 2).as("k"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(keys == Seq(0L, 1L, 2L, 4L, 7L, 8L, 63L))
+    // bijection on the 8×8×8 grid: 512 distinct keys covering [0, 8^bits)
+    val grid = (for (a <- 0L until 8L; b <- 0L until 8L; c <- 0L until 8L)
+      yield (a, b, c)).toDF("a", "b", "c").select(
+        ZOrder.zorderKeyN(Seq(
+          (col("a"), lit(0L), lit(7L)),
+          (col("b"), lit(0L), lit(7L)),
+          (col("c"), lit(0L), lit(7L))), bits = 3).as("k"))
+    assert(grid.distinct().count() == 512)
+    assert(grid.agg(min(col("k")), max(col("k"))).head() ==
+      org.apache.spark.sql.Row(0L, 511L))
+    // the d=2 path IS interleaveN's d=2 case (same bit layout)
+    val two = Seq((5L, 9L)).toDF("a", "b")
+    assert(two.select(ZOrder.interleave(col("a"), col("b"), 4)).head().getLong(0) ==
+      two.select(ZOrder.interleaveN(Seq(col("a"), col("b")), 4)).head().getLong(0))
+    // bits caps scale with dimension count: 63/d
+    assert(ZOrder.maxBits(3) == 21)
+    intercept[IllegalArgumentException](
+      ZOrder.interleaveN(Seq(col("a"), col("b"), col("a")), bits = 22))
+    // SQL generator stays in lockstep for d=3 (spot value: (3,3,3) at 2 bits)
+    val sql3 = ZOrder.interleaveSqlN(Seq("3", "3", "3"), 2)
+    assert(spark.sql(s"SELECT CAST($sql3 AS BIGINT) AS k").head().getLong(0) == 63L)
   }
 
   test("zorderWrite: per-file spans shrink in BOTH dims vs a single-column sort") {
@@ -538,6 +608,56 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // single-column sort leaves b at the FULL domain
     assert(meanSpan(s"$zdir/z", "a") < 48.0)
     assert(meanSpan(s"$zdir/z", "b") < 48.0)
+  }
+
+  test("z-ordered READ: parquet min/max stats prune the scan on both dims " +
+      "(the q87 path) where an unclustered layout reads everything") {
+    import graft.sources.ZOrder
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    val b = li.agg(min(col("l_orderkey")), max(col("l_orderkey")),
+      min(col("l_partkey")), max(col("l_partkey"))).head()
+    val (amin, amax, bmin, bmax) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    val dir = graft.TempDirs.create("graft_zread_")
+    ZOrder.zorderWrite(li, ZOrder.zorderKey(
+      col("l_orderkey"), lit(amin), lit(amax),
+      col("l_partkey"), lit(bmin), lit(bmax), bits = 16), s"$dir/z", partitions = 16)
+    // control: same 16 files, hash-scattered — every file's min/max spans
+    // the full domain, so stats prune nothing
+    li.repartition(16).write.mode("overwrite").parquet(s"$dir/n")
+    val (aHi, bHi) = (amin + (amax - amin) / 8, bmin + (bmax - bmin) / 8)
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def run(path: String): (Long, Long, String) = {
+        val agg = spark.read.parquet(path)
+          .filter(col("l_orderkey").between(amin, aHi) &&
+            col("l_partkey").between(bmin, bHi))
+          .agg(count(lit(1)).as("n"), sum(col("l_quantity").cast("long")).as("sq"))
+        // collect(), not head(): head() executes a separate limit-1
+        // QueryExecution, leaving THIS plan's metrics untouched
+        val row = agg.collect()(0)
+        val scan = agg.queryExecution.executedPlan.collect {
+          case s: FileSourceScanExec => s }.head
+        (row.getLong(0), scan.metrics("numOutputRows").value,
+          scan.metadata.getOrElse("PushedFilters", ""))
+      }
+      val (zN, zScanned, zPushed) = run(s"$dir/z")
+      val (pN, pScanned, _) = run(s"$dir/n")
+      // the ANSWER is layout-independent…
+      assert(zN == pN && zN > 0, s"z=$zN plain=$pN")
+      // …both range predicates reach the parquet reader…
+      assert(zPushed.contains("l_orderkey") && zPushed.contains("l_partkey"),
+        s"range predicates must be pushed: $zPushed")
+      // …and the z-ordered scan materializes a FRACTION of the rows the
+      // scattered layout does: row-group min/max stats skip on BOTH dims
+      val total = li.count()
+      assert(pScanned >= (total * 9) / 10,
+        s"scattered layout should read ~everything, read $pScanned of $total")
+      assert(zScanned * 4 <= total,
+        s"z-ordered scan must skip most row groups: read $zScanned of $total")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevA)
   }
 
   test("prefixLen yields the exact rational bound at fp-boundary thresholds") {

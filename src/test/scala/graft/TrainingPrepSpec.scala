@@ -125,6 +125,48 @@ class TrainingPrepSpec extends AnyFunSuite with BeforeAndAfterAll {
       col("tfidf") < 0).isEmpty)
   }
 
+  // ---------------- vocab-join strategy (the giant-vocab fallback) ------
+  test("vocabJoin: broadcast / shuffle / auto are row-identical; shuffle " +
+      "really shuffles; auto switches sides at the term threshold") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def hashJoins(df: DataFrame): (Int, Int) = {
+        val p = df.queryExecution.executedPlan
+        (p.collect { case _: BroadcastHashJoinExec => 1 }.sum,
+          p.collect { case j: ShuffledHashJoinExec => 1
+                      case j: SortMergeJoinExec => 1 }.sum)
+      }
+      // the two explicit strategies agree row-for-row on the real corpus —
+      // the hash-equality pin behind the giant-vocab fallback claim
+      val bTf = TextOps.tfidfTopTerm(docs, TextOps.VocabJoin.Broadcast)
+      val sTf = TextOps.tfidfTopTerm(docs, TextOps.VocabJoin.Shuffle)
+      assert(bTf.exceptAll(sTf).isEmpty && sTf.exceptAll(bTf).isEmpty)
+      val bLm = TextOps.unigramLogProb(docs, TextOps.VocabJoin.Broadcast)
+      val sLm = TextOps.unigramLogProb(docs, TextOps.VocabJoin.Shuffle)
+      assert(bLm.exceptAll(sLm).isEmpty && sLm.exceptAll(bLm).isEmpty)
+      // the physical plans really differ: shuffle mode keys the df join
+      // off a shuffle (no vocab broadcast OOM possible); broadcast mode
+      // has no shuffled join
+      assert(hashJoins(sTf)._2 >= 1, "shuffle strategy must shuffle the term join")
+      assert(hashJoins(bTf)._2 == 0, "broadcast strategy must not shuffle a join")
+      // auto: fixture vocab (< threshold) → broadcast plan; a forced
+      // 1-term threshold → the shuffle plan. Rows identical either way.
+      val autoB = TextOps.tfidfTopTerm(docs, TextOps.VocabJoin.Auto)
+      assert(hashJoins(autoB)._2 == 0, "auto below threshold must broadcast")
+      val autoS = TextOps.tfidfTopTerm(docs, TextOps.VocabJoin.Auto, autoMaxTerms = 1L)
+      assert(hashJoins(autoS)._2 >= 1, "auto above threshold must shuffle")
+      assert(autoS.exceptAll(bTf).isEmpty && bTf.exceptAll(autoS).isEmpty)
+      intercept[IllegalArgumentException](TextOps.tfidfTopTerm(docs, "bogus"))
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+      // Auto persists the vocab aggregate; drop it so later plan-shape
+      // tests don't see an InMemoryTableScan where they assert file scans
+      spark.catalog.clearCache()
+    }
+  }
+
   // ---------------- length-bucketed batching stats ----------------------
   test("lengthBuckets: conservation, bounds, non-negative waste") {
     val out = TrainingPrep.lengthBuckets(docs, width = 64)
