@@ -23,12 +23,11 @@ object SparkEntry {
 
   private def T(s: SparkSession, dir: String, name: String): DataFrame = {
     val df = s.read.parquet(s"$dir/$name.parquet")
-    // events.ts is TIMESTAMP(NANOS) in parquet — read via nanosAsLong and
-    // converted here to a µs timestamp (all values are whole µs, so this
-    // is lossless and matches DuckDB's own ns→µs read of the same file)
-    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
+    // events.ts has shipped as nanos-long, TIMESTAMP_NTZ, and TIMESTAMP
+    // across fixture generations — normalize explicitly to session-zone
+    // TIMESTAMP here, once, so no downstream operator sees the physical
+    // encoding (functions/TimeNorm.scala)
+    if (name == "events") graft.functions.TimeNorm.normalizeTs(df) else df
   }
 
   private def dec3(c: Column) = c.cast(DecimalType(18, 3))

@@ -25,7 +25,8 @@ object Sessionize {
     // microsecond arithmetic: event timestamps carry sub-second precision,
     // unix_timestamp() would truncate and misclassify gaps at the boundary
     val isNew = when(prevTs.isNull
-      .or(unix_micros(col("ts")) - unix_micros(prevTs) > gapMinutes * 60L * 1000000L), 1L)
+      .or(graft.functions.TimeNorm.tsMicros(col("ts")) -
+        graft.functions.TimeNorm.tsMicros(prevTs) > gapMinutes * 60L * 1000000L), 1L)
       .otherwise(0L)
     events
       .withColumn("is_new", isNew)
@@ -42,7 +43,8 @@ object Sessionize {
       .groupBy(col("user_id"), col("session_seq"))
       .agg(
         count(lit(1)).as("n_events"),
-        (unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+        (graft.functions.TimeNorm.tsMicros(max(col("ts"))) -
+          graft.functions.TimeNorm.tsMicros(min(col("ts"))))
           .cast("long").as("span_us"),
         sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
           .cast("double").as("total_value"))

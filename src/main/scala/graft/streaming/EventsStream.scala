@@ -17,12 +17,23 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object EventsStream {
 
-  // ts read as raw nanos (the file is TIMESTAMP(NANOS); the session runs
-  // with nanosAsLong), converted to a µs timestamp in the stream
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+  /** Stream schema parameterized by the PHYSICAL encoding of `ts` in the
+    * files being streamed (nanos-long / TIMESTAMP_NTZ / TIMESTAMP — the
+    * three generations of the driver's fixtures, functions/TimeNorm.scala).
+    * File streams require an explicit schema, so the caller probes the
+    * actual type with `tsReadType` (a footer-only batch schema read) and
+    * the stream normalizes through TimeNorm before the watermark.
+    */
+  def eventsSchema(tsType: DataType): StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", tsType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** The type a batch read of `path` gives `ts` under the session's parquet
+    * options — a footer-only metadata read, no data scan.
+    */
+  def tsReadType(spark: SparkSession, path: String): DataType =
+    spark.read.parquet(path).schema("ts").dataType
 
   /** `path` may be a single parquet FILE; FileStreamSource wants a
     * directory, so stream the parent dir with a glob filter on the name.
@@ -31,11 +42,11 @@ object EventsStream {
     val f = new java.io.File(path)
     val (dir, glob) =
       if (f.isFile) (f.getParent, f.getName) else (path, "*")
-    spark.readStream
-      .schema(eventsSchema)
+    val raw = spark.readStream
+      .schema(eventsSchema(tsReadType(spark, path)))
       .option("pathGlobFilter", glob)
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    graft.functions.TimeNorm.normalizeTs(raw)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), s"$minutes minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"),

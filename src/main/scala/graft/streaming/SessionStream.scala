@@ -32,11 +32,11 @@ object SessionStream {
     val f = new java.io.File(path)
     val (dir, glob) = if (f.isFile) (f.getParent, f.getName) else (path, "*")
 
-    val events = spark.readStream
-      .schema(EventsStream.eventsSchema)
+    val raw = spark.readStream
+      .schema(EventsStream.eventsSchema(EventsStream.tsReadType(spark, path)))
       .option("pathGlobFilter", glob)
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val events = graft.functions.TimeNorm.normalizeTs(raw)
       .withWatermark("ts", "2 hours")
       .select(col("event_id"), col("ts"), col("user_id"), col("value"))
       .as[EventIn]

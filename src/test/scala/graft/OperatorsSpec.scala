@@ -1480,8 +1480,6 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
 object SparkEntryTestAccess {
   def table(s: SparkSession, dir: String, name: String): DataFrame = {
     val df = s.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
+    if (name == "events") graft.functions.TimeNorm.normalizeTs(df) else df
   }
 }
