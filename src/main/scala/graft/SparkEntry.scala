@@ -158,6 +158,31 @@ object SparkEntry {
       (out, bounds)
     })
 
+  // one-time 3-dim z-ordered ingest per sf dir (q88): the n-dim
+  // generalization's READ leg — lineitem clustered by the q86 Morton key
+  // over (l_orderkey, l_partkey, l_suppkey), so row-group min/max stats
+  // skip on range predicates over any of the THREE dimensions
+  private val zorder3Cache = scala.collection.concurrent.TrieMap
+    .empty[String, (String, (Long, Long, Long, Long, Long, Long))]
+  private def zordered3Lineitem(s: SparkSession, dir: String): (String, (Long, Long, Long, Long, Long, Long)) =
+    zorder3Cache.getOrElseUpdate(dir, {
+      val li = T(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+      val b = li.agg(
+        min(col("l_orderkey")), max(col("l_orderkey")),
+        min(col("l_partkey")), max(col("l_partkey")),
+        min(col("l_suppkey")), max(col("l_suppkey"))).head()
+      val bounds = (b.getLong(0), b.getLong(1), b.getLong(2),
+        b.getLong(3), b.getLong(4), b.getLong(5))
+      val key = graft.sources.ZOrder.zorderKeyN(Seq(
+        (col("l_orderkey"), lit(bounds._1), lit(bounds._2)),
+        (col("l_partkey"), lit(bounds._3), lit(bounds._4)),
+        (col("l_suppkey"), lit(bounds._5), lit(bounds._6))), bits = 16)
+      val out = graft.TempDirs.create("graft_zorder3_li_")
+      graft.sources.ZOrder.zorderWrite(li, key, out, partitions = 16)
+      (out, bounds)
+    })
+
   // ---- curation constants shared by queries and their oracles ----------
   // (single source of truth: the oracle SQL embeds these same values, so
   // Spark and DuckDB can never drift apart on a rate or regex)
@@ -192,6 +217,7 @@ object SparkEntry {
     // reason
     bucketedTables(s, dir)
     zorderedLineitem(s, dir)
+    zordered3Lineitem(s, dir)
     // first-touch the streaming subsystem (MicroBatchExecution, file
     // source, RocksDB state store JNI, parquet sink) on a 2-row stream so
     // q61/q66's cold numbers time the operators, not one-time class/
@@ -1150,6 +1176,25 @@ object SparkEntry {
           min(col("l_orderkey")).as("min_ok"), max(col("l_orderkey")).as("max_ok"),
           min(col("l_partkey")).as("min_pk"), max(col("l_partkey")).as("max_pk"))
     }),
+    "q88_zorder_scan3" -> ((s, dir) => {
+      // READ leg of the 3-dim key (q86): a 3-predicate range aggregate
+      // over the session-cached 3-dim-clustered lineitem copy — row-group
+      // min/max stats prune on all THREE dims (spec-asserted vs a
+      // hash-scattered control); layout-independent answer, so the oracle
+      // runs the same predicate on the plain table
+      val (path, (amin, amax, bmin, bmax, cmin, cmax)) = zordered3Lineitem(s, dir)
+      val (aHi, bHi, cHi) = (amin + (amax - amin) / 8,
+        bmin + (bmax - bmin) / 8, cmin + (cmax - cmin) / 8)
+      s.read.parquet(path)
+        .filter(col("l_orderkey").between(amin, aHi) &&
+          col("l_partkey").between(bmin, bHi) &&
+          col("l_suppkey").between(cmin, cHi))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(dec3(col("l_quantity"))).cast("double").as("sum_qty"),
+          min(col("l_orderkey")).as("min_ok"), max(col("l_orderkey")).as("max_ok"),
+          min(col("l_partkey")).as("min_pk"), max(col("l_partkey")).as("max_pk"),
+          min(col("l_suppkey")).as("min_sk"), max(col("l_suppkey")).as("max_sk"))
+    }),
   )
 
   // ---- generated oracles for the portable-hash signature pipelines ------
@@ -2056,6 +2101,20 @@ object SparkEntry {
           |FROM lineitem, bounds
           |WHERE l_orderkey BETWEEN amin AND amin + (amax - amin) // 8
           |  AND l_partkey BETWEEN bmin AND bmin + (bmax - bmin) // 8""".stripMargin,
+      // q88: same layout-independence as q87, one more clustered dimension
+      "q88_zorder_scan3" ->
+        """WITH bounds AS (SELECT min(l_orderkey) AS amin, max(l_orderkey) AS amax,
+          |    min(l_partkey) AS bmin, max(l_partkey) AS bmax,
+          |    min(l_suppkey) AS cmin, max(l_suppkey) AS cmax FROM lineitem)
+          |SELECT COUNT(*) AS n_rows,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,3))) AS DOUBLE) AS sum_qty,
+          |  min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
+          |  min(l_partkey) AS min_pk, max(l_partkey) AS max_pk,
+          |  min(l_suppkey) AS min_sk, max(l_suppkey) AS max_sk
+          |FROM lineitem, bounds
+          |WHERE l_orderkey BETWEEN amin AND amin + (amax - amin) // 8
+          |  AND l_partkey BETWEEN bmin AND bmin + (bmax - bmin) // 8
+          |  AND l_suppkey BETWEEN cmin AND cmin + (cmax - cmin) // 8""".stripMargin,
     )
   }
 }

@@ -660,6 +660,57 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevA)
   }
 
+  test("3-dim z-ordered READ: min/max stats prune the scan on all three dims " +
+      "(the q88 path) where an unclustered layout reads everything") {
+    import graft.sources.ZOrder
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    val b = li.agg(min(col("l_orderkey")), max(col("l_orderkey")),
+      min(col("l_partkey")), max(col("l_partkey")),
+      min(col("l_suppkey")), max(col("l_suppkey"))).head()
+    val (amin, amax, bmin, bmax, cmin, cmax) =
+      (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3), b.getLong(4), b.getLong(5))
+    val dir = graft.TempDirs.create("graft_zread3_")
+    ZOrder.zorderWrite(li, ZOrder.zorderKeyN(Seq(
+      (col("l_orderkey"), lit(amin), lit(amax)),
+      (col("l_partkey"), lit(bmin), lit(bmax)),
+      (col("l_suppkey"), lit(cmin), lit(cmax))), bits = 16), s"$dir/z", partitions = 16)
+    li.repartition(16).write.mode("overwrite").parquet(s"$dir/n")
+    val (aHi, bHi, cHi) = (amin + (amax - amin) / 8,
+      bmin + (bmax - bmin) / 8, cmin + (cmax - cmin) / 8)
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def run(path: String): (Long, Long, String) = {
+        val agg = spark.read.parquet(path)
+          .filter(col("l_orderkey").between(amin, aHi) &&
+            col("l_partkey").between(bmin, bHi) &&
+            col("l_suppkey").between(cmin, cHi))
+          .agg(count(lit(1)).as("n"), sum(col("l_quantity").cast("long")).as("sq"))
+        val row = agg.collect()(0)
+        val scan = agg.queryExecution.executedPlan.collect {
+          case s: FileSourceScanExec => s }.head
+        (row.getLong(0), scan.metrics("numOutputRows").value,
+          scan.metadata.getOrElse("PushedFilters", ""))
+      }
+      val (zN, zScanned, zPushed) = run(s"$dir/z")
+      val (pN, pScanned, _) = run(s"$dir/n")
+      assert(zN == pN && zN > 0, s"z=$zN plain=$pN")
+      assert(zPushed.contains("l_orderkey") && zPushed.contains("l_partkey") &&
+        zPushed.contains("l_suppkey"),
+        s"all three range predicates must be pushed: $zPushed")
+      val total = li.count()
+      assert(pScanned >= (total * 9) / 10,
+        s"scattered layout should read ~everything, read $pScanned of $total")
+      // 3-dim clustering is weaker per dim than 2-dim (each file spans
+      // ~(1/16)^(1/3) of each domain), but three intersecting predicates
+      // still prune most groups
+      assert(zScanned * 4 <= total,
+        s"3-dim z-ordered scan must skip most row groups: read $zScanned of $total")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevA)
+  }
+
   test("prefixLen yields the exact rational bound at fp-boundary thresholds") {
     import spark.implicits._
     // (ns, t, exact |s| - ceil(t*|s|) + 1). The first case is the fp trap:
