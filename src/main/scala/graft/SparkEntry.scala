@@ -1195,6 +1195,37 @@ object SparkEntry {
           min(col("l_partkey")).as("min_pk"), max(col("l_partkey")).as("max_pk"),
           min(col("l_suppkey")).as("min_sk"), max(col("l_suppkey")).as("max_sk"))
     }),
+    "q89_stream_sessions_gate" -> ((s, dir) => {
+      // puts the STATEFUL streaming surface (flatMapGroupsWithState
+      // sessionization, q11's streaming twin) into the driver's gate. The
+      // emitted set is boundary-nondeterministic — a user's final session
+      // may or may not close via event-time timeout depending on watermark
+      // progress across micro-batches — so the gates are the session
+      // algebra's invariants, computed distributed (exceptAll + count):
+      //   definitely-closed ⊆ streamed ⊆ all batch sessions, streamed ≠ ∅
+      // Constant oracle turns them into hash checks (the q48 pattern).
+      // total_value is excluded: the state machine folds doubles in event
+      // order while batch accumulates decimal — compared with tolerance in
+      // the spec, not hash-compared here.
+      val name = s"sess_gate_${streamCounter.incrementAndGet()}"
+      val streamed = graft.streaming.SessionStream
+        .runOnce(s, s"$dir/events.parquet", gapMinutes = 30, name)
+        .select(col("user_id"), col("session_seq"), col("n_events"), col("span_us"))
+      val batch = Sessionize.sessionStats(T(s, dir, "events"), gapMinutes = 30)
+        .select(col("user_id"), col("session_seq"), col("n_events"), col("span_us"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+      val mustClose = batch.withColumn("max_seq", max(col("session_seq")).over(w))
+        .filter(col("session_seq") < col("max_seq")).drop("max_seq")
+      val closedOk = mustClose.exceptAll(streamed)
+        .agg(count(lit(1)).as("nm"))
+        .select((col("nm") === 0).cast("long").as("closed_ok"))
+      val boundedOk = streamed.exceptAll(batch)
+        .agg(count(lit(1)).as("nx"))
+        .select((col("nx") === 0).cast("long").as("bounded_ok"))
+      val nonemptyOk = streamed.agg(count(lit(1)).as("ns"))
+        .select((col("ns") > 0).cast("long").as("nonempty_ok"))
+      closedOk.crossJoin(boundedOk).crossJoin(nonemptyOk)
+    }),
   )
 
   // ---- generated oracles for the portable-hash signature pipelines ------
@@ -2115,6 +2146,12 @@ object SparkEntry {
           |WHERE l_orderkey BETWEEN amin AND amin + (amax - amin) // 8
           |  AND l_partkey BETWEEN bmin AND bmin + (bmax - bmin) // 8
           |  AND l_suppkey BETWEEN cmin AND cmin + (cmax - cmin) // 8""".stripMargin,
+      // q89: invariant gates over the stateful streaming sessionizer —
+      // the emitted set is boundary-nondeterministic, so the oracle is
+      // constant and the invariants live in the query body (q48 pattern)
+      "q89_stream_sessions_gate" ->
+        ("SELECT CAST(1 AS BIGINT) AS closed_ok, CAST(1 AS BIGINT) AS bounded_ok, " +
+          "CAST(1 AS BIGINT) AS nonempty_ok"),
     )
   }
 }

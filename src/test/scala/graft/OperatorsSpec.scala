@@ -1341,11 +1341,11 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
   // ---------------- streaming ------------------------------------------
   test("stateful streaming sessionization matches batch on closed sessions") {
     import graft.streaming.SessionStream
-    val stream = SessionStream.runOnce(spark, s"$sf/events.parquet", 30, "test_sessions")
-      .select("user_id", "session_seq", "n_events", "span_us")
+    val streamFull = SessionStream.runOnce(spark, s"$sf/events.parquet", 30, "test_sessions")
+    val stream = streamFull.select("user_id", "session_seq", "n_events", "span_us")
     val events = SparkEntryTestAccess.table(spark, sf, "events")
-    val batch = Sessionize.sessionStats(events, 30)
-      .select("user_id", "session_seq", "n_events", "span_us")
+    val batchFull = Sessionize.sessionStats(events, 30)
+    val batch = batchFull.select("user_id", "session_seq", "n_events", "span_us")
     // sessions still open at end-of-data stay in state: compare on the
     // closed set = batch sessions minus each user's LAST session
     import org.apache.spark.sql.expressions.Window
@@ -1363,6 +1363,16 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"stream missed closed sessions: ${(mustClose -- gotSet).take(3)}")
     assert(gotSet.subsetOf(allBatch),
       s"stream emitted sessions batch doesn't have: ${(gotSet -- allBatch).take(3)}")
+    // matched sessions agree on total_value too — the stream folds doubles
+    // in event order while batch accumulates decimal, so tolerance, not
+    // equality (which is why q89's gate hash-compares the integer columns
+    // only and this check lives here)
+    val worstDelta = streamFull.select(col("user_id"), col("session_seq"),
+        col("total_value").as("tv_stream"))
+      .join(batchFull.select(col("user_id"), col("session_seq"),
+        col("total_value").as("tv_batch")), Seq("user_id", "session_seq"))
+      .agg(max(abs(col("tv_stream") - col("tv_batch")))).head().getDouble(0)
+    assert(worstDelta < 1e-6, s"total_value drift $worstDelta")
   }
 
   test("streaming windowed counts equals batch equivalent") {
