@@ -21,13 +21,21 @@ import graft.streaming.EventsStream
   */
 object SparkEntry {
 
+  // every fixture timestamp column, by table: events.ts has already
+  // shipped under two physical encodings (nanos-long through round 10,
+  // TIMESTAMP_NTZ since round 11) and the date columns could drift the
+  // same way on any regeneration — normalize ALL of them to session-zone
+  // TIMESTAMP once at ingest (functions/TimeNorm.scala), so no downstream
+  // operator ever sees the physical encoding
+  private val TsCols = Map(
+    "events" -> Seq("ts"),
+    "orders" -> Seq("o_orderdate"),
+    "lineitem" -> Seq("l_shipdate"))
+
   private def T(s: SparkSession, dir: String, name: String): DataFrame = {
     val df = s.read.parquet(s"$dir/$name.parquet")
-    // events.ts has shipped as nanos-long, TIMESTAMP_NTZ, and TIMESTAMP
-    // across fixture generations — normalize explicitly to session-zone
-    // TIMESTAMP here, once, so no downstream operator sees the physical
-    // encoding (functions/TimeNorm.scala)
-    if (name == "events") graft.functions.TimeNorm.normalizeTs(df) else df
+    TsCols.getOrElse(name, Nil)
+      .foldLeft(df)((d, c) => graft.functions.TimeNorm.normalizeTs(d, c))
   }
 
   private def dec3(c: Column) = c.cast(DecimalType(18, 3))

@@ -1541,6 +1541,9 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
 object SparkEntryTestAccess {
   def table(s: SparkSession, dir: String, name: String): DataFrame = {
     val df = s.read.parquet(s"$dir/$name.parquet")
-    if (name == "events") graft.functions.TimeNorm.normalizeTs(df) else df
+    val tsCols = Map("events" -> Seq("ts"), "orders" -> Seq("o_orderdate"),
+      "lineitem" -> Seq("l_shipdate"))
+    tsCols.getOrElse(name, Nil)
+      .foldLeft(df)((d, c) => graft.functions.TimeNorm.normalizeTs(d, c))
   }
 }

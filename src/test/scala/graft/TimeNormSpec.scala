@@ -78,6 +78,22 @@ class TimeNormSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(asMicros("ntz") == asMicros("tstz"))
   }
 
+  test("normalizeTs handles non-default column names (the date-column path)") {
+    import spark.implicits._
+    // the nanos branch builds SQL from the column name — a non-"ts" name
+    // must survive it (o_orderdate/l_shipdate normalize through T too)
+    val us = 1704067200123456L
+    val nanos = Seq(us * 1000L).toDF("o_orderdate")
+    val ntz = Seq(us).toDF("v")
+      .select(timestamp_micros(col("v")).cast(TimestampNTZType).as("o_orderdate"))
+    val got = Seq(nanos, ntz).map { df =>
+      val n = graft.functions.TimeNorm.normalizeTs(df, "o_orderdate")
+      assert(n.schema("o_orderdate").dataType == TimestampType)
+      n.select(unix_micros(col("o_orderdate"))).head().getLong(0)
+    }
+    assert(got == Seq(us, us))
+  }
+
   test("normalizeTs rejects an unknown physical encoding loudly") {
     val bad = baseMicros(spark).withColumn("ts", col("ts_us").cast("string"))
     val e = intercept[IllegalArgumentException] {
