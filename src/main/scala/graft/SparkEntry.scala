@@ -1209,7 +1209,8 @@ object SparkEntry {
       // emitted set is boundary-nondeterministic — a user's final session
       // may or may not close via event-time timeout depending on watermark
       // progress across micro-batches — so the gates are the session
-      // algebra's invariants, computed distributed (exceptAll + count):
+      // algebra's invariants, computed distributed in ONE tagged-union
+      // shuffle (bit 1 = batch, bit 2 = definitely-closed, bit 4 = streamed):
       //   definitely-closed ⊆ streamed ⊆ all batch sessions, streamed ≠ ∅
       // Constant oracle turns them into hash checks (the q48 pattern).
       // total_value is excluded: the state machine folds doubles in event
@@ -1218,21 +1219,8 @@ object SparkEntry {
       val name = s"sess_gate_${streamCounter.incrementAndGet()}"
       val streamed = graft.streaming.SessionStream
         .runOnce(s, s"$dir/events.parquet", gapMinutes = 30, name)
-        .select(col("user_id"), col("session_seq"), col("n_events"), col("span_us"))
-      val batch = Sessionize.sessionStats(T(s, dir, "events"), gapMinutes = 30)
-        .select(col("user_id"), col("session_seq"), col("n_events"), col("span_us"))
-      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
-      val mustClose = batch.withColumn("max_seq", max(col("session_seq")).over(w))
-        .filter(col("session_seq") < col("max_seq")).drop("max_seq")
-      val closedOk = mustClose.exceptAll(streamed)
-        .agg(count(lit(1)).as("nm"))
-        .select((col("nm") === 0).cast("long").as("closed_ok"))
-      val boundedOk = streamed.exceptAll(batch)
-        .agg(count(lit(1)).as("nx"))
-        .select((col("nx") === 0).cast("long").as("bounded_ok"))
-      val nonemptyOk = streamed.agg(count(lit(1)).as("ns"))
-        .select((col("ns") > 0).cast("long").as("nonempty_ok"))
-      closedOk.crossJoin(boundedOk).crossJoin(nonemptyOk)
+      Sessionize.sessionGates(
+        Sessionize.sessionStats(T(s, dir, "events"), gapMinutes = 30), streamed)
     }),
   )
 

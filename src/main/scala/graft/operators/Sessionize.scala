@@ -49,6 +49,37 @@ object Sessionize {
         sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
           .cast("double").as("total_value"))
 
+  /** Invariant gates for a STREAMED closed-session set against this batch
+    * sessionizer's output (q89): the stream's emitted set is boundary-
+    * nondeterministic (a user's final session may or may not close via
+    * event-time timeout), so instead of row equality the gates check the
+    * session algebra — definitely-closed ⊆ streamed ⊆ all batch sessions,
+    * streamed non-empty — in ONE tagged-union shuffle: tag bit 1 = batch
+    * row, bit 2 = definitely-closed (not the user's last session), bit 4 =
+    * streamed; `bit_or` per session key, violations counted in a single
+    * aggregate. Sessions are unique per (user_id, session_seq), so set
+    * semantics suffice. Both inputs must carry (user_id, session_seq,
+    * n_events, span_us).
+    */
+  def sessionGates(batch: DataFrame, streamed: DataFrame): DataFrame = {
+    val keys = Seq("user_id", "session_seq", "n_events", "span_us").map(col)
+    val w = Window.partitionBy(col("user_id"))
+    val b = batch
+      .withColumn("tag",
+        when(col("session_seq") < max(col("session_seq")).over(w), 3).otherwise(1))
+      .select(keys :+ col("tag"): _*)
+    val s = streamed.select(keys :+ lit(4).as("tag"): _*)
+    b.unionAll(s)
+      .groupBy(keys: _*).agg(bit_or(col("tag")).as("t"))
+      .agg(
+        (sum(when((col("t").bitwiseAND(2) > 0) && col("t").bitwiseAND(4) === 0, 1)
+          .otherwise(0)) === 0).cast("long").as("closed_ok"),
+        (sum(when((col("t").bitwiseAND(4) > 0) && col("t").bitwiseAND(1) === 0, 1)
+          .otherwise(0)) === 0).cast("long").as("bounded_ok"),
+        (sum(when(col("t").bitwiseAND(4) > 0, 1).otherwise(0)) > 0)
+          .cast("long").as("nonempty_ok"))
+  }
+
   /** Tumbling-window aggregation by event_type (batch form of the
     * Structured Streaming query in graft.streaming.EventsStream).
     */

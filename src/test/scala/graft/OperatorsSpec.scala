@@ -1375,6 +1375,31 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(worstDelta < 1e-6, s"total_value drift $worstDelta")
   }
 
+  test("sessionGates (q89) trips on each violation class, passes on legal sets") {
+    import spark.implicits._
+    // 2 users × 2 sessions; session 1 of each user is definitely-closed
+    def df(rows: (Long, Long, Long, Long)*) =
+      rows.toDF("user_id", "session_seq", "n_events", "span_us")
+    val batch = df((1L, 1L, 3L, 100L), (1L, 2L, 2L, 50L),
+      (2L, 1L, 4L, 200L), (2L, 2L, 1L, 0L))
+    def gates(streamed: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
+      val r = Sessionize.sessionGates(batch, streamed).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    // exactly the closed set → all green; closed set + a legally-closed
+    // final session (timeout) → still green
+    assert(gates(df((1L, 1L, 3L, 100L), (2L, 1L, 4L, 200L))) == ((1L, 1L, 1L)))
+    assert(gates(df((1L, 1L, 3L, 100L), (2L, 1L, 4L, 200L), (2L, 2L, 1L, 0L)))
+      == ((1L, 1L, 1L)))
+    // missing a definitely-closed session → closed_ok trips
+    assert(gates(df((1L, 1L, 3L, 100L)))._1 == 0L)
+    // a streamed session batch doesn't have (wrong n_events) → bounded_ok
+    assert(gates(df((1L, 1L, 3L, 100L), (2L, 1L, 99L, 200L)))._2 == 0L)
+    // empty stream → nonempty_ok (and closed_ok) trip
+    val e = gates(df())
+    assert(e._3 == 0L && e._1 == 0L)
+  }
+
   test("streaming windowed counts equals batch equivalent") {
     val stream = graft.streaming.EventsStream
       .runOnce(spark, s"$sf/events.parquet", 60, "test_events_win")
