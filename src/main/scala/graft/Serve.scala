@@ -37,9 +37,20 @@ object Serve {
     spark.sparkContext.setLogLevel("WARN")
     val server = start(spark, sfDir, port, indexDir)
     println(s"graft serving on :$port (Ctrl-C to stop)")
-    sys.addShutdownHook { server.stop(0); spark.stop() } // V4 graceful stop
+    // V4: SIGINT/SIGTERM → drain, then stop the session
+    sys.addShutdownHook { gracefulStop(server); spark.stop() }
     Thread.currentThread().join()
   }
+
+  /** V4 graceful shutdown — parity with the reference's axum
+    * `with_graceful_shutdown` on SIGINT/SIGTERM
+    * (`/root/reference/crates/service/src/main.rs:18-31,93`): the
+    * listening socket closes immediately (new connections refused) and
+    * in-flight exchanges drain for up to `drainSeconds` before the
+    * server returns.
+    */
+  def gracefulStop(server: HttpServer, drainSeconds: Int = 5): Unit =
+    server.stop(drainSeconds)
 
   /** Build the index, persist base + index, and start serving. Returns the
     * server (caller stops it).

@@ -816,7 +816,18 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
         java.net.http.HttpResponse.BodyHandlers.ofString())
       assert(bad.statusCode() == 400)
       assert(get("/health") == "OK")
-    } finally server.stop(0)
+
+      // V4 graceful shutdown: the listener closes (new connections
+      // refused) after in-flight exchanges drain — reference parity with
+      // axum's with_graceful_shutdown
+      graft.Serve.gracefulStop(server, drainSeconds = 2)
+      val refused =
+        try { get("/health"); false }
+        catch { case _: java.io.IOException => true }
+      assert(refused, "listener still accepting after graceful stop")
+    } finally {
+      try server.stop(0) catch { case _: Throwable => () }
+    }
   }
 
   // ---------------- asof join ----------------------------------------------
