@@ -72,12 +72,14 @@ object Sessionize {
     b.unionAll(s)
       .groupBy(keys: _*).agg(bit_or(col("tag")).as("t"))
       .agg(
-        (sum(when((col("t").bitwiseAND(2) > 0) && col("t").bitwiseAND(4) === 0, 1)
-          .otherwise(0)) === 0).cast("long").as("closed_ok"),
-        (sum(when((col("t").bitwiseAND(4) > 0) && col("t").bitwiseAND(1) === 0, 1)
-          .otherwise(0)) === 0).cast("long").as("bounded_ok"),
-        (sum(when(col("t").bitwiseAND(4) > 0, 1).otherwise(0)) > 0)
-          .cast("long").as("nonempty_ok"))
+        // coalesce: zero groups (both inputs empty) would make the sums
+        // NULL — subset checks are then vacuously true, non-empty false
+        coalesce(sum(when((col("t").bitwiseAND(2) > 0) && col("t").bitwiseAND(4) === 0, 1)
+          .otherwise(0)) === 0, lit(true)).cast("long").as("closed_ok"),
+        coalesce(sum(when((col("t").bitwiseAND(4) > 0) && col("t").bitwiseAND(1) === 0, 1)
+          .otherwise(0)) === 0, lit(true)).cast("long").as("bounded_ok"),
+        coalesce(sum(when(col("t").bitwiseAND(4) > 0, 1).otherwise(0)) > 0,
+          lit(false)).cast("long").as("nonempty_ok"))
   }
 
   /** Tumbling-window aggregation by event_type (batch form of the
