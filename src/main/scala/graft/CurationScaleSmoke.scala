@@ -18,6 +18,7 @@ object CurationScaleSmoke {
     val n = if (args.length > 0) args(0).toLong else 10000000L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
+      .config("spark.sql.session.timeZone", "UTC")
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")

@@ -22,6 +22,7 @@ object LayoutScaleSmoke {
     val files = if (args.length > 1) args(1).toInt else 32
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
+      .config("spark.sql.session.timeZone", "UTC")
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "false") // stable scan metrics

@@ -30,6 +30,7 @@ object Serve {
     val port = if (args.length > 1) args(1).toInt else 18080
     val indexDir = if (args.length > 2) Some(args(2)) else None
     val spark = SparkSession.builder()
+      .config("spark.sql.session.timeZone", "UTC")
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false")

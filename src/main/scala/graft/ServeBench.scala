@@ -25,6 +25,7 @@ object ServeBench {
     // per-stage re-planning and wide shuffles pure overhead — a static
     // 2-partition plan halves per-request latency
     val spark = SparkSession.builder()
+      .config("spark.sql.session.timeZone", "UTC")
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.sql.adaptive.enabled", "false")

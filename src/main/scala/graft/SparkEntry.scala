@@ -1211,11 +1211,12 @@ object SparkEntry {
       // progress across micro-batches — so the gates are the session
       // algebra's invariants, computed distributed in ONE tagged-union
       // shuffle (bit 1 = batch, bit 2 = definitely-closed, bit 4 = streamed):
-      //   definitely-closed ⊆ streamed ⊆ all batch sessions, streamed ≠ ∅
+      //   definitely-closed ⊆ streamed ⊆ all batch sessions, streamed ≠ ∅,
+      //   and matched sessions agree on total_value within 1e-6 (value_ok —
+      //   the state machine folds doubles in event order while batch
+      //   accumulates decimal, so a tolerance inside the shuffle, not a
+      //   hash of the double).
       // Constant oracle turns them into hash checks (the q48 pattern).
-      // total_value is excluded: the state machine folds doubles in event
-      // order while batch accumulates decimal — compared with tolerance in
-      // the spec, not hash-compared here.
       val name = s"sess_gate_${streamCounter.incrementAndGet()}"
       val streamed = graft.streaming.SessionStream
         .runOnce(s, s"$dir/events.parquet", gapMinutes = 30, name)
@@ -2147,7 +2148,7 @@ object SparkEntry {
       // constant and the invariants live in the query body (q48 pattern)
       "q89_stream_sessions_gate" ->
         ("SELECT CAST(1 AS BIGINT) AS closed_ok, CAST(1 AS BIGINT) AS bounded_ok, " +
-          "CAST(1 AS BIGINT) AS nonempty_ok"),
+          "CAST(1 AS BIGINT) AS nonempty_ok, CAST(1 AS BIGINT) AS value_ok"),
     )
   }
 }

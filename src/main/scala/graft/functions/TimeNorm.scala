@@ -29,23 +29,44 @@ import org.apache.spark.sql.types._
   */
 object TimeNorm {
 
+  /** Plausible epoch-nanos range for fixture instants: [2000-01-01,
+    * 2100-01-01). An int64 column carrying epoch-days/millis/micros would
+    * fall far outside it (days ≈ 2e4, millis ≈ 1e12, micros ≈ 1e15 vs
+    * nanos ≈ 1e18), so a unit drift fails loudly instead of collapsing
+    * every instant near 1970.
+    */
+  private val NanosLo = 946684800L * 1000000000L   // 2000-01-01T00:00:00Z
+  private val NanosHi = 4102444800L * 1000000000L  // 2100-01-01T00:00:00Z
+
   /** Normalize column `c` of `df` to session-zone TimestampType from any
-    * of the three physical encodings. Whole-µs instants in every encoding,
-    * so the nanos→µs division is lossless.
+    * of the physical encodings the fixtures could plausibly ship. Whole-µs
+    * instants in every encoding, so the nanos→µs division is lossless.
     */
   def normalizeTs(df: DataFrame, c: String = "ts"): DataFrame =
     df.schema(c).dataType match {
       case LongType =>
         // raw nanos (nanosAsLong read of TIMESTAMP(NANOS), or a plain
-        // int64 column carrying epoch-nanos)
-        df.withColumn(c, expr(s"timestamp_micros($c div 1000)"))
+        // int64 column carrying epoch-nanos). Guard the unit: any value
+        // outside the plausible nanos range means the int64 is actually
+        // days/millis/micros and must not be silently misread.
+        val guarded = when(
+          col(c).isNull.or(col(c).between(NanosLo, NanosHi - 1)),
+          expr(s"timestamp_micros($c div 1000)"))
+          .otherwise(raise_error(concat(
+            lit(s"int64 column '$c' is not epoch-nanos (value "), col(c).cast("string"),
+            lit(" outside [2000,2100)); refusing to normalize — check the fixture's unit"))))
+        df.withColumn(c, guarded)
+      case _: DateType =>
+        // date columns (o_orderdate/l_shipdate) may drift to plain DATE —
+        // midnight-UTC instants, value-preserving under a UTC session
+        df.withColumn(c, col(c).cast(TimestampType))
       case _: TimestampNTZType =>
         df.withColumn(c, col(c).cast(TimestampType))
       case _: TimestampType => df
       case other =>
         throw new IllegalArgumentException(
           s"unsupported physical encoding for timestamp column '$c': $other " +
-            "(expected LongType nanos, TIMESTAMP_NTZ, or TIMESTAMP)")
+            "(expected LongType nanos, DATE, TIMESTAMP_NTZ, or TIMESTAMP)")
     }
 
   /** Epoch microseconds of a TIMESTAMP or TIMESTAMP_NTZ column (the

@@ -30,10 +30,35 @@ object EventsStream {
     StructField("value", DoubleType), StructField("props", StringType)))
 
   /** The type a batch read of `path` gives `ts` under the session's parquet
-    * options — a footer-only metadata read, no data scan.
+    * options — footer-only metadata reads, no data scan.
+    *
+    * Probes EVERY parquet file under `path`, not just the first: a file
+    * stream runs with ONE fixed schema, so a directory whose files mix
+    * physical `ts` encodings would otherwise fail mid-stream with an
+    * obscure schema error (or silently misread). Mixed encodings fail
+    * loudly here instead. O(#files) driver-side footer reads, probe-time
+    * only.
     */
-  def tsReadType(spark: SparkSession, path: String): DataType =
-    spark.read.parquet(path).schema("ts").dataType
+  def tsReadType(spark: SparkSession, path: String): DataType = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files =
+      if (fs.getFileStatus(p).isFile) Seq(p)
+      else fs.listStatus(p).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath)
+    require(files.nonEmpty, s"no parquet files under $path")
+    val types = files
+      .map(f => f -> spark.read.parquet(f.toString).schema("ts").dataType)
+    val distinct = types.map(_._2).distinct
+    if (distinct.size > 1)
+      throw new IllegalArgumentException(
+        s"mixed physical encodings for 'ts' under $path: " +
+          types.map { case (f, t) => s"${f.getName}=$t" }.mkString(", ") +
+          " — a file stream needs one fixed schema; re-encode the directory uniformly")
+    distinct.head
+  }
 
   /** `path` may be a single parquet FILE; FileStreamSource wants a
     * directory, so stream the parent dir with a glob filter on the name.

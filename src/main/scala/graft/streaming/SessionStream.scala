@@ -46,9 +46,18 @@ object SessionStream {
       var closed = List.empty[SessionOut]
       if (state.hasTimedOut) {
         state.getOption.foreach { s =>
-          closed ::= SessionOut(userId, s.seq, s.nEvents, s.lastUs - s.startUs, s.total)
+          if (s.nEvents > 0) {
+            closed ::= SessionOut(userId, s.seq, s.nEvents, s.lastUs - s.startUs, s.total)
+            // keep a zero-event TOMBSTONE carrying the seq: a user whose
+            // session closed via timeout and who later reappears (next
+            // micro-batch of a multi-file dir) must continue the batch-
+            // global numbering, not restart at 1 — otherwise the q89 gate
+            // sees a colliding (user, seq) key with different stats. The
+            // tombstone is ~40 B/user, bounded by USER cardinality (not
+            // event volume), and sets no timeout so it never re-fires.
+            state.update(SessionState(s.seq, s.lastUs, s.lastUs, 0L, 0.0))
+          }
         }
-        state.remove()
         closed.iterator
       } else {
         var cur = state.getOption.orNull
@@ -56,6 +65,8 @@ object SessionStream {
           cur match {
             case null =>
               cur = SessionState(1L, e.tsUs, e.tsUs, 1L, e.value)
+            case s if s.nEvents == 0L => // tombstone: resume numbering
+              cur = SessionState(s.seq + 1, e.tsUs, e.tsUs, 1L, e.value)
             case s if e.tsUs - s.lastUs > gapUs =>
               closed ::= SessionOut(userId, s.seq, s.nEvents, s.lastUs - s.startUs, s.total)
               cur = SessionState(s.seq + 1, e.tsUs, e.tsUs, 1L, e.value)
@@ -65,7 +76,8 @@ object SessionStream {
         }
         if (cur != null) {
           state.update(cur)
-          state.setTimeoutTimestamp(cur.lastUs / 1000L + gapUs / 1000L)
+          if (cur.nEvents > 0)
+            state.setTimeoutTimestamp(cur.lastUs / 1000L + gapUs / 1000L)
         }
         closed.reverseIterator
       }

@@ -1389,26 +1389,73 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("sessionGates (q89) trips on each violation class, passes on legal sets") {
     import spark.implicits._
     // 2 users × 2 sessions; session 1 of each user is definitely-closed
-    def df(rows: (Long, Long, Long, Long)*) =
-      rows.toDF("user_id", "session_seq", "n_events", "span_us")
-    val batch = df((1L, 1L, 3L, 100L), (1L, 2L, 2L, 50L),
-      (2L, 1L, 4L, 200L), (2L, 2L, 1L, 0L))
-    def gates(streamed: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
+    def df(rows: (Long, Long, Long, Long, Double)*) =
+      rows.toDF("user_id", "session_seq", "n_events", "span_us", "total_value")
+    val batch = df((1L, 1L, 3L, 100L, 1.5), (1L, 2L, 2L, 50L, 2.5),
+      (2L, 1L, 4L, 200L, 3.5), (2L, 2L, 1L, 0L, 4.5))
+    def gates(streamed: org.apache.spark.sql.DataFrame): (Long, Long, Long, Long) = {
       val r = Sessionize.sessionGates(batch, streamed).head()
-      (r.getLong(0), r.getLong(1), r.getLong(2))
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
     }
     // exactly the closed set → all green; closed set + a legally-closed
-    // final session (timeout) → still green
-    assert(gates(df((1L, 1L, 3L, 100L), (2L, 1L, 4L, 200L))) == ((1L, 1L, 1L)))
-    assert(gates(df((1L, 1L, 3L, 100L), (2L, 1L, 4L, 200L), (2L, 2L, 1L, 0L)))
-      == ((1L, 1L, 1L)))
+    // final session (timeout) → still green. Sub-tolerance double drift
+    // (stream folds in event order) must NOT trip value_ok.
+    assert(gates(df((1L, 1L, 3L, 100L, 1.5 + 1e-9), (2L, 1L, 4L, 200L, 3.5)))
+      == ((1L, 1L, 1L, 1L)))
+    assert(gates(df((1L, 1L, 3L, 100L, 1.5), (2L, 1L, 4L, 200L, 3.5),
+      (2L, 2L, 1L, 0L, 4.5))) == ((1L, 1L, 1L, 1L)))
     // missing a definitely-closed session → closed_ok trips
-    assert(gates(df((1L, 1L, 3L, 100L)))._1 == 0L)
+    assert(gates(df((1L, 1L, 3L, 100L, 1.5)))._1 == 0L)
     // a streamed session batch doesn't have (wrong n_events) → bounded_ok
-    assert(gates(df((1L, 1L, 3L, 100L), (2L, 1L, 99L, 200L)))._2 == 0L)
+    assert(gates(df((1L, 1L, 3L, 100L, 1.5), (2L, 1L, 99L, 200L, 3.5)))._2 == 0L)
+    // right key, wrong total_value (beyond 1e-6) → value_ok trips, and
+    // ONLY value_ok — the set gates stay green
+    val v = gates(df((1L, 1L, 3L, 100L, 1.5), (2L, 1L, 4L, 200L, 3.501)))
+    assert(v == ((1L, 1L, 1L, 0L)), s"got $v")
     // empty stream → nonempty_ok (and closed_ok) trip
     val e = gates(df())
     assert(e._3 == 0L && e._1 == 0L)
+  }
+
+  test("sessionizeBucketed equals sessionize incl. a hot bot user; windows stay bucket-bounded") {
+    import spark.implicits._
+    // synthetic skew: one bot user firing every 7 minutes for 60 days
+    // (sessions span bucket boundaries whenever the 30-min gap straddles
+    // midnight) + organic users with multi-session histories + a user
+    // whose single session CROSSES three day-buckets (events every 20
+    // minutes for 50 hours) + same-µs ties
+    val base = java.time.Instant.parse("2024-03-01T00:00:00Z")
+    def at(us: Long) = java.time.Instant.ofEpochSecond(us / 1000000L, (us % 1000000L) * 1000L)
+    val bot = (0L until 12000L).map { i =>
+      (i, at(base.getEpochSecond * 1000000L + i * 7L * 60L * 1000000L), 7L, 1.0)
+    }
+    val crosser = (0L until 150L).map { i =>
+      (100000L + i, at(base.getEpochSecond * 1000000L + i * 20L * 60L * 1000000L), 8L, 2.0)
+    }
+    val organic = (0L until 500L).flatMap { i =>
+      val uid = 100L + (i % 7L)
+      // bursts separated by > gap, bursts of 3 events 5 min apart, incl. ties
+      val burstStart = base.getEpochSecond * 1000000L + i * 2L * 3600L * 1000000L
+      Seq((200000L + i * 3L, at(burstStart), uid, 0.5),
+        (200001L + i * 3L, at(burstStart + 5L * 60L * 1000000L), uid, 0.5),
+        (200002L + i * 3L, at(burstStart + 5L * 60L * 1000000L), uid, 0.5))
+    }
+    val events = (bot ++ crosser ++ organic)
+      .toDF("event_id", "ts", "user_id", "value")
+    val plain = Sessionize.sessionStats(events, 30)
+    val bucketed = Sessionize.sessionStatsBucketed(events, 30, bucketMinutes = 1440)
+    assert(plain.collect().map(_.toSeq).toSet == bucketed.collect().map(_.toSeq).toSet)
+    // tiny buckets (15 min < gap): sessions span MANY buckets — stitch
+    // must still be exact
+    val tiny = Sessionize.sessionStatsBucketed(events, 30, bucketMinutes = 15)
+    assert(plain.collect().map(_.toSeq).toSet == tiny.collect().map(_.toSeq).toSet)
+    // the plan's event-level windows must partition by (user_id, bucket),
+    // never by user_id alone — that's the whole point of the split
+    val planStr = Sessionize.sessionizeBucketed(events, 30)
+      .queryExecution.executedPlan.toString
+    val windowLines = planStr.linesIterator.filter(_.contains("Window")).toList
+    assert(windowLines.exists(_.contains("_bkt")),
+      s"no bucket-partitioned window in plan:\n$planStr")
   }
 
   test("streaming windowed counts equals batch equivalent") {

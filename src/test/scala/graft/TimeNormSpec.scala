@@ -102,6 +102,58 @@ class TimeNormSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("unsupported physical encoding"))
   }
 
+  test("normalizeTs accepts plain DATE (the plausible o_orderdate/l_shipdate drift)") {
+    import spark.implicits._
+    // standard TPC-H parquet encodes date columns as DATE; normalize must
+    // passthrough-cast, not hard-fail every orders/lineitem query
+    val d = Seq(java.sql.Date.valueOf("1995-03-15")).toDF("o_orderdate")
+    val n = graft.functions.TimeNorm.normalizeTs(d, "o_orderdate")
+    assert(n.schema("o_orderdate").dataType == TimestampType)
+    // midnight UTC under the UTC-pinned session
+    assert(n.select(unix_micros(col("o_orderdate"))).head().getLong(0)
+      == 795225600000000L)
+    // and the year/datediff-style consumers see the right calendar day
+    assert(n.select(year(col("o_orderdate"))).head().getInt(0) == 1995)
+  }
+
+  test("normalizeTs refuses an int64 column whose unit is not nanos") {
+    import spark.implicits._
+    // epoch-MICROS in an int64 column: silently reading it as nanos would
+    // collapse every instant to ~1970 — must raise instead
+    val micros = Seq(1704067200123456L).toDF("ts")
+    val e = intercept[Exception] {
+      graft.functions.TimeNorm.normalizeTs(micros).collect()
+    }
+    // the raised error may surface wrapped (task failure) — walk the chain
+    val chain = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain.contains("not epoch-nanos"), s"got: $chain")
+    // genuine nanos in the plausible range still convert
+    val nanos = Seq(1704067200123456L * 1000L).toDF("ts")
+    assert(graft.functions.TimeNorm.normalizeTs(nanos)
+      .select(unix_micros(col("ts"))).head().getLong(0) == 1704067200123456L)
+  }
+
+  test("streaming probe fails loudly on a mixed-encoding directory") {
+    // one dir containing the SAME rows under two physical encodings: a
+    // file stream has one fixed schema, so this must fail at probe time
+    // with a clear message, not mid-stream with an obscure schema error
+    val dir = TempDirs.create("graft_tsenc_mixed_")
+    val df = baseMicros(spark)
+    df.select(col("event_id"), (col("ts_us") * 1000L).as("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .coalesce(1).write.mode("append").parquet(dir)
+    df.select(col("event_id"), timestamp_micros(col("ts_us")).as("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .coalesce(1).write.mode("append").parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      EventsStream.tsReadType(spark, dir)
+    }
+    assert(e.getMessage.contains("mixed physical encodings"))
+    // a uniform dir still probes fine
+    assert(EventsStream.tsReadType(spark, writeEncoded("tstz")) == TimestampType)
+  }
+
   test("hourly aggregate (q10 logic) identical across encodings") {
     val results = encodings.map { e =>
       rows(load(writeEncoded(e))
