@@ -98,7 +98,18 @@ object Dedup {
     * these longs match the string-set oracle while every downstream
     * shuffle/sort/intersection runs on primitives.
     */
-  def shingleHashes(docs: DataFrame, n: Int): DataFrame = {
+  def shingleHashes(docs: DataFrame, n: Int): DataFrame =
+    docShingleSets(docs, n)
+      .select(col("doc_id"), explode(col("set")).as("shingle"))
+
+  /** Per-doc DISTINCT shingle-hash set with its size, computed entirely
+    * inside the row (`array_distinct` over the codegen'd shingle array) —
+    * zero shuffles, unlike the explode→distinct→groupBy formulation this
+    * replaced, which paid two full shuffles of the posting set before any
+    * real work started. Per-row cost is bounded by document length, so
+    * the narrow pipeline holds at any corpus scale.
+    */
+  def docShingleSets(docs: DataFrame, n: Int): DataFrame = {
     val toks = split(trim(lower(col("text"))), "\\s+")
     // the token array is BOUND as a lambda variable (transform over a
     // 1-element array) so each element_at reads the bound value —
@@ -108,8 +119,8 @@ object Dedup {
       transform(sequence(lit(0), size(ts) - n),
         i => xxhash64((0 until n).map(j => element_at(ts, i + j + 1)): _*))))
     docs.filter(size(toks) >= n)
-      .select(col("doc_id"), explode(shingleArr).as("shingle"))
-      .distinct()
+      .select(col("doc_id"), array_distinct(shingleArr).as("set"))
+      .withColumn("ns", size(col("set")).cast("long"))
   }
 
   /** Exact dedup: canonical doc per distinct text (min doc_id wins).
@@ -146,11 +157,8 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
     // per-doc shingle-hash SET with its size, persisted: the prefix index,
     // the candidate join, and the verification join all read this — without
-    // the cache the scan→shingle→aggregate pipeline re-runs per consumer
-    val docSets = shingleHashes(docs, n)
-      .groupBy(col("doc_id"))
-      .agg(collect_list(col("shingle")).as("set"), count(lit(1)).as("ns"))
-      .persist()
+    // the cache the scan→shingle pipeline re-runs per consumer
+    val docSets = docShingleSets(docs, n).persist()
 
     // EXACT PREFIX FILTERING (AllPairs/PPJoin): order the shingle universe
     // by ascending global document frequency (ties on the string) and
@@ -167,24 +175,15 @@ object Dedup {
       .orderBy(col("df").asc, col("shingle").asc)
     // persisted: BOTH sides of the candidate self-join scan this — without
     // the cache the posting→frequency-join→window pipeline runs twice (the
-    // self-join defeats exchange reuse)
+    // self-join defeats exchange reuse). `rn` (the shingle's 1-based rank
+    // in the doc's df-sorted order) rides along for positional filtering.
     val prefix = posting.join(freq, Seq("shingle"))
       .withColumn("rn", row_number().over(wDoc))
       .filter(col("rn") <= prefixLen(col("ns"), threshold))
-      .select(col("doc_id"), col("ns"), col("shingle"))
+      .select(col("doc_id"), col("ns"), col("rn"), col("shingle"))
       .persist()
 
-    // candidates: pairs sharing ≥1 PREFIX shingle (distinct — a pair may
-    // collide on several prefix shingles), pre-pruned by the size bound
-    // jaccard ≥ t ⇒ min(|a|,|b|) ≥ t·max(|a|,|b|)
-    val a = prefix.select(col("doc_id").as("doc_a"), col("ns").as("na"), col("shingle"))
-    val b = prefix.select(col("doc_id").as("doc_b"), col("ns").as("nb"), col("shingle"))
-    val candidates = a.join(b, Seq("shingle"))
-      .filter(col("doc_a") < col("doc_b") &&
-        least(col("na"), col("nb")).cast("double") >=
-          lit(threshold) * greatest(col("na"), col("nb")) - EPS)
-      .select("doc_a", "doc_b")
-      .distinct()
+    val candidates = jaccardCandidates(prefix, threshold, positional = true)
 
     // exact verification: true |∩| from the full sets (computed once)
     val setsA = docSets.select(col("doc_id").as("doc_a"), col("set").as("set_a"), col("ns").as("sa"))
@@ -198,6 +197,38 @@ object Dedup {
         (col("nc").cast("double") / (col("sa") + col("sb") - col("nc"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
     materializeAndRelease(result, docSets, prefix)
+  }
+
+  /** Candidate pairs from a prefix-index frame (doc_id, ns, rn, shingle):
+    * pairs sharing ≥1 prefix shingle, pruned by the size bound
+    * jaccard ≥ t ⇒ min(|a|,|b|) ≥ t·max(|a|,|b|), and — when `positional`
+    * — by PPJoin positional filtering: a match at ranks (i, j) of docs
+    * sized (na, nb) bounds the overlap by 1 + min(na−i, nb−j) (everything
+    * common sits at rank ≥ i in a and ≥ j in b, in the SAME global
+    * df-sorted order), while jaccard ≥ t needs |∩| ≥ t/(1+t)·(na+nb).
+    * Lossless: for a true pair, at its globally-FIRST common shingle the
+    * bound ≥ |∩| (no common element precedes it), so that match survives
+    * and the pair reaches `distinct`. Matches on later common shingles may
+    * prune — that's the point: candidate volume drops super-linearly while
+    * the answer is unchanged (spec + oracle assert equality both ways).
+    */
+  private[graft] def jaccardCandidates(prefix: DataFrame, threshold: Double,
+                                       positional: Boolean): DataFrame = {
+    val a = prefix.select(col("doc_id").as("doc_a"), col("ns").as("na"),
+      col("rn").as("rn_a"), col("shingle"))
+    val b = prefix.select(col("doc_id").as("doc_b"), col("ns").as("nb"),
+      col("rn").as("rn_b"), col("shingle"))
+    val sizeBound = col("doc_a") < col("doc_b") &&
+      least(col("na"), col("nb")).cast("double") >=
+        lit(threshold) * greatest(col("na"), col("nb")) - EPS
+    val posBound =
+      (lit(1L) + least(col("na") - col("rn_a"), col("nb") - col("rn_b")))
+        .cast("double") >=
+        lit(threshold / (1.0 + threshold)) * (col("na") + col("nb")) - EPS
+    a.join(b, Seq("shingle"))
+      .filter(if (positional) sizeBound && posBound else sizeBound)
+      .select("doc_a", "doc_b")
+      .distinct()
   }
 
   /** MinHash-LSH near-dup: shingle → portable hash → `numHashes` minhash

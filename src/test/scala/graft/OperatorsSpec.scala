@@ -432,6 +432,32 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } yield (a, b, jac)).toSet
     assert(got == expect, s"got ${got.size} pairs, expected ${expect.size}")
     assert(expect.size >= 10, s"degenerate test: only ${expect.size} qualifying pairs")
+
+    // positional (PPJoin) candidates: strictly a subset of the size-bound
+    // candidates, still a superset of every TRUE pair — pruning is real
+    // and lossless at the candidate level too
+    val posting = Dedup.shingleHashes(docs, 3)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("shingle")).as("set"), count(lit(1)).as("ns"))
+      .select(col("doc_id"), col("ns"), explode(col("set")).as("shingle"))
+    val freq = posting.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      .orderBy(col("df").asc, col("shingle").asc)
+    val prefix = posting.join(freq, Seq("shingle"))
+      .withColumn("rn", row_number().over(wDoc))
+      .filter(col("rn") <= Dedup.prefixLen(col("ns"), threshold))
+      .select(col("doc_id"), col("ns"), col("rn"), col("shingle"))
+    def candSet(positional: Boolean) =
+      Dedup.jaccardCandidates(prefix, threshold, positional)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plainCands = candSet(positional = false)
+    val posCands = candSet(positional = true)
+    assert(posCands.subsetOf(plainCands))
+    assert(posCands.size < plainCands.size,
+      s"positional filter pruned nothing (${plainCands.size} candidates)")
+    val truePairs = expect.map(p => (p._1, p._2))
+    assert(truePairs.subsetOf(posCands),
+      s"positional filter dropped true pairs: ${(truePairs -- posCands).take(3)}")
   }
 
   test("jaccard prefix filter: a hot shingle in every doc generates no candidates") {
