@@ -25,17 +25,23 @@ object SessionStream {
   case class SessionOut(user_id: Long, session_seq: Long, n_events: Long,
                         span_us: Long, total_value: Double)
 
-  def sessionizeStream(spark: SparkSession, path: String, gapMinutes: Int): Dataset[SessionOut] = {
+  def sessionizeStream(spark: SparkSession, path: String, gapMinutes: Int,
+                       maxFilesPerTrigger: Option[Int] = None): Dataset[SessionOut] = {
     import spark.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
 
     val f = new java.io.File(path)
     val (dir, glob) = if (f.isFile) (f.getParent, f.getName) else (path, "*")
 
-    val raw = spark.readStream
+    val reader0 = spark.readStream
       .schema(EventsStream.eventsSchema(EventsStream.tsReadType(spark, path)))
       .option("pathGlobFilter", glob)
-      .parquet(dir)
+    // bounded micro-batches (the scale smoke replays chunk files one per
+    // batch, advancing the watermark between them — the multi-batch regime
+    // where event-time timeouts and seq continuity actually fire)
+    val reader = maxFilesPerTrigger.fold(reader0)(m =>
+      reader0.option("maxFilesPerTrigger", m.toString).option("latestFirst", "false"))
+    val raw = reader.parquet(dir)
     val events = graft.functions.TimeNorm.normalizeTs(raw)
       .withWatermark("ts", "2 hours")
       .select(col("event_id"), col("ts"), col("user_id"), col("value"))
@@ -71,7 +77,16 @@ object SessionStream {
               closed ::= SessionOut(userId, s.seq, s.nEvents, s.lastUs - s.startUs, s.total)
               cur = SessionState(s.seq + 1, e.tsUs, e.tsUs, 1L, e.value)
             case s =>
-              cur = s.copy(lastUs = e.tsUs, nEvents = s.nEvents + 1, total = s.total + e.value)
+              // min/max, not assignment: a MICRO-BATCH BOUNDARY can deliver
+              // in-gap events out of event-time order (two same-mtime chunk
+              // files of one time slice replay in arbitrary order), and
+              // rewinding lastUs would corrupt the span and the timeout
+              // timer. Within-gap disorder folds in exactly; disorder
+              // DEEPER than the gap across batches is inherent append-mode
+              // nondeterminism the q89 gates surface loudly.
+              cur = s.copy(startUs = math.min(s.startUs, e.tsUs),
+                lastUs = math.max(s.lastUs, e.tsUs),
+                nEvents = s.nEvents + 1, total = s.total + e.value)
           }
         }
         if (cur != null) {
