@@ -1,6 +1,9 @@
 ThisBuild / scalaVersion := "2.13.17"
 ThisBuild / version := "0.1.0"
 name := "rabitqspark"
+// keep deprecation sites visible so real warnings don't hide in noise
+// (the build is warning-clean as of round 13)
+ThisBuild / scalacOptions += "-deprecation"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")
 // Test-only deps resolve from the pre-warmed coursier cache; anything

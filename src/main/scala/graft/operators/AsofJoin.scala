@@ -46,15 +46,15 @@ object AsofJoin {
       col(rightTs).cast(tsType).as("__ts"),
       lit(0).as("__side"),
       col(tieBreak).as("__tb"),
-      struct(rightCols.map(col): _*).as("__rpay"),
-      lit(null).cast(left.select(struct(leftCols.map(col): _*)).schema.head.dataType).as("__lpay"))
+      struct(rightCols.toIndexedSeq.map(col): _*).as("__rpay"),
+      lit(null).cast(left.select(struct(leftCols.toIndexedSeq.map(col): _*)).schema.head.dataType).as("__lpay"))
     val l = left.select(
       col(leftKey).as("__key"),
       col(leftTs).as("__ts"),
       lit(1).as("__side"),
       lit(null).cast(right.schema(tieBreak).dataType).as("__tb"),
-      lit(null).cast(right.select(struct(rightCols.map(col): _*)).schema.head.dataType).as("__rpay"),
-      struct(leftCols.map(col): _*).as("__lpay"))
+      lit(null).cast(right.select(struct(rightCols.toIndexedSeq.map(col): _*)).schema.head.dataType).as("__rpay"),
+      struct(leftCols.toIndexedSeq.map(col): _*).as("__lpay"))
 
     // within a key: rights ascending by (ts, tieBreak), each left row after
     // every right row with __ts <= its ts; last non-null right payload at a
@@ -69,7 +69,7 @@ object AsofJoin {
     r.unionByName(l)
       .withColumn("__match", last(col("__rpay"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(leftCols.map(c => col(s"__lpay.$c")) ++
-        rightCols.map(c => col(s"__match.$c")): _*)
+      .select((leftCols.map(c => col(s"__lpay.$c")) ++
+        rightCols.map(c => col(s"__match.$c"))).toIndexedSeq: _*)
   }
 }

@@ -36,7 +36,7 @@ object Salting {
     // reducers that already pulled the old output. Hashing every column
     // spreads a hot key across buckets whenever its rows differ anywhere.
     val salted = df.withColumn("__salt",
-      pmod(xxhash64(df.columns.map(col): _*), lit(buckets.toLong)))
+      pmod(xxhash64(df.columns.toIndexedSeq.map(col): _*), lit(buckets.toLong)))
     val phase1 = salted
       .groupBy((keyCols.map(col) :+ col("__salt")): _*)
       .agg(aggs.head._2._1.as(aggs.head._1),

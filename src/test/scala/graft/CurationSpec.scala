@@ -237,7 +237,7 @@ class CurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     }.sorted
     assert(got.toSeq == expected) // doc 2 (empty) emits no rows
     // coarse 8-bin histogram still sums to n_samples
-    val total = Multimodal.wavFeatures(media, bins = 8).agg(sum("n")).head.getLong(0)
+    val total = Multimodal.wavFeatures(media, bins = 8).agg(sum("n")).head().getLong(0)
     assert(total == "AAB".length + "zz  z".length)
     intercept[IllegalArgumentException] { Multimodal.wavFeatures(media, bins = 7) }
   }
