@@ -1223,6 +1223,16 @@ object SparkEntry {
       Sessionize.sessionGates(
         Sessionize.sessionStats(T(s, dir, "events"), gapMinutes = 30), streamed)
     }),
+    "q90_sessionize_bucketed" -> ((s, dir) => {
+      // the hot-user-safe sessionizer (every window bounded by (user_id,
+      // 6 h bucket), per-bucket summary stitch — Sessionize.scala) against
+      // q11's EXACT oracle: the fixture spans weeks, so sessions cross
+      // bucket boundaries throughout and the stitch is load-bearing, not
+      // incidental
+      Sessionize.sessionStatsBucketed(T(s, dir, "events"), gapMinutes = 30,
+          bucketMinutes = 360)
+        .orderBy(col("user_id"), col("session_seq"))
+    }),
   )
 
   // ---- generated oracles for the portable-hash signature pipelines ------
@@ -1360,6 +1370,20 @@ object SparkEntry {
   //      rows-only check) ------------------------------------------------
   def oracleSql: Map[String, String] = {
     val revenue = "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,3)) * (CAST(1.0 AS DECIMAL(4,3)) - CAST(l_discount AS DECIMAL(18,3)))) AS DOUBLE)"
+    val sessionizeSql =
+      """WITH s AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s2 AS (
+        |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq FROM s)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, COUNT(*) AS n_events,
+        |  epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS span_us,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        |FROM s2 GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin
     val knnSql =
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 10),
         |b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS be FROM embeddings),
@@ -1418,20 +1442,11 @@ object SparkEntry {
         """SELECT date_trunc('hour', ts) AS hour_ts, event_type, COUNT(*) AS n,
           |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
           |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-      "q11_sessionize" ->
-        """WITH s AS (
-          |  SELECT user_id, event_id, ts, value,
-          |    CASE WHEN lag(ts) OVER w IS NULL
-          |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
-          |         THEN 1 ELSE 0 END AS is_new
-          |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-          |s2 AS (
-          |  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq FROM s)
-          |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, COUNT(*) AS n_events,
-          |  epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS span_us,
-          |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
-          |FROM s2 GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+      "q11_sessionize" -> sessionizeSql,
+      // q90: the hot-user-safe bucketed sessionizer must be EXACTLY the
+      // single-window sessionization — same oracle, bucket size chosen so
+      // the fixture genuinely spans many buckets (stitch active)
+      "q90_sessionize_bucketed" -> sessionizeSql,
       "q12_knn_l2" -> knnSql,
       "q23_ann_fullprobe" -> knnSql,
       "q37_knn_custom_topk" -> knnSql,
