@@ -258,15 +258,23 @@ object Dedup {
     // filter on the split column.
     val shingleArr = graft.functions.TextExpressions
       .shinglePolyHashes(trim(lower(col("text"))), n, 131L, P)
-    val sh = docs
-      .select(col("doc_id"), explode(shingleArr).as("s"))
-      .distinct()
+    // per-doc distinct set AND all 8 minhash permutations computed INSIDE
+    // the row (`array_distinct` + `array_min(transform(...))`) — the
+    // explode→distinct→two-groupBy formulation this replaced paid three
+    // full shuffles of the posting set before the banded join; now the
+    // first exchange anywhere in the plan is the id-only candidate join.
+    // Same modular arithmetic per element (a·s + b mod P over the distinct
+    // set), so signatures — and the DuckDB oracle replay — are unchanged.
+    val docSets = docs
+      .select(col("doc_id"), array_distinct(shingleArr).as("set"))
+      .filter(size(col("set")) > 0)
+      .withColumn("ns", size(col("set")).cast("long"))
       .persist()
-    val minExprs = (0 until numHashes).map { j =>
+    val minCols = (0 until numHashes).map { j =>
       val (a, b) = affine(j)
-      min((lit(a) * col("s") + lit(b)) % lit(P)).as(s"m$j")
+      array_min(transform(col("set"), s => (lit(a) * s + lit(b)) % lit(P))).as(s"m$j")
     }
-    val mins = sh.groupBy(col("doc_id")).agg(minExprs.head, minExprs.tail: _*)
+    val mins = docSets.select(col("doc_id") +: minCols: _*)
     val banded = mins.select(col("doc_id"), explode(array((0 until numHashes).map { j =>
       struct(lit(j).as("band"), col(s"m$j").as("mh"))
     }: _*)).as("bb"))
@@ -276,17 +284,15 @@ object Dedup {
     val candidates = ca.join(cb, Seq("band", "mh"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
-    val sets = sh.groupBy(col("doc_id"))
-      .agg(collect_list(col("s")).as("set"), count(lit(1)).as("ns"))
-    val sa = sets.select(col("doc_id").as("doc_a"), col("set").as("set_a"), col("ns").as("sa"))
-    val sb = sets.select(col("doc_id").as("doc_b"), col("set").as("set_b"), col("ns").as("sb"))
+    val sa = docSets.select(col("doc_id").as("doc_a"), col("set").as("set_a"), col("ns").as("sa"))
+    val sb = docSets.select(col("doc_id").as("doc_b"), col("set").as("set_b"), col("ns").as("sb"))
     val result = candidates.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("sa"), col("sb"),
         size(array_intersect(col("set_a"), col("set_b"))).cast("long").as("nc"))
       .select(col("doc_a"), col("doc_b"),
         (col("nc").cast("double") / (col("sa") + col("sb") - col("nc"))).as("jaccard"))
       .filter(col("jaccard") >= simThreshold)
-    materializeAndRelease(result, sh)
+    materializeAndRelease(result, docSets)
   }
 
   /** 64-bit SimHash over word tokens: per-token hash votes per bit,
