@@ -73,6 +73,35 @@ object SparkEntry {
   private def annQueries(s: SparkSession, dir: String, n: Int = 10): DataFrame =
     ExactKnn.queriesFromEmbeddings(T(s, dir, "embeddings"), n)
 
+  // mutated index (q91): frozen model from an 80% build, the remaining 20%
+  // inserted via appendVectors, vec_id % 7 == 3 deleted — cached like
+  // annIndex so warm passes time the query path, not the k-means rebuild
+  private val mutIdxCache = scala.collection.concurrent.TrieMap.empty[String, (RabitqModel, DataFrame)]
+  private def mutatedIndex(s: SparkSession, dir: String): (RabitqModel, DataFrame) =
+    mutIdxCache.getOrElseUpdate(dir, {
+      val emb = T(s, dir, "embeddings")
+      val (model, index0) =
+        RabitqIndex.build(s, emb.filter(col("vec_id") % 10 < 8), NumClusters, Seed)
+      val inserted = index0.unionByName(
+        RabitqIndex.appendVectors(s, model, emb.filter(col("vec_id") % 10 >= 8)))
+      val mutated = RabitqIndex.deleteVectors(inserted,
+        emb.filter(col("vec_id") % 7 === 3).select("vec_id"))
+      (model, mutated.persist())
+    })
+
+  // ball-pruning state (q92): per-cluster (radius, count) stats plus the
+  // cluster-assigned base — the partitioned layout a saved index already
+  // has on disk, materialized once per sf dir
+  private val ballCache = scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame)]
+  private def ballState(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    ballCache.getOrElseUpdate(dir, {
+      val (_, index) = annIndex(s, dir)
+      val stats = RabitqQuery.clusterStats(index)
+      val assigned = T(s, dir, "embeddings")
+        .join(index.select("vec_id", "cluster_id"), Seq("vec_id"))
+      (stats.persist(), assigned.persist())
+    })
+
   // full-rerank bound for the exactness-gate queries (q23/q32): the whole
   // base, derived per sf dir (parquet metadata count — no scan) and cached
   private val baseCountCache = scala.collection.concurrent.TrieMap.empty[String, Int]
@@ -219,6 +248,10 @@ object SparkEntry {
     cosIndex(s, dir)._2.count()
     diskIndex(s, dir)
     fullRerank(s, dir)
+    // q91's mutated index (a second k-means build) and q92's ball state —
+    // one-time maintenance cost, warmed for the same reason as annIndex
+    mutatedIndex(s, dir)._2.count()
+    locally { val (st, as) = ballState(s, dir); st.count(); as.count() }
     // q79's one-time bucketed ingest ("shuffle once at ingest") — warm it
     // here so the cold bench pass times the zero-exchange JOIN, not the
     // ingest it exists to amortize; q87's z-ordered ingest for the same
@@ -1233,6 +1266,33 @@ object SparkEntry {
           bucketMinutes = 360)
         .orderBy(col("user_id"), col("session_seq"))
     }),
+    "q91_ann_mutation_gate" -> ((s, dir) => {
+      // index MUTATION (insert + delete — the reference's unchecked
+      // boxes, /root/reference/README.md:18): model frozen from an 80%
+      // build, 20% inserted via appendVectors, vec_id % 7 == 3 deleted
+      // by anti-join. Full probe + full rerank over the mutated index
+      // must hash-match exact kNN over the final logical set — a deleted
+      // vector surfacing, a dropped insert, or a mis-encoded append all
+      // flip the oracle row set
+      val (model, mutated) = mutatedIndex(s, dir)
+      val baseFinal = T(s, dir, "embeddings").filter(col("vec_id") % 7 =!= 3)
+      RabitqQuery.topK(s, model, mutated, baseFinal, annQueries(s, dir),
+        nprobe = NumClusters, topk = 10, rerank = fullRerank(s, dir))
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    "q92_ann_earlystop" -> ((s, dir) => {
+      // EXACT early-termination search (the reference's unchecked "early
+      // stop" box, /root/reference/README.md:19): triangle-inequality
+      // ball pruning drops whole clusters before their rows are scanned,
+      // and the surviving scan still hash-matches the exact-kNN oracle —
+      // the pruned fraction is measured in the spec and PLANS.md
+      val (stats, assigned) = ballState(s, dir)
+      val (model, _) = annIndex(s, dir)
+      RabitqQuery.ballPrunedTopK(s, model, stats, assigned, annQueries(s, dir), 10)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
   )
 
   // ---- generated oracles for the portable-hash signature pipelines ------
@@ -1450,6 +1510,17 @@ object SparkEntry {
       "q12_knn_l2" -> knnSql,
       "q23_ann_fullprobe" -> knnSql,
       "q37_knn_custom_topk" -> knnSql,
+      // q92: ball pruning is EXACT — same oracle as brute force
+      "q92_ann_earlystop" -> knnSql,
+      // q91: exact kNN over the post-mutation logical set (inserts are
+      // the full table again; deletes are vec_id % 7 == 3)
+      "q91_ann_mutation_gate" ->
+        """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 10),
+          |b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS be FROM embeddings WHERE vec_id % 7 <> 3),
+          |d AS (SELECT q.query_id, b.vec_id AS neighbor_id,
+          |        row_number() OVER (PARTITION BY q.query_id ORDER BY list_distance(q.qe, b.be), b.vec_id) AS rank
+          |      FROM q CROSS JOIN b)
+          |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM d WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
       "q20_minhash_pairs" -> minhashOracle,
       "q21_simhash_pairs" -> simhashOracle,
       "q45_lsh_neardup" -> lshOracle,

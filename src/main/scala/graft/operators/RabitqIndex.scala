@@ -284,6 +284,26 @@ object RabitqIndex {
         col("enc._6").as("cds"))
   }
 
+  /** Incremental maintenance, delete side: drop index rows whose vec_id
+    * appears in `ids` (one column, `vec_id`). The reference leaves delete
+    * unimplemented (`/root/reference/README.md:18`); on Spark it is an
+    * anti-join — id-only shuffle when `ids` is large, broadcast when small,
+    * Catalyst picks. Centroids stay frozen (same contract as
+    * [[appendVectors]]): a delete never degrades recall, it only leaves a
+    * cluster sparser, so re-clustering stays a scheduled concern.
+    */
+  def deleteVectors(index: DataFrame, ids: DataFrame): DataFrame =
+    index.join(ids.select("vec_id"), Seq("vec_id"), "left_anti")
+
+  /** Incremental maintenance, update side: re-encode rows whose vec_id
+    * already exists (delete + insert against the frozen model — the
+    * classic vector-store upsert). One anti-join + one narrow encode
+    * pass; new ids flow through the same path, so this is a true upsert.
+    */
+  def upsertVectors(spark: SparkSession, model: RabitqModel, index: DataFrame,
+                    vecs: DataFrame): DataFrame =
+    deleteVectors(index, vecs).unionByName(appendVectors(spark, model, vecs))
+
   /** Whole-model JSON serialization (S8 analog of the reference's serde
     * JSON, `/root/reference/src/rabitq.rs:72-81`): params + rotation +
     * rotated centroids + dither bias in one self-describing file. Index

@@ -299,4 +299,92 @@ object RabitqQuery {
     val pruned = index.filter(col("cluster_id").isin(probed: _*))
     fromProbes(pruned, base, queries, probesDf(spark, model, queries, nprobe), topk, rerank)
   }
+
+  /** Per-cluster ball statistics for [[ballPrunedTopK]]: radius = the
+    * largest member residual norm (`cds` already stores ‖x − centroid‖²
+    * in rotated space — VectorOps.factors) and member count. numClusters
+    * rows — metadata-sized at any data scale, like the centroids.
+    */
+  def clusterStats(index: DataFrame): DataFrame =
+    index.groupBy("cluster_id").agg(
+      sqrt(max(col("cds").cast("double"))).as("radius"),
+      count(lit(1)).as("n"))
+
+  /** Per-query surviving clusters under triangle-inequality ball pruning —
+    * the EXACT early-termination rule (the reference's unchecked
+    * "early stop" box, `/root/reference/README.md:19`, re-expressed as a
+    * plan-time bound rather than a serial scan cutoff):
+    *
+    *  - every member of cluster c lies within dist(q, centroid_c) +
+    *    radius_c of q, so walking clusters in (d+r) order until their
+    *    member counts cover k yields a valid upper bound `ub` on the
+    *    true kth-NN distance;
+    *  - any cluster with dist(q, centroid_c) − radius_c > ub cannot hold
+    *    a top-k member (all its points are strictly farther) and is
+    *    dropped BEFORE any of its rows are scanned.
+    *
+    * Computed executor-side over the query batch against broadcast
+    * (centroid, radius, count) stats — O(numClusters log numClusters) per
+    * query, no data scan. A small float slack keeps the rotated-space
+    * radii safe against f32 rounding vs the raw-space distances scored
+    * later (rotation is an isometry only up to rounding).
+    *
+    * Output: (query_id, cluster_id) pairs — ≤ |queries|·numClusters rows.
+    */
+  def prunedPairs(spark: SparkSession, model: RabitqModel, stats: DataFrame,
+                  queries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val st = stats.select(col("cluster_id"), col("radius"), col("n")).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getLong(2)))
+    val bModel = spark.sparkContext.broadcast(model)
+    val bStats = spark.sparkContext.broadcast(st)
+    val schema = StructType(Seq(
+      StructField("query_id", LongType, nullable = false),
+      StructField("cluster_id", IntegerType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    queries.select(col("query_id"), col("qvec")).mapPartitions { rows =>
+      val m = bModel.value
+      rows.flatMap { r =>
+        val qid = r.getLong(0)
+        val y = rotatedQuery(m, r.getSeq[Float](1).toArray)
+        val ds = bStats.value.map { case (cid, rad, n) =>
+          (math.sqrt(VectorOps.l2sq(y, m.centroids(cid))), rad, n, cid)
+        }
+        val byCover = ds.sortBy(t => t._1 + t._2)
+        var cum = 0L; var ub = Double.MaxValue; var i = 0
+        while (i < byCover.length && cum < k) {
+          cum += byCover(i)._3; ub = byCover(i)._1 + byCover(i)._2; i += 1
+        }
+        val bound = ub + math.abs(ub) * 1e-5 + 1e-4
+        ds.iterator.filter { case (d, rad, _, _) => d - rad <= bound }
+          .map { case (_, _, _, cid) => Row(qid, cid) }
+      }
+    }(enc)
+  }
+
+  /** EXACT top-k with early termination: score only the clusters
+    * [[prunedPairs]] keeps, then exact distance + bounded top-k — the
+    * answer equals brute force (gated by q92's exact-kNN oracle), the
+    * cost is proportional to the surviving-cluster fraction. `assigned`
+    * is the base table with its cluster assignment
+    * (vec_id, embedding, cluster_id) — at scale this is the partitioned
+    * layout the index already persists (partitionBy cluster_id), so the
+    * per-cluster filter becomes partition pruning, not a scan-and-drop.
+    * Output: (query_id, neighbor_id, dist, rank).
+    */
+  def ballPrunedTopK(spark: SparkSession, model: RabitqModel, stats: DataFrame,
+                     assigned: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val pairs = prunedPairs(spark, model, stats, queries, k)
+    val scored = assigned
+      .join(broadcast(pairs), Seq("cluster_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(
+        col("query_id"),
+        col("vec_id"),
+        sqrt(graft.functions.VectorExpressions.l2sq(col("qvec"), col("embedding")))
+          .as("dist"))
+    TopK.perGroup(scored, "query_id", "vec_id", "dist", k,
+      outId = "neighbor_id", outScore = "dist")
+  }
 }

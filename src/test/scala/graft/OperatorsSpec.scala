@@ -263,6 +263,87 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ExactKnn.recall(res, truth, 10).head().getDouble(0) == 1.0)
   }
 
+  test("mutation: insert + delete keeps full-probe search exact over the final set") {
+    val initial = emb.filter(col("vec_id") % 10 < 8)
+    val inserts = emb.filter(col("vec_id") % 10 >= 8)
+    val (model, index0) = RabitqIndex.build(spark, initial, numClusters = 8, seed = 4L)
+    val deleted = emb.filter(col("vec_id") % 7 === 3).select("vec_id")
+    val mutated = RabitqIndex.deleteVectors(
+      index0.unionByName(RabitqIndex.appendVectors(spark, model, inserts)), deleted)
+    val baseFinal = emb.filter(col("vec_id") % 7 =!= 3)
+    assert(mutated.count() == baseFinal.count())
+    // no deleted id survives in the index
+    assert(mutated.join(deleted, Seq("vec_id")).count() == 0)
+    val q = ExactKnn.queriesFromEmbeddings(emb, 10)
+    val truth = ExactKnn.l2TopK(baseFinal, q, 10)
+      .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+    val n = baseFinal.count().toInt
+    val res = RabitqQuery.topK(spark, model, mutated, baseFinal, q, 8, 10, n)
+      .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+    assert(res == truth, "full probe + full rerank over the mutated index must equal brute force")
+    // delete semantics at PARTIAL probe too: a deleted vector must never
+    // surface even when it would have been its own nearest neighbor
+    val partial = RabitqQuery.topK(spark, model, mutated, baseFinal, q, 4, 10, 64)
+    assert(partial.join(deleted, partial("neighbor_id") === deleted("vec_id")).count() == 0)
+  }
+
+  test("mutation: upsert re-encodes changed vectors and search follows the new values") {
+    import spark.implicits._
+    val (model, index0) = RabitqIndex.build(spark, emb, numClusters = 8, seed = 4L)
+    // shift every 5th vector by a constant offset — ids unchanged, values new
+    val changed = emb.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id"), transform(col("embedding"), v => v + lit(3.0f)).as("embedding"))
+    val updatedBase = emb.filter(col("vec_id") % 5 =!= 0)
+      .select("vec_id", "embedding").unionByName(changed)
+    val upserted = RabitqIndex.upsertVectors(spark, model, index0, changed)
+    assert(upserted.count() == emb.count(), "upsert of existing ids must not grow the index")
+    assert(upserted.select("vec_id").distinct().count() == emb.count())
+    val q = ExactKnn.queriesFromEmbeddings(updatedBase, 10)
+    val n = updatedBase.count().toInt
+    val res = RabitqQuery.topK(spark, model, upserted, updatedBase, q, 8, 10, n)
+      .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+    val truth = ExactKnn.l2TopK(updatedBase, q, 10)
+      .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+    assert(res == truth, "search over the upserted index must equal brute force on the new values")
+  }
+
+  test("ball-pruned exact search equals brute force and actually prunes") {
+    // clustered synthetic data: pruning bites when clusters are separated
+    // (the fixture's uniform blob keeps most balls overlapping — also
+    // covered below as the adversarial no-separation case)
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(8)(Array.fill(16)(rnd.nextGaussian().toFloat * 10f))
+    val pts = (0L until 2000L).map { i =>
+      val c = centers((i % 8).toInt)
+      (i, c.zipWithIndex.map { case (v, d) => v + rnd.nextGaussian().toFloat * 0.3f }.toSeq)
+    }.toDF("vec_id", "embedding")
+    val (model, index) = RabitqIndex.build(spark, pts, numClusters = 8, seed = 11L)
+    val stats = RabitqQuery.clusterStats(index)
+    val assigned = pts.join(index.select("vec_id", "cluster_id"), Seq("vec_id"))
+    val q = ExactKnn.queriesFromEmbeddings(pts, 10)
+    val pairs = RabitqQuery.prunedPairs(spark, model, stats, q, 10)
+    val nPairs = pairs.count()
+    assert(nPairs < 10L * 8 / 2,
+      s"separated clusters must prune most balls, kept $nPairs of 80 (query, cluster) pairs")
+    val res = RabitqQuery.ballPrunedTopK(spark, model, stats, assigned, q, 10)
+      .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+    val truth = ExactKnn.l2TopK(pts, q, 10)
+      .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+    assert(res == truth, "pruned search must equal brute force exactly")
+    // adversarial shape: the fixture's single uniform blob — balls overlap,
+    // pruning keeps nearly everything, the answer must STILL be exact
+    val (model2, index2) = RabitqIndex.build(spark, emb, numClusters = 8, seed = 4L)
+    val stats2 = RabitqQuery.clusterStats(index2)
+    val assigned2 = emb.join(index2.select("vec_id", "cluster_id"), Seq("vec_id"))
+    val q2 = ExactKnn.queriesFromEmbeddings(emb, 10)
+    val res2 = RabitqQuery.ballPrunedTopK(spark, model2, stats2, assigned2, q2, 10)
+      .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+    val truth2 = ExactKnn.l2TopK(emb, q2, 10)
+      .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+    assert(res2 == truth2)
+  }
+
   test("RaBitQ index save/load roundtrip preserves results") {
     val (model, index) = RabitqIndex.build(spark, emb, numClusters = 8, seed = 1L)
     val dir = java.nio.file.Files.createTempDirectory("rabitq_idx").toString
