@@ -1293,6 +1293,20 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    "q93_ann_fastscan" -> ((s, dir) => {
+      // FASTSCAN estimator (the reference's last unchecked box, "RaBitQ
+      // with fastscan", /root/reference/README.md:12): byte-indexed
+      // lookup tables replace the 4 bit-plane popcount passes
+      // (VectorExpressions.AsymDotLutF32). The kernel is bit-identical to
+      // the plane path (property-spec'd), so full probe + full rerank
+      // through the LUT estimator must still hash-match exact kNN — the
+      // q23 gate on a different generated-code path
+      val (model, index) = annIndex(s, dir)
+      RabitqQuery.topK(s, model, index, T(s, dir, "embeddings"), annQueries(s, dir),
+        nprobe = NumClusters, topk = 10, rerank = fullRerank(s, dir), fastscan = true)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
   )
 
   // ---- generated oracles for the portable-hash signature pipelines ------
@@ -1512,6 +1526,9 @@ object SparkEntry {
       "q37_knn_custom_topk" -> knnSql,
       // q92: ball pruning is EXACT — same oracle as brute force
       "q92_ann_earlystop" -> knnSql,
+      // q93: the fastscan LUT estimator is bit-identical to the plane
+      // estimator, so full probe stays exact — same oracle as q23
+      "q93_ann_fastscan" -> knnSql,
       // q91: exact kNN over the post-mutation logical set (inserts are
       // the full table again; deletes are vec_id % 7 == 3)
       "q91_ann_mutation_gate" ->

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnShim
@@ -184,6 +184,96 @@ object VectorExpressions {
       copy(left = l, right = r)
   }
 
+  /** Eval/codegen shared fastscan LUT build over ArrayData — see
+    * VectorOps.buildLut for the kernel and the reference-box derivation.
+    * One primitive copy per PROBE row (|q|·nprobe-sized frame), never on
+    * the candidate scan.
+    */
+  def buildLutData(planes: ArrayData): ArrayData =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(VectorOps.buildLut(planes.toLongArray()))
+
+  /** Fastscan LUT build (unary): 4 bit-plane words → byte-indexed lookup
+    * table (array<int>, length words·8·256). Runs once per probe row;
+    * AsymDotLutF32 consumes it on the candidate scan.
+    */
+  case class BuildLutF32(child: Expression) extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<bigint> bit-planes, got ${other.simpleString}")
+    }
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def prettyName: String = "graft_buildlut"
+
+    override protected def nullSafeEval(p: Any): Any =
+      buildLutData(p.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, p => s"graft.functions.VectorExpressions.buildLutData($p)")
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Asymmetric binary dot via the fastscan LUT: one byte-indexed pass
+    * (words·8 lookups) instead of AsymDotF32's 4 AND+POPCNT plane passes.
+    * Bit-identical to AsymDotF32(code, planes) when lut =
+    * BuildLutF32(planes).
+    */
+  case class AsymDotLutF32(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(LongType, _), ArrayType(IntegerType, _)) =>
+          TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects (array<bigint> code, array<int> lut), got " +
+            s"(${l.simpleString}, ${r.simpleString})")
+      }
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_asymdot_lut"
+
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val code = a.asInstanceOf[ArrayData]; val lut = b.asInstanceOf[ArrayData]
+      val w = code.numElements()
+      var total = 0L
+      var i = 0
+      while (i < w) {
+        val c = code.getLong(i)
+        val base = i << 11
+        var k = 0
+        while (k < 8) {
+          total += lut.getInt(base + (k << 8) + ((c >>> (k << 3)) & 0xFFL).toInt)
+          k += 1
+        }
+        i += 1
+      }
+      total
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i"); val k = ctx.freshName("k")
+        val w = ctx.freshName("w"); val c = ctx.freshName("c")
+        val base = ctx.freshName("base"); val t = ctx.freshName("t")
+        s"""
+           |int $w = $a.numElements();
+           |long $t = 0L;
+           |for (int $i = 0; $i < $w; $i++) {
+           |  long $c = $a.getLong($i);
+           |  int $base = $i << 11;
+           |  for (int $k = 0; $k < 8; $k++) {
+           |    $t += $b.getInt($base + ($k << 8) + (int) (($c >>> ($k << 3)) & 0xFFL));
+           |  }
+           |}
+           |${ev.value} = $t;
+           |""".stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   // ---- Column API -------------------------------------------------------
   def l2sq(a: Column, b: Column): Column =
     ColumnShim.column(L2SqF32(ColumnShim.expression(a), ColumnShim.expression(b)))
@@ -191,15 +281,21 @@ object VectorExpressions {
     ColumnShim.column(CosineSimF32(ColumnShim.expression(a), ColumnShim.expression(b)))
   def asymDot(code: Column, planes: Column): Column =
     ColumnShim.column(AsymDotF32(ColumnShim.expression(code), ColumnShim.expression(planes)))
+  def buildLut(planes: Column): Column =
+    ColumnShim.column(BuildLutF32(ColumnShim.expression(planes)))
+  def asymDotLut(code: Column, lut: Column): Column =
+    ColumnShim.column(AsymDotLutF32(ColumnShim.expression(code), ColumnShim.expression(lut)))
 
   /** Register as SQL functions (graft_l2sq, graft_cosine, graft_asymdot,
-    * graft_polyhash).
+    * graft_buildlut, graft_asymdot_lut, graft_polyhash).
     */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_l2sq", es => L2SqF32(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_cosine", es => CosineSimF32(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_asymdot", es => AsymDotF32(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_buildlut", es => BuildLutF32(es(0)), "built-in")
+    reg.createOrReplaceTempFunction("graft_asymdot_lut", es => AsymDotLutF32(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_polyhash", es => {
       require(es.length == 1,
         s"graft_polyhash takes exactly 1 argument (base/mod are fixed at 131/1e9+7), got ${es.length}")

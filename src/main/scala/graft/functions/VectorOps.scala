@@ -183,6 +183,69 @@ object VectorOps {
     s
   }
 
+  /** Fastscan LUT build — the reference README's unchecked "RaBitQ with
+    * fastscan" box (`/root/reference/README.md:12`), re-expressed for the
+    * JVM. Fastscan (André et al., "Cache locality is not enough", VLDB'15;
+    * adopted by the RaBitQ paper's reference implementation) replaces the
+    * per-plane popcount passes with query-resident lookup tables indexed
+    * by code sub-words. Here: group g covers dims 8g..8g+7 and
+    * lut(256·g + b) = Σ_{k: bit k of b set} q(8g+k), so the asymmetric
+    * dot becomes ONE pass of byte-indexed adds instead of 4 AND+POPCNT
+    * passes. Built once per (query, probe) — dim·32 adds via subset-sum
+    * DP — and amortized over every code in the probed cluster; table size
+    * is dim·1024 B (8 KB at dim 64), L1/L2-resident during the scan.
+    */
+  def buildLut(planes: Array[Long]): Array[Int] = {
+    val w = planes.length / ThetaLogDim
+    val lut = new Array[Int](w * 8 * 256)
+    val q = new Array[Int](8)
+    var g = 0
+    while (g < w * 8) {
+      val word = g >> 3
+      val bitBase = (g & 7) << 3
+      var k = 0
+      while (k < 8) {
+        var v = 0
+        var j = 0
+        while (j < ThetaLogDim) {
+          v |= (((planes(j * w + word) >>> (bitBase + k)) & 1L).toInt) << j
+          j += 1
+        }
+        q(k) = v
+        k += 1
+      }
+      // subset-sum DP: lut(b) = lut(b with lowest bit cleared) + q(lowest)
+      val base = g << 8
+      var b = 1
+      while (b < 256) {
+        lut(base + b) = lut(base + (b & (b - 1))) + q(java.lang.Integer.numberOfTrailingZeros(b))
+        b += 1
+      }
+      g += 1
+    }
+    lut
+  }
+
+  /** LUT-based asymmetric dot (fastscan kernel): Σ_g lut(g, byte_g(code)).
+    * Identical value to asymDot(code, planes) when lut = buildLut(planes)
+    * — both equal Σ_i bit_i(code)·q(i) (property-spec'd).
+    */
+  def asymDotLut(code: Array[Long], lut: Array[Int]): Long = {
+    var total = 0L
+    var i = 0
+    while (i < code.length) {
+      val c = code(i)
+      val base = i << 11 // i·8 groups × 256 entries
+      var k = 0
+      while (k < 8) {
+        total += lut(base + (k << 8) + ((c >>> (k << 3)) & 0xFFL).toInt)
+        k += 1
+      }
+      i += 1
+    }
+    total
+  }
+
   /** Dense mat-vec rotate (B3/Q2): out(j) = Σ_i v(i) · p(i)(j), i.e. v·P
     * with vectors as rows — matches the reference's X·P orientation
     * (`/root/reference/src/rabitq.rs:188`). P is broadcast row-major.

@@ -87,10 +87,25 @@ object RabitqQuery {
     * shuffled/sort-merge joins, which partition and spill.
     */
   private def fromProbes(index: DataFrame, base: DataFrame, queries: DataFrame,
-                         probes: DataFrame, topk: Int, rerank: Int,
-                         largeBatch: Boolean = false): DataFrame = {
+                         probes0: DataFrame, topk: Int, rerank: Int,
+                         largeBatch: Boolean = false,
+                         fastscan: Boolean = false): DataFrame = {
     def side(df: DataFrame): DataFrame = if (largeBatch) df else broadcast(df)
-    val ad = graft.functions.VectorExpressions.asymDot(col("code"), col("planes"))
+    // fastscan (reference README's unchecked box): materialize the
+    // byte-indexed LUT once per PROBE row (|q|·nprobe frame) and estimate
+    // with one lookup pass per candidate instead of 4 popcount plane
+    // passes — bit-identical rough distances (spec'd), different kernel.
+    // Probe-side payload grows dim/2 B → dim·1024 B per row, fine for the
+    // broadcast serving shape; the A/B measurement lives in KernelBench +
+    // PLANS.md q93.
+    val probes = if (fastscan)
+      probes0.withColumn("lut",
+        graft.functions.VectorExpressions.buildLut(col("planes"))).drop("planes")
+    else probes0
+    val ad = if (fastscan)
+      graft.functions.VectorExpressions.asymDotLut(col("code"), col("lut"))
+    else
+      graft.functions.VectorExpressions.asymDot(col("code"), col("planes"))
     val rough =
       col("cds").cast("double") + col("centroid_d2") +
         col("lb").cast("double") * col("factor_ppc") +
@@ -176,9 +191,9 @@ object RabitqQuery {
     */
   def topK(spark: SparkSession, model: RabitqModel, index: DataFrame, base: DataFrame,
            queries: DataFrame, nprobe: Int, topk: Int, rerank: Int,
-           largeBatch: Boolean = false): DataFrame = {
+           largeBatch: Boolean = false, fastscan: Boolean = false): DataFrame = {
     fromProbes(index, base, queries, probesDf(spark, model, queries, nprobe), topk, rerank,
-      largeBatch)
+      largeBatch, fastscan)
   }
 
   /** Q11 — the reference's HEURISTIC reranker

@@ -96,6 +96,21 @@ class KernelPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("fastscan LUT kernel is bit-identical to the plane-popcount kernel") {
+    val codesGen = for {
+      dim <- dimGen
+      q <- Gen.containerOfN[Array, Byte](dim, Gen.chooseNum(0, 15).map(_.toByte))
+      code <- Gen.containerOfN[Array, Long](dim / 64, Gen.long)
+    } yield (code, q)
+    check("fastscan") {
+      Prop.forAllNoShrink(codesGen) { case (code, q) =>
+        val planes = VectorOps.bitPlanes(q)
+        VectorOps.asymDotLut(code, VectorOps.buildLut(planes)) ==
+          VectorOps.asymDot(code, planes)
+      }
+    }
+  }
+
   test("binarizeU64: popcount equals positive-coordinate count, signSum consistent") {
     check("binarize") {
       Prop.forAllNoShrink(dimGen.flatMap(vecGen)) { v =>
