@@ -1307,6 +1307,21 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    "q94_incremental_dedup" -> ((s, dir) => {
+      // incremental ingestion dedup (Dedup.incrementalNew): docs of the
+      // "incoming" batch (doc_id % 3 ≠ 0) not already in "history"
+      // (doc_id % 3 = 0), via distributed Bloom sketch + broadcast-only
+      // exact verification — history never shuffles. The oracle is the
+      // plain NOT EXISTS on text, so a bloom false positive surviving (or
+      // a false negative, which can't happen) flips the row set
+      val docs = T(s, dir, "documents")
+      Dedup.incrementalNew(
+        docs.filter(col("doc_id") % 3 === 0),
+        docs.filter(col("doc_id") % 3 =!= 0),
+        expectedHistoryDocs = 1L << 20)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   // ---- generated oracles for the portable-hash signature pipelines ------
@@ -1529,6 +1544,14 @@ object SparkEntry {
       // q93: the fastscan LUT estimator is bit-identical to the plane
       // estimator, so full probe stays exact — same oracle as q23
       "q93_ann_fastscan" -> knnSql,
+      // q94: the bloom path must equal the plain text anti-join exactly —
+      // the sketch only prunes, the verification join restores exactness
+      "q94_incremental_dedup" ->
+        """SELECT d.doc_id, d.n_chars FROM documents d
+          |WHERE d.doc_id % 3 <> 0
+          |  AND NOT EXISTS (SELECT 1 FROM documents h
+          |                  WHERE h.doc_id % 3 = 0 AND h.text = d.text)
+          |ORDER BY d.doc_id""".stripMargin,
       // q91: exact kNN over the post-mutation logical set (inserts are
       // the full table again; deletes are vec_id % 7 == 3)
       "q91_ann_mutation_gate" ->

@@ -134,6 +134,64 @@ object Dedup {
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .select("doc_id", "n_copies")
 
+  /** Incremental exact dedup — the 100 TB ingestion pattern: keep the
+    * docs of an `incoming` batch whose text does NOT already appear in a
+    * (much larger) `history` corpus, without ever shuffling history.
+    *
+    *   1. build a Bloom filter over history text digests with Catalyst's
+    *      own distributed sketch aggregate (`BloomFilterAggregate`, the
+    *      machinery behind Spark's runtime join filters): partial filter
+    *      per partition, OR-merge — only the final bitmap (~1.2 B/doc at
+    *      1% fpp) leaves the executors, embedded as a plan literal;
+    *   2. cheap-test every incoming digest against it with the codegen
+    *      `BloomFilterMightContain` predicate — no false negatives, so
+    *      the negatives are DEFINITELY new and skip everything below;
+    *   3. make the positive slice (true dups + fpp·|new|) exact: one
+    *      broadcast semi-join confirms which positive digests truly
+    *      exist in history (history scans narrowly, broadcast side is the
+    *      tiny positive set), then one broadcast anti-join removes the
+    *      confirmed dups from incoming.
+    *
+    * The result equals the full `incoming ANTI JOIN history ON digest`
+    * at any fpp — the Bloom parameters trade only verification-join size,
+    * never correctness (spec drives fpp to ~1 to prove it). History-side
+    * cost is two narrow scans (sketch build + confirm), zero exchanges of
+    * history rows — the property that survives a 1000-executor corpus.
+    * Digest equality stands in for text equality as in `exact` (xxhash64
+    * here: `BloomFilterAggregate` wants LongType; collision odds 2^-64).
+    *
+    * `expectedHistoryDocs` sizes the filter (an upper bound is fine); at
+    * corpora where the bitmap itself outgrows the driver (≥ ~10^10 docs
+    * at 1% fpp) raise fpp — exactness is unaffected, only step 3's
+    * broadcast grows.
+    *
+    * Output: the incoming rows that are new, original schema.
+    */
+  def incrementalNew(history: DataFrame, incoming: DataFrame,
+                     expectedHistoryDocs: Long, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.ColumnShim
+    val fp = xxhash64(col("text"))
+    val nItems = math.max(expectedHistoryDocs, 1L)
+    val numBits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(nItems, fpp)
+    val bloomAgg = ColumnShim.column(new BloomFilterAggregate(
+      ColumnShim.expression(fp), Literal(nItems), Literal(numBits)).toAggregateExpression())
+    val bloomBin = history.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]]("bf")
+    // the aggregate yields NULL over zero rows — an empty history means
+    // everything incoming is new
+    if (bloomBin == null) return incoming
+    val mightContain = ColumnShim.column(BloomFilterMightContain(
+      Literal.create(bloomBin, org.apache.spark.sql.types.BinaryType),
+      ColumnShim.expression(col("fp"))))
+    val positives = incoming.select(fp.as("fp")).filter(mightContain).distinct()
+    val confirmed = history.select(fp.as("fp"))
+      .join(broadcast(positives), Seq("fp"), "left_semi").distinct()
+    incoming.withColumn("fp", fp)
+      .join(broadcast(confirmed), Seq("fp"), "left_anti")
+      .drop("fp")
+  }
+
   /** Word n-gram shingles, lowercase, as distinct STRINGS per doc — the
     * readable reference form of `shingleHashes` (which the hot paths use);
     * kept for tests and debugging.

@@ -497,6 +497,40 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == Set((1L, 2L), (3L, 1L)))
   }
 
+  test("incremental bloom dedup equals the plain anti-join at ANY fpp; history never shuffles") {
+    import spark.implicits._
+    // 400 history docs; incoming = 100 cross-boundary dups + 200 new.
+    // File-backed: over local relations the optimizer folds the bloom
+    // predicate away at plan time, which would blind the plan assertions
+    val dir = graft.TempDirs.create("graft_incdedup_")
+    (0 until 400).map(i => (i.toLong, s"hist doc $i")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/h")
+    ((0 until 100).map(i => (1000L + i, s"hist doc $i")) ++
+      (0 until 200).map(i => (2000L + i, s"new doc $i"))).toDF("doc_id", "text")
+      .write.parquet(s"$dir/i")
+    val history = spark.read.parquet(s"$dir/h")
+    val incoming = spark.read.parquet(s"$dir/i")
+    val want = (0 until 200).map(i => 2000L + i).toSet
+
+    def run(fpp: Double) = Dedup.incrementalNew(history, incoming, 400L, fpp)
+    val got = run(0.01)
+    assert(got.collect().map(_.getLong(0)).toSet == want)
+    // exactness must not depend on the sketch: a near-useless filter
+    // (fpp 0.9 → nearly everything positive) still yields the same set,
+    // because the verification joins are what decide
+    assert(run(0.9).collect().map(_.getLong(0)).toSet == want)
+
+    // scale shape: both history-side joins broadcast — no shuffled join
+    // anywhere, and the bloom test shows up as the codegen predicate
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"), plan)
+    assert(plan.contains("might_contain"), plan)
+
+    // empty history → everything incoming is new (null sketch path)
+    assert(Dedup.incrementalNew(history.filter(col("doc_id") < 0), incoming, 400L)
+      .count() == 300L)
+  }
+
   test("ngram jaccard: identical docs get 1.0, disjoint get filtered") {
     import spark.implicits._
     val docs = Seq(
