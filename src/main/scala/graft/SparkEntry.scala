@@ -1322,6 +1322,30 @@ object SparkEntry {
         .select(col("doc_id"), col("n_chars"))
         .orderBy(col("doc_id"))
     }),
+    "q95_stream_incremental" -> ((s, dir) => {
+      // streaming twin of q94 (DocsStream.newFingerprints): same bloom
+      // prefilter + exact verification, arriving as a file stream with
+      // watermarked in-stream dedup. WHICH copy survives a micro-batch is
+      // nondeterministic but the distinct new-fingerprint SET is not, so
+      // the gate checks set equality with the batch path in ONE
+      // tagged-union shuffle (bit 1 = batch, bit 2 = streamed; every fp
+      // must carry both bits). Constant oracle → hash check (q48 pattern)
+      val docs = T(s, dir, "documents")
+      val history = docs.filter(col("doc_id") % 3 === 0)
+      val name = s"inc_dedup_${streamCounter.incrementAndGet()}"
+      val streamed = graft.streaming.DocsStream.newFingerprints(
+        s, s"$dir/documents.parquet", history, 1L << 20, 0.01, name,
+        where = col("doc_id") % 3 =!= 0)
+      val batch = Dedup
+        .incrementalNew(history, docs.filter(col("doc_id") % 3 =!= 0), 1L << 20)
+        .select(Dedup.textFp.as("fp")).distinct()
+      batch.select(col("fp"), lit(1L).as("t"))
+        .unionByName(streamed.select(col("fp"), lit(2L).as("t")))
+        .groupBy(col("fp")).agg(bit_or(col("t")).as("m"))
+        .agg((count(lit(1)) > 0 && min(col("m")) === 3 && max(col("m")) === 3)
+          .cast("long").as("set_ok"),
+          (count(lit(1)) > 0).cast("long").as("nonempty_ok"))
+    }),
   )
 
   // ---- generated oracles for the portable-hash signature pipelines ------
@@ -1552,6 +1576,10 @@ object SparkEntry {
           |  AND NOT EXISTS (SELECT 1 FROM documents h
           |                  WHERE h.doc_id % 3 = 0 AND h.text = d.text)
           |ORDER BY d.doc_id""".stripMargin,
+      // q95: streamed-vs-batch incremental-dedup set equality as
+      // invariants (constant oracle — the q48 pattern)
+      "q95_stream_incremental" ->
+        "SELECT CAST(1 AS BIGINT) AS set_ok, CAST(1 AS BIGINT) AS nonempty_ok",
       // q91: exact kNN over the post-mutation logical set (inserts are
       // the full table again; deletes are vec_id % 7 == 3)
       "q91_ann_mutation_gate" ->

@@ -167,30 +167,53 @@ object Dedup {
     *
     * Output: the incoming rows that are new, original schema.
     */
-  def incrementalNew(history: DataFrame, incoming: DataFrame,
-                     expectedHistoryDocs: Long, fpp: Double = 0.01): DataFrame = {
+  /** The text-digest column every incremental-dedup path fingerprints on
+    * (LongType — `BloomFilterAggregate`'s input type; collision odds
+    * 2^-64, same contract as `exact`'s md5 grouping).
+    */
+  def textFp: Column = xxhash64(col("text"))
+
+  /** Distributed Bloom-sketch build over `history`'s text digests +
+    * membership predicate over a `fp` column: partial filter per
+    * partition, OR-merged (Catalyst's `BloomFilterAggregate`, the runtime
+    * join-filter machinery); only the merged bitmap reaches the driver,
+    * embedded as a plan literal read by the codegen
+    * `BloomFilterMightContain` predicate. None ⇔ empty history. Shared by
+    * the batch (`incrementalNew`) and streaming
+    * (`DocsStream.newFingerprints`) ingest paths so their pruning can
+    * never diverge.
+    */
+  private[graft] def historyBloomPredicate(history: DataFrame, expectedHistoryDocs: Long,
+                                           fpp: Double): Option[Column] = {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graft.ColumnShim
-    val fp = xxhash64(col("text"))
     val nItems = math.max(expectedHistoryDocs, 1L)
     val numBits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(nItems, fpp)
     val bloomAgg = ColumnShim.column(new BloomFilterAggregate(
-      ColumnShim.expression(fp), Literal(nItems), Literal(numBits)).toAggregateExpression())
-    val bloomBin = history.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]]("bf")
+      ColumnShim.expression(textFp), Literal(nItems), Literal(numBits)).toAggregateExpression())
     // the aggregate yields NULL over zero rows — an empty history means
     // everything incoming is new
-    if (bloomBin == null) return incoming
-    val mightContain = ColumnShim.column(BloomFilterMightContain(
-      Literal.create(bloomBin, org.apache.spark.sql.types.BinaryType),
-      ColumnShim.expression(col("fp"))))
-    val positives = incoming.select(fp.as("fp")).filter(mightContain).distinct()
-    val confirmed = history.select(fp.as("fp"))
-      .join(broadcast(positives), Seq("fp"), "left_semi").distinct()
-    incoming.withColumn("fp", fp)
-      .join(broadcast(confirmed), Seq("fp"), "left_anti")
-      .drop("fp")
+    Option(history.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]]("bf")).map { bin =>
+      ColumnShim.column(BloomFilterMightContain(
+        Literal.create(bin, org.apache.spark.sql.types.BinaryType),
+        ColumnShim.expression(col("fp"))))
+    }
   }
+
+  def incrementalNew(history: DataFrame, incoming: DataFrame,
+                     expectedHistoryDocs: Long, fpp: Double = 0.01): DataFrame =
+    historyBloomPredicate(history, expectedHistoryDocs, fpp) match {
+      case None => incoming
+      case Some(mightContain) =>
+        val fp = textFp
+        val positives = incoming.select(fp.as("fp")).filter(mightContain).distinct()
+        val confirmed = history.select(fp.as("fp"))
+          .join(broadcast(positives), Seq("fp"), "left_semi").distinct()
+        incoming.withColumn("fp", fp)
+          .join(broadcast(confirmed), Seq("fp"), "left_anti")
+          .drop("fp")
+    }
 
   /** Word n-gram shingles, lowercase, as distinct STRINGS per doc — the
     * readable reference form of `shingleHashes` (which the hot paths use);

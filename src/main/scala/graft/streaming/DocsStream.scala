@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.streaming.Trigger
@@ -38,6 +38,61 @@ object DocsStream {
       .option("pathGlobFilter", glob)
       .parquet(dir)
       .select(md5(col("text")).as("fp"))
+      .withColumn("ts", current_timestamp())
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("fp")
+      .select("fp")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
+  /** Streaming incremental ingest — the continuous counterpart of
+    * `Dedup.incrementalNew` and the daily-ingest shape at 100 TB: docs
+    * arrive as files, and only those absent from the static `history`
+    * corpus survive. Per micro-batch:
+    *
+    *   - fingerprint (xxhash64, `Dedup.textFp` — same digest as batch);
+    *   - the history Bloom predicate (shared build,
+    *     `Dedup.historyBloomPredicate`) splits the batch: negatives are
+    *     DEFINITELY new (no false negatives) and bypass the join
+    *     entirely — at 1% fpp that is ~99% of genuinely-new rows;
+    *   - the positive slice alone takes the exact stream-static
+    *     anti-join against the (broadcast) history digest frame;
+    *   - union, then watermarked stateful dedup keeps first-seen
+    *     fingerprints within the stream itself.
+    *
+    * Emits the distinct NEW-fingerprint set — deterministic (set
+    * equality with the batch path is q95's driver gate) even though
+    * which copy survives a micro-batch is not. History-side cost per
+    * batch is the broadcast digest build, done once and reused by Spark's
+    * reuse-exchange; the per-row hot path is the codegen bloom test.
+    */
+  def newFingerprints(spark: SparkSession, path: String, history: DataFrame,
+                      expectedHistoryDocs: Long, fpp: Double, queryName: String,
+                      where: Column = lit(true)): DataFrame = {
+    import graft.operators.Dedup
+    val f = new java.io.File(path)
+    val (dir, glob) = if (f.isFile) (f.getParent, f.getName) else (path, "*")
+    val fps = spark.readStream
+      .schema(docsSchema)
+      .option("pathGlobFilter", glob)
+      .parquet(dir)
+      .filter(where)
+      .select(Dedup.textFp.as("fp"))
+    val newFps = Dedup.historyBloomPredicate(history, expectedHistoryDocs, fpp) match {
+      case None => fps
+      case Some(mightContain) =>
+        val histFps = broadcast(history.select(Dedup.textFp.as("fp")).distinct())
+        fps.filter(!mightContain)
+          .unionByName(fps.filter(mightContain).join(histFps, Seq("fp"), "left_anti"))
+    }
+    val q = newFps
       .withColumn("ts", current_timestamp())
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("fp")

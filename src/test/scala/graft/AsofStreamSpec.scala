@@ -265,4 +265,36 @@ class AsofStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
     assert(gotSet == expect)
   }
+
+  test("streaming incremental dedup: streamed new-fp set equals batch incrementalNew") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    import graft.streaming.DocsStream
+    val dir = graft.TempDirs.create("graft_incstream_")
+    val history = (0 until 50).map(i => (i.toLong, s"hist doc $i")).toDF("doc_id", "text")
+    // two incoming files: cross-boundary dups of history, in-stream dups
+    // across files, and genuinely fresh docs
+    ((0 until 20).map(i => (100L + i, s"hist doc $i")) ++
+      (0 until 30).map(i => (200L + i, s"new doc $i")))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$dir/in")
+    ((0 until 10).map(i => (300L + i, s"new doc $i")) ++
+      (0 until 15).map(i => (400L + i, s"fresh doc $i")))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(s"$dir/in")
+
+    val streamed = DocsStream.newFingerprints(
+        spark, s"$dir/in", history, 50L, 0.01, "inc_fp_spec")
+      .collect().map(_.getLong(0)).toSet
+    val batchFps = Dedup
+      .incrementalNew(history, spark.read.parquet(s"$dir/in"), 50L)
+      .select(Dedup.textFp.as("fp")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(streamed == batchFps)
+    assert(streamed.size == 45) // 30 "new" + 15 "fresh"; 20 hist dups gone
+
+    // empty history → every distinct incoming fingerprint is new
+    val all = DocsStream.newFingerprints(
+        spark, s"$dir/in", history.filter(col("doc_id") < 0), 50L, 0.01, "inc_fp_spec2")
+      .collect().map(_.getLong(0)).toSet
+    assert(all.size == 65)
+  }
 }
