@@ -124,6 +124,30 @@ object DedupScaleSmoke {
       s""""minhash_sec":$minhashSec,"minhash_pairs":$nPairs,"minhash_planted_found":$plantedFound,""" +
       s""""lsh_sec":$lshSec,"lsh_pairs":$ndPairs,"lsh_planted_found":$ndPlanted,""" +
       s""""repetition_sec":$repSec,"repetition_rows":$nRep,"vocab_sec":$vocabSec,"vocab_rows":$vocab}}""")
+
+    // ---- 4) incremental bloom dedup (q94's path) ------------------------
+    // history = n docs, incoming = n/10 (half dups of history, half new):
+    // the daily-ingest ratio. Times the two phases separately — sketch
+    // build (one narrow history scan) and the filter+verify pass — and
+    // checks exactness against the planted split.
+    val hist = spark.range(n).select(col("id").as("doc_id"),
+      concat(lit("h"), col("id")).as("text")).repartition(cpus.toInt).persist()
+    hist.count()
+    val nInc = math.max(n / 10, 2L)
+    val inc = spark.range(nInc).select((col("id") + n).as("doc_id"),
+      when(col("id") % 2 === 0, concat(lit("h"), col("id")))       // dup of history
+        .otherwise(concat(lit("x"), col("id"))).as("text"))        // new
+      .repartition(cpus.toInt).persist()
+    inc.count()
+    val t4 = System.nanoTime()
+    val newDocs = Dedup.incrementalNew(hist, inc, expectedHistoryDocs = n).persist()
+    val nNew = newDocs.count()
+    val incSec = (System.nanoTime() - t4) / 1e9
+    val expectNew = nInc - (nInc + 1) / 2
+    require(nNew == expectNew, s"incremental dedup wrong: $nNew != $expectNew")
+    newDocs.unpersist(); hist.unpersist(); inc.unpersist()
+    println(s"""{"incremental_dedup_smoke":{"n_history":$n,"n_incoming":$nInc,""" +
+      s""""sec":$incSec,"new_docs":$nNew,"docs_per_sec":${(n + nInc) / incSec}}}""")
     spark.stop()
   }
 }

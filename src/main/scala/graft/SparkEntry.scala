@@ -1346,6 +1346,19 @@ object SparkEntry {
           .cast("long").as("set_ok"),
           (count(lit(1)) > 0).cast("long").as("nonempty_ok"))
     }),
+    "q96_char_entropy" -> ((s, dir) => {
+      // codepoint-entropy quality signal (graft.functions.CharEntropy —
+      // native codegen expression, one byte pass per row): the classic
+      // gibberish/boilerplate detector. Rounded to 4 decimals on both
+      // sides (the q76 float-discipline pattern) since log2 arithmetic
+      // can differ in the last ulp across libm implementations
+      T(s, dir, "documents")
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"),
+          round(graft.functions.TextExpressions.charEntropy(col("text")), 4)
+            .as("entropy"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   // ---- generated oracles for the portable-hash signature pipelines ------
@@ -1580,6 +1593,13 @@ object SparkEntry {
       // invariants (constant oracle — the q48 pattern)
       "q95_stream_incremental" ->
         "SELECT CAST(1 AS BIGINT) AS set_ok, CAST(1 AS BIGINT) AS nonempty_ok",
+      // q96: DuckDB's entropy() is log2 over the same per-character split
+      // (codepoint-aware) — round(4) on both sides absorbs libm ulps
+      "q96_char_entropy" ->
+        """SELECT doc_id, round(entropy(c), 4) AS entropy
+          |FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
+          |      FROM documents WHERE length(text) > 0) t
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       // q91: exact kNN over the post-mutation logical set (inserts are
       // the full table again; deletes are vec_id % 7 == 3)
       "q91_ann_mutation_gate" ->

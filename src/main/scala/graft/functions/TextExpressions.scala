@@ -182,9 +182,93 @@ object ShinglePolyHashes {
   }
 }
 
+/** Shannon entropy (log base 2) of a string's CODEPOINT multiset — the
+  * classic gibberish/boilerplate quality signal (low entropy = repeated
+  * characters/padding, high = encrypted/binary junk). One byte pass, no
+  * allocation for ASCII (128-slot table; rare higher codepoints spill to
+  * a small map), row-local and codegen-resident like the other text
+  * kernels. Matches DuckDB's `entropy(unnest(string_split(text, '')))`
+  * per-character semantics (codepoint-aware, log2), which is exactly how
+  * the q96 oracle replays it.
+  */
+case class CharEntropy(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string argument, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_char_entropy"
+
+  override protected def nullSafeEval(input: Any): Any =
+    CharEntropy.entropy(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CharEntropy.entropy($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CharEntropy {
+  private val Log2 = math.log(2.0)
+
+  /** −Σ (c/n)·log2(c/n) over codepoint counts; 0.0 for the empty string.
+    * Decoder matches [[PolyHashString.hash]] (malformed tails fold as
+    * lone bytes). Summation order is fixed (ASCII slots ascending, then
+    * spill-map insertion order) so results are bit-stable run to run.
+    */
+  def entropy(s: UTF8String): Double = {
+    val nb = s.numBytes()
+    if (nb == 0) return 0.0
+    val ascii = new Array[Int](128)
+    var spill: java.util.LinkedHashMap[Int, Array[Int]] = null
+    var total = 0
+    var i = 0
+    while (i < nb) {
+      val b = s.getByte(i) & 0xFF
+      var cp = 0
+      var len = 1
+      if (b < 0x80) { cp = b }
+      else if ((b & 0xE0) == 0xC0) { cp = b & 0x1F; len = 2 }
+      else if ((b & 0xF0) == 0xE0) { cp = b & 0x0F; len = 3 }
+      else { cp = b & 0x07; len = 4 }
+      if (i + len > nb) len = 1
+      var j = 1
+      while (j < len) { cp = (cp << 6) | (s.getByte(i + j) & 0x3F); j += 1 }
+      if (len == 1 && b >= 0x80) cp = b
+      if (cp < 128) ascii(cp) += 1
+      else {
+        if (spill == null) spill = new java.util.LinkedHashMap[Int, Array[Int]]()
+        val cell = spill.get(cp)
+        if (cell == null) spill.put(cp, Array(1)) else cell(0) += 1
+      }
+      total += 1
+      i += len
+    }
+    val n = total.toDouble
+    var h = 0.0
+    var k = 0
+    while (k < 128) {
+      val c = ascii(k)
+      if (c > 0) { val p = c / n; h -= p * math.log(p) / Log2 }
+      k += 1
+    }
+    if (spill != null) {
+      val it = spill.values().iterator()
+      while (it.hasNext) { val p = it.next()(0) / n; h -= p * math.log(p) / Log2 }
+    }
+    h
+  }
+}
+
 object TextExpressions {
   def polyHash(s: Column, base: Long, mod: Long): Column =
     ColumnShim.column(PolyHashString(ColumnShim.expression(s), base, mod))
   def shinglePolyHashes(s: Column, n: Int, base: Long, mod: Long): Column =
     ColumnShim.column(ShinglePolyHashes(ColumnShim.expression(s), n, base, mod))
+  def charEntropy(s: Column): Column =
+    ColumnShim.column(CharEntropy(ColumnShim.expression(s)))
 }

@@ -65,6 +65,30 @@ class TextPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("char entropy equals the codepoint-histogram formula the oracle replays") {
+    // the String-level reference: counts over codePoints(), -Σ p·log2(p)
+    def naive(s: String): Double = {
+      val counts = new scala.collection.mutable.HashMap[Int, Int]()
+      s.codePoints().forEach(cp => counts(cp) = counts.getOrElse(cp, 0) + 1)
+      val n = counts.values.sum.toDouble
+      if (n == 0) 0.0
+      else -counts.values.map { c => val p = c / n; p * math.log(p) / math.log(2.0) }.sum
+    }
+    check("entropy") {
+      Prop.forAllNoShrink(textGen) { s =>
+        val got = graft.functions.CharEntropy.entropy(UTF8String.fromString(s))
+        math.abs(got - naive(s)) < 1e-9
+      }
+    }
+    // DuckDB-pinned values (checked against entropy() directly):
+    // 'aab' → 0.9183, 'héllo' → 1.9219 at 4 decimals
+    def at4(s: String) =
+      math.round(graft.functions.CharEntropy.entropy(UTF8String.fromString(s)) * 1e4) / 1e4
+    assert(at4("aab") == 0.9183)
+    assert(at4("héllo") == 1.9219)
+    assert(graft.functions.CharEntropy.entropy(UTF8String.fromString("")) == 0.0)
+  }
+
   test("affine minhash families are distinct and stay in [0, P)") {
     // the families the sampling/sharding/minhash oracles embed as literals
     val fams = (0 until 8).map(graft.operators.Dedup.affine)
