@@ -10,12 +10,19 @@ import graft.operators._
   * absolute speed: candidate generation must stay ~linear (banded joins),
   * and recall of true near-dups must stay high.
   *
-  *   sbt "runMain graft.DedupScaleSmoke 1000000 1000"   # nDocs, nPlanted
+  *   sbt "runMain graft.DedupScaleSmoke 1000000 1000"       # nDocs, nPlanted
+  *   sbt "runMain graft.DedupScaleSmoke 10000000 1000 inc"  # one stage only
+  *
+  * Optional third arg selects a stage subset (comma-separated from
+  * minhash,lsh,text,inc) — the big-n stages each shuffle tens of GB, and
+  * rerunning all of them to refresh one datapoint is how a /tmp fills up.
   */
 object DedupScaleSmoke {
   def main(args: Array[String]): Unit = {
     val n = if (args.length > 0) args(0).toLong else 1000000L
     val planted = if (args.length > 1) args(1).toLong else 1000L
+    val stages: Set[String] = if (args.length > 2) args(2).split(",").map(_.trim).toSet
+      else Set("minhash", "lsh", "text", "inc")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .config("spark.sql.session.timeZone", "UTC")
@@ -38,6 +45,7 @@ object DedupScaleSmoke {
       transform(sequence(lit(0), lit(29)), j =>
         concat(lit("w"), pmod(xxhash64(baseId * 31 + j,
           when(isCopy && j === 29, lit(1L)).otherwise(lit(0L))), lit(50000L)))))
+    if (stages("minhash")) {
     val docs = spark.range(n).select(col("id").as("doc_id"), textCol.as("text"))
       .repartition(cpus.toInt).persist()
     docs.count()
@@ -69,7 +77,9 @@ object DedupScaleSmoke {
     comps.unpersist(); pairs.unpersist(); docs.unpersist()
     println(s"""{"dedup_scale_minhash":{"n_docs":$n,"sec":$minhashSec,"pairs":$nPairs,"planted_found":$plantedFound,""" +
       s""""cc_sec":$ccSec,"cc_nodes":$ccNodes,"cc_components":$ccComponents,"cc_planted_clustered":$ccPlanted}}""")
+    }
 
+    if (stages("lsh")) {
     // ---- 2) embedding hyperplane-LSH near-dup ---------------------------
     // zero-mean random vectors (cos ≈ 0 between random pairs, so band
     // collisions are rare and candidates stay ~linear — any common mean
@@ -100,7 +110,12 @@ object DedupScaleSmoke {
     val ndPlanted = nd
       .filter(col("id_b") === col("id_a") + half && col("id_a") < planted)
       .count()
+    nd.unpersist(); emb.unpersist()
+    println(s"""{"dedup_scale_lsh":{"n_docs":$n,"lsh_sec":$lshSec,""" +
+      s""""lsh_pairs":$ndPairs,"lsh_planted_found":$ndPlanted}}""")
+    }
 
+    if (stages("text")) {
     // ---- 3) linear text-analysis throughput (repetition + vocab) --------
     // regenerate the doc frame (released after stage 1) and time the two
     // corpus-level text aggregations — both must stay map-side-combinable
@@ -119,12 +134,11 @@ object DedupScaleSmoke {
       .orderBy(col("n_occurrences").desc, col("tok")).limit(100).count()
     val vocabSec = (System.nanoTime() - t3) / 1e9
     docs2.unpersist()
-
-    println(s"""{"dedup_scale_smoke":{"n_docs":$n,"planted":$planted,""" +
-      s""""minhash_sec":$minhashSec,"minhash_pairs":$nPairs,"minhash_planted_found":$plantedFound,""" +
-      s""""lsh_sec":$lshSec,"lsh_pairs":$ndPairs,"lsh_planted_found":$ndPlanted,""" +
+    println(s"""{"dedup_scale_text":{"n_docs":$n,""" +
       s""""repetition_sec":$repSec,"repetition_rows":$nRep,"vocab_sec":$vocabSec,"vocab_rows":$vocab}}""")
+    }
 
+    if (stages("inc")) {
     // ---- 4) incremental bloom dedup (q94's path) ------------------------
     // history = n docs, incoming = n/10 (half dups of history, half new):
     // the daily-ingest ratio. Times the two phases separately — sketch
@@ -148,6 +162,7 @@ object DedupScaleSmoke {
     newDocs.unpersist(); hist.unpersist(); inc.unpersist()
     println(s"""{"incremental_dedup_smoke":{"n_history":$n,"n_incoming":$nInc,""" +
       s""""sec":$incSec,"new_docs":$nNew,"docs_per_sec":${(n + nInc) / incSec}}}""")
+    }
     spark.stop()
   }
 }

@@ -71,6 +71,28 @@ object ScaleSmoke {
     val nres = approx.count()
     val querySec = (System.nanoTime() - t1) / 1e9
 
+    // opt-in fastscan A/B ("fs" arg): same batch through the LUT
+    // estimator — end-to-end check that KernelBench's raw-kernel ratio
+    // survives the Catalyst pipeline (ArrayData accessors, join overhead)
+    if (args.contains("fs")) {
+      // both paths re-timed warm (the cold pass above JIT-compiled the
+      // shared pipeline) so neither rides the other's warmup
+      def timeOnce(fastscan: Boolean): Double = {
+        val t = System.nanoTime()
+        val r = RabitqQuery.topK(spark, model, indexP, base, queries,
+          nprobe = nprobe, topk = 10, rerank = rerank,
+          largeBatch = nQueries > 1000, fastscan = fastscan).count()
+        require(r == nres, s"fastscan=$fastscan row count $r != $nres")
+        (System.nanoTime() - t) / 1e9
+      }
+      val lutSec = timeOnce(fastscan = true)
+      val planesSec = timeOnce(fastscan = false)
+      val lutSec2 = timeOnce(fastscan = true)
+      println(s"""{"fastscan_ab":{"n":$n,"dim":$dim,"planes_warm_sec":$planesSec,""" +
+        s""""lut_warm_sec":${math.min(lutSec, lutSec2)},""" +
+        s""""planes_over_lut":${planesSec / math.min(lutSec, lutSec2)}}}""")
+    }
+
     // the quadratic exact truth is computed ONCE (persisted) and shared by
     // the recall gate and the opt-in A/B branch below — both sit behind
     // the same nQueries <= 1000 gate, so a second full O(n·nQueries) pass
