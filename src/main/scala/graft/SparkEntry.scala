@@ -73,6 +73,20 @@ object SparkEntry {
   private def annQueries(s: SparkSession, dir: String, n: Int = 10): DataFrame =
     ExactKnn.queriesFromEmbeddings(T(s, dir, "embeddings"), n)
 
+  // label-carrying index (q97): metadata rides IN the index rows — the
+  // standard filtered-vector-search layout, so a metadata predicate is a
+  // plain pushable filter on the index scan instead of a query-time join
+  // against the base table. One build-time join, cached like annIndex;
+  // on the disk layout the label column persists into the partitioned
+  // parquet and the predicate reaches PushedFilters.
+  private def annIndexLabeled(s: SparkSession, dir: String): (RabitqModel, DataFrame) =
+    idxCache.getOrElseUpdate("lab:" + dir, {
+      val (model, index) = annIndex(s, dir)
+      val labeled = index
+        .join(T(s, dir, "embeddings").select(col("vec_id"), col("label")), Seq("vec_id"))
+      (model, labeled.persist())
+    })
+
   // mutated index (q91): frozen model from an 80% build, the remaining 20%
   // inserted via appendVectors, vec_id % 7 == 3 deleted — cached like
   // annIndex so warm passes time the query path, not the k-means rebuild
@@ -1346,6 +1360,24 @@ object SparkEntry {
           .cast("long").as("set_ok"),
           (count(lit(1)) > 0).cast("long").as("nonempty_ok"))
     }),
+    "q97_ann_filtered" -> ((s, dir) => {
+      // FILTERED vector search (beyond the reference — it has no metadata
+      // at all): a label predicate composed into the ANN pipeline as a
+      // pre-filter on the label-carrying index (annIndexLabeled), the
+      // layout real systems use so selective predicates prune the
+      // candidate scan instead of post-filtering with over-fetch (which
+      // loses recall) or joining base at query time (which shuffles).
+      // Full probe + full rerank over the filtered index must hash-match
+      // brute-force kNN over the filtered base — exactness regardless of
+      // how selective the predicate is
+      val (model, index) = annIndexLabeled(s, dir)
+      val pred = col("label") % 4 === 1
+      RabitqQuery.topK(s, model, index.filter(pred),
+        T(s, dir, "embeddings").filter(pred), annQueries(s, dir),
+        nprobe = NumClusters, topk = 10, rerank = fullRerank(s, dir))
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "q96_char_entropy" -> ((s, dir) => {
       // codepoint-entropy quality signal (graft.functions.CharEntropy —
       // native codegen expression, one byte pass per row): the classic
@@ -1593,6 +1625,15 @@ object SparkEntry {
       // invariants (constant oracle — the q48 pattern)
       "q95_stream_incremental" ->
         "SELECT CAST(1 AS BIGINT) AS set_ok, CAST(1 AS BIGINT) AS nonempty_ok",
+      // q97: filtered search is exact at full probe — the filtered-base
+      // kNN oracle (queries stay unfiltered; the corpus is filtered)
+      "q97_ann_filtered" ->
+        """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 10),
+          |b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS be FROM embeddings WHERE label % 4 = 1),
+          |d AS (SELECT q.query_id, b.vec_id AS neighbor_id,
+          |        row_number() OVER (PARTITION BY q.query_id ORDER BY list_distance(q.qe, b.be), b.vec_id) AS rank
+          |      FROM q CROSS JOIN b)
+          |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM d WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
       // q96: DuckDB's entropy() is log2 over the same per-character split
       // (codepoint-aware) — round(4) on both sides absorbs libm ulps
       "q96_char_entropy" ->
