@@ -387,6 +387,36 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(parts.length == 8)
   }
 
+  test("filtered ANN (q97): label predicate pushes to the saved index scan and " +
+      "composes with partition pruning; filtered search equals filtered brute force") {
+    val (model, index) = RabitqIndex.build(spark, emb, numClusters = 8, seed = 42L)
+    // the q97 layout: metadata rides in the index rows, so it persists
+    // into the cluster_id-partitioned parquet
+    val labeled = index.join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+    val dir = java.nio.file.Files.createTempDirectory("rabitq_filt").toString
+    RabitqIndex.save(spark, model, labeled, dir)
+    val scan = spark.read.parquet(s"$dir/index")
+      .filter(col("label") % 4 === 1 && col("cluster_id") === 3)
+    val plan = scan.queryExecution.executedPlan.toString
+    // data filter reaches PushedFilters, cluster predicate stays a
+    // partition filter — predicate AND layout pruning compose
+    assert(plan.contains("PushedFilters") && plan.contains("label"), plan.take(3000))
+    assert(plan.contains("PartitionFilters: [") && plan.contains("cluster_id"), plan.take(3000))
+
+    // exactness through the filtered path on the LOADED index — the label
+    // column came back from the parquet, no re-join
+    val (m2, idx2) = RabitqIndex.load(spark, dir)
+    val pred = col("label") % 4 === 1
+    val q = ExactKnn.queriesFromEmbeddings(emb, 5)
+    val n = emb.count().toInt
+    val got = RabitqQuery.topK(spark, m2, idx2.filter(pred), emb.filter(pred), q,
+        nprobe = 8, topk = 5, rerank = n)
+      .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+    val want = ExactKnn.l2TopK(emb.filter(pred), q, 5)
+      .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("index parquet scan with cluster filter prunes partitions") {
     val (model, index) = RabitqIndex.build(spark, emb, numClusters = 8, seed = 1L)
     val dir = java.nio.file.Files.createTempDirectory("rabitq_prune").toString
