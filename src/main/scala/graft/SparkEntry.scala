@@ -1378,6 +1378,22 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    "q98_rag_retrieve" -> ((s, dir) => {
+      // end-to-end retrieval (the RAG shape): ANN top-k over the vector
+      // index, then hydrate each hit with its document row — documents
+      // (the big side at scale) joins the broadcast k·|queries| hit set,
+      // so the corpus never shuffles. Full probe ⇒ exact, so the oracle
+      // replays kNN + join in SQL; doc_id ↔ vec_id is the fixtures' 1:1
+      // correspondence
+      val (model, index) = annIndex(s, dir)
+      val hits = RabitqQuery.topK(s, model, index, T(s, dir, "embeddings"),
+        annQueries(s, dir), nprobe = NumClusters, topk = 5,
+        rerank = fullRerank(s, dir))
+      T(s, dir, "documents")
+        .join(broadcast(hits), col("doc_id") === col("neighbor_id"))
+        .select(col("query_id"), col("rank"), col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "q96_char_entropy" -> ((s, dir) => {
       // codepoint-entropy quality signal (graft.functions.CharEntropy —
       // native codegen expression, one byte pass per row): the classic
@@ -1634,6 +1650,17 @@ object SparkEntry {
           |        row_number() OVER (PARTITION BY q.query_id ORDER BY list_distance(q.qe, b.be), b.vec_id) AS rank
           |      FROM q CROSS JOIN b)
           |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM d WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+      // q98: retrieval = exact kNN (full probe) + metadata join, replayed
+      // verbatim in SQL
+      "q98_rag_retrieve" ->
+        """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 10),
+          |b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS be FROM embeddings),
+          |d AS (SELECT q.query_id, b.vec_id AS neighbor_id,
+          |        row_number() OVER (PARTITION BY q.query_id ORDER BY list_distance(q.qe, b.be), b.vec_id) AS rank
+          |      FROM q CROSS JOIN b)
+          |SELECT d.query_id, CAST(d.rank AS BIGINT) AS rank, doc.doc_id, doc.lang, doc.n_chars
+          |FROM d JOIN documents doc ON doc.doc_id = d.neighbor_id
+          |WHERE d.rank <= 5 ORDER BY d.query_id, d.rank""".stripMargin,
       // q96: DuckDB's entropy() is log2 over the same per-character split
       // (codepoint-aware) — round(4) on both sides absorbs libm ulps
       "q96_char_entropy" ->
