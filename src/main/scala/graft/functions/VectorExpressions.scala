@@ -287,7 +287,8 @@ object VectorExpressions {
     ColumnShim.column(AsymDotLutF32(ColumnShim.expression(code), ColumnShim.expression(lut)))
 
   /** Register as SQL functions (graft_l2sq, graft_cosine, graft_asymdot,
-    * graft_buildlut, graft_asymdot_lut, graft_polyhash).
+    * graft_buildlut, graft_asymdot_lut, graft_char_entropy,
+    * graft_polyhash).
     */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -296,6 +297,8 @@ object VectorExpressions {
     reg.createOrReplaceTempFunction("graft_asymdot", es => AsymDotF32(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_buildlut", es => BuildLutF32(es(0)), "built-in")
     reg.createOrReplaceTempFunction("graft_asymdot_lut", es => AsymDotLutF32(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction("graft_char_entropy",
+      es => CharEntropy(es.head), "built-in")
     reg.createOrReplaceTempFunction("graft_polyhash", es => {
       require(es.length == 1,
         s"graft_polyhash takes exactly 1 argument (base/mod are fixed at 131/1e9+7), got ${es.length}")
