@@ -183,8 +183,8 @@ object Dedup {
     * (`DocsStream.newFingerprints`) ingest paths so their pruning can
     * never diverge.
     */
-  private[graft] def historyBloomPredicate(history: DataFrame, expectedHistoryDocs: Long,
-                                           fpp: Double): Option[Column] = {
+  def historyBloomPredicate(history: DataFrame, expectedHistoryDocs: Long,
+                            fpp: Double): Option[Column] = {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graft.ColumnShim
@@ -203,7 +203,18 @@ object Dedup {
 
   def incrementalNew(history: DataFrame, incoming: DataFrame,
                      expectedHistoryDocs: Long, fpp: Double = 0.01): DataFrame =
-    historyBloomPredicate(history, expectedHistoryDocs, fpp) match {
+    incrementalNew(history, incoming,
+      historyBloomPredicate(history, expectedHistoryDocs, fpp))
+
+  /** Variant taking a prebuilt bloom predicate (from
+    * [[historyBloomPredicate]]) so a caller running several incremental
+    * passes against the same history — or pairing the batch path with
+    * its streaming twin, as the q95 gate does — pays the sketch build
+    * once instead of once per consumer.
+    */
+  def incrementalNew(history: DataFrame, incoming: DataFrame,
+                     bloom: Option[Column]): DataFrame =
+    bloom match {
       case None => incoming
       case Some(mightContain) =>
         val fp = textFp

@@ -75,7 +75,8 @@ object DocsStream {
     */
   def newFingerprints(spark: SparkSession, path: String, history: DataFrame,
                       expectedHistoryDocs: Long, fpp: Double, queryName: String,
-                      where: Column = lit(true)): DataFrame = {
+                      where: Column = lit(true),
+                      bloom: Option[Option[Column]] = None): DataFrame = {
     import graft.operators.Dedup
     val f = new java.io.File(path)
     val (dir, glob) = if (f.isFile) (f.getParent, f.getName) else (path, "*")
@@ -85,7 +86,11 @@ object DocsStream {
       .parquet(dir)
       .filter(where)
       .select(Dedup.textFp.as("fp"))
-    val newFps = Dedup.historyBloomPredicate(history, expectedHistoryDocs, fpp) match {
+    // `bloom` lets a caller pass Some(prebuilt predicate-or-None) so the
+    // sketch isn't rebuilt per consumer (the q95 gate shares it with the
+    // batch leg); the outer None means "build it here"
+    val newFps = bloom.getOrElse(
+        Dedup.historyBloomPredicate(history, expectedHistoryDocs, fpp)) match {
       case None => fps
       case Some(mightContain) =>
         val histFps = broadcast(history.select(Dedup.textFp.as("fp")).distinct())
