@@ -816,7 +816,7 @@ object SparkEntry {
       val disk = RabitqQuery.topKFromDisk(s, diskIndex(s, dir), base, qs,
         nprobe = 8, topk = 10, rerank = 100).select("query_id", "neighbor_id", "rank")
       val truth = ExactKnn.l2TopK(base, qs, 10)
-      val consistent = mem.exceptAll(disk).unionAll(disk.exceptAll(mem))
+      val consistent = mem.exceptAll(disk).union(disk.exceptAll(mem))
         .agg(count(lit(1)).as("n_diff"))
         .select((col("n_diff") === 0).cast("long").as("paths_consistent"))
       val recallOk = ExactKnn.recall(mem, truth, 10)
@@ -1363,7 +1363,7 @@ object SparkEntry {
       val batch = Dedup
         .incrementalNew(history, docs.filter(col("doc_id") % 3 =!= 0),
           historyBloom(s, dir))
-        .select(Dedup.textFp.as("fp")).distinct()
+        .select(Dedup.textFp.as("fp")).filter(col("fp").isNotNull).distinct()
       batch.select(col("fp"), lit(1L).as("t"))
         .unionByName(streamed.select(col("fp"), lit(2L).as("t")))
         .groupBy(col("fp")).agg(bit_or(col("t")).as("m"))

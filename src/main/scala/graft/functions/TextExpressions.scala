@@ -61,8 +61,9 @@ object PolyHashString {
       if (b < 0x80) { cp = b }
       else if ((b & 0xE0) == 0xC0) { cp = b & 0x1F; len = 2 }
       else if ((b & 0xF0) == 0xE0) { cp = b & 0x0F; len = 3 }
-      else { cp = b & 0x07; len = 4 }
-      if (i + len > n) len = 1 // malformed tail: fold the lone byte, stay in bounds
+      else if ((b & 0xF8) == 0xF0) { cp = b & 0x07; len = 4 }
+      else { cp = b } // invalid lead (0x80–0xBF, 0xF8–0xFF): lone raw byte
+      if (i + len > n) { len = 1; cp = b } // truncated tail: lone raw byte
       var j = 1
       while (j < len) { cp = (cp << 6) | (s.getByte(i + j) & 0x3F); j += 1 }
       acc = (acc * base + cp) % mod
@@ -234,11 +235,11 @@ object CharEntropy {
       if (b < 0x80) { cp = b }
       else if ((b & 0xE0) == 0xC0) { cp = b & 0x1F; len = 2 }
       else if ((b & 0xF0) == 0xE0) { cp = b & 0x0F; len = 3 }
-      else { cp = b & 0x07; len = 4 }
-      if (i + len > nb) len = 1
+      else if ((b & 0xF8) == 0xF0) { cp = b & 0x07; len = 4 }
+      else { cp = b } // invalid lead (0x80–0xBF, 0xF8–0xFF): lone raw byte
+      if (i + len > nb) { len = 1; cp = b } // truncated tail: lone raw byte
       var j = 1
       while (j < len) { cp = (cp << 6) | (s.getByte(i + j) & 0x3F); j += 1 }
-      if (len == 1 && b >= 0x80) cp = b
       if (cp < 128) ascii(cp) += 1
       else {
         if (spill == null) spill = new java.util.LinkedHashMap[Int, Array[Int]]()

@@ -193,7 +193,7 @@ object VectorOps {
     * dot becomes ONE pass of byte-indexed adds instead of 4 AND+POPCNT
     * passes. Built once per (query, probe) — dim·32 adds via subset-sum
     * DP — and amortized over every code in the probed cluster; table size
-    * is dim·1024 B (8 KB at dim 64), L1/L2-resident during the scan.
+    * is dim·128 B (8 KB at dim 64), L1/L2-resident during the scan.
     */
   def buildLut(planes: Array[Long]): Array[Int] = {
     val w = planes.length / ThetaLogDim

@@ -160,18 +160,26 @@ object Dedup {
     * Digest equality stands in for text equality as in `exact` (xxhash64
     * here: `BloomFilterAggregate` wants LongType; collision odds 2^-64).
     *
-    * `expectedHistoryDocs` sizes the filter (an upper bound is fine); at
-    * corpora where the bitmap itself outgrows the driver (≥ ~10^10 docs
-    * at 1% fpp) raise fpp — exactness is unaffected, only step 3's
-    * broadcast grows.
+    * `expectedHistoryDocs` sizes the filter (an upper bound is fine);
+    * the build raises Spark's runtime-bloom-filter session caps when the
+    * requested size exceeds them (the defaults clamp silently above ~7M
+    * docs at 1% fpp). At corpora where the bitmap itself outgrows the
+    * driver (≥ ~10^10 docs at 1% fpp) raise fpp — exactness is
+    * unaffected, only step 3's broadcast grows.
     *
     * Output: the incoming rows that are new, original schema.
     */
   /** The text-digest column every incremental-dedup path fingerprints on
     * (LongType — `BloomFilterAggregate`'s input type; collision odds
-    * 2^-64, same contract as `exact`'s md5 grouping).
+    * 2^-64, same contract as `exact`'s md5 grouping). NULL text → NULL
+    * digest (not the seed hash): SQL equality never matches NULLs, so a
+    * null-text incoming row must never count as a duplicate of a
+    * null-text history row — NULL fps fall out of the bloom build
+    * (aggregates skip NULL inputs) and survive every anti-join below
+    * (NULL keys never match), which is exactly the NOT EXISTS semantics
+    * the q94 oracle states.
     */
-  def textFp: Column = xxhash64(col("text"))
+  def textFp: Column = when(col("text").isNotNull, xxhash64(col("text")))
 
   /** Distributed Bloom-sketch build over `history`'s text digests +
     * membership predicate over a `fp` column: partial filter per
@@ -190,6 +198,21 @@ object Dedup {
     import org.apache.spark.sql.graft.ColumnShim
     val nItems = math.max(expectedHistoryDocs, 1L)
     val numBits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(nItems, fpp)
+    // BloomFilterAggregate SILENTLY clamps both arguments to the session's
+    // runtime-join-filter maxima (maxNumItems default 4M, maxNumBits
+    // default 67M bits ≈ 7M items at 1% fpp) — above that the effective
+    // fpp would quietly exceed the requested one and the verification
+    // broadcast would grow. Exactness never depends on fpp, but the
+    // requested size should be honored: raise the session caps to fit.
+    // Safe to leave raised — these confs only bound the sketches Spark
+    // itself injects for runtime join filtering.
+    val conf = history.sparkSession.conf
+    Seq("spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> nItems,
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> numBits).foreach {
+      case (k, needed) =>
+        if (conf.getOption(k).map(_.toLong).getOrElse(0L) < needed)
+          conf.set(k, needed.toString)
+    }
     val bloomAgg = ColumnShim.column(new BloomFilterAggregate(
       ColumnShim.expression(textFp), Literal(nItems), Literal(numBits)).toAggregateExpression())
     // the aggregate yields NULL over zero rows — an empty history means
@@ -217,13 +240,23 @@ object Dedup {
     bloom match {
       case None => incoming
       case Some(mightContain) =>
+        // collision-safe internal key: a caller-supplied `fp` column must
+        // survive untouched in the output, so the join key lives under a
+        // reserved name and is dropped before return. The bloom predicate
+        // tests `fp` by contract — it is applied inside single-column
+        // projections where `fp` can only mean the digest, then renamed.
+        val key = "__graft_fp"
         val fp = textFp
-        val positives = incoming.select(fp.as("fp")).filter(mightContain).distinct()
-        val confirmed = history.select(fp.as("fp"))
-          .join(broadcast(positives), Seq("fp"), "left_semi").distinct()
-        incoming.withColumn("fp", fp)
-          .join(broadcast(confirmed), Seq("fp"), "left_anti")
-          .drop("fp")
+        val positives = incoming.select(fp.as("fp")).filter(mightContain)
+          .select(col("fp").as(key)).distinct()
+        val confirmed = history.select(fp.as(key))
+          .join(broadcast(positives), Seq(key), "left_semi").distinct()
+        // NULL-text rows carry a NULL key: the anti-join can never match
+        // them, so they come out as new — the NOT EXISTS (h.text = d.text)
+        // contract, which never matches NULLs either
+        incoming.withColumn(key, fp)
+          .join(broadcast(confirmed), Seq(key), "left_anti")
+          .drop(key)
     }
 
   /** Word n-gram shingles, lowercase, as distinct STRINGS per doc — the

@@ -95,7 +95,7 @@ object RabitqQuery {
     // byte-indexed LUT once per PROBE row (|q|·nprobe frame) and estimate
     // with one lookup pass per candidate instead of 4 popcount plane
     // passes — bit-identical rough distances (spec'd), different kernel.
-    // Probe-side payload grows dim/2 B → dim·1024 B per row, fine for the
+    // Probe-side payload grows dim/2 B → dim·128 B per row, fine for the
     // broadcast serving shape; the A/B measurement lives in KernelBench +
     // PLANS.md q93.
     val probes = if (fastscan)

@@ -86,6 +86,10 @@ object DocsStream {
       .parquet(dir)
       .filter(where)
       .select(Dedup.textFp.as("fp"))
+      // null-text docs carry no fingerprint (Dedup.textFp is NULL there —
+      // SQL equality can't dedup NULLs) and are excluded from the
+      // fingerprint stream; the batch leg filters identically
+      .filter(col("fp").isNotNull)
     // `bloom` lets a caller pass Some(prebuilt predicate-or-None) so the
     // sketch isn't rebuilt per consumer (the q95 gate shares it with the
     // batch leg); the outer None means "build it here"

@@ -561,6 +561,36 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .count() == 300L)
   }
 
+  test("incremental bloom dedup: NULL text is always new (NOT EXISTS semantics) and " +
+      "a caller fp column survives untouched") {
+    import spark.implicits._
+    // SQL equality never matches NULLs, so a null-text incoming row is NOT
+    // a duplicate of a null-text history row — the digest path must agree
+    val history = Seq((1L, "shared"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "shared", "keep-a"),             // true dup → dropped
+      (11L, null.asInstanceOf[String], "keep-b"), // null text → new
+      (12L, "fresh", "keep-c"))              // new
+      .toDF("doc_id", "text", "fp")          // fp: caller-owned column
+    val out = Dedup.incrementalNew(history, incoming, 10L).collect()
+    assert(out.map(_.getLong(0)).toSet == Set(11L, 12L))
+    // the caller's fp column is still in the schema with its values
+    assert(out.map(r => r.getString(r.fieldIndex("fp"))).toSet == Set("keep-b", "keep-c"))
+  }
+
+  test("historyBloomPredicate raises the session bloom caps past the silent clamp") {
+    import spark.implicits._
+    val history = Seq((1L, "a")).toDF("doc_id", "text")
+    // 100M expected docs at 1% fpp needs ~958M bits — far past the 67M
+    // default cap BloomFilterAggregate clamps to without error
+    Dedup.historyBloomPredicate(history, 100000000L, 0.01)
+    val bits = spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits").toLong
+    val items = spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems").toLong
+    assert(bits >= org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(100000000L, 0.01))
+    assert(items >= 100000000L)
+  }
+
   test("ngram jaccard: identical docs get 1.0, disjoint get filtered") {
     import spark.implicits._
     val docs = Seq(
