@@ -33,6 +33,27 @@ object DedupScaleSmoke {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
+    // candidate-volume telemetry: both banded-join operators observe()
+    // their candidate count under a `dedup_candidates_` prefix; this
+    // listener captures the most recent one so each stage can report the
+    // quantity that decides whether its banding params fit n
+    @volatile var lastCandidates = -1L
+    val obsListener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        qe.observedMetrics.collect { case (n, r) if n.startsWith("dedup_candidates_") =>
+          lastCandidates = r.getAs[Long]("n_candidates") }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(obsListener)
+    // listener delivery is async — drain before reading
+    def drainCandidates(): Long = {
+      val deadline = System.currentTimeMillis() + 10000
+      while (lastCandidates < 0 && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      val v = lastCandidates; lastCandidates = -1L; v
+    }
+
     // ---- 1) minhash over generated text ---------------------------------
     // docs 0..n/2-1 are random 30-token strings; docs n/2..n/2+planted-1
     // copy doc (id - n/2) with the last token changed (jaccard ≈ 0.93);
@@ -55,6 +76,7 @@ object DedupScaleSmoke {
       .select(col("doc_a"), col("doc_b")).persist()
     val nPairs = pairs.count()
     val minhashSec = (System.nanoTime() - t0) / 1e9
+    val mhCandidates = drainCandidates()
     val plantedFound = pairs
       .filter(col("doc_b") === col("doc_a") + half && col("doc_a") < planted)
       .count()
@@ -76,6 +98,7 @@ object DedupScaleSmoke {
       .count()
     comps.unpersist(); pairs.unpersist(); docs.unpersist()
     println(s"""{"dedup_scale_minhash":{"n_docs":$n,"sec":$minhashSec,"pairs":$nPairs,"planted_found":$plantedFound,""" +
+      s""""n_candidates":$mhCandidates,""" +
       s""""cc_sec":$ccSec,"cc_nodes":$ccNodes,"cc_components":$ccComponents,"cc_planted_clustered":$ccPlanted}}""")
     }
 
@@ -101,18 +124,23 @@ object DedupScaleSmoke {
     emb.count()
 
     val t1 = System.nanoTime()
-    // numBands=4 → 16-bit bands: ~15 vectors per (band, bucket) at 1M, so
-    // candidates stay ~linear (8-bit bands would put ~4000 in each of 256
-    // buckets → 10^10 pairs)
-    val nd = Dedup.embeddingNearDupLSH(spark, emb, threshold = 0.99, numBands = 4).persist()
+    // band width follows the operator's scaling law (2^(bandBits+1) ≳
+    // numBands·n keeps candidates O(n)): at n = 10⁶, 16-bit bands put
+    // ~numBands·n²/2^17 ≈ 30M random pairs through the dim-sized
+    // verification fetch (measured 65M → ~75s dominated by verification);
+    // 128 planes / 4 × 32-bit bands cut that to ~10² while a planted
+    // cos ≈ 0.9999 pair still collides w.p. > 0.999
+    val nd = Dedup.embeddingNearDupLSH(spark, emb, threshold = 0.99,
+      numBands = 4, numPlanes = 128).persist()
     val ndPairs = nd.count()
     val lshSec = (System.nanoTime() - t1) / 1e9
+    val lshCandidates = drainCandidates()
     val ndPlanted = nd
       .filter(col("id_b") === col("id_a") + half && col("id_a") < planted)
       .count()
     nd.unpersist(); emb.unpersist()
     println(s"""{"dedup_scale_lsh":{"n_docs":$n,"lsh_sec":$lshSec,""" +
-      s""""lsh_pairs":$ndPairs,"lsh_planted_found":$ndPlanted}}""")
+      s""""lsh_pairs":$ndPairs,"n_candidates":$lshCandidates,"lsh_planted_found":$ndPlanted}}""")
     }
 
     if (stages("text")) {

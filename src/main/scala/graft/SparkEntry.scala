@@ -147,6 +147,17 @@ object SparkEntry {
       out
     })
 
+  // label-carrying saved index (q99): the labeled rows persist into the
+  // cluster_id-partitioned parquet, so a metadata predicate reaches
+  // PushedFilters beside the partition pruning on the query path
+  private def diskIndexLabeled(s: SparkSession, dir: String): String =
+    diskIdxCache.getOrElseUpdate("lab:" + dir, {
+      val (model, index) = annIndexLabeled(s, dir)
+      val out = graft.TempDirs.create("graft_idx_lab_")
+      RabitqIndex.save(s, model, index, out)
+      out
+    })
+
   private val streamCounter = new AtomicInteger(0)
 
   // one-time bucketed ingest per sf dir (q79): orders + lineitem written
@@ -1405,6 +1416,41 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    "q99_ann_filtered_recall" -> ((s, dir) => {
+      // filtered search at PARTIAL probe — the regime where filtered ANN
+      // actually fails in production: a selective predicate concentrates
+      // the true filtered neighbors in clusters the probe may skip, so
+      // recall (not exactness) is the property to gate. q97 proves
+      // exactness at full probe; this gate fixes nprobe = 8 of 16 and
+      // asserts recall@10 vs FILTERED brute force clears a measured
+      // floor at two selectivities (~30% and ~10% of the corpus), and
+      // that the saved-index path — where the label predicate lands in
+      // PushedFilters beside the cluster partition pruning
+      // (topKFromDisk(pred)) — returns exactly the in-memory rows.
+      // Floors leave margin under the deterministic measured recalls
+      // (sel30: 0.86 at both sf0.001/sf0.01; sel10: 0.73/0.86).
+      // Constant-1 oracle turns all four invariants into hash checks.
+      val (model, index) = annIndexLabeled(s, dir)
+      val emb = T(s, dir, "embeddings")
+      val qs = annQueries(s, dir)
+      def gates(pred: Column, floor: Double, tag: String): DataFrame = {
+        val truth = ExactKnn.l2TopK(emb.filter(pred), qs, 10)
+        val mem = RabitqQuery.topK(s, model, index.filter(pred),
+          emb.filter(pred), qs, nprobe = 8, topk = 10, rerank = 100)
+        val disk = RabitqQuery.topKFromDisk(s, diskIndexLabeled(s, dir),
+          emb.filter(pred), qs, nprobe = 8, topk = 10, rerank = 100, pred = pred)
+        val cols = Seq("query_id", "neighbor_id", "rank").map(col)
+        val recallOk = ExactKnn.recall(mem, truth, 10)
+          .select((col("recall") >= floor).cast("long").as(s"recall_ok_$tag"))
+        val pathsOk = mem.select(cols: _*).exceptAll(disk.select(cols: _*))
+          .union(disk.select(cols: _*).exceptAll(mem.select(cols: _*)))
+          .agg(count(lit(1)).as("n_diff"))
+          .select((col("n_diff") === 0).cast("long").as(s"paths_ok_$tag"))
+        recallOk.crossJoin(pathsOk)
+      }
+      gates(col("label") % 4 === 1, 0.8, "sel30")
+        .crossJoin(gates(col("label") === 7, 0.65, "sel10"))
+    }),
     "q96_char_entropy" -> ((s, dir) => {
       // codepoint-entropy quality signal (graft.functions.CharEntropy —
       // native codegen expression, one byte pass per row): the classic
@@ -1455,17 +1501,24 @@ object SparkEntry {
     s"(CASE $langCol $cases ELSE NULL END)"
   }
 
-  /** DuckDB replay of `Dedup.minhashPairs` (n=3, t=0.5, 8 hashes): same
-    * polynomial shingle hash, same affine minhash families (literals
-    * embedded from `Dedup.affine`), same band join + exact-Jaccard
-    * verification.
+  /** DuckDB replay of `Dedup.minhashPairs` (n=3, t=0.5, 8 hashes in
+    * 4 bands × 2 rows): same polynomial shingle hash, same affine
+    * minhash families (literals embedded from `Dedup.affine`), same
+    * band join + exact-Jaccard verification.
     */
   private def minhashOracle: String = {
     val P = Dedup.P
+    val Hi = 1L << 31
+    // per-family min over the recombined permuted components — hi/lo
+    // extracted by div/mod 2^31, exactly minhashPairs' shift/mask
     val mins = (0 until 8).map { j =>
-      val (a, b) = Dedup.affine(j); s"MIN(($a*s+$b) % $P) AS m$j"
+      val (a1, b1) = Dedup.affine(j); val (a2, b2) = Dedup.affine(j + 8)
+      s"MIN((($a1*(s//$Hi)+$b1) % $P) * $Hi + (($a2*(s%$Hi)+$b2) % $P)) AS m$j"
     }.mkString(", ")
-    val bandSel = (0 until 8).map(j => s"SELECT doc_id, $j AS j, m$j AS mh FROM m")
+    // 4 bands × 2 rows, matching minhashPairs' default banding: a
+    // candidate must agree on BOTH minhashes of some band
+    val bandSel = (0 until 4).map(j =>
+      s"SELECT doc_id, $j AS j, m${2 * j} AS mh1, m${2 * j + 1} AS mh2 FROM m")
       .mkString(" UNION ALL ")
     raw"""WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents),
          |th AS (SELECT doc_id, list_transform(t, tok -> list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -1475,12 +1528,17 @@ object SparkEntry {
          |       FROM toks WHERE len(t) >= 3),
          |sh AS (SELECT DISTINCT doc_id,
          |         ((th[CAST(i + 1 AS INT)] * 131 + th[CAST(i + 2 AS INT)]) % $P * 131
-         |           + th[CAST(i + 3 AS INT)]) % $P AS s
+         |           + th[CAST(i + 3 AS INT)]) % $P * $Hi
+         |         + (((th[CAST(i + 1 AS INT)] * th[CAST(i + 1 AS INT)]) % $P * 137
+         |             + (th[CAST(i + 2 AS INT)] * th[CAST(i + 2 AS INT)]) % $P) % $P * 137
+         |           + (th[CAST(i + 3 AS INT)] * th[CAST(i + 3 AS INT)]) % $P) % $P AS s
          |       FROM th, LATERAL unnest(range(len(th) - 2)) AS r(i)),
          |m AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
          |bands AS ($bandSel),
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |         FROM bands a JOIN bands b ON a.j = b.j AND a.mh = b.mh WHERE a.doc_id < b.doc_id),
+         |         FROM bands a JOIN bands b
+         |           ON a.j = b.j AND a.mh1 = b.mh1 AND a.mh2 = b.mh2
+         |         WHERE a.doc_id < b.doc_id),
          |sizes AS (SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY doc_id),
          |inter AS (SELECT doc_a, doc_b, COUNT(*) AS nc FROM cand
          |          JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b AND y.s = x.s
@@ -1672,6 +1730,11 @@ object SparkEntry {
           |SELECT d.query_id, CAST(d.rank AS BIGINT) AS rank, doc.doc_id, doc.lang, doc.n_chars
           |FROM d JOIN documents doc ON doc.doc_id = d.neighbor_id
           |WHERE d.rank <= 5 ORDER BY d.query_id, d.rank""".stripMargin,
+      // q99: partial-probe filtered recall + mem≡disk path equality as
+      // invariants (constant oracle — the q48 pattern)
+      "q99_ann_filtered_recall" ->
+        ("SELECT CAST(1 AS BIGINT) AS recall_ok_sel30, CAST(1 AS BIGINT) AS paths_ok_sel30, " +
+          "CAST(1 AS BIGINT) AS recall_ok_sel10, CAST(1 AS BIGINT) AS paths_ok_sel10"),
       // q96: DuckDB's entropy() is log2 over the same per-character split
       // (codepoint-aware) — round(4) on both sides absorbs libm ulps
       "q96_char_entropy" ->

@@ -133,13 +133,59 @@ object ShinglePolyHashes {
     * codepoint and merge two tokens.
     */
   def shingles(s: UTF8String, n: Int, base: Long, mod: Long): Array[Long] = {
+    val th = tokenHashes(s, base, mod)
+    val t = th.length
+    if (t < n) Array.empty[Long]
+    else Array.tabulate(t - n + 1) { k =>
+      var h = 0L
+      var j = 0
+      while (j < n) { h = (h * base + th(k + j)) % mod; j += 1 }
+      h
+    }
+  }
+
+  /** WIDE (~61-bit) shingle values for the corpus-scale near-dup paths:
+    * per window, hi = the base-`base` fold of the token hashes (exactly
+    * [[shingles]]) and lo = a base-`base2` fold of the SQUARED token
+    * hashes (th² mod P), packed as hi·2³¹ + lo. Two different small-base
+    * LINEAR folds do NOT give independent hashes over low-entropy token
+    * alphabets — both are linear in the same digit-difference lattice,
+    * so unrelated windows that collide under one base collide under the
+    * other ~10¹¹× more often than chance (measured: every mod-P
+    * candidate collision at n = 10⁶ was a simultaneous 131/137
+    * collision). Squaring mod P before the second fold breaks that
+    * linearity (Δ(th²) = Δth·(th+th′) carries a pair-dependent factor),
+    * making joint collisions ~1/P² as intended, while every intermediate
+    * stays inside i64 (th² < 1.1e18) so DuckDB replays it exactly.
+    */
+  def wideShingles(s: UTF8String, n: Int, base: Long, base2: Long, mod: Long): Array[Long] = {
+    val th = tokenHashes(s, base, mod)
+    val t = th.length
+    if (t < n) Array.empty[Long]
+    else Array.tabulate(t - n + 1) { k =>
+      var hi = 0L
+      var lo = 0L
+      var j = 0
+      while (j < n) {
+        val x = th(k + j)
+        hi = (hi * base + x) % mod
+        lo = (lo * base2 + (x * x) % mod) % mod
+        j += 1
+      }
+      (hi << 31) | lo // both < P < 2^31 → value < 2^61
+    }
+  }
+
+  /** Token polyhash scan shared by [[shingles]] and [[wideShingles]] —
+    * one byte pass, no String allocation.
+    */
+  def tokenHashes(s: UTF8String, base: Long, mod: Long): Array[Long] = {
     val nb = s.numBytes()
     val toks = new scala.collection.mutable.ArrayBuilder.ofLong
     var i = 0
     var acc = 0L
     var inTok = false
-    var nToks = 0
-    def emit(): Unit = { toks += acc; acc = 0L; nToks += 1 }
+    def emit(): Unit = { toks += acc; acc = 0L }
     if (nb == 0) emit() // "" → [""], like split
     else {
       if (isWs(s.getByte(0) & 0xFF)) emit() // leading boundary empty token
@@ -171,16 +217,41 @@ object ShinglePolyHashes {
       if (inTok) emit() // trailing real token
       if (isWs(s.getByte(nb - 1) & 0xFF)) emit() // trailing boundary empty token
     }
-    val th = toks.result()
-    val t = nToks
-    if (t < n) Array.empty[Long]
-    else Array.tabulate(t - n + 1) { k =>
-      var h = 0L
-      var j = 0
-      while (j < n) { h = (h * base + th(k + j)) % mod; j += 1 }
-      h
-    }
+    toks.result()
   }
+}
+
+/** Fused tokenize → token-hash → wide two-component window fold (see
+  * [[ShinglePolyHashes.wideShingles]]) — same single byte pass as
+  * ShinglePolyHashes, emitting ~61-bit collision-resistant shingle values
+  * for the minhash scale path.
+  */
+case class ShingleWideHashes(child: Expression, n: Int, base: Long, base2: Long,
+                             mod: Long)
+    extends UnaryExpression {
+  require(n >= 1, "shingle width must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string argument, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_widehash"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val hs = ShinglePolyHashes.wideShingles(input.asInstanceOf[UTF8String], n, base, base2, mod)
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(hs)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+         |  graft.functions.ShinglePolyHashes.wideShingles($c, $n, ${base}L, ${base2}L, ${mod}L));
+         |""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Shannon entropy (log base 2) of a string's CODEPOINT multiset — the
@@ -270,6 +341,8 @@ object TextExpressions {
     ColumnShim.column(PolyHashString(ColumnShim.expression(s), base, mod))
   def shinglePolyHashes(s: Column, n: Int, base: Long, mod: Long): Column =
     ColumnShim.column(ShinglePolyHashes(ColumnShim.expression(s), n, base, mod))
+  def shingleWideHashes(s: Column, n: Int, base: Long, base2: Long, mod: Long): Column =
+    ColumnShim.column(ShingleWideHashes(ColumnShim.expression(s), n, base, base2, mod))
   def charEntropy(s: Column): Column =
     ColumnShim.column(CharEntropy(ColumnShim.expression(s)))
 }

@@ -274,6 +274,41 @@ object VectorExpressions {
       copy(left = l, right = r)
   }
 
+  /** Random-hyperplane LSH signature: one long per band, bit i of band b =
+    * sign of ⟨embedding, plane(b·bandBits + i)⟩ — the codegen
+    * replacement for the Scala UDF `Dedup.embeddingNearDupLSH` used on
+    * its banding hot path (a UDF pays a serialize-to-Seq per row; this
+    * reads the UnsafeArrayData floats in place). The plane matrix rides
+    * in the plan as a referenced flat float[] (row-major, numBands ×
+    * bandBits × dim — ~512 KB at 128 planes × 1024 dims, task-closure
+    * sized at any corpus scale since planes depend on dim, not n).
+    * Arithmetic is exactly `VectorOps.dot` (f64 accumulate over the
+    * min length), so signatures are bit-identical to the UDF's.
+    */
+  case class HyperplaneSigF32(child: Expression, planes: Array[Float],
+                              numBands: Int, bandBits: Int)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<float>, got ${t.simpleString}")
+    }
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_hyperplane_sig"
+
+    override protected def nullSafeEval(input: Any): Any =
+      HyperplaneSig.sig(input.asInstanceOf[ArrayData], planes, numBands, bandBits)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("planes", planes, "float[]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.HyperplaneSig.sig($c, $ref, $numBands, $bandBits);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // ---- Column API -------------------------------------------------------
   def l2sq(a: Column, b: Column): Column =
     ColumnShim.column(L2SqF32(ColumnShim.expression(a), ColumnShim.expression(b)))
@@ -285,6 +320,9 @@ object VectorExpressions {
     ColumnShim.column(BuildLutF32(ColumnShim.expression(planes)))
   def asymDotLut(code: Column, lut: Column): Column =
     ColumnShim.column(AsymDotLutF32(ColumnShim.expression(code), ColumnShim.expression(lut)))
+  def hyperplaneSig(emb: Column, planes: Array[Float], numBands: Int, bandBits: Int): Column =
+    ColumnShim.column(
+      HyperplaneSigF32(ColumnShim.expression(emb), planes, numBands, bandBits))
 
   /** Register as SQL functions (graft_l2sq, graft_cosine, graft_asymdot,
     * graft_buildlut, graft_asymdot_lut, graft_char_entropy,
@@ -304,5 +342,33 @@ object VectorExpressions {
         s"graft_polyhash takes exactly 1 argument (base/mod are fixed at 131/1e9+7), got ${es.length}")
       PolyHashString(es.head, 131L, 1000000007L)
     }, "built-in")
+  }
+}
+
+/** Shared kernel for [[VectorExpressions.HyperplaneSigF32]] — called from
+  * both the interpreted and generated paths (the CharEntropy pattern:
+  * one static method, no virtual dispatch, no per-row serialization).
+  */
+object HyperplaneSig {
+  def sig(emb: ArrayData, planes: Array[Float], numBands: Int, bandBits: Int): ArrayData = {
+    val dim = planes.length / (numBands * bandBits)
+    val n = math.min(dim, emb.numElements())
+    val out = new Array[Long](numBands)
+    var b = 0
+    while (b < numBands) {
+      var bits = 0L
+      var i = 0
+      while (i < bandBits) {
+        val off = (b * bandBits + i) * dim
+        var s = 0.0
+        var j = 0
+        while (j < n) { s += emb.getFloat(j).toDouble * planes(off + j); j += 1 }
+        if (s > 0) bits |= (1L << i)
+        i += 1
+      }
+      out(b) = bits
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 }

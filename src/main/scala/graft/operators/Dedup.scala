@@ -20,6 +20,10 @@ import graft.functions.VectorOps
   */
 object Dedup {
 
+  // observe() names must be unique within a plan (DUPLICATED_METRICS_NAME
+  // otherwise); listeners match on the stable `dedup_candidates_` prefix
+  private val obsCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** Modulus for all portable hashing: prime 1e9+7. Everything stays well
     * inside i64 (a·h + b < 2^61), so DuckDB's checked arithmetic and the
     * JVM agree bit-for-bit — the property that makes the minhash/simhash
@@ -357,19 +361,31 @@ object Dedup {
   }
 
   /** MinHash-LSH near-dup: shingle → portable hash → `numHashes` minhash
-    * permutations (affine families over the shingle hash) → OR-amplified
-    * banded candidate join (pairs sharing ≥1 minhash value;
-    * P(candidate) = 1-(1-s)^8 ≈ 0.996 at s=0.5 and ~1 in the s≥0.9
-    * near-dup band) → exact Jaccard verification over the distinct
-    * shingle-hash sets at `simThreshold`.
+    * permutations (affine families over the shingle hash) → banded
+    * candidate join (b = numHashes/rowsPerBand bands of r = rowsPerBand
+    * minhashes each; a pair is a candidate when ALL r values of some band
+    * match — P(candidate) = 1−(1−s^r)^b) → exact Jaccard verification
+    * over the distinct shingle-hash sets at `simThreshold`.
+    *
+    * r must be ≥ 2 at corpus scale: single-hash bands (r = 1) admit a
+    * candidate whenever two docs' MINIMA merely coincide, and minima of
+    * m draws concentrate on ~P/m values, giving DISJOINT docs a ~m/P
+    * collision chance — n²·m/P pairs, quadratic with a constant that
+    * turned 10M synthetic docs into tens of millions of false
+    * candidates (measured 0.59·n at n = 10⁶). AND-ing r values squares
+    * that chance away (~(m/P)² ≈ 10⁻¹⁵) while the b=4, r=2 default
+    * keeps the s-curve midpoint (1/b)^(1/r) = 0.5 exactly at the
+    * operator's default `simThreshold`.
     *
     * Hand-rolled instead of MLlib so the whole pipeline is deterministic
     * portable arithmetic — the DuckDB oracle replays it bit-for-bit.
     * Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
     */
   def minhashPairs(docs: DataFrame, n: Int, simThreshold: Double,
-                   numHashes: Int = 8): DataFrame = {
-    require(numHashes <= affine.length, s"at most ${affine.length} hash families")
+                   numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    require(2 * numHashes <= affine.length,
+      s"needs 2·numHashes ≤ ${affine.length} hash families (hi + lo components)")
+    require(numHashes % rowsPerBand == 0, "rowsPerBand must divide numHashes")
     // distinct shingle-hash set per doc: candidates, sizes, and the
     // verification join all derive from this one persisted frame.
     // The shingle hash composes PER-TOKEN polynomial hashes (each token's
@@ -381,27 +397,54 @@ object Dedup {
     // the expression returns an empty array below n tokens, which
     // explode() then drops — same doc set as the old size(toks) >= n
     // filter on the split column.
+    // WIDE SET ELEMENTS — the base-131 window fold packed with a
+    // base-137 fold of the SQUARED token hashes into one ~61-bit long
+    // (hi·2³¹ + lo, ShingleWideHashes — one fused byte pass). A single
+    // mod-P hash (~2³⁰ space) suffers birthday collisions between
+    // UNRELATED shingles at corpus scale: with m shingles/doc,
+    // ≈ (m·n)²/2P doc pairs spuriously "share" an element (measured 39M
+    // pairs → 574k false candidates at n = 10⁷), growing quadratically
+    // forever. A second LINEAR fold does not fix it (both folds are
+    // linear in the same digit-difference lattice and collide together —
+    // see ShinglePolyHashes.wideShingles); the squared-token second
+    // component pushes joint collisions to ~1/P², negligible past 10¹⁰
+    // docs, with every value inside i64 for the DuckDB replay.
     val shingleArr = graft.functions.TextExpressions
-      .shinglePolyHashes(trim(lower(col("text"))), n, 131L, P)
+      .shingleWideHashes(trim(lower(col("text"))), n, 131L, 137L, P)
+    val Hi = 1L << 31
     // per-doc distinct set AND all 8 minhash permutations computed INSIDE
     // the row (`array_distinct` + `array_min(transform(...))`) — the
     // explode→distinct→two-groupBy formulation this replaced paid three
     // full shuffles of the posting set before the banded join; now the
     // first exchange anywhere in the plan is the id-only candidate join.
-    // Same modular arithmetic per element (a·s + b mod P over the distinct
-    // set), so signatures — and the DuckDB oracle replay — are unchanged.
     val docSets = docs
       .select(col("doc_id"), array_distinct(shingleArr).as("set"))
       .filter(size(col("set")) > 0)
       .withColumn("ns", size(col("set")).cast("long"))
       .persist()
+    // per-family min over the permuted COMPONENTS, recombined: the high
+    // 31 bits carry π_j(hi) so the min orders primarily by the base-131
+    // permutation (the classic minhash property), and the low bits carry
+    // an independent π_{j+numHashes}(lo) so equal mins imply a genuine
+    // wide-shingle match, not a mod-P coincidence
     val minCols = (0 until numHashes).map { j =>
-      val (a, b) = affine(j)
-      array_min(transform(col("set"), s => (lit(a) * s + lit(b)) % lit(P))).as(s"m$j")
+      val (a1, b1) = affine(j)
+      val (a2, b2) = affine(j + numHashes)
+      array_min(transform(col("set"), s => {
+        val hi = shiftright(s, 31)
+        val lo = s.bitwiseAND(lit(Hi - 1L))
+        ((lit(a1) * hi + lit(b1)) % lit(P)) * lit(Hi) +
+          ((lit(a2) * lo + lit(b2)) % lit(P))
+      })).as(s"m$j")
     }
     val mins = docSets.select(col("doc_id") +: minCols: _*)
-    val banded = mins.select(col("doc_id"), explode(array((0 until numHashes).map { j =>
-      struct(lit(j).as("band"), col(s"m$j").as("mh"))
+    val numBands = numHashes / rowsPerBand
+    // band key = the ARRAY of its r minhash values (exact values, not a
+    // re-hash — the oracle joins on the same lists); equality requires
+    // all r to match
+    val banded = mins.select(col("doc_id"), explode(array((0 until numBands).map { j =>
+      struct(lit(j).as("band"),
+        array((0 until rowsPerBand).map(k => col(s"m${j * rowsPerBand + k}")): _*).as("mh"))
     }: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.mh").as("mh"))
     val ca = banded.select(col("doc_id").as("doc_a"), col("band"), col("mh"))
@@ -409,6 +452,12 @@ object Dedup {
     val candidates = ca.join(cb, Seq("band", "mh"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
+      // candidate-volume telemetry (the quantity that decides whether the
+      // banding params fit n): free plan-native metric, read via a
+      // QueryExecutionListener on the `dedup_candidates_` prefix — the
+      // RabitqQuery rough/precise counter pattern
+      .observe(s"dedup_candidates_${obsCounter.incrementAndGet()}",
+        count(lit(1)).as("n_candidates"))
     val sa = docSets.select(col("doc_id").as("doc_a"), col("set").as("set_a"), col("ns").as("sa"))
     val sb = docSets.select(col("doc_id").as("doc_b"), col("set").as("set_b"), col("ns").as("sb"))
     val result = candidates.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
@@ -484,15 +533,21 @@ object Dedup {
     * n, with `embeddingNearDup` as its oracle-able exact counterpart.
     *
     * BAND WIDTH MUST SCALE WITH n: expected candidates ≈
-    * numBands · n² / 2^(bandBits+1) for uncorrelated vectors, so 8-bit
-    * bands (64/8) are fine to ~10⁴ vectors but explode at 10⁶ — there
-    * use 16-bit bands (65k buckets): recall for a cos≥0.99 pair is
-    * still ≈ 0.994 (= 1−(1−(1−θ/π)^16)^4) while candidates stay ~15·n.
-    * At 10⁸–10⁹, hold ≥4 bands for recall and WIDEN the signature
-    * instead: numPlanes=128, numBands=4 gives 32-bit bands (4·10⁹
-    * buckets, ~n²/2³³ expected collisions per band) — the signature is
-    * packed per band, so any numPlanes = numBands × bandBits ≤ 64·bands
-    * works without code changes.
+    * numBands · n² / 2^(bandBits+1) for uncorrelated vectors, and each
+    * candidate pays a dim-sized verification fetch — so size bandBits to
+    * keep candidates O(n): 2^(bandBits+1) ≳ numBands·n. 8-bit bands
+    * (64/8) are fine to ~10⁴ vectors but explode at 10⁶; 16-bit bands
+    * (65k buckets) still put ~30·n random pairs through verification at
+    * n = 10⁶ (measured: 65M at 1M synthetic vectors). From ~10⁶ up,
+    * hold ≥4 bands for recall and WIDEN the signature instead:
+    * numPlanes=128, numBands=4 gives 32-bit bands (4·10⁹ buckets,
+    * ~n²/2³³ expected collisions per band — ~10² at n = 10⁶, ~10⁴ at
+    * 10⁷). The recall price falls on BORDERLINE pairs: a cos = 0.99 pair
+    * matches a 32-bit band w.p. (1−θ/π)^32 ≈ 0.23 (any-of-4 ≈ 0.65),
+    * while a true near-dup at cos ≥ 0.999 still collides w.p. ≥ 0.97 —
+    * wide bands are for high-threshold dedup, not borderline retrieval.
+    * The signature is packed per band, so any numPlanes = numBands ×
+    * bandBits ≤ 64·bands works without code changes.
     *
     * PRECONDITION: `vec_id` must be a key of `emb` (unique). Candidate
     * pairs are distinct()-ed before verification, so a duplicate vec_id
@@ -509,21 +564,14 @@ object Dedup {
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
     val rnd = new java.util.Random(seed)
     val planes = Array.fill(numPlanes, dim)(rnd.nextGaussian().toFloat)
-    val bPlanes = spark.sparkContext.broadcast(planes)
     // one long PER BAND (bit i of band b = sign of plane b*bandBits+i) —
-    // equivalent to slicing a packed signature, but width-unbounded
-    val bandsUdf = udf { (v: Seq[Float]) =>
-      val x = v.toArray
-      Array.tabulate(numBands) { b =>
-        var bits = 0L
-        var i = 0
-        while (i < bandBits) {
-          if (VectorOps.dot(x, bPlanes.value(b * bandBits + i)) > 0) bits |= (1L << i)
-          i += 1
-        }
-        bits
-      }.toSeq
-    }
+    // equivalent to slicing a packed signature, but width-unbounded.
+    // Codegen expression, not a UDF: the banding pass touches every row
+    // of the corpus, and a UDF would pay serialize-to-Seq there. The
+    // plane matrix rides in the plan as a flat float[] reference
+    // (dim-sized, not n-sized — task-closure weight at any corpus scale).
+    val sigCol = graft.functions.VectorExpressions.hyperplaneSig(
+      col("embedding"), planes.flatten, numBands, bandBits)
     // ID-ONLY CANDIDATES: the band exchange carries (band, bits, vec_id) —
     // never the embedding. A banded self-join that kept the vectors would
     // shuffle numBands full copies of the corpus; joining on ids and
@@ -531,13 +579,15 @@ object Dedup {
     // shape) shuffles numBands × 20 bytes per vector instead, and the
     // (usually far smaller) candidate set pays the vector fetch.
     val banded = emb
-      .select(col("vec_id"), posexplode(bandsUdf(col("embedding"))).as(Seq("band", "bits")))
+      .select(col("vec_id"), posexplode(sigCol).as(Seq("band", "bits")))
     val a = banded.select(col("vec_id").as("id_a"), col("band"), col("bits"))
     val b = banded.select(col("vec_id").as("id_b"), col("band"), col("bits"))
     val candidates = a.join(b, Seq("band", "bits"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
+      .observe(s"dedup_candidates_${obsCounter.incrementAndGet()}",
+        count(lit(1)).as("n_candidates"))
     val ea = emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
     val eb = emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
     candidates.join(ea, Seq("id_a")).join(eb, Seq("id_b"))
@@ -594,6 +644,8 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
+      .observe(s"dedup_candidates_${obsCounter.incrementAndGet()}",
+        count(lit(1)).as("n_candidates"))
     val ea = emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
     val eb = emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"))
     candidates.join(ea, Seq("id_a")).join(eb, Seq("id_b"))

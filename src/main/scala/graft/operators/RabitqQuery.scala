@@ -307,11 +307,22 @@ object RabitqQuery {
     * (`/root/reference/src/rabitq.rs:318-326`). The probe STATE itself is
     * computed executor-side like the in-memory path.
     */
+  /** @param pred optional row predicate over the saved index's columns
+    *             (e.g. a metadata label riding in the index rows — the
+    *             filtered-vector-search layout). Applied to the PRUNED
+    *             scan, so on the partitioned parquet it lands in
+    *             PushedFilters BESIDE the cluster partition pruning:
+    *             row-group/page skipping composes with directory
+    *             skipping. The caller filters `base` identically (the
+    *             rerank scores only shortlisted ids, but exactness
+    *             gates compare against filtered brute force).
+    */
   def topKFromDisk(spark: SparkSession, dir: String, base: DataFrame,
-                   queries: DataFrame, nprobe: Int, topk: Int, rerank: Int): DataFrame = {
+                   queries: DataFrame, nprobe: Int, topk: Int, rerank: Int,
+                   pred: org.apache.spark.sql.Column = lit(true)): DataFrame = {
     val (model, index) = RabitqIndex.load(spark, dir)
     val probed = probedClusterIds(model, queries, nprobe)
-    val pruned = index.filter(col("cluster_id").isin(probed: _*))
+    val pruned = index.filter(col("cluster_id").isin(probed: _*)).filter(pred)
     fromProbes(pruned, base, queries, probesDf(spark, model, queries, nprobe), topk, rerank)
   }
 

@@ -415,6 +415,26 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val want = ExactKnn.l2TopK(emb.filter(pred), q, 5)
       .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
     assert(got == want && got.nonEmpty)
+
+    // topKFromDisk(pred) — the q99 gate's disk leg: the label predicate
+    // reaches PushedFilters on the PRUNED scan inside the QUERY plan (not
+    // just a hand-built scan), and results match the in-memory leg at the
+    // same partial-probe parameters
+    val diskDf = RabitqQuery.topKFromDisk(spark, dir, emb.filter(pred), q,
+      nprobe = 4, topk = 5, rerank = 50, pred = pred)
+    val dplan = diskDf.queryExecution.executedPlan.toString
+    assert(dplan.contains("PushedFilters") && dplan.contains("label"), dplan.take(3000))
+    assert(dplan.contains("PartitionFilters: [") && dplan.contains("cluster_id"),
+      dplan.take(3000))
+    val memDf = RabitqQuery.topK(spark, m2, idx2.filter(pred), emb.filter(pred), q,
+      nprobe = 4, topk = 5, rerank = 50)
+    assert(diskDf.select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet ==
+      memDf.select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet)
+  }
+
+  test("q99 filtered-recall gate holds at sf0.001 (all four invariants green)") {
+    val r = SparkEntry.queries("q99_ann_filtered_recall")(spark, sf).head()
+    assert((0 until 4).forall(r.getLong(_) == 1L), s"q99 gate failed: $r")
   }
 
   test("index parquet scan with cluster filter prunes partitions") {
@@ -1434,6 +1454,30 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val again = Dedup.hyperplaneLshPortable(df, threshold = 0.95)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == again)
+  }
+
+  test("HyperplaneSigF32 expression equals the VectorOps.dot sign loop (codegen path)") {
+    import spark.implicits._
+    val rnd = new java.util.Random(3)
+    val dim = 48; val numBands = 4; val bandBits = 16
+    val planes = Array.fill(numBands * bandBits, dim)(rnd.nextGaussian().toFloat)
+    val vecs = (0L until 50L).map(i => (i, Array.fill(dim)(rnd.nextFloat() * 2f - 1f).toSeq))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = df.select(col("vec_id"),
+        graft.functions.VectorExpressions.hyperplaneSig(
+          col("embedding"), planes.flatten, numBands, bandBits).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // reference loop: bit i of band b = sign of dot(x, plane(b*bandBits+i))
+    vecs.foreach { case (id, v) =>
+      val x = v.toArray
+      val want = Array.tabulate(numBands) { b =>
+        (0 until bandBits).foldLeft(0L) { (bits, i) =>
+          if (graft.functions.VectorOps.dot(x, planes(b * bandBits + i)) > 0)
+            bits | (1L << i) else bits
+        }
+      }.toSeq
+      assert(got(id) == want, s"vec $id: ${got(id)} != $want")
+    }
   }
 
   test("repetitionSignals: known fractions, single-token and repeated docs") {
