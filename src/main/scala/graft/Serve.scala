@@ -20,6 +20,12 @@ import graft.operators._
   */
 object Serve {
 
+  /** One immutable serving snapshot: swapped atomically by `/reload`,
+    * read once per request — the unit of consistency under mutation.
+    */
+  private final case class Engine(model: RabitqModel, index: org.apache.spark.sql.DataFrame,
+                                  base: org.apache.spark.sql.DataFrame, hot: HotTier)
+
   // must be set before the HttpServer class initializes: without
   // TCP_NODELAY the response write stalls in the Nagle/delayed-ACK
   // handshake and every request floors at ~40 ms regardless of compute
@@ -99,6 +105,15 @@ object Serve {
     val index = index0.persist()
     index.count(); base.count() // warm caches before first request
     val hot = HotTier.fromIndex(spark, model, index, base)
+    // SERVING UNDER MUTATION: every request reads ONE immutable Engine
+    // snapshot from this reference, so an index swap (`/reload`) is
+    // atomic per request — a query sees entirely the old or entirely the
+    // new index, never a torn mix of model/index/base/hot-tier. The
+    // reference serves read-only (`crates/service`); composing its
+    // mutation boxes (README:18) with serving needs exactly this
+    // copy-on-swap discipline.
+    val engineRef = new java.util.concurrent.atomic.AtomicReference(
+      Engine(model, index, base, hot))
     // per-server counter (a JVM-global would bleed across serve instances)
     val queriesServed = new AtomicLong(0)
 
@@ -113,26 +128,57 @@ object Serve {
         val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
         val vec = parseFloatArray(body, "query")
         val topK = parseInt(body, "top_k").getOrElse(10)
+        val eng = engineRef.get() // one snapshot per request — swap-atomic
         // default probe follows k so the probed FRACTION (not count) is
         // corpus-size-invariant — the fixed 8 was 50% of the old fixed
         // k=16, and silently shrinking to 8/k would degrade default-recall
         // as corpora grow; explicit "probe" in the request overrides
         val probe = parseInt(body, "probe")
-          .getOrElse(math.max(8, (model.params.numClusters + 1) / 2))
+          .getOrElse(math.max(8, (eng.model.params.numClusters + 1) / 2))
         val rerank = math.max(4 * topK, 64)
         val results: Array[(Long, Double)] =
           if (parseString(body, "engine").contains("spark")) {
             import spark.implicits._
             val qDf = Seq((0L, vec.toSeq)).toDF("query_id", "qvec")
-            RabitqQuery.topK(spark, model, index, base, qDf,
+            RabitqQuery.topK(spark, eng.model, eng.index, eng.base, qDf,
               nprobe = probe, topk = topK, rerank = rerank)
               .orderBy(col("rank")).select("neighbor_id", "dist").collect()
               .map(r => (r.getLong(0), r.getDouble(1)))
-          } else hot.query(vec, probe, topK, rerank)
+          } else eng.hot.query(vec, probe, topK, rerank)
         queriesServed.incrementAndGet()
         val ids = results.map(_._1).mkString("[", ",", "]")
         val scores = results.map(_._2).mkString("[", ",", "]")
         respond(ex, 200, s"""{"ids":$ids,"scores":$scores}""")
+      } catch {
+        case e: Throwable =>
+          val msg = jsonEscape(Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
+          respond(ex, 400, s"""{"error":"$msg"}""")
+      }
+    })
+    // POST /reload {"index_dir": "...", "base": "<parquet path>"}: load a
+    // saved (possibly mutated — appendVectors/upsertVectors output) index
+    // and its base vectors, build the new hot tier OFF the serving path,
+    // then swap atomically. In-flight queries keep the old snapshot; the
+    // old cached index is released after the swap (lazy unpersist — any
+    // job still reading it just recomputes).
+    server.createContext("/reload", (ex: HttpExchange) => {
+      try {
+        val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        val idxDir = parseString(body, "index_dir")
+          .getOrElse(throw new IllegalArgumentException("missing 'index_dir'"))
+        val basePath = parseString(body, "base")
+          .getOrElse(s"$sfDir/embeddings.parquet")
+        val (m2, i2raw) = RabitqIndex.load(spark, idxDir)
+        val b2 = spark.read.parquet(basePath).persist()
+        val i2 = i2raw.persist()
+        val n2 = b2.count(); i2.count()
+        require(m2.params.dim == b2.select(size(col("embedding"))).limit(1)
+          .collect().headOption.map(_.getInt(0)).getOrElse(m2.params.dim),
+          "reloaded index dim != reloaded base dim")
+        val hot2 = HotTier.fromIndex(spark, m2, i2, b2)
+        val old = engineRef.getAndSet(Engine(m2, i2, b2, hot2))
+        old.index.unpersist(false); old.base.unpersist(false)
+        respond(ex, 200, s"""{"reloaded":true,"n_base":$n2}""")
       } catch {
         case e: Throwable =>
           val msg = jsonEscape(Option(e.getMessage).getOrElse(e.getClass.getSimpleName))

@@ -1375,12 +1375,9 @@ object SparkEntry {
         .incrementalNew(history, docs.filter(col("doc_id") % 3 =!= 0),
           historyBloom(s, dir))
         .select(Dedup.textFp.as("fp")).filter(col("fp").isNotNull).distinct()
-      batch.select(col("fp"), lit(1L).as("t"))
-        .unionByName(streamed.select(col("fp"), lit(2L).as("t")))
-        .groupBy(col("fp")).agg(bit_or(col("t")).as("m"))
-        .agg((count(lit(1)) > 0 && min(col("m")) === 3 && max(col("m")) === 3)
-          .cast("long").as("set_ok"),
-          (count(lit(1)) > 0).cast("long").as("nonempty_ok"))
+      // set equality + exactly-once streamed emission (the count
+      // invariant that constrains within-incoming duplicate handling)
+      graft.streaming.DocsStream.parityGate(batch, streamed)
     }),
     "q97_ann_filtered" -> ((s, dir) => {
       // FILTERED vector search (beyond the reference — it has no metadata
@@ -1706,10 +1703,11 @@ object SparkEntry {
           |  AND NOT EXISTS (SELECT 1 FROM documents h
           |                  WHERE h.doc_id % 3 = 0 AND h.text = d.text)
           |ORDER BY d.doc_id""".stripMargin,
-      // q95: streamed-vs-batch incremental-dedup set equality as
-      // invariants (constant oracle — the q48 pattern)
+      // q95: streamed-vs-batch incremental-dedup set equality + the
+      // exactly-once emission count invariant (constant oracle)
       "q95_stream_incremental" ->
-        "SELECT CAST(1 AS BIGINT) AS set_ok, CAST(1 AS BIGINT) AS nonempty_ok",
+        ("SELECT CAST(1 AS BIGINT) AS set_ok, CAST(1 AS BIGINT) AS nonempty_ok, " +
+          "CAST(1 AS BIGINT) AS once_ok"),
       // q97: filtered search is exact at full probe — the filtered-base
       // kNN oracle (queries stay unfiltered; the corpus is filtered)
       "q97_ann_filtered" ->

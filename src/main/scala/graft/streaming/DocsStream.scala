@@ -76,13 +76,22 @@ object DocsStream {
   def newFingerprints(spark: SparkSession, path: String, history: DataFrame,
                       expectedHistoryDocs: Long, fpp: Double, queryName: String,
                       where: Column = lit(true),
-                      bloom: Option[Option[Column]] = None): DataFrame = {
+                      bloom: Option[Option[Column]] = None,
+                      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     import graft.operators.Dedup
     val f = new java.io.File(path)
     val (dir, glob) = if (f.isFile) (f.getParent, f.getName) else (path, "*")
-    val fps = spark.readStream
+    val reader0 = spark.readStream
       .schema(docsSchema)
       .option("pathGlobFilter", glob)
+    // bounded micro-batches (the SessionStream pattern): AvailableNow can
+    // swallow a whole multi-file dir in ONE batch, which never exercises
+    // the cross-batch dropDuplicatesWithinWatermark state — replaying
+    // chunk files one per batch is the regime where first-seen state
+    // actually carries across batches
+    val reader = maxFilesPerTrigger.fold(reader0)(m =>
+      reader0.option("maxFilesPerTrigger", m.toString).option("latestFirst", "false"))
+    val fps = reader
       .parquet(dir)
       .filter(where)
       .select(Dedup.textFp.as("fp"))
@@ -115,4 +124,32 @@ object DocsStream {
     q.awaitTermination()
     spark.table(queryName)
   }
+
+  /** The q95 stream-vs-batch parity gate in ONE tagged-union shuffle:
+    * `batch` = the distinct batch-path new fingerprints, `streamed` = the
+    * RAW streamed emissions (NOT distinct-ed — that is the point). Three
+    * invariants, each a long 1/0 column:
+    *
+    *   - set_ok:      every fp carries both tags (bit 1 = batch,
+    *                  bit 2 = streamed) — set equality of the two paths;
+    *   - nonempty_ok: the parity is not vacuous;
+    *   - once_ok:     the stream emitted every fp EXACTLY once — the
+    *                  count invariant that pins down within-incoming
+    *                  duplicate handling, which set equality alone cannot
+    *                  (a doubled emission would collapse in a distinct()
+    *                  and still pass set_ok; here it trips min/max
+    *                  n_stream ≠ 1, spec-verified).
+    */
+  def parityGate(batch: DataFrame, streamed: DataFrame): DataFrame =
+    batch.select(col("fp"), lit(1L).as("t"))
+      .unionByName(streamed.select(col("fp"), lit(2L).as("t")))
+      .groupBy(col("fp"))
+      .agg(bit_or(col("t")).as("m"),
+        sum(when(col("t") === 2, 1L).otherwise(0L)).as("n_stream"))
+      .agg(
+        (count(lit(1)) > 0 && min(col("m")) === 3 && max(col("m")) === 3)
+          .cast("long").as("set_ok"),
+        (count(lit(1)) > 0).cast("long").as("nonempty_ok"),
+        (min(col("n_stream")) === 1 && max(col("n_stream")) === 1)
+          .cast("long").as("once_ok"))
 }

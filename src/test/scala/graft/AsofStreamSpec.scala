@@ -297,4 +297,83 @@ class AsofStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.getLong(0)).toSet
     assert(all.size == 65)
   }
+
+  test("streaming incremental dedup: cross-batch first-seen state over >= 4 real " +
+      "micro-batches (maxFilesPerTrigger = 1), state bounded by distinct fps") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    import graft.streaming.DocsStream
+    val dir = graft.TempDirs.create("graft_incmulti_")
+    val history = (0 until 40).map(i => (i.toLong, s"hist doc $i")).toDF("doc_id", "text")
+    // 5 chunk files; "repeat doc i" recurs across DIFFERENT files, so
+    // dedup must happen via state carried ACROSS micro-batches — the
+    // regime a one-batch AvailableNow run never exercises
+    val chunks = Seq(
+      (0 until 10).map(i => (100L + i, s"repeat doc $i")),          // first-seen
+      (0 until 10).map(i => (200L + i, s"hist doc $i")),            // all history dups
+      (0 until 10).map(i => (300L + i, s"repeat doc $i")),          // cross-batch dups
+      (0 until 10).map(i => (400L + i, s"fresh doc $i")),           // new
+      (0 until 5).map(i => (500L + i, s"repeat doc $i")) ++         // dups again
+        (0 until 5).map(i => (600L + i, s"late doc $i")))           // new
+    chunks.zipWithIndex.foreach { case (rows, i) =>
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(s"$dir/in")
+    }
+    assert(new java.io.File(s"$dir/in").listFiles()
+      .count(_.getName.endsWith(".parquet")) >= 5)
+
+    @volatile var batchesWithRows = 0
+    @volatile var lastStateRows = -1L
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit =
+        if (e.progress.name == "inc_fp_multi") {
+          if (e.progress.numInputRows > 0) batchesWithRows += 1
+          if (e.progress.stateOperators.nonEmpty)
+            lastStateRows = e.progress.stateOperators.map(_.numRowsTotal).sum
+        }
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    try {
+      val streamed = DocsStream.newFingerprints(
+          spark, s"$dir/in", history, 40L, 0.01, "inc_fp_multi",
+          maxFilesPerTrigger = Some(1))
+        .collect().map(_.getLong(0))
+      // exactly-once across batches: 10 repeat + 10 fresh + 5 late = 25
+      // distinct new fps, each emitted once even though "repeat doc i"
+      // arrived in three different micro-batches
+      assert(streamed.length == 25, s"emissions: ${streamed.length}")
+      assert(streamed.toSet.size == 25)
+      val batchFps = Dedup
+        .incrementalNew(history, spark.read.parquet(s"$dir/in"), 40L)
+        .select(Dedup.textFp.as("fp")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(streamed.toSet == batchFps)
+      // listener delivery is async
+      val deadline = System.currentTimeMillis() + 20000
+      while (batchesWithRows < 5 && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(batchesWithRows >= 4, s"expected >= 4 real micro-batches, saw $batchesWithRows")
+      // dedup state is bounded by DISTINCT new fingerprints (25), not by
+      // the 45 input rows that reached the stream
+      assert(lastStateRows == 25L, s"state rows: $lastStateRows")
+    } finally spark.streams.removeListener(listener)
+  }
+
+  test("parityGate trips on a doubled streamed emission and on a set mismatch") {
+    import spark.implicits._
+    import graft.streaming.DocsStream
+    val batch = Seq(1L, 2L, 3L).toDF("fp")
+    val ok = DocsStream.parityGate(batch, Seq(1L, 2L, 3L).toDF("fp")).head()
+    assert(ok.getLong(0) == 1 && ok.getLong(1) == 1 && ok.getLong(2) == 1)
+    // doubled emission: set equality still holds, once_ok must trip
+    val doubled = DocsStream.parityGate(batch, Seq(1L, 1L, 2L, 3L).toDF("fp")).head()
+    assert(doubled.getLong(0) == 1 && doubled.getLong(2) == 0)
+    // missing fp: set_ok must trip
+    val missing = DocsStream.parityGate(batch, Seq(1L, 2L).toDF("fp")).head()
+    assert(missing.getLong(0) == 0)
+  }
 }

@@ -1034,6 +1034,91 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally server.stop(0)
   }
 
+  test("serving under mutation: concurrent queries during /reload see old or new " +
+      "index atomically, never a torn mix; swap takes effect") {
+    val dirA = java.nio.file.Files.createTempDirectory("serve_mut_a").toString
+    val dirB = java.nio.file.Files.createTempDirectory("serve_mut_b").toString
+    val (model, index) = RabitqIndex.build(spark, emb, numClusters = 8, seed = 3L)
+    RabitqIndex.save(spark, model, index, dirA)
+    // mutation: delete vec_id % 7 == 3, upsert 20 new vectors 10000+i
+    // whose embeddings copy vecs 0..19 — vec 10003 replaces deleted vec 3
+    // exactly, so a query AT vec 3 flips its top-1 from 3 to 10003 on swap
+    import spark.implicits._
+    val newVecs = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+    val kept = RabitqIndex.deleteVectors(index, emb.filter(col("vec_id") % 7 === 3)
+      .select("vec_id"))
+    val index2 = RabitqIndex.upsertVectors(spark, model, kept, newVecs)
+    RabitqIndex.save(spark, model, index2, dirB)
+    val base2Path = java.nio.file.Files.createTempDirectory("serve_mut_base").toString + "/b2"
+    emb.filter(col("vec_id") % 7 =!= 3).select("vec_id", "embedding")
+      .unionByName(newVecs).write.parquet(base2Path)
+
+    val port = {
+      val s = new java.net.ServerSocket(0)
+      try s.getLocalPort finally s.close()
+    }
+    val server = graft.Serve.start(spark, sf, port, Some(dirA))
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      val qvec = emb.filter(col("vec_id") === 3)
+        .select("embedding").head().getSeq[Float](0)
+      val qbody = s"""{"query": ${qvec.mkString("[", ",", "]")}, "top_k": 10, "probe": 8}"""
+      def query() = client.send(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(s"http://localhost:$port/query"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(qbody)).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+
+      val results = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Array[Long], Long)]()
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val threads = (0 until 4).map { _ =>
+        val t = new Thread(() => {
+          while (!stop.get()) {
+            val t0 = System.nanoTime()
+            val r = query()
+            val dt = System.nanoTime() - t0
+            val ids = if (r.statusCode() == 200)
+              graft.Serve.parseFloatArray(r.body(), "ids").map(_.toLong) else Array.empty[Long]
+            results.add((r.statusCode(), ids, dt))
+          }
+        })
+        t.start(); t
+      }
+      Thread.sleep(300) // queries against the old engine
+      val reload = client.send(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(s"http://localhost:$port/reload"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+            s"""{"index_dir": "$dirB", "base": "$base2Path"}"""))
+          .build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      assert(reload.statusCode() == 200, s"reload failed: ${reload.body()}")
+      Thread.sleep(300) // queries against the new engine
+      stop.set(true); threads.foreach(_.join(10000))
+
+      val all = results.toArray(Array.empty[(Int, Array[Long], Long)])
+      assert(all.nonEmpty && all.forall(_._1 == 200),
+        s"non-200 during mutation: ${all.filter(_._1 != 200).take(3).mkString}")
+      // atomicity: vec 3 exists ONLY pre-swap, ids >= 10000 ONLY
+      // post-swap — one response containing both = a torn engine
+      val torn = all.filter { case (_, ids, _) =>
+        ids.contains(3L) && ids.exists(_ >= 10000L) }
+      assert(torn.isEmpty, s"torn responses: ${torn.take(3).map(_._2.toSeq).mkString}")
+      val preSwap = all.count(_._2.contains(3L))
+      val postSwap = all.count(_._2.exists(_ >= 10000L))
+      assert(preSwap > 0 && postSwap > 0,
+        s"swap not straddled: pre=$preSwap post=$postSwap of ${all.length}")
+      // the swap took effect deterministically: a fresh query's top-1 is
+      // the upserted twin 10003, and no deleted id survives
+      val after = query()
+      val afterIds = graft.Serve.parseFloatArray(after.body(), "ids").map(_.toLong)
+      assert(afterIds.head == 10003L || afterIds.head == 3L + 10000L, s"after: ${afterIds.toSeq}")
+      assert(!afterIds.contains(3L))
+      val lat = all.map(_._3).sorted
+      info(f"under-mutation latency: n=${lat.length} p50=${lat(lat.length / 2) / 1e6}%.2f ms " +
+        f"p99=${lat((lat.length * 99) / 100) / 1e6}%.2f ms")
+    } finally server.stop(0)
+  }
+
   test("HTTP query service answers /query, /health, /metrics") {
     val port = {
       val s = new java.net.ServerSocket(0)
