@@ -20,6 +20,11 @@ object ServeBench {
     val sfArg = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
     val nQueries = if (args.length > 1) args(1).toInt else 200
     val concurrency = if (args.length > 2) args(2).toInt else 4
+    // "mutate": run the same timed load while a background thread
+    // alternates POST /reload between the original and a mutated
+    // (delete + upsert) saved index — p50/p99 UNDER INDEX CHURN, the
+    // latency cost of the atomic Engine swap on the serving path
+    val mutate = args.length > 3 && args(3) == "mutate"
 
     // point-query serving tier: single-row query batches make AQE's
     // per-stage re-planning and wide shuffles pure overhead — a static
@@ -87,6 +92,45 @@ object ServeBench {
       }
       fire(0); fire(1) // warm the serving path before timing
 
+      // under-mutation churn: two saved engines (the served corpus and a
+      // delete-%7 + upsert-twins mutation of it), reloaded alternately
+      // every ~150 ms for the duration of the timed run
+      val reloads = new AtomicInteger(0)
+      val churnStop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val churn: Option[Thread] = if (!mutate) None else {
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select("vec_id", "embedding")
+        val k = math.max(16, math.min(1024, math.sqrt(emb.count().toDouble).toInt))
+        val (model, index) = graft.operators.RabitqIndex.build(spark, emb, k, 42L)
+        val dirA = java.nio.file.Files.createTempDirectory("servebench_a").toString
+        graft.operators.RabitqIndex.save(spark, model, index, dirA)
+        val newVecs = emb.filter(col("vec_id") < 50)
+          .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding"))
+        val kept = graft.operators.RabitqIndex.deleteVectors(index,
+          emb.filter(col("vec_id") % 7 === 3).select("vec_id"))
+        val index2 = graft.operators.RabitqIndex.upsertVectors(spark, model, kept, newVecs)
+        val dirB = java.nio.file.Files.createTempDirectory("servebench_b").toString
+        graft.operators.RabitqIndex.save(spark, model, index2, dirB)
+        val baseB = java.nio.file.Files.createTempDirectory("servebench_bb").toString + "/b"
+        emb.filter(col("vec_id") % 7 =!= 3).unionByName(newVecs).write.parquet(baseB)
+        val baseA = s"$sfDir/embeddings.parquet"
+        val t = new Thread(() => {
+          var flip = false
+          while (!churnStop.get()) {
+            val (d, b) = if (flip) (dirA, baseA) else (dirB, baseB)
+            val req = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/reload"))
+              .POST(HttpRequest.BodyPublishers.ofString(
+                s"""{"index_dir": "$d", "base": "$b"}""")).build()
+            val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+            require(resp.statusCode() == 200, s"reload failed: ${resp.body()}")
+            reloads.incrementAndGet()
+            flip = !flip
+            Thread.sleep(150)
+          }
+        })
+        t.setDaemon(true); t.start(); Some(t)
+      }
+
       val latencies = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
       val next = new AtomicInteger(0)
       val done = new CountDownLatch(concurrency)
@@ -107,13 +151,15 @@ object ServeBench {
       }
       done.await()
       pool.shutdown()
+      churnStop.set(true); churn.foreach(_.join(5000))
       val wallSec = (System.nanoTime() - t0) / 1e9
 
       val sorted = latencies.toArray(new Array[java.lang.Long](0)).map(_.toLong).sorted
       def pct(p: Double): Double = sorted((p * (sorted.length - 1)).round.toInt) / 1e6
+      val mutTag = if (mutate) s""","reloads":${reloads.get()}""" else ""
       println(s"""{"serve_bench":{"sf_dir":"$sfDir","n_queries":${sorted.length},""" +
         s""""concurrency":$concurrency,"qps":${sorted.length / wallSec},""" +
-        s""""p50_ms":${pct(0.50)},"p95_ms":${pct(0.95)},"p99_ms":${pct(0.99)}}}""")
+        s""""p50_ms":${pct(0.50)},"p95_ms":${pct(0.95)},"p99_ms":${pct(0.99)}$mutTag}}""")
     } finally {
       server.stop(0)
       spark.stop()
