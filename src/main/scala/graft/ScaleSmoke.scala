@@ -132,6 +132,42 @@ object ScaleSmoke {
       (if (heuristic)
         s""","heuristic_sec":$hSec,"heuristic_qps":${nQueries / hSec},"heuristic_recall":$hRecall}}"""
        else "}}"))
+
+    // opt-in filtered-search stage ("filtered" arg): the q99 property at
+    // generated scale — a ~10%-selective label predicate (label rides in
+    // the index rows, derived here so no join is needed) queried at the
+    // SAME nprobe, recall measured against FILTERED brute force. The
+    // number to watch is filtered vs unfiltered recall at equal probe
+    // width: selective predicates thin every probed cluster ~10×, so the
+    // filtered top-10's true neighbors spread across more clusters and
+    // recall degrades first — the production failure mode the q99 gate
+    // pins at fixture scale.
+    if (args.contains("filtered") && nQueries <= 1000) {
+      val pred = pmod(col("vec_id"), lit(10L)) === 7L
+      val fBase = base.filter(pred).persist()
+      val nf = fBase.count()
+      val fIndex = indexP.filter(pred)
+      val fTruth = ExactKnn.l2TopK(fBase, queries, 10).persist()
+      fTruth.count()
+      // sweep: base nprobe (shows the collapse), then nprobe scaled
+      // toward 1/selectivity (the remediation — the filtered candidate
+      // stream per probe is ~selectivity-thin, so equal EFFECTIVE
+      // candidates need ~nprobe/selectivity probes)
+      val sweep = Seq(nprobe, math.min(k, 4 * nprobe), math.min(k, 10 * nprobe)).distinct
+      val measured = sweep.map { np =>
+        val t4 = System.nanoTime()
+        val fApprox = RabitqQuery.topK(spark, model, fIndex, fBase, queries,
+          nprobe = np, topk = 10, rerank = rerank)
+        fApprox.count()
+        val fSec = (System.nanoTime() - t4) / 1e9
+        val fRecall = ExactKnn.recall(fApprox, fTruth, 10).head().getDouble(0)
+        s""""nprobe_$np":{"filtered_recall_at_10":$fRecall,"query_sec":$fSec,"qps":${nQueries / fSec}}"""
+      }
+      println(s"""{"scale_smoke_filtered":{"n":$n,"selectivity":${nf.toDouble / n},""" +
+        s""""unfiltered_recall_at_10_nprobe_$nprobe":$recall,""" +
+        measured.mkString(",") + "}}")
+      fTruth.unpersist(); fBase.unpersist()
+    }
     spark.stop()
   }
 }
