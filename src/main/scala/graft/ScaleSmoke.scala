@@ -163,9 +163,20 @@ object ScaleSmoke {
         val fRecall = ExactKnn.recall(fApprox, fTruth, 10).head().getDouble(0)
         s""""nprobe_$np":{"filtered_recall_at_10":$fRecall,"query_sec":$fSec,"qps":${nQueries / fSec}}"""
       }
+      // the auto-widening operator end-to-end (q100's surface): requested
+      // nprobe, effective ceil(nprobe/selectivity) clamped to k
+      val t5 = System.nanoTime()
+      val auto = RabitqQuery.filteredTopK(spark, model, indexP, base, queries,
+        pred, nprobe = nprobe, topk = 10, rerank = rerank,
+        selectivity = Some(nf.toDouble / n))
+      auto.count()
+      val autoSec = (System.nanoTime() - t5) / 1e9
+      val autoRecall = ExactKnn.recall(auto, fTruth, 10).head().getDouble(0)
       println(s"""{"scale_smoke_filtered":{"n":$n,"selectivity":${nf.toDouble / n},""" +
         s""""unfiltered_recall_at_10_nprobe_$nprobe":$recall,""" +
-        measured.mkString(",") + "}}")
+        measured.mkString(",") +
+        s""","auto_widened":{"requested_nprobe":$nprobe,"filtered_recall_at_10":$autoRecall,""" +
+        s""""query_sec":$autoSec,"qps":${nQueries / autoSec}}}}""")
       fTruth.unpersist(); fBase.unpersist()
     }
     spark.stop()

@@ -1448,6 +1448,22 @@ object SparkEntry {
       gates(col("label") % 4 === 1, 0.8, "sel30")
         .crossJoin(gates(col("label") === 7, 0.65, "sel10"))
     }),
+    "q100_ann_filtered_auto" -> ((s, dir) => {
+      // selectivity-aware probe widening (RabitqQuery.filteredTopK — the
+      // remedy for q99's measured recall collapse): the caller requests
+      // nprobe 4 of 16, the ~10%-selective predicate widens the probe to
+      // ceil(4/0.1) clamped to full, so with full rerank the result is
+      // EXACTLY filtered brute force — a real-rows oracle (q97's SQL at
+      // label = 7), not a constant gate. At corpus scale the same
+      // widening keeps effective candidates constant instead of
+      // saturating (ScaleSmoke filtered sweep: 0.332 → 0.786).
+      val (model, index) = annIndexLabeled(s, dir)
+      RabitqQuery.filteredTopK(s, model, index, T(s, dir, "embeddings"),
+        annQueries(s, dir), col("label") === 7,
+        nprobe = 4, topk = 10, rerank = fullRerank(s, dir))
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "q96_char_entropy" -> ((s, dir) => {
       // codepoint-entropy quality signal (graft.functions.CharEntropy —
       // native codegen expression, one byte pass per row): the classic
@@ -1728,6 +1744,16 @@ object SparkEntry {
           |SELECT d.query_id, CAST(d.rank AS BIGINT) AS rank, doc.doc_id, doc.lang, doc.n_chars
           |FROM d JOIN documents doc ON doc.doc_id = d.neighbor_id
           |WHERE d.rank <= 5 ORDER BY d.query_id, d.rank""".stripMargin,
+      // q100: auto-widened filtered search saturates to full probe at
+      // this selectivity ⇒ exactly filtered brute force (real-rows
+      // oracle — filtered kNN at label = 7)
+      "q100_ann_filtered_auto" ->
+        """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 10),
+          |b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS be FROM embeddings WHERE label = 7),
+          |d AS (SELECT q.query_id, b.vec_id AS neighbor_id,
+          |        row_number() OVER (PARTITION BY q.query_id ORDER BY list_distance(q.qe, b.be), b.vec_id) AS rank
+          |      FROM q CROSS JOIN b)
+          |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM d WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
       // q99: partial-probe filtered recall + mem≡disk path equality as
       // invariants (constant oracle — the q48 pattern)
       "q99_ann_filtered_recall" ->

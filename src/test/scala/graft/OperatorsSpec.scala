@@ -437,6 +437,34 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((0 until 4).forall(r.getLong(_) == 1L), s"q99 gate failed: $r")
   }
 
+  test("filteredTopK widens the probe by 1/selectivity: saturates to exact at " +
+      "fixture scale; explicit selectivity respected") {
+    val (model, index) = RabitqIndex.build(spark, emb, numClusters = 8, seed = 42L)
+    val labeled = index.join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+    val q = ExactKnn.queriesFromEmbeddings(emb, 5)
+    val pred = col("label") === 7 // ~10% of the corpus
+    // requested nprobe 1 → widened to ceil(1/0.1) = 10 → clamped to 8 =
+    // full probe; with full rerank the result must be EXACTLY filtered
+    // brute force, where a naive nprobe-1 query would miss most of it
+    val n = emb.count().toInt
+    val got = RabitqQuery.filteredTopK(spark, model, labeled, emb, q, pred,
+        nprobe = 1, topk = 5, rerank = n)
+      .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+    val want = ExactKnn.l2TopK(emb.filter(pred), q, 5)
+      .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+    assert(got == want && got.nonEmpty)
+    val naive = RabitqQuery.topK(spark, model, labeled.filter(pred), emb.filter(pred),
+        q, nprobe = 1, topk = 5, rerank = n)
+      .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+    assert(naive != want, "nprobe-1 naive filtered query should not be exact here")
+    // explicit selectivity short-circuits the measuring aggregate and is
+    // used verbatim: sel = 1.0 keeps nprobe unwidened
+    val unwidened = RabitqQuery.filteredTopK(spark, model, labeled, emb, q, pred,
+        nprobe = 1, topk = 5, rerank = n, selectivity = Some(1.0))
+      .select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet
+    assert(unwidened == naive)
+  }
+
   test("index parquet scan with cluster filter prunes partitions") {
     val (model, index) = RabitqIndex.build(spark, emb, numClusters = 8, seed = 1L)
     val dir = java.nio.file.Files.createTempDirectory("rabitq_prune").toString
