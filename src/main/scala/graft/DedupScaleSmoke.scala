@@ -14,8 +14,10 @@ import graft.operators._
   *   sbt "runMain graft.DedupScaleSmoke 10000000 1000 inc"  # one stage only
   *
   * Optional third arg selects a stage subset (comma-separated from
-  * minhash,lsh,text,inc) — the big-n stages each shuffle tens of GB, and
-  * rerunning all of them to refresh one datapoint is how a /tmp fills up.
+  * minhash,lsh,semantic,text,inc; `semantic` is opt-in — its
+  * within-cluster pair scan is the heaviest stage) — the big-n stages
+  * each shuffle tens of GB, and rerunning all of them to refresh one
+  * datapoint is how a /tmp fills up.
   */
 object DedupScaleSmoke {
   def main(args: Array[String]): Unit = {
@@ -141,6 +143,45 @@ object DedupScaleSmoke {
     nd.unpersist(); emb.unpersist()
     println(s"""{"dedup_scale_lsh":{"n_docs":$n,"lsh_sec":$lshSec,""" +
       s""""lsh_pairs":$ndPairs,"n_candidates":$lshCandidates,"lsh_planted_found":$ndPlanted}}""")
+    }
+
+    if (stages("semantic")) {
+    // ---- 2b) SemDeDup-style semantic dedup ------------------------------
+    // same generated corpus as the lsh stage (planted cos ≈ 0.9999
+    // copies). k = 4096 deterministic-sample centroids → n_c ≈ n/4096,
+    // within-cluster pairs ≈ n·n_c/2; at larger n SCALE K (the
+    // operator's documented law) or plug the 2-level hierarchical
+    // assignment in as the coarse stage.
+    val dim = 64
+    val genUdf = udf { (id: Long, copyOf: Long) =>
+      val src = if (copyOf >= 0) copyOf else id
+      val v = Array.tabulate(dim)(j => graft.functions.VectorOps.syntheticNoise(src + 7919L, j))
+      if (copyOf >= 0) v(0) += 0.01f
+      v.toSeq
+    }
+    val copyOf = when(col("id") >= half && col("id") < half + planted, col("id") - half)
+      .otherwise(lit(-1L))
+    val emb = spark.range(n)
+      .select(col("id").as("vec_id"), genUdf(col("id"), copyOf).as("embedding"))
+      .repartition(cpus.toInt).persist()
+    emb.count()
+    val kSem = 4096
+    val step = math.max(1L, n / kSem)
+    val centroids = emb.filter(col("vec_id") % step === 0 && col("vec_id") < half)
+      .orderBy(col("vec_id")).limit(kSem)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val t1s = System.nanoTime()
+    val surv = Curation.semanticDedup(spark, emb, centroids, threshold = 0.99).persist()
+    val nSurv = surv.count()
+    val semSec = (System.nanoTime() - t1s) / 1e9
+    // every planted copy must be dropped (its source has the smaller id
+    // and the 0.01-nudge keeps it in the same coarse cell); every
+    // non-planted vector must survive
+    val copiesSurvived = surv
+      .filter(col("vec_id") >= half && col("vec_id") < half + planted).count()
+    surv.unpersist(); emb.unpersist()
+    println(s"""{"dedup_scale_semantic":{"n_vecs":$n,"k":$kSem,"sec":$semSec,""" +
+      s""""survivors":$nSurv,"planted_dropped":${planted - copiesSurvived}}}""")
     }
 
     if (stages("text")) {

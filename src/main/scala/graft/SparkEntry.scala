@@ -1464,6 +1464,21 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    "q101_semantic_dedup" -> ((s, dir) => {
+      // SemDeDup-style semantic dedup (Curation.semanticDedup): coarse
+      // clusters → within-cluster cosine pairs → component
+      // representatives survive. Centroids are a DETERMINISTIC sample
+      // (vec_id % 62 == 0, first 8) so DuckDB replays the whole
+      // pipeline: argmin assignment (tie on cid), the q22 cosine
+      // formula, the q57 recursive-CTE components, min-id survivor —
+      // a real-rows oracle over a 4-stage composition
+      val emb = T(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") % 62 === 0)
+        .orderBy(col("vec_id")).limit(8)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      Curation.semanticDedup(s, emb, centroids, threshold = 0.4)
+        .orderBy(col("vec_id"))
+    }),
     "q96_char_entropy" -> ((s, dir) => {
       // codepoint-entropy quality signal (graft.functions.CharEntropy —
       // native codegen expression, one byte pass per row): the classic
@@ -1744,6 +1759,35 @@ object SparkEntry {
           |SELECT d.query_id, CAST(d.rank AS BIGINT) AS rank, doc.doc_id, doc.lang, doc.n_chars
           |FROM d JOIN documents doc ON doc.doc_id = d.neighbor_id
           |WHERE d.rank <= 5 ORDER BY d.query_id, d.rank""".stripMargin,
+      // q101: the full SemDeDup pipeline replayed — deterministic-sample
+      // centroids, argmin assignment (list_distance, tie on cid), q22's
+      // cosine formula within clusters, q57's recursive-CTE components,
+      // min-id representative survives
+      "q101_semantic_dedup" ->
+        """WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |c AS (SELECT vec_id AS cid, v AS ce FROM e WHERE vec_id % 62 = 0 ORDER BY vec_id LIMIT 8),
+          |ar AS (SELECT e.vec_id, c.cid,
+          |         row_number() OVER (PARTITION BY e.vec_id
+          |                            ORDER BY list_distance(e.v, c.ce), c.cid) AS rk
+          |       FROM e CROSS JOIN c),
+          |a AS (SELECT vec_id, cid AS cluster FROM ar WHERE rk = 1),
+          |pr AS (SELECT x.vec_id AS doc_a, y.vec_id AS doc_b
+          |       FROM a ax JOIN e x ON x.vec_id = ax.vec_id
+          |       JOIN a ay ON ay.cluster = ax.cluster
+          |       JOIN e y ON y.vec_id = ay.vec_id
+          |       WHERE x.vec_id < y.vec_id
+          |         AND list_dot_product(x.v, y.v) / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) >= 0.4),
+          |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr UNION ALL SELECT doc_b, doc_a FROM pr),
+          |reach(node, comp) AS (
+          |  SELECT src, src FROM edges
+          |  UNION
+          |  SELECT e2.src, r.comp FROM reach r JOIN edges e2 ON e2.dst = r.node WHERE r.comp < e2.src
+          |),
+          |comps AS (SELECT node, MIN(comp) AS component FROM reach GROUP BY node)
+          |SELECT a.vec_id, a.cluster FROM a
+          |LEFT JOIN comps ON comps.node = a.vec_id
+          |WHERE comps.node IS NULL OR comps.component = a.vec_id
+          |ORDER BY a.vec_id""".stripMargin,
       // q100: auto-widened filtered search saturates to full probe at
       // this selectivity ⇒ exactly filtered brute force (real-rows
       // oracle — filtered kNN at label = 7)

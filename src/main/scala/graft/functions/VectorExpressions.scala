@@ -309,6 +309,45 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** Nearest-centroid assignment as ONE codegen expression: argmin over
+    * k centroids of the f64 squared L2 distance (exactly [[L2SqF32]]'s
+    * accumulation), ties broken toward the SMALLER centroid id by
+    * iterating ids ascending with a strict `<` — total-ordered and
+    * engine-portable (a SQL replay with
+    * `row_number() OVER (ORDER BY dist, cid)` agrees exactly). The
+    * centroid matrix rides in the plan as a referenced flat float[]
+    * (k·dim — metadata-sized like the IVF model), its ids as a long[].
+    * Replaces the crossJoin(n×k) + min_by(struct) formulation, whose
+    * ObjectHashAggregate paid object-comparison overhead per candidate
+    * row (measured 81 s → sub-second at 200k×1024).
+    */
+  case class NearestCentroidF32(child: Expression, centroids: Array[Float],
+                                cids: Array[Long])
+      extends UnaryExpression {
+    require(cids.length > 0 && centroids.length % cids.length == 0,
+      "flat centroid matrix must be k × dim")
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<float>, got ${t.simpleString}")
+    }
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_nearest_centroid"
+
+    override protected def nullSafeEval(input: Any): Any =
+      NearestCentroid.assign(input.asInstanceOf[ArrayData], centroids, cids)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cref = ctx.addReferenceObj("centroids", centroids, "float[]")
+      val iref = ctx.addReferenceObj("cids", cids, "long[]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.NearestCentroid.assign($c, $cref, $iref);")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // ---- Column API -------------------------------------------------------
   def l2sq(a: Column, b: Column): Column =
     ColumnShim.column(L2SqF32(ColumnShim.expression(a), ColumnShim.expression(b)))
@@ -323,6 +362,9 @@ object VectorExpressions {
   def hyperplaneSig(emb: Column, planes: Array[Float], numBands: Int, bandBits: Int): Column =
     ColumnShim.column(
       HyperplaneSigF32(ColumnShim.expression(emb), planes, numBands, bandBits))
+  def nearestCentroid(emb: Column, centroids: Array[Float], cids: Array[Long]): Column =
+    ColumnShim.column(
+      NearestCentroidF32(ColumnShim.expression(emb), centroids, cids))
 
   /** Register as SQL functions (graft_l2sq, graft_cosine, graft_asymdot,
     * graft_buildlut, graft_asymdot_lut, graft_char_entropy,
@@ -370,5 +412,38 @@ object HyperplaneSig {
       b += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Shared kernel for [[VectorExpressions.NearestCentroidF32]] — called
+  * from both the interpreted and generated paths. `cids` must be sorted
+  * ascending (strict `<` then resolves ties toward the smaller id).
+  */
+object NearestCentroid {
+  def assign(emb: ArrayData, centroids: Array[Float], cids: Array[Long]): Long = {
+    val k = cids.length
+    val dim = centroids.length / k
+    val n = math.min(dim, emb.numElements())
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < k) {
+      val off = c * dim
+      var s = 0.0
+      var j = 0
+      while (j < n) {
+        val d = emb.getFloat(j).toDouble - centroids(off + j).toDouble
+        s += d * d
+        j += 1
+      }
+      // zero-padded tail, matching L2SqF32's unequal-length semantics
+      j = n
+      while (j < dim) { val d = centroids(off + j).toDouble; s += d * d; j += 1 }
+      j = n
+      while (j < emb.numElements()) { val d = emb.getFloat(j).toDouble; s += d * d; j += 1 }
+      if (s < bestD) { bestD = s; best = c }
+      c += 1
+    }
+    cids(best)
   }
 }

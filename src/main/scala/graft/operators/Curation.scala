@@ -268,4 +268,62 @@ object Curation {
       .agg(max_by(packed, struct(ts, tieBreak)).as("last"))
       .select(keys ++ payload.map { case (nm, _) => col(s"last.$nm").as(nm) }: _*)
   }
+
+  /** SemDeDup-style SEMANTIC dedup (Abbas et al., "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication",
+    * 2023 — public paper): coarse-cluster the embedding space, find
+    * cosine-near-duplicate pairs only WITHIN clusters, and drop every
+    * non-representative member of each transitive near-dup component
+    * (min vec_id survives). This is the embedding-space analog of exact
+    * dedup: paraphrases/translations/re-renders that share no n-grams
+    * but embed together.
+    *
+    * Scale shape, stage by stage:
+    *  - assignment: ONE codegen expression per row
+    *    (VectorExpressions.NearestCentroidF32 — argmin inside the row,
+    *    the k×dim centroid matrix riding in the plan as a reference,
+    *    like the IVF model broadcast) — no n×k frame exists and the
+    *    corpus is never shuffled for assignment;
+    *  - pair search: one exchange on cluster id; within-cluster work is
+    *    Σ n_c²/2 ≈ n²/2k, so K MUST SCALE WITH n (SemDeDup's published
+    *    practice — n_c held roughly constant; 50k clusters for LAION).
+    *    For clustered-skew corpora reuse the 2-level hierarchical
+    *    k-means (RabitqIndex B5) as the coarse stage;
+    *  - clustering + representative: the connected-components solver
+    *    (size-dispatched union-find) over the pair list, then one
+    *    broadcast anti-join of the dropped ids.
+    *
+    * `centroids`: (cid, ce) rows — from any k-means fit, or a
+    * deterministic sample for oracle-replayable runs (the q101 shape).
+    * Argmin ties break on cid, so assignment is total-ordered and
+    * engine-portable. Output: surviving (vec_id, cluster), one row per
+    * kept vector.
+    */
+  def semanticDedup(spark: org.apache.spark.sql.SparkSession, emb: DataFrame,
+      centroids: DataFrame, threshold: Double): DataFrame = {
+    import graft.functions.VectorExpressions
+    // metadata-sized collect (k × dim floats — the IVF-model shape);
+    // sorted by cid so the expression's strict-< argmin ties toward the
+    // smaller id, matching a SQL `ORDER BY dist, cid` replay
+    val cent = centroids.select(col("cid"), col("ce")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    // assignment is ONE codegen expression per row (argmin inside the
+    // row, centroid matrix as a plan reference) — no n×k frame exists.
+    // Stateless and cheap (k·dim flops/row), so consumers just
+    // re-evaluate it instead of caching an intermediate
+    val cluster = VectorExpressions.nearestCentroid(col("embedding"),
+      cent.flatMap(_._2), cent.map(_._1))
+    val assigned = emb.select(col("vec_id"), col("embedding"), cluster.as("cluster"))
+    def side(idCol: String, embCol: String) =
+      assigned.select(col("cluster"), col("vec_id").as(idCol), col("embedding").as(embCol))
+    val pairs = side("id_a", "ea").join(side("id_b", "eb"), Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(VectorExpressions.cosineSim(col("ea"), col("eb")) >= threshold)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val dropped = connectedComponents(pairs)
+      .filter(col("doc_id") =!= col("component"))
+      .select(col("doc_id").as("vec_id"))
+    assigned.join(broadcast(dropped), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cluster"))
+  }
 }
