@@ -135,4 +135,33 @@ class KernelPropertiesSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("nearest-centroid kernel equals the naive argmin, ties toward smaller cid") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    check("nearestCentroid") {
+      val gen = for {
+        dim <- Gen.oneOf(8, 32, 64)
+        k <- Gen.chooseNum(1, 6)
+        cents <- Gen.listOfN(k, vecGen(dim))
+        v <- vecGen(dim)
+        dupFirst <- Gen.oneOf(true, false)
+      } yield (dim, cents.toArray, v, dupFirst)
+      Prop.forAllNoShrink(gen) { case (dim, cents0, v, dupFirst) =>
+        // optionally append an exact copy of centroid 0 under a LARGER
+        // cid — the strict-< argmin must keep the smaller one
+        val cents = if (dupFirst) cents0 :+ cents0(0).clone() else cents0
+        val cids = cents.indices.map(i => (i + 1) * 10L).toArray
+        val got = graft.functions.NearestCentroid.assign(
+          ArrayData.toArrayData(v), cents.flatten, cids)
+        var best = 0
+        var bestD = Double.MaxValue
+        cents.indices.foreach { c =>
+          val d = VectorOps.l2sq(v, cents(c))
+          if (d < bestD) { bestD = d; best = c }
+        }
+        got == cids(best) && (!dupFirst || got != cids.last ||
+          VectorOps.l2sq(v, cents(0)) != bestD)
+      }
+    }
+  }
 }

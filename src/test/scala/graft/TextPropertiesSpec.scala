@@ -65,6 +65,26 @@ class TextPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("wide shingle hasher: hi half equals the plain fold, lo folds squared " +
+      "token hashes with base 137 — the oracle's exact expression") {
+    def naiveWide(s: String, n: Int): Seq[Long] = {
+      val th = s.split("\\s+", -1).toSeq.map(naivePolyHash)
+      if (th.length < n) Seq.empty
+      else th.sliding(n).map { w =>
+        val hi = w.foldLeft(0L)((acc, h) => (acc * Base + h) % P)
+        val lo = w.foldLeft(0L)((acc, h) => (acc * 137L + (h * h) % P) % P)
+        (hi << 31) | lo
+      }.toSeq
+    }
+    check("wideShingles") {
+      Prop.forAllNoShrink(textGen, Gen.oneOf(1, 2, 3, 5)) { (s, n) =>
+        val got = ShinglePolyHashes
+          .wideShingles(UTF8String.fromString(s), n, Base, 137L, P).toSeq
+        got == naiveWide(s, n)
+      }
+    }
+  }
+
   test("char entropy equals the codepoint-histogram formula the oracle replays") {
     // the String-level reference: counts over codePoints(), -Σ p·log2(p)
     def naive(s: String): Double = {
