@@ -104,26 +104,38 @@ object DedupScaleSmoke {
       s""""cc_sec":$ccSec,"cc_nodes":$ccNodes,"cc_components":$ccComponents,"cc_planted_clustered":$ccPlanted}}""")
     }
 
-    if (stages("lsh")) {
-    // ---- 2) embedding hyperplane-LSH near-dup ---------------------------
+    // shared synthetic embedding corpus for the lsh + semantic stages:
     // zero-mean random vectors (cos ≈ 0 between random pairs, so band
     // collisions are rare and candidates stay ~linear — any common mean
     // component would correlate ALL vectors and defeat the banding);
-    // docs n/2..+planted copy vector (id - n/2) with one coordinate
-    // nudged (cos ≈ 0.999)
-    val dim = 64
-    val genUdf = udf { (id: Long, copyOf: Long) =>
-      val src = if (copyOf >= 0) copyOf else id
-      val v = Array.tabulate(dim)(j => graft.functions.VectorOps.syntheticNoise(src + 7919L, j))
-      if (copyOf >= 0) v(0) += 0.01f
-      v.toSeq
+    // vecs n/2..+planted copy vector (id - n/2) with one coordinate
+    // nudged (cos ≈ 0.9999). Built lazily ONCE (running both stages
+    // must not regenerate and re-persist the same n×64 corpus), released
+    // after the last embedding stage.
+    lazy val embCorpus: org.apache.spark.sql.DataFrame = {
+      val dim = 64
+      val genUdf = udf { (id: Long, copyOf: Long) =>
+        val src = if (copyOf >= 0) copyOf else id
+        val v = Array.tabulate(dim)(j => graft.functions.VectorOps.syntheticNoise(src + 7919L, j))
+        if (copyOf >= 0) v(0) += 0.01f
+        v.toSeq
+      }
+      val copyOf = when(col("id") >= half && col("id") < half + planted, col("id") - half)
+        .otherwise(lit(-1L))
+      val e = spark.range(n)
+        .select(col("id").as("vec_id"), genUdf(col("id"), copyOf).as("embedding"))
+        .repartition(cpus.toInt).persist()
+      e.count()
+      e
     }
-    val copyOf = when(col("id") >= half && col("id") < half + planted, col("id") - half)
-      .otherwise(lit(-1L))
-    val emb = spark.range(n)
-      .select(col("id").as("vec_id"), genUdf(col("id"), copyOf).as("embedding"))
-      .repartition(cpus.toInt).persist()
-    emb.count()
+    def releaseEmbAfter(stage: String): Unit = {
+      val later = Seq("lsh", "semantic").dropWhile(_ != stage).drop(1)
+      if (!later.exists(stages)) embCorpus.unpersist()
+    }
+
+    if (stages("lsh")) {
+    // ---- 2) embedding hyperplane-LSH near-dup ---------------------------
+    val emb = embCorpus
 
     val t1 = System.nanoTime()
     // band width follows the operator's scaling law (2^(bandBits+1) ≳
@@ -140,31 +152,19 @@ object DedupScaleSmoke {
     val ndPlanted = nd
       .filter(col("id_b") === col("id_a") + half && col("id_a") < planted)
       .count()
-    nd.unpersist(); emb.unpersist()
+    nd.unpersist(); releaseEmbAfter("lsh")
     println(s"""{"dedup_scale_lsh":{"n_docs":$n,"lsh_sec":$lshSec,""" +
       s""""lsh_pairs":$ndPairs,"n_candidates":$lshCandidates,"lsh_planted_found":$ndPlanted}}""")
     }
 
     if (stages("semantic")) {
     // ---- 2b) SemDeDup-style semantic dedup ------------------------------
-    // same generated corpus as the lsh stage (planted cos ≈ 0.9999
-    // copies). k = 4096 deterministic-sample centroids → n_c ≈ n/4096,
-    // within-cluster pairs ≈ n·n_c/2; at larger n SCALE K (the
-    // operator's documented law) or plug the 2-level hierarchical
-    // assignment in as the coarse stage.
-    val dim = 64
-    val genUdf = udf { (id: Long, copyOf: Long) =>
-      val src = if (copyOf >= 0) copyOf else id
-      val v = Array.tabulate(dim)(j => graft.functions.VectorOps.syntheticNoise(src + 7919L, j))
-      if (copyOf >= 0) v(0) += 0.01f
-      v.toSeq
-    }
-    val copyOf = when(col("id") >= half && col("id") < half + planted, col("id") - half)
-      .otherwise(lit(-1L))
-    val emb = spark.range(n)
-      .select(col("id").as("vec_id"), genUdf(col("id"), copyOf).as("embedding"))
-      .repartition(cpus.toInt).persist()
-    emb.count()
+    // same shared corpus (planted cos ≈ 0.9999 copies). k = 4096
+    // deterministic-sample centroids → n_c ≈ n/4096, within-cluster
+    // pairs ≈ n·n_c/2; at larger n SCALE K (the operator's documented
+    // law) or plug the 2-level hierarchical assignment in as the coarse
+    // stage.
+    val emb = embCorpus
     val kSem = 4096
     val step = math.max(1L, n / kSem)
     val centroids = emb.filter(col("vec_id") % step === 0 && col("vec_id") < half)
@@ -179,7 +179,7 @@ object DedupScaleSmoke {
     // non-planted vector must survive
     val copiesSurvived = surv
       .filter(col("vec_id") >= half && col("vec_id") < half + planted).count()
-    surv.unpersist(); emb.unpersist()
+    surv.unpersist(); releaseEmbAfter("semantic")
     println(s"""{"dedup_scale_semantic":{"n_vecs":$n,"k":$kSem,"sec":$semSec,""" +
       s""""survivors":$nSurv,"planted_dropped":${planted - copiesSurvived}}}""")
     }

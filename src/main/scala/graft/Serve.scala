@@ -162,6 +162,11 @@ object Serve {
     // old cached index is released after the swap (lazy unpersist — any
     // job still reading it just recomputes).
     server.createContext("/reload", (ex: HttpExchange) => {
+      // persisted frames are tracked so a failed reload releases them —
+      // otherwise a retrying ops loop would accumulate cached datasets
+      // until storage memory is exhausted
+      val persisted = scala.collection.mutable.ListBuffer
+        .empty[org.apache.spark.sql.DataFrame]
       try {
         val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
         val idxDir = parseString(body, "index_dir")
@@ -169,18 +174,34 @@ object Serve {
         val basePath = parseString(body, "base")
           .getOrElse(s"$sfDir/embeddings.parquet")
         val (m2, i2raw) = RabitqIndex.load(spark, idxDir)
-        val b2 = spark.read.parquet(basePath).persist()
-        val i2 = i2raw.persist()
+        // validate BEFORE persisting: an empty base is the same fatal
+        // state start() rejects — a 200 here would silently serve nothing
+        val b2raw = spark.read.parquet(basePath)
+        val baseDim = b2raw.select(size(col("embedding"))).limit(1)
+          .collect().headOption.map(_.getInt(0))
+          .getOrElse(throw new IllegalArgumentException(
+            s"reload base at $basePath is empty — nothing to serve"))
+        require(m2.params.dim == baseDim,
+          s"reloaded index dim ${m2.params.dim} != base embedding dim $baseDim")
+        val b2 = b2raw.persist(); persisted += b2
+        val i2 = i2raw.persist(); persisted += i2
         val n2 = b2.count(); i2.count()
-        require(m2.params.dim == b2.select(size(col("embedding"))).limit(1)
-          .collect().headOption.map(_.getInt(0)).getOrElse(m2.params.dim),
-          "reloaded index dim != reloaded base dim")
         val hot2 = HotTier.fromIndex(spark, m2, i2, b2)
         val old = engineRef.getAndSet(Engine(m2, i2, b2, hot2))
-        old.index.unpersist(false); old.base.unpersist(false)
+        // release the OLD engine's cache — but Spark keys the cache by
+        // analyzed plan, so a reload from the same path would share the
+        // entry with the frame just installed; unpersisting that shared
+        // entry would evict the NEW engine's cache. Only drop frames
+        // whose plan differs from the incoming ones.
+        def release(oldDf: org.apache.spark.sql.DataFrame,
+                    newDf: org.apache.spark.sql.DataFrame): Unit =
+          if (!oldDf.queryExecution.analyzed.sameResult(newDf.queryExecution.analyzed))
+            oldDf.unpersist(false)
+        release(old.index, i2); release(old.base, b2)
         respond(ex, 200, s"""{"reloaded":true,"n_base":$n2}""")
       } catch {
         case e: Throwable =>
+          persisted.foreach(df => try df.unpersist(false) catch { case _: Throwable => () })
           val msg = jsonEscape(Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
           respond(ex, 400, s"""{"error":"$msg"}""")
       }

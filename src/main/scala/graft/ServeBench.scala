@@ -150,9 +150,12 @@ object ServeBench {
         })
       }
       done.await()
+      // close the timed window BEFORE stopping the churn thread — its
+      // join (up to 5 s mid-reload) would otherwise inflate wallSec and
+      // understate qps, corrupting the mutate-vs-plain A/B
+      val wallSec = (System.nanoTime() - t0) / 1e9
       pool.shutdown()
       churnStop.set(true); churn.foreach(_.join(5000))
-      val wallSec = (System.nanoTime() - t0) / 1e9
 
       val sorted = latencies.toArray(new Array[java.lang.Long](0)).map(_.toLong).sorted
       def pct(p: Double): Double = sorted((p * (sorted.length - 1)).round.toInt) / 1e6

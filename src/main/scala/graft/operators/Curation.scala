@@ -323,7 +323,11 @@ object Curation {
     val dropped = connectedComponents(pairs)
       .filter(col("doc_id") =!= col("component"))
       .select(col("doc_id").as("vec_id"))
-    assigned.join(broadcast(dropped), Seq("vec_id"), "left_anti")
+    // NO broadcast hint on the anti-join: on real SemDeDup corpora the
+    // dropped set is a large FRACTION of n (the paper removes up to ~50%
+    // of web data), far past broadcast limits — AQE still broadcasts it
+    // when it is actually small (the planted-dup smoke shape)
+    assigned.join(dropped, Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("cluster"))
   }
 }

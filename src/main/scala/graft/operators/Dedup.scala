@@ -207,24 +207,31 @@ object Dedup {
     // default 67M bits ≈ 7M items at 1% fpp) — above that the effective
     // fpp would quietly exceed the requested one and the verification
     // broadcast would grow. Exactness never depends on fpp, but the
-    // requested size should be honored: raise the session caps to fit.
-    // Safe to leave raised — these confs only bound the sketches Spark
-    // itself injects for runtime join filtering.
+    // requested size should be honored: raise the caps for the duration
+    // of the sketch build, then RESTORE them — leaving them raised would
+    // silently permit Spark's own injected runtime join filters, sized
+    // from table statistics, to grow past the cap the default protects.
     val conf = history.sparkSession.conf
-    Seq("spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> nItems,
-        "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> numBits).foreach {
-      case (k, needed) =>
-        if (conf.getOption(k).map(_.toLong).getOrElse(0L) < needed)
-          conf.set(k, needed.toString)
+    val keys = Seq("spark.sql.optimizer.runtime.bloomFilter.maxNumItems" -> nItems,
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits" -> numBits)
+    val saved = keys.map { case (k, needed) =>
+      val prev = conf.getOption(k)
+      if (prev.map(_.toLong).getOrElse(0L) < needed) conf.set(k, needed.toString)
+      k -> prev
     }
-    val bloomAgg = ColumnShim.column(new BloomFilterAggregate(
-      ColumnShim.expression(textFp), Literal(nItems), Literal(numBits)).toAggregateExpression())
-    // the aggregate yields NULL over zero rows — an empty history means
-    // everything incoming is new
-    Option(history.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]]("bf")).map { bin =>
-      ColumnShim.column(BloomFilterMightContain(
-        Literal.create(bin, org.apache.spark.sql.types.BinaryType),
-        ColumnShim.expression(col("fp"))))
+    try {
+      val bloomAgg = ColumnShim.column(new BloomFilterAggregate(
+        ColumnShim.expression(textFp), Literal(nItems), Literal(numBits)).toAggregateExpression())
+      // the aggregate yields NULL over zero rows — an empty history means
+      // everything incoming is new
+      Option(history.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]]("bf")).map { bin =>
+        ColumnShim.column(BloomFilterMightContain(
+          Literal.create(bin, org.apache.spark.sql.types.BinaryType),
+          ColumnShim.expression(col("fp"))))
+      }
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
     }
   }
 

@@ -627,16 +627,30 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.map(r => r.getString(r.fieldIndex("fp"))).toSet == Set("keep-b", "keep-c"))
   }
 
-  test("historyBloomPredicate raises the session bloom caps past the silent clamp") {
+  test("historyBloomPredicate builds past the silent clamp and restores the session caps") {
     import spark.implicits._
     val history = Seq((1L, "a")).toDF("doc_id", "text")
-    // 100M expected docs at 1% fpp needs ~958M bits — far past the 67M
-    // default cap BloomFilterAggregate clamps to without error
-    Dedup.historyBloomPredicate(history, 100000000L, 0.01)
-    val bits = spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits").toLong
-    val items = spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems").toLong
-    assert(bits >= org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(100000000L, 0.01))
-    assert(items >= 100000000L)
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val (bitsBefore, itemsBefore) = (spark.conf.get(bitsKey), spark.conf.get(itemsKey))
+    // 10M expected docs at 1% fpp needs ~96M bits — past the 67M default
+    // cap BloomFilterAggregate clamps to without error. The EFFECTIVE
+    // size is observable in the serialized filter embedded in the
+    // predicate: it must be bitmap-sized for the REQUESTED numBits, not
+    // the clamp.
+    val pred = Dedup.historyBloomPredicate(history, 10000000L, 0.01).get
+    var binLen = -1L
+    org.apache.spark.sql.graft.ColumnShim.expression(pred).foreach {
+      case lit: org.apache.spark.sql.catalyst.expressions.Literal
+          if lit.dataType == org.apache.spark.sql.types.BinaryType =>
+        binLen = lit.value.asInstanceOf[Array[Byte]].length.toLong
+      case _ => ()
+    }
+    val wantBits = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(10000000L, 0.01)
+    assert(binLen >= wantBits / 8, s"filter binary $binLen B < requested ${wantBits / 8} B — clamped")
+    // the caps are raised only for the build, then restored: leaving
+    // them raised would resize Spark's own injected join filters
+    assert(spark.conf.get(bitsKey) == bitsBefore && spark.conf.get(itemsKey) == itemsBefore)
   }
 
   test("ngram jaccard: identical docs get 1.0, disjoint get filtered") {
