@@ -179,9 +179,21 @@ object DedupScaleSmoke {
     // non-planted vector must survive
     val copiesSurvived = surv
       .filter(col("vec_id") >= half && col("vec_id") < half + planted).count()
-    surv.unpersist(); releaseEmbAfter("semantic")
+    surv.unpersist()
+    // two-level assignment leg (the k ∝ n scale path: flat assignment is
+    // O(n·k·dim); hier is O(n·2√k·dim)) — same centroids, branch = √k
+    val t2s = System.nanoTime()
+    val survH = Curation.semanticDedupHier(spark, emb, centroids,
+      threshold = 0.99).persist()
+    val nSurvH = survH.count()
+    val semHierSec = (System.nanoTime() - t2s) / 1e9
+    val copiesSurvivedH = survH
+      .filter(col("vec_id") >= half && col("vec_id") < half + planted).count()
+    survH.unpersist(); releaseEmbAfter("semantic")
     println(s"""{"dedup_scale_semantic":{"n_vecs":$n,"k":$kSem,"sec":$semSec,""" +
-      s""""survivors":$nSurv,"planted_dropped":${planted - copiesSurvived}}}""")
+      s""""survivors":$nSurv,"planted_dropped":${planted - copiesSurvived},""" +
+      s""""hier_sec":$semHierSec,"hier_survivors":$nSurvH,""" +
+      s""""hier_planted_dropped":${planted - copiesSurvivedH}}}""")
     }
 
     if (stages("text")) {

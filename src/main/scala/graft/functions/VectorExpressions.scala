@@ -348,6 +348,55 @@ object VectorExpressions {
       copy(child = newChild)
   }
 
+  /** TWO-LEVEL nearest-centroid assignment: nearest of `branch` super-
+    * centroids first, then nearest centroid among that super's members —
+    * O((branch + k/branch)·dim) per row instead of O(k·dim). This is the
+    * path that keeps assignment LINEAR when k itself scales with n (the
+    * semanticDedup pair-scan bound forces k ∝ n, making flat assignment
+    * O(n²·dim/const) — quadratic through the back door). Approximate at
+    * super-cell boundaries — the same coarse-quantizer approximation
+    * every hierarchical IVF accepts (and B5's 2-level k-means already
+    * uses for index builds); for near-dup SEMANTICS it only means a
+    * boundary vector may compare within a neighboring cell.
+    *
+    * `memberOffsets`/`memberIdx` encode the CSR member lists per super;
+    * members must be ordered by ascending cid within each super so the
+    * strict-< argmin resolves ties toward the smaller cid, like the
+    * flat kernel.
+    */
+  case class NearestCentroidHierF32(child: Expression, supers: Array[Float],
+                                    memberOffsets: Array[Int], memberIdx: Array[Int],
+                                    centroids: Array[Float], cids: Array[Long])
+      extends UnaryExpression {
+    require(memberOffsets.length >= 2 && memberIdx.length == cids.length,
+      "memberOffsets must be CSR over exactly the centroid list")
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<float>, got ${t.simpleString}")
+    }
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_nearest_centroid_hier"
+
+    override protected def nullSafeEval(input: Any): Any =
+      NearestCentroid.assignHier(input.asInstanceOf[ArrayData], supers,
+        memberOffsets, memberIdx, centroids, cids)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val sref = ctx.addReferenceObj("supers", supers, "float[]")
+      val oref = ctx.addReferenceObj("memberOffsets", memberOffsets, "int[]")
+      val mref = ctx.addReferenceObj("memberIdx", memberIdx, "int[]")
+      val cref = ctx.addReferenceObj("centroids", centroids, "float[]")
+      val iref = ctx.addReferenceObj("cids", cids, "long[]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"""${ev.value} = graft.functions.NearestCentroid.assignHier(
+           |  $c, $sref, $oref, $mref, $cref, $iref);""".stripMargin)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // ---- Column API -------------------------------------------------------
   def l2sq(a: Column, b: Column): Column =
     ColumnShim.column(L2SqF32(ColumnShim.expression(a), ColumnShim.expression(b)))
@@ -365,6 +414,11 @@ object VectorExpressions {
   def nearestCentroid(emb: Column, centroids: Array[Float], cids: Array[Long]): Column =
     ColumnShim.column(
       NearestCentroidF32(ColumnShim.expression(emb), centroids, cids))
+  def nearestCentroidHier(emb: Column, supers: Array[Float], memberOffsets: Array[Int],
+                          memberIdx: Array[Int], centroids: Array[Float],
+                          cids: Array[Long]): Column =
+    ColumnShim.column(NearestCentroidHierF32(ColumnShim.expression(emb),
+      supers, memberOffsets, memberIdx, centroids, cids))
 
   /** Register as SQL functions (graft_l2sq, graft_cosine, graft_asymdot,
     * graft_buildlut, graft_asymdot_lut, graft_char_entropy,
@@ -443,6 +497,55 @@ object NearestCentroid {
       while (j < emb.numElements()) { val d = emb.getFloat(j).toDouble; s += d * d; j += 1 }
       if (s < bestD) { bestD = s; best = c }
       c += 1
+    }
+    cids(best)
+  }
+
+  private def d2(emb: ArrayData, flat: Array[Float], off: Int, dim: Int): Double = {
+    val n = math.min(dim, emb.numElements())
+    var s = 0.0
+    var j = 0
+    while (j < n) {
+      val d = emb.getFloat(j).toDouble - flat(off + j).toDouble
+      s += d * d
+      j += 1
+    }
+    j = n
+    while (j < dim) { val d = flat(off + j).toDouble; s += d * d; j += 1 }
+    j = n
+    while (j < emb.numElements()) { val d = emb.getFloat(j).toDouble; s += d * d; j += 1 }
+    s
+  }
+
+  /** Two-level assignment (see NearestCentroidHierF32): nearest super,
+    * then nearest member centroid within it.
+    */
+  def assignHier(emb: ArrayData, supers: Array[Float], memberOffsets: Array[Int],
+                 memberIdx: Array[Int], centroids: Array[Float],
+                 cids: Array[Long]): Long = {
+    val nSup = memberOffsets.length - 1
+    val sdim = supers.length / nSup
+    var bestS = -1
+    var bestSD = Double.MaxValue
+    var s = 0
+    while (s < nSup) {
+      // a super that lost all members in the Lloyd fit can never yield a
+      // centroid — skip it so the member scan below is always non-empty
+      if (memberOffsets(s + 1) > memberOffsets(s)) {
+        val d = d2(emb, supers, s * sdim, sdim)
+        if (d < bestSD) { bestSD = d; bestS = s }
+      }
+      s += 1
+    }
+    val dim = centroids.length / cids.length
+    var best = memberIdx(memberOffsets(bestS))
+    var bestD = Double.MaxValue
+    var m = memberOffsets(bestS)
+    while (m < memberOffsets(bestS + 1)) {
+      val c = memberIdx(m)
+      val d = d2(emb, centroids, c * dim, dim)
+      if (d < bestD) { bestD = d; best = c }
+      m += 1
     }
     cids(best)
   }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
 
 /** Dataset-curation operators for a training-data pipeline: deterministic
   * sampling, benchmark-contamination checks, duplicate clustering,
@@ -302,17 +303,102 @@ object Curation {
   def semanticDedup(spark: org.apache.spark.sql.SparkSession, emb: DataFrame,
       centroids: DataFrame, threshold: Double): DataFrame = {
     import graft.functions.VectorExpressions
-    // metadata-sized collect (k × dim floats — the IVF-model shape);
-    // sorted by cid so the expression's strict-< argmin ties toward the
-    // smaller id, matching a SQL `ORDER BY dist, cid` replay
-    val cent = centroids.select(col("cid"), col("ce")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val cent = collectCentroids(centroids)
     // assignment is ONE codegen expression per row (argmin inside the
     // row, centroid matrix as a plan reference) — no n×k frame exists.
     // Stateless and cheap (k·dim flops/row), so consumers just
     // re-evaluate it instead of caching an intermediate
     val cluster = VectorExpressions.nearestCentroid(col("embedding"),
       cent.flatMap(_._2), cent.map(_._1))
+    dedupByCluster(emb, cluster, threshold)
+  }
+
+  /** Scale variant of [[semanticDedup]] for k that grows with n (the
+    * pair-scan bound forces k ∝ n, which makes FLAT assignment
+    * O(n·k·dim) — quadratic through the back door). Assignment goes
+    * through a TWO-LEVEL scan (`NearestCentroidHierF32`): nearest of
+    * ~√k super-centroids (fit driver-side over the metadata-sized
+    * centroid matrix, seeded Lloyd), then nearest member within that
+    * super — O(2√k·dim) per row. Approximate at super-cell boundaries
+    * (the standard hierarchical-IVF coarse-quantizer trade, B5's shape);
+    * for dedup semantics a boundary vector merely compares within a
+    * neighboring cell. `branch` ≤ 0 picks round(√k).
+    */
+  def semanticDedupHier(spark: org.apache.spark.sql.SparkSession, emb: DataFrame,
+      centroids: DataFrame, threshold: Double, branch: Int = 0): DataFrame = {
+    import graft.functions.VectorExpressions
+    val cent = collectCentroids(centroids)
+    val k = cent.length
+    val b = if (branch > 0) math.min(branch, k) else math.max(1, math.round(math.sqrt(k)).toInt)
+    val supers = fitSupers(cent.map(_._2), b, seed = 42L)
+    // CSR member lists per super; member indices ascend ⇒ cids ascend
+    // within each super, so the strict-< member argmin ties like flat
+    def nearestSuper(v: Array[Float]): Int = {
+      var best = 0; var bd = Double.MaxValue
+      var s = 0
+      while (s < b) {
+        val d = VectorOps.l2sq(v, supers(s))
+        if (d < bd) { bd = d; best = s }
+        s += 1
+      }
+      best
+    }
+    val assignSup = cent.map(c => nearestSuper(c._2))
+    val members = Array.tabulate(b)(s => cent.indices.filter(assignSup(_) == s).toArray)
+    val offsets = members.scanLeft(0)(_ + _.length)
+    val cluster = VectorExpressions.nearestCentroidHier(col("embedding"),
+      supers.flatten, offsets, members.flatten, cent.flatMap(_._2), cent.map(_._1))
+    dedupByCluster(emb, cluster, threshold)
+  }
+
+  /** Metadata-sized collect (k × dim floats — the IVF-model shape),
+    * sorted by cid so strict-< argmins tie toward the smaller id,
+    * matching a SQL `ORDER BY dist, cid` replay.
+    */
+  private def collectCentroids(centroids: DataFrame): Array[(Long, Array[Float])] =
+    centroids.select(col("cid"), col("ce")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+
+  /** Seeded driver-side Lloyd over the (metadata-sized) centroid matrix:
+    * deterministic spread init over the cid-sorted centroids, empty
+    * supers keep their position (the assignment kernel skips memberless
+    * supers).
+    */
+  private def fitSupers(cent: Array[Array[Float]], branch: Int,
+      seed: Long, iters: Int = 10): Array[Array[Float]] = {
+    val k = cent.length
+    val dim = cent(0).length
+    var supers = Array.tabulate(branch)(i => cent(((i.toLong * k) / branch).toInt).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(branch)(new Array[Double](dim))
+      val counts = new Array[Int](branch)
+      cent.foreach { v =>
+        var best = 0; var bd = Double.MaxValue
+        var s = 0
+        while (s < branch) {
+          val d = VectorOps.l2sq(v, supers(s))
+          if (d < bd) { bd = d; best = s }
+          s += 1
+        }
+        counts(best) += 1
+        var j = 0
+        while (j < dim) { sums(best)(j) += v(j); j += 1 }
+      }
+      supers = Array.tabulate(branch)(s =>
+        if (counts(s) == 0) supers(s)
+        else Array.tabulate(dim)(j => (sums(s)(j) / counts(s)).toFloat))
+      it += 1
+    }
+    supers
+  }
+
+  /** Shared downstream of both semantic-dedup variants: within-cluster
+    * cosine pairs, components, min-id representative survives.
+    */
+  private def dedupByCluster(emb: DataFrame, cluster: Column,
+      threshold: Double): DataFrame = {
+    import graft.functions.VectorExpressions
     val assigned = emb.select(col("vec_id"), col("embedding"), cluster.as("cluster"))
     def side(idCol: String, embCol: String) =
       assigned.select(col("cluster"), col("vec_id").as(idCol), col("embedding").as(embCol))

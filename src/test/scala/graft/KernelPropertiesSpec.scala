@@ -164,4 +164,41 @@ class KernelPropertiesSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("two-level nearest-centroid kernel is a fixed point on the centroids themselves") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    // querying WITH centroid i must return cid(i): its nearest super is
+    // the one it was assigned to (same strict-< scan order as the CSR
+    // build), and within that member list its self-distance is 0
+    check("nearestCentroidHier") {
+      val gen = for {
+        dim <- Gen.oneOf(8, 32)
+        k <- Gen.chooseNum(2, 10)
+        cents <- Gen.listOfN(k, vecGen(dim))
+        nSup <- Gen.chooseNum(1, 4)
+        supers <- Gen.listOfN(nSup, vecGen(dim))
+      } yield (cents.toArray, supers.toArray)
+      Prop.forAllNoShrink(gen) { case (cents, supers) =>
+        val cids = cents.indices.map(i => (i + 1) * 7L).toArray
+        // CSR member lists from the same strict-< super argmin the
+        // kernel runs
+        def nearestSup(v: Array[Float]): Int = {
+          var best = 0; var bd = Double.MaxValue
+          supers.indices.foreach { s =>
+            val d = VectorOps.l2sq(v, supers(s)); if (d < bd) { bd = d; best = s }
+          }
+          best
+        }
+        val assign = cents.map(nearestSup)
+        val members = Array.tabulate(supers.length)(s =>
+          cents.indices.filter(assign(_) == s).toArray)
+        val offsets = members.scanLeft(0)(_ + _.length)
+        cents.indices.forall { i =>
+          graft.functions.NearestCentroid.assignHier(
+            ArrayData.toArrayData(cents(i)), supers.flatten, offsets,
+            members.flatten, cents.flatten, cids) == cids(i)
+        }
+      }
+    }
+  }
 }

@@ -1627,6 +1627,23 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((0L until 100L).forall(got.contains), "an original was dropped")
   }
 
+  test("semanticDedupHier (two-level assignment) drops planted copies like the flat " +
+      "variant; every original survives") {
+    import spark.implicits._
+    val rnd = new java.util.Random(9)
+    val base = (0L until 100L).map(i => (i, Array.fill(32)(rnd.nextFloat() * 2f - 1f)))
+    val copies = (0L until 5L).map(i => (200L + i, base(i.toInt)._2.map(_ + 0.001f))) :+
+      ((205L, base(0)._2.map(_ + 0.002f)))
+    val df = (base ++ copies).map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+    val centroids = df.filter(col("vec_id") % 13 === 0).orderBy(col("vec_id")).limit(8)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val got = Curation.semanticDedupHier(spark, df, centroids, threshold = 0.95, branch = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert((200L to 205L).forall(id => !got.contains(id)), s"copies survived: $got")
+    assert((0L until 100L).forall(got.contains), "an original was dropped")
+    assert(got.size == 100)
+  }
+
   test("repetitionSignals: known fractions, single-token and repeated docs") {
     import spark.implicits._
     val docs = Seq(
