@@ -14,10 +14,11 @@ import graft.operators._
   *   sbt "runMain graft.DedupScaleSmoke 10000000 1000 inc"  # one stage only
   *
   * Optional third arg selects a stage subset (comma-separated from
-  * minhash,lsh,semantic,text,inc; `semantic` is opt-in — its
-  * within-cluster pair scan is the heaviest stage) — the big-n stages
-  * each shuffle tens of GB, and rerunning all of them to refresh one
-  * datapoint is how a /tmp fills up.
+  * minhash,lsh,semantic,text,inc,incstream; `semantic` — whose
+  * within-cluster pair scan is the heaviest stage — and `incstream`
+  * are opt-in) — the big-n stages each shuffle tens of GB, and
+  * rerunning all of them to refresh one datapoint is how a /tmp
+  * fills up.
   */
 object DedupScaleSmoke {
   def main(args: Array[String]): Unit = {
@@ -243,6 +244,47 @@ object DedupScaleSmoke {
     newDocs.unpersist(); hist.unpersist(); inc.unpersist()
     println(s"""{"incremental_dedup_smoke":{"n_history":$n,"n_incoming":$nInc,""" +
       s""""sec":$incSec,"new_docs":$nNew,"docs_per_sec":${(n + nInc) / incSec}}}""")
+    }
+
+    if (stages("incstream")) {
+    // ---- 5) STREAMING incremental dedup (q95's path) at scale, with
+    // REAL multi-batch replay: incoming written as 8 chunk files taken
+    // one per micro-batch (maxFilesPerTrigger=1), with in-stream repeats
+    // planted ACROSS chunks so the cross-batch
+    // dropDuplicatesWithinWatermark state actually carries — the regime
+    // where SessionScaleSmoke caught a real q89 bug. Gates: set equality
+    // with the batch path and exactly-once emission, both at scale.
+    val hist = spark.range(n).select(col("id").as("doc_id"),
+      concat(lit("h"), col("id")).as("text")).repartition(cpus.toInt).persist()
+    hist.count()
+    val nInc = math.max(n / 10, 16L)
+    val incText = when(col("id") % 2 === 0, concat(lit("h"), col("id")))   // history dup
+      .when(col("id") % 10 === 9,
+        concat(lit("r"), pmod(col("id"), lit(997L))))                      // cross-chunk repeats
+      .otherwise(concat(lit("x"), col("id")))                              // new
+    val incDir = graft.TempDirs.create("graft_incstream_scale_")
+    spark.range(nInc).select((col("id") + n).as("doc_id"), incText.as("text"))
+      .repartition(8).write.parquet(s"$incDir/in")
+    val t5 = System.nanoTime()
+    val streamed = graft.streaming.DocsStream.newFingerprints(
+        spark, s"$incDir/in", hist, n, 0.01, "inc_scale_stream",
+        maxFilesPerTrigger = Some(1))
+      .persist()
+    val emissions = streamed.count()
+    val distinctFps = streamed.distinct().count()
+    val secS = (System.nanoTime() - t5) / 1e9
+    val batchFps = Dedup
+      .incrementalNew(hist, spark.read.parquet(s"$incDir/in"), n)
+      .select(Dedup.textFp.as("fp")).distinct().persist()
+    val setDiff = streamed.distinct().exceptAll(batchFps).count() +
+      batchFps.exceptAll(streamed.distinct()).count()
+    batchFps.unpersist(); streamed.unpersist(); hist.unpersist()
+    require(setDiff == 0, s"stream/batch set diverged by $setDiff fps")
+    require(emissions == distinctFps,
+      s"stream emitted $emissions rows for $distinctFps distinct fps")
+    println(s"""{"stream_inc_dedup_smoke":{"n_history":$n,"n_incoming":$nInc,""" +
+      s""""sec":$secS,"emissions":$emissions,"distinct_new_fps":$distinctFps,""" +
+      s""""set_diff_vs_batch":$setDiff,"docs_per_sec":${(n + nInc) / secS}}}""")
     }
     spark.stop()
   }
