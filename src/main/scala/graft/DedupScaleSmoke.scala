@@ -167,10 +167,16 @@ object DedupScaleSmoke {
     // stage.
     val emb = embCorpus
     val kSem = 4096
-    val step = math.max(1L, n / kSem)
+    // centroids are sampled from the FIRST HALF only (ids ≥ half are the
+    // planted copies), so the step must divide `half`, not n — n/kSem
+    // would land only ~kSem/2 sample points below `half` and silently
+    // halve the real k vs the reported one
+    val step = math.max(1L, half / kSem)
     val centroids = emb.filter(col("vec_id") % step === 0 && col("vec_id") < half)
       .orderBy(col("vec_id")).limit(kSem)
       .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      .persist()
+    val kActual = centroids.count()
     val t1s = System.nanoTime()
     val surv = Curation.semanticDedup(spark, emb, centroids, threshold = 0.99).persist()
     val nSurv = surv.count()
@@ -190,8 +196,8 @@ object DedupScaleSmoke {
     val semHierSec = (System.nanoTime() - t2s) / 1e9
     val copiesSurvivedH = survH
       .filter(col("vec_id") >= half && col("vec_id") < half + planted).count()
-    survH.unpersist(); releaseEmbAfter("semantic")
-    println(s"""{"dedup_scale_semantic":{"n_vecs":$n,"k":$kSem,"sec":$semSec,""" +
+    survH.unpersist(); centroids.unpersist(); releaseEmbAfter("semantic")
+    println(s"""{"dedup_scale_semantic":{"n_vecs":$n,"k":$kActual,"sec":$semSec,""" +
       s""""survivors":$nSurv,"planted_dropped":${planted - copiesSurvived},""" +
       s""""hier_sec":$semHierSec,"hier_survivors":$nSurvH,""" +
       s""""hier_planted_dropped":${planted - copiesSurvivedH}}}""")

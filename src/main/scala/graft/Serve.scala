@@ -198,6 +198,11 @@ object Serve {
           if (!oldDf.queryExecution.analyzed.sameResult(newDf.queryExecution.analyzed))
             oldDf.unpersist(false)
         release(old.index, i2); release(old.base, b2)
+        // the swap succeeded: b2/i2 are now the LIVE engine's frames. Clear
+        // the rollback list BEFORE respond() — a late IOException (dropped
+        // client) must not uncache the serving index, silently degrading
+        // every subsequent query to lineage recompute.
+        persisted.clear()
         respond(ex, 200, s"""{"reloaded":true,"n_base":$n2}""")
       } catch {
         case e: Throwable =>

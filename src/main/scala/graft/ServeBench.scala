@@ -97,6 +97,10 @@ object ServeBench {
       // every ~150 ms for the duration of the timed run
       val reloads = new AtomicInteger(0)
       val churnStop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      // a reload failure must not die silently inside the daemon thread —
+      // the bench would keep running and print mutate-mode numbers that
+      // measured little or no churn, corrupting the A/B it exists for
+      val churnError = new java.util.concurrent.atomic.AtomicReference[Throwable](null)
       val churn: Option[Thread] = if (!mutate) None else {
         val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
           .select("vec_id", "embedding")
@@ -115,18 +119,20 @@ object ServeBench {
         emb.filter(col("vec_id") % 7 =!= 3).unionByName(newVecs).write.parquet(baseB)
         val baseA = s"$sfDir/embeddings.parquet"
         val t = new Thread(() => {
-          var flip = false
-          while (!churnStop.get()) {
-            val (d, b) = if (flip) (dirA, baseA) else (dirB, baseB)
-            val req = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/reload"))
-              .POST(HttpRequest.BodyPublishers.ofString(
-                s"""{"index_dir": "$d", "base": "$b"}""")).build()
-            val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
-            require(resp.statusCode() == 200, s"reload failed: ${resp.body()}")
-            reloads.incrementAndGet()
-            flip = !flip
-            Thread.sleep(150)
-          }
+          try {
+            var flip = false
+            while (!churnStop.get()) {
+              val (d, b) = if (flip) (dirA, baseA) else (dirB, baseB)
+              val req = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/reload"))
+                .POST(HttpRequest.BodyPublishers.ofString(
+                  s"""{"index_dir": "$d", "base": "$b"}""")).build()
+              val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+              require(resp.statusCode() == 200, s"reload failed: ${resp.body()}")
+              reloads.incrementAndGet()
+              flip = !flip
+              Thread.sleep(150)
+            }
+          } catch { case e: Throwable => churnError.set(e) }
         })
         t.setDaemon(true); t.start(); Some(t)
       }
@@ -160,9 +166,16 @@ object ServeBench {
       val sorted = latencies.toArray(new Array[java.lang.Long](0)).map(_.toLong).sorted
       def pct(p: Double): Double = sorted((p * (sorted.length - 1)).round.toInt) / 1e6
       val mutTag = if (mutate) s""","reloads":${reloads.get()}""" else ""
+      val failTag = Option(churnError.get())
+        .map(e => s""","churn_failed":"${Serve.jsonEscape(
+          s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")}"""")
+        .getOrElse("")
       println(s"""{"serve_bench":{"sf_dir":"$sfDir","n_queries":${sorted.length},""" +
         s""""concurrency":$concurrency,"qps":${sorted.length / wallSec},""" +
-        s""""p50_ms":${pct(0.50)},"p95_ms":${pct(0.95)},"p99_ms":${pct(0.99)}$mutTag}}""")
+        s""""p50_ms":${pct(0.50)},"p95_ms":${pct(0.95)},"p99_ms":${pct(0.99)}$mutTag$failTag}}""")
+      // the mutate A/B is void if churn died mid-run — fail loudly
+      Option(churnError.get()).foreach(e =>
+        throw new IllegalStateException("reload churn thread failed mid-bench", e))
     } finally {
       server.stop(0)
       spark.stop()

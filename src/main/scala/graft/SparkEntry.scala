@@ -903,18 +903,18 @@ object SparkEntry {
       // never touch the driver; the MemoryStream `runOnce` remains the
       // small-spec harness, spec-pinned equal. Emitted rows must equal
       // the batch as-of join on the same subset (q40's oracle verbatim).
-      // chunks=1/stateParts=2: per-micro-batch fixed cost (planning +
-      // state-store commit + offset log) dominates the sf0.01 drive, so it
-      // runs the minimum that still proves progressive watermark drain —
-      // data batch at wm=0 (everything buffers), flusher batch (ripe lefts
-      // emit), then the engine's required no-data batch (timeouts drain
-      // the rest); the chunking-invariance spec pins chunk-independence.
+      // chunks=4/stateParts=2: four event-time-ordered data micro-batches
+      // + the flusher + the engine's required no-data drain batch — the
+      // watermark advances chunk by chunk, so cross-batch buffering,
+      // progressive ripe-left emission, AND state carried over ≥4 real
+      // micro-batches are all exercised in the gate itself (the
+      // chunking-invariance spec additionally pins chunk-independence).
       val tmp = graft.TempDirs.create("graft_q61_")
       val out = graft.streaming.AsofStream.runFileSource(s,
         T(s, dir, "events").filter(col("user_id") % 5 === 0),
         T(s, dir, "orders").filter(col("o_custkey") % 5 === 0),
         ("user_id", "ts", "event_id"), ("o_custkey", "o_orderdate", "o_orderkey"),
-        dir = tmp, chunks = 1, stateParts = 2, parquetSink = true)
+        dir = tmp, chunks = 4, stateParts = 2, parquetSink = true)
       out.filter(col("right_id").isNotNull)
         .select(col("left_id").as("event_id"), col("key").as("user_id"),
           col("right_id").as("o_orderkey"))
@@ -929,11 +929,12 @@ object SparkEntry {
       // Declared on the DEPLOYMENT drive: parquet file source + RocksDB
       // state store + foreachBatch parquet changelog sink (nothing on the
       // driver); compaction is batching-order-proof (winners are monotone
-      // per key), so the chunk count only sets micro-batch granularity.
+      // per key), so the chunk count only sets micro-batch granularity —
+      // 4 chunks = 4 real micro-batches carrying per-key winner state.
       val tmp = graft.TempDirs.create("graft_q66_")
       val changelog = graft.streaming.UpsertStream.runFileSource(s,
         T(s, dir, "events").filter(col("user_id") % 7 === 0),
-        dir = tmp, chunks = 2, stateParts = 2, parquetSink = true)
+        dir = tmp, chunks = 4, stateParts = 2, parquetSink = true)
       changelog.groupBy(col("user_id"), col("event_type"))
         .agg(max_by(struct(col("last_event_id"), col("last_value")),
           struct(col("ts_us"), col("last_event_id"))).as("w"))
@@ -1431,11 +1432,17 @@ object SparkEntry {
       val emb = T(s, dir, "embeddings")
       val qs = annQueries(s, dir)
       def gates(pred: Column, floor: Double, tag: String): DataFrame = {
-        val truth = ExactKnn.l2TopK(emb.filter(pred), qs, 10)
+        // each leg's ≤ |q|·k result is materialized ONCE (localCheckpoint):
+        // the truth/mem/disk pipelines would otherwise re-run inside every
+        // exceptAll direction and the recall join — 3× the ANN work for
+        // zero additional invariant strength
+        val fb = emb.filter(pred).localCheckpoint(true)
+        val truth = ExactKnn.l2TopK(fb, qs, 10).localCheckpoint(true)
         val mem = RabitqQuery.topK(s, model, index.filter(pred),
-          emb.filter(pred), qs, nprobe = 8, topk = 10, rerank = 100)
+          fb, qs, nprobe = 8, topk = 10, rerank = 100).localCheckpoint(true)
         val disk = RabitqQuery.topKFromDisk(s, diskIndexLabeled(s, dir),
-          emb.filter(pred), qs, nprobe = 8, topk = 10, rerank = 100, pred = pred)
+          fb, qs, nprobe = 8, topk = 10, rerank = 100, pred = pred)
+          .localCheckpoint(true)
         val cols = Seq("query_id", "neighbor_id", "rank").map(col)
         val recallOk = ExactKnn.recall(mem, truth, 10)
           .select((col("recall") >= floor).cast("long").as(s"recall_ok_$tag"))
@@ -1477,6 +1484,80 @@ object SparkEntry {
         .orderBy(col("vec_id")).limit(8)
         .select(col("vec_id").as("cid"), col("embedding").as("ce"))
       Curation.semanticDedup(s, emb, centroids, threshold = 0.4)
+        .orderBy(col("vec_id"))
+    }),
+    "q102_semantic_hier_gate" -> ((s, dir) => {
+      // the HIER semantic-dedup path's driver gate (q99's two-invariant
+      // pattern — approximation at super-cell boundaries is the
+      // variant's contract, so the gate pins what IS deterministic):
+      //  (1) branch=1 degenerate: one super ⇒ the member scan covers all
+      //      k centroids ⇒ assignment ≡ flat ⇒ the hier output must
+      //      EXACTLY equal the flat path (q101's oracled pipeline);
+      //  (2) planted-copy recovery at real branch=√k: EXACT copies of
+      //      existing vectors assign to their source's cluster under ANY
+      //      kernel (identical input ⇒ identical argmin), sit at
+      //      cosine 1 with a smaller-id source ⇒ every planted copy must
+      //      be dropped — deterministic at every SF and every fit.
+      // Constant oracle turns both invariants into hash checks.
+      val emb = T(s, dir, "embeddings")
+      val c8 = emb.filter(col("vec_id") % 62 === 0)
+        .orderBy(col("vec_id")).limit(8)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      val flat = Curation.semanticDedup(s, emb, c8, threshold = 0.4)
+        .localCheckpoint(true)
+      val hier1 = Curation.semanticDedupHier(s, emb, c8, threshold = 0.4,
+        branch = 1).localCheckpoint(true)
+      val eqOk = hier1.exceptAll(flat).union(flat.exceptAll(hier1))
+        .agg(count(lit(1)).as("n_diff"))
+        .select((col("n_diff") === 0).cast("long").as("branch1_eq_ok"))
+      // finer centroid set so branch = √64 = 8 is a real two-level split
+      val c64 = emb.filter(col("vec_id") % 7 === 0)
+        .orderBy(col("vec_id")).limit(64)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      val nPlant = 50
+      val copies = emb.filter(col("vec_id") < nPlant)
+        .select((col("vec_id") + 1000000000L).as("vec_id"), col("embedding"))
+      val planted = Curation.semanticDedupHier(s,
+        emb.select("vec_id", "embedding").unionByName(copies), c64, threshold = 0.4)
+        .filter(col("vec_id") >= 1000000000L)
+        .agg(count(lit(1)).as("n_survived"))
+        .select((col("n_survived") === 0).cast("long").as("recovery_ok"))
+      eqOk.crossJoin(planted)
+    }),
+    "q103_ann_filtered_disk" -> ((s, dir) => {
+      // the filtered-ANN DISK + KNOWN-selectivity composition
+      // (RabitqQuery.filteredTopKFromDisk): selectivity arrives as a
+      // catalog statistic (no measurement scan — the amortized contract
+      // at scale), widens the probe 4 → ceil(4/0.1) = 40, clamps to full
+      // at fixture scale ⇒ exactly filtered brute force (q100's
+      // real-rows oracle). The widened probedClusterIds static prune +
+      // label-in-PushedFilters composition and mem ≡ disk equality are
+      // plan-asserted in the spec (OperatorsSpec "filtered disk path").
+      val pred = col("label") === 7
+      RabitqQuery.filteredTopKFromDisk(s, diskIndexLabeled(s, dir),
+        T(s, dir, "embeddings").filter(pred), annQueries(s, dir), pred,
+        nprobe = 4, topk = 10, rerank = fullRerank(s, dir),
+        selectivity = Some(0.1))
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    "q104_incremental_semantic" -> ((s, dir) => {
+      // incremental SEMANTIC dedup (Curation.incrementalSemanticDedup) —
+      // the q94 composition in embedding space, the daily-ingest shape:
+      // incoming (vec_id % 3 ≠ 0) survives iff NO history member
+      // (vec_id % 3 = 0) of its own coarse cluster is cosine-≥-0.4 near
+      // it. History streams through a map-side join (broadcast incoming,
+      // id-only matched set); same deterministic-sample centroids as
+      // q101, so DuckDB replays assignment + the cross-set cosine
+      // NOT EXISTS verbatim — a real-rows oracle.
+      val emb = T(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") % 62 === 0)
+        .orderBy(col("vec_id")).limit(8)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      Curation.incrementalSemanticDedup(s,
+        emb.filter(col("vec_id") % 3 === 0),
+        emb.filter(col("vec_id") % 3 =!= 0),
+        centroids, threshold = 0.4)
         .orderBy(col("vec_id"))
     }),
     "q96_char_entropy" -> ((s, dir) => {
@@ -1534,6 +1615,17 @@ object SparkEntry {
     * minhash families (literals embedded from `Dedup.affine`), same
     * band join + exact-Jaccard verification.
     */
+  // filtered brute-force kNN at label = 7 — shared by q100 (in-memory
+  // auto-widened) and q103 (disk + known-selectivity): both saturate to
+  // full probe at fixture scale, so both must produce exactly these rows
+  private val filteredKnnLabel7Sql: String =
+    """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 10),
+      |b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS be FROM embeddings WHERE label = 7),
+      |d AS (SELECT q.query_id, b.vec_id AS neighbor_id,
+      |        row_number() OVER (PARTITION BY q.query_id ORDER BY list_distance(q.qe, b.be), b.vec_id) AS rank
+      |      FROM q CROSS JOIN b)
+      |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM d WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
   private def minhashOracle: String = {
     val P = Dedup.P
     val Hi = 1L << 31
@@ -1791,13 +1883,38 @@ object SparkEntry {
       // q100: auto-widened filtered search saturates to full probe at
       // this selectivity ⇒ exactly filtered brute force (real-rows
       // oracle — filtered kNN at label = 7)
-      "q100_ann_filtered_auto" ->
-        """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 10),
-          |b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS be FROM embeddings WHERE label = 7),
-          |d AS (SELECT q.query_id, b.vec_id AS neighbor_id,
-          |        row_number() OVER (PARTITION BY q.query_id ORDER BY list_distance(q.qe, b.be), b.vec_id) AS rank
-          |      FROM q CROSS JOIN b)
-          |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM d WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+      "q100_ann_filtered_auto" -> filteredKnnLabel7Sql,
+      // q103: the disk + known-selectivity composition widens to the same
+      // full probe ⇒ the same filtered-brute-force rows (mem ≡ disk and
+      // the plan-shape assertions live in the spec)
+      "q103_ann_filtered_disk" -> filteredKnnLabel7Sql,
+      // q102: hier-path invariants — branch=1 degenerate equality with
+      // the flat (q101-oracled) pipeline + planted-copy recovery at
+      // branch=√k (constant oracle, the q48/q99 pattern)
+      "q102_semantic_hier_gate" ->
+        ("SELECT CAST(1 AS BIGINT) AS branch1_eq_ok, " +
+          "CAST(1 AS BIGINT) AS recovery_ok"),
+      // q104: incremental semantic dedup replayed verbatim — argmin
+      // assignment over ALL vectors (q101's CTEs), then incoming
+      // survives iff no same-cluster history member is cosine-near
+      "q104_incremental_semantic" ->
+        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |c AS (SELECT vec_id AS cid, v AS ce FROM e WHERE vec_id % 62 = 0 ORDER BY vec_id LIMIT 8),
+          |ar AS (SELECT e.vec_id, c.cid,
+          |         row_number() OVER (PARTITION BY e.vec_id
+          |                            ORDER BY list_distance(e.v, c.ce), c.cid) AS rk
+          |       FROM e CROSS JOIN c),
+          |a AS (SELECT vec_id, cid AS cluster FROM ar WHERE rk = 1)
+          |SELECT i.vec_id, i.cluster FROM a i
+          |WHERE i.vec_id % 3 <> 0
+          |  AND NOT EXISTS (
+          |    SELECT 1 FROM a h
+          |    JOIN e he ON he.vec_id = h.vec_id
+          |    JOIN e ie ON ie.vec_id = i.vec_id
+          |    WHERE h.vec_id % 3 = 0 AND h.cluster = i.cluster
+          |      AND list_dot_product(ie.v, he.v) /
+          |          (sqrt(list_dot_product(ie.v, ie.v)) * sqrt(list_dot_product(he.v, he.v))) >= 0.4)
+          |ORDER BY i.vec_id""".stripMargin,
       // q99: partial-probe filtered recall + mem≡disk path equality as
       // invariants (constant oracle — the q48 pattern)
       "q99_ann_filtered_recall" ->

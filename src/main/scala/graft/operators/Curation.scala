@@ -302,95 +302,157 @@ object Curation {
     */
   def semanticDedup(spark: org.apache.spark.sql.SparkSession, emb: DataFrame,
       centroids: DataFrame, threshold: Double): DataFrame = {
-    import graft.functions.VectorExpressions
-    val cent = collectCentroids(centroids)
     // assignment is ONE codegen expression per row (argmin inside the
     // row, centroid matrix as a plan reference) — no n×k frame exists.
     // Stateless and cheap (k·dim flops/row), so consumers just
     // re-evaluate it instead of caching an intermediate
-    val cluster = VectorExpressions.nearestCentroid(col("embedding"),
-      cent.flatMap(_._2), cent.map(_._1))
-    dedupByCluster(emb, cluster, threshold)
+    dedupByCluster(emb, flatAssignment(collectCentroids(centroids)), threshold)
   }
 
   /** Scale variant of [[semanticDedup]] for k that grows with n (the
     * pair-scan bound forces k ∝ n, which makes FLAT assignment
     * O(n·k·dim) — quadratic through the back door). Assignment goes
     * through a TWO-LEVEL scan (`NearestCentroidHierF32`): nearest of
-    * ~√k super-centroids (fit driver-side over the metadata-sized
-    * centroid matrix, seeded Lloyd), then nearest member within that
-    * super — O(2√k·dim) per row. Approximate at super-cell boundaries
+    * ~√k super-centroids (fit DISTRIBUTED — seeded MLlib k-means over
+    * the centroid DataFrame, see [[hierAssignment]]), then nearest
+    * member within that super — O(2√k·dim) per row. Approximate at super-cell boundaries
     * (the standard hierarchical-IVF coarse-quantizer trade, B5's shape);
     * for dedup semantics a boundary vector merely compares within a
     * neighboring cell. `branch` ≤ 0 picks round(√k).
     */
   def semanticDedupHier(spark: org.apache.spark.sql.SparkSession, emb: DataFrame,
-      centroids: DataFrame, threshold: Double, branch: Int = 0): DataFrame = {
+      centroids: DataFrame, threshold: Double, branch: Int = 0): DataFrame =
+    dedupByCluster(emb,
+      hierAssignment(spark, centroids, collectCentroids(centroids), branch), threshold)
+
+  /** Incremental SEMANTIC dedup — the q94 shape in embedding space, the
+    * composition a real ingest pipeline runs daily: which vectors of
+    * today's batch are semantic near-dups of the standing corpus? An
+    * incoming vector is dropped iff some HISTORY member of its own coarse
+    * cluster is cosine-≥-threshold near it (within-incoming duplicates
+    * both survive, exactly like [[Dedup.incrementalNew]]'s contract —
+    * they are new to the corpus).
+    *
+    * Scale shape: history NEVER shuffles — both sides get their cluster
+    * from the same assignment expression (one codegen argmin per row; at
+    * scale history's assignment is already persisted as the
+    * cluster-partitioned layout and prunes instead of recomputing), and
+    * the join broadcasts the day-batch side, so the corpus streams
+    * through a map-side hash join. The matched set is id-only. Set
+    * `broadcastIncoming = false` when the batch outgrows broadcast —
+    * Catalyst then shuffles BOTH sides on cluster, the co-partitioned
+    * fallback.
+    *
+    * `branch` selects the assignment kernel exactly as in
+    * [[semanticDedupHier]]: 0 = flat argmin, > 0 = two-level with that
+    * branching, < 0 = two-level with branch = round(√k) — the k ∝ n
+    * scale path. Both sides always share one kernel, so the
+    * cluster-equality join is self-consistent by construction.
+    *
+    * Output: surviving incoming rows (vec_id, cluster).
+    */
+  def incrementalSemanticDedup(spark: org.apache.spark.sql.SparkSession,
+      history: DataFrame, incoming: DataFrame, centroids: DataFrame,
+      threshold: Double, branch: Int = 0,
+      broadcastIncoming: Boolean = true): DataFrame = {
     import graft.functions.VectorExpressions
     val cent = collectCentroids(centroids)
+    val cluster =
+      if (branch == 0) flatAssignment(cent)
+      else hierAssignment(spark, centroids, cent, branch)
+    val inc = incoming.select(col("vec_id"), col("embedding"), cluster.as("cluster"))
+    val incSide = inc.select(col("cluster"), col("vec_id").as("iid"),
+      col("embedding").as("ie"))
+    val matched = history
+      .select(col("embedding").as("he"), cluster.as("cluster"))
+      .join(if (broadcastIncoming) broadcast(incSide) else incSide, Seq("cluster"))
+      .filter(VectorExpressions.cosineSim(col("he"), col("ie")) >= threshold)
+      .select(col("iid").as("vec_id")).distinct()
+    inc.join(matched, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cluster"))
+  }
+
+  /** Flat nearest-centroid assignment column (argmin over all k inside
+    * one codegen expression, centroid matrix riding in the plan).
+    */
+  private def flatAssignment(cent: Array[(Long, Array[Float])]): Column = {
+    import graft.functions.VectorExpressions
+    VectorExpressions.nearestCentroid(col("embedding"),
+      cent.flatMap(_._2), cent.map(_._1))
+  }
+
+  /** Two-level assignment column for the k ∝ n regime: EVERY super-linear
+    * stage runs distributed —
+    *  - the super-centroid fit is MLlib k-means over the centroid
+    *    DataFrame (O(k·branch·dim·iters) spread across executors; the
+    *    pre-r15 driver-side Lloyd was O(k^1.5·dim) on one core — hours
+    *    exactly where k ∝ n makes this variant matter);
+    *  - the centroid → super assignment is one codegen argmin pass over
+    *    the same frame, collecting only k (cid, super) ints.
+    * Only metadata-sized state ever lands on the driver: the branch×dim
+    * super matrix, the k-int member lists, and the k×dim centroid matrix
+    * the kernel itself embeds (bounded by [[collectCentroids]]' budget).
+    * Member indices ascend in cid within each super, so the strict-<
+    * member argmin ties toward the smaller cid exactly like flat.
+    */
+  private def hierAssignment(spark: org.apache.spark.sql.SparkSession,
+      centroids: DataFrame, cent: Array[(Long, Array[Float])], branch: Int): Column = {
+    import graft.functions.VectorExpressions
     val k = cent.length
     val b = if (branch > 0) math.min(branch, k) else math.max(1, math.round(math.sqrt(k)).toInt)
-    val supers = fitSupers(cent.map(_._2), b, seed = 42L)
-    // CSR member lists per super; member indices ascend ⇒ cids ascend
-    // within each super, so the strict-< member argmin ties like flat
-    def nearestSuper(v: Array[Float]): Int = {
-      var best = 0; var bd = Double.MaxValue
-      var s = 0
-      while (s < b) {
-        val d = VectorOps.l2sq(v, supers(s))
-        if (d < bd) { bd = d; best = s }
-        s += 1
-      }
-      best
+    if (b <= 1) {
+      // degenerate single super: the member scan covers all k centroids,
+      // so assignment ≡ flat (the q102 exactness leg) — no fit needed
+      val supers = Array(cent(0)._2)
+      return VectorExpressions.nearestCentroidHier(col("embedding"),
+        supers.flatten, Array(0, k), cent.indices.toArray,
+        cent.flatMap(_._2), cent.map(_._1))
     }
-    val assignSup = cent.map(c => nearestSuper(c._2))
+    val supers: Array[Array[Float]] = {
+      import org.apache.spark.ml.functions.array_to_vector
+      val withVec = centroids
+        .select(array_to_vector(col("ce")).as("features")).cache()
+      try {
+        val km = new org.apache.spark.ml.clustering.KMeans()
+          .setK(b).setSeed(42L).setMaxIter(10)
+          .setFeaturesCol("features").setPredictionCol("sup")
+        km.fit(withVec).clusterCenters.map(_.toArray.map(_.toFloat))
+      } finally { withVec.unpersist(); () }
+    }
+    // distributed centroid→super argmin (same codegen kernel as row
+    // assignment; label j = super index), collected as k ints
+    val supOf: Map[Long, Int] = centroids
+      .select(col("cid"), VectorExpressions.nearestCentroid(col("ce"),
+        supers.flatten, Array.tabulate(b)(_.toLong)).as("sup"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+    val assignSup = cent.map(c => supOf(c._1))
     val members = Array.tabulate(b)(s => cent.indices.filter(assignSup(_) == s).toArray)
     val offsets = members.scanLeft(0)(_ + _.length)
-    val cluster = VectorExpressions.nearestCentroidHier(col("embedding"),
+    VectorExpressions.nearestCentroidHier(col("embedding"),
       supers.flatten, offsets, members.flatten, cent.flatMap(_._2), cent.map(_._1))
-    dedupByCluster(emb, cluster, threshold)
   }
 
   /** Metadata-sized collect (k × dim floats — the IVF-model shape),
     * sorted by cid so strict-< argmins tie toward the smaller id,
     * matching a SQL `ORDER BY dist, cid` replay.
+    *
+    * BUDGET GUARD: the assignment kernels embed this matrix in the plan
+    * (`ctx.addReferenceObj`), so k·dim must stay driver/plan-sized — the
+    * same contract as the IVF model broadcast. 2²⁸ floats (1 GiB) covers
+    * SemDeDup's published practice (50k clusters × 768 dims ≈ 2²⁵·¹)
+    * with 8× headroom; past it, shard the corpus and dedup per shard, or
+    * reduce k.
     */
-  private def collectCentroids(centroids: DataFrame): Array[(Long, Array[Float])] =
+  private val MaxCentroidFloats: Long = 1L << 28
+  private def collectCentroids(centroids: DataFrame): Array[(Long, Array[Float])] = {
+    val sized = centroids.agg(count(lit(1)), first(size(col("ce")))).head()
+    val k = sized.getLong(0)
+    val dim = if (sized.isNullAt(1)) 0L else sized.getInt(1).toLong
+    require(k * dim <= MaxCentroidFloats,
+      s"centroid matrix $k x $dim exceeds the ${MaxCentroidFloats}-float " +
+        "plan budget — shard the corpus or reduce k (see collectCentroids scaladoc)")
     centroids.select(col("cid"), col("ce")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
-
-  /** Seeded driver-side Lloyd over the (metadata-sized) centroid matrix:
-    * deterministic spread init over the cid-sorted centroids, empty
-    * supers keep their position (the assignment kernel skips memberless
-    * supers).
-    */
-  private def fitSupers(cent: Array[Array[Float]], branch: Int,
-      seed: Long, iters: Int = 10): Array[Array[Float]] = {
-    val k = cent.length
-    val dim = cent(0).length
-    var supers = Array.tabulate(branch)(i => cent(((i.toLong * k) / branch).toInt).clone())
-    var it = 0
-    while (it < iters) {
-      val sums = Array.fill(branch)(new Array[Double](dim))
-      val counts = new Array[Int](branch)
-      cent.foreach { v =>
-        var best = 0; var bd = Double.MaxValue
-        var s = 0
-        while (s < branch) {
-          val d = VectorOps.l2sq(v, supers(s))
-          if (d < bd) { bd = d; best = s }
-          s += 1
-        }
-        counts(best) += 1
-        var j = 0
-        while (j < dim) { sums(best)(j) += v(j); j += 1 }
-      }
-      supers = Array.tabulate(branch)(s =>
-        if (counts(s) == 0) supers(s)
-        else Array.tabulate(dim)(j => (sums(s)(j) / counts(s)).toFloat))
-      it += 1
-    }
-    supers
   }
 
   /** Shared downstream of both semantic-dedup variants: within-cluster

@@ -384,6 +384,16 @@ object Dedup {
     * keeps the s-curve midpoint (1/b)^(1/r) = 0.5 exactly at the
     * operator's default `simThreshold`.
     *
+    * BEHAVIOR CHANGE vs the pre-r14 r=1 default: candidate RECALL at
+    * near-threshold similarity is lower by design — at s = 0.5,
+    * P(candidate) drops from 1−(1−s)^8 ≈ 0.996 (b=8, r=1) to
+    * 1−(1−s²)^4 ≈ 0.68 (b=4, r=2). That is the intentional trade for
+    * killing the quadratic false-candidate regime above; verification
+    * keeps every surfaced pair exact either way. Callers that need
+    * near-threshold recall back should raise `numHashes = 16` with
+    * `rowsPerBand = 2` (b=8, r=2: P ≈ 0.90 at s = 0.5, s-curve midpoint
+    * 0.35) — the affine table carries 64 families, enough for b·r ≤ 32.
+    *
     * Hand-rolled instead of MLlib so the whole pipeline is deterministic
     * portable arithmetic — the DuckDB oracle replays it bit-for-bit.
     * Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.

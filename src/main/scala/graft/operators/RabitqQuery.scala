@@ -224,15 +224,59 @@ object RabitqQuery {
                    base: DataFrame, queries: DataFrame, pred: org.apache.spark.sql.Column,
                    nprobe: Int, topk: Int, rerank: Int,
                    selectivity: Option[Double] = None): DataFrame = {
-    val sel = selectivity.getOrElse {
-      val r = index.agg(count(lit(1)).as("n"),
-        count(when(pred, lit(1))).as("nf")).head()
-      math.max(r.getLong(1).toDouble / math.max(1L, r.getLong(0)).toDouble, 1e-6)
-    }
-    val widened = math.min(model.params.numClusters,
-      math.max(nprobe, math.ceil(nprobe / sel).toInt))
+    val widened = widenedProbe(model.params.numClusters, nprobe,
+      selectivity.getOrElse(measuredSelectivity(index, pred)))
     topK(spark, model, index.filter(pred), base, queries,
       nprobe = widened, topk = topk, rerank = rerank)
+  }
+
+  /** The selectivity-aware widening rule shared by the in-memory and disk
+    * filtered paths: probe ceil(nprobe / sel) clusters (never fewer than
+    * nprobe, clamped to numClusters) so the EFFECTIVE candidate count —
+    * probed rows that pass the predicate — matches what the caller's
+    * nprobe would yield unfiltered.
+    */
+  private[operators] def widenedProbe(numClusters: Int, nprobe: Int, sel: Double): Int =
+    math.min(numClusters,
+      math.max(nprobe, math.ceil(nprobe / math.max(sel, 1e-6)).toInt))
+
+  /** ONE narrow count-aggregate over the index — the fallback when no
+    * catalog statistic is passed; amortize across a query batch by
+    * passing `selectivity` instead.
+    */
+  private def measuredSelectivity(index: DataFrame, pred: org.apache.spark.sql.Column): Double = {
+    val r = index.agg(count(lit(1)).as("n"),
+      count(when(pred, lit(1))).as("nf")).head()
+    math.max(r.getLong(1).toDouble / math.max(1L, r.getLong(0)).toDouble, 1e-6)
+  }
+
+  /** [[filteredTopK]] against a SAVED labeled index — the full
+    * production composition for filtered vector search at scale: the
+    * KNOWN-selectivity contract (a catalog statistic; no per-query
+    * measurement scan) widens the probe, the widened cluster set
+    * statically prunes the partitioned parquet (directory skipping), and
+    * the label predicate lands in PushedFilters beside it (row-group/
+    * page skipping inside each probed cluster). Same result contract as
+    * the in-memory [[filteredTopK]] at the same parameters (q103 gates
+    * the equality); reference analogs: probe selection
+    * `/root/reference/src/rabitq.rs:294-297` + ranged block reads
+    * `/root/reference/crates/disk/src/cache.rs:105-145`.
+    *
+    * When `selectivity` is absent, the measurement aggregate runs over
+    * the saved index — one narrow scan, still cheaper than the recall
+    * collapse it prevents, but at scale pass the statistic in.
+    */
+  def filteredTopKFromDisk(spark: SparkSession, dir: String, base: DataFrame,
+                           queries: DataFrame, pred: org.apache.spark.sql.Column,
+                           nprobe: Int, topk: Int, rerank: Int,
+                           selectivity: Option[Double] = None): DataFrame = {
+    val (model, index) = RabitqIndex.load(spark, dir)
+    val widened = widenedProbe(model.params.numClusters, nprobe,
+      selectivity.getOrElse(measuredSelectivity(index, pred)))
+    val probed = probedClusterIds(model, queries, widened)
+    val pruned = index.filter(col("cluster_id").isin(probed: _*)).filter(pred)
+    fromProbes(pruned, base, queries, probesDf(spark, model, queries, widened),
+      topk, rerank)
   }
 
   /** Q11 — the reference's HEURISTIC reranker

@@ -430,6 +430,24 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       nprobe = 4, topk = 5, rerank = 50)
     assert(diskDf.select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet ==
       memDf.select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet)
+
+    // filteredTopKFromDisk — the q103 composition: KNOWN selectivity (the
+    // catalog-statistic contract, no measurement scan) widens the probe,
+    // the WIDENED cluster set statically prunes the partitioned scan, and
+    // the label predicate rides in PushedFilters beside it; results equal
+    // the in-memory widened path at identical parameters
+    val sel = Some(0.5) // widens nprobe 2 → 4 of 8: real widening, no saturation
+    val fdisk = RabitqQuery.filteredTopKFromDisk(spark, dir, emb.filter(pred), q,
+      pred, nprobe = 2, topk = 5, rerank = 50, selectivity = sel)
+    val fplan = fdisk.queryExecution.executedPlan.toString
+    assert(fplan.contains("PushedFilters") && fplan.contains("label"), fplan.take(3000))
+    assert(fplan.contains("PartitionFilters: [") && fplan.contains("cluster_id"),
+      fplan.take(3000))
+    val fmem = RabitqQuery.filteredTopK(spark, m2, idx2, emb.filter(pred), q,
+      pred, nprobe = 2, topk = 5, rerank = 50, selectivity = sel)
+    assert(fdisk.select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet ==
+      fmem.select("query_id", "neighbor_id", "rank").collect().map(_.toSeq).toSet)
+    assert(fdisk.count() > 0)
   }
 
   test("q99 filtered-recall gate holds at sf0.001 (all four invariants green)") {
@@ -1642,6 +1660,59 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((200L to 205L).forall(id => !got.contains(id)), s"copies survived: $got")
     assert((0L until 100L).forall(got.contains), "an original was dropped")
     assert(got.size == 100)
+  }
+
+  test("semanticDedupHier at branch=1 equals the flat variant EXACTLY (degenerate " +
+      "single super: member scan covers all k)") {
+    import spark.implicits._
+    val rnd = new java.util.Random(11)
+    val base = (0L until 120L).map(i => (i, Array.fill(32)(rnd.nextFloat() * 2f - 1f)))
+    val copies = (0L until 6L).map(i => (300L + i, base(i.toInt)._2.map(_ + 0.001f)))
+    val df = (base ++ copies).map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+    val centroids = df.filter(col("vec_id") % 11 === 0).orderBy(col("vec_id")).limit(10)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val flat = Curation.semanticDedup(spark, df, centroids, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hier1 = Curation.semanticDedupHier(spark, df, centroids, threshold = 0.95, branch = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hier1 == flat && flat.nonEmpty)
+  }
+
+  test("incrementalSemanticDedup: history near-dups dropped, fresh and " +
+      "within-incoming dups survive; broadcast and co-partitioned paths agree") {
+    import spark.implicits._
+    val rnd = new java.util.Random(17)
+    val hist = (0L until 80L).map(i => (i, Array.fill(32)(rnd.nextFloat() * 2f - 1f)))
+    // incoming: 500..504 are near-copies of history 0..4 (dropped);
+    // 510..519 fresh (survive); 520/521 near-dups OF EACH OTHER but of no
+    // history vector — BOTH survive (they are new to the corpus, the
+    // incrementalNew contract)
+    val freshBase = Array.fill(32)(rnd.nextFloat() * 2f - 1f)
+    val inc = (0L until 5L).map(i => (500L + i, hist(i.toInt)._2.map(_ + 0.001f))) ++
+      (0L until 10L).map(i => (510L + i, Array.fill(32)(rnd.nextFloat() * 2f - 1f))) ++
+      Seq((520L, freshBase.map(_ + 0.001f)), (521L, freshBase.map(_ + 0.002f)))
+    val histDf = hist.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+    val incDf = inc.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+    val centroids = histDf.filter(col("vec_id") % 13 === 0).orderBy(col("vec_id")).limit(6)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val got = Curation.incrementalSemanticDedup(spark, histDf, incDf, centroids,
+      threshold = 0.95).collect().map(_.getLong(0)).toSet
+    assert((500L until 505L).forall(id => !got.contains(id)), s"history dup survived: $got")
+    assert((510L until 520L).forall(got.contains), s"fresh vector dropped: $got")
+    assert(got.contains(520L) && got.contains(521L),
+      "within-incoming dups must BOTH survive (new to the corpus)")
+    assert(got.size == 12)
+    // the co-partitioned fallback (incoming too big to broadcast) must
+    // produce the identical set
+    val coPart = Curation.incrementalSemanticDedup(spark, histDf, incDf, centroids,
+      threshold = 0.95, broadcastIncoming = false).collect().map(_.getLong(0)).toSet
+    assert(coPart == got)
+    // and the hier-assignment variant agrees on this fixture (both sides
+    // share one kernel, so cluster equality stays self-consistent)
+    val hier = Curation.incrementalSemanticDedup(spark, histDf, incDf, centroids,
+      threshold = 0.95, branch = -1).collect().map(_.getLong(0)).toSet
+    assert((500L until 505L).forall(id => !hier.contains(id)))
+    assert(hier.contains(520L) && hier.contains(521L))
   }
 
   test("repetitionSignals: known fractions, single-token and repeated docs") {
