@@ -14,9 +14,9 @@ import graft.operators._
   *   sbt "runMain graft.DedupScaleSmoke 10000000 1000 inc"  # one stage only
   *
   * Optional third arg selects a stage subset (comma-separated from
-  * minhash,lsh,semantic,text,inc,incstream; `semantic` — whose
-  * within-cluster pair scan is the heaviest stage — and `incstream`
-  * are opt-in) — the big-n stages each shuffle tens of GB, and
+  * minhash,lsh,semantic,text,inc,incstream,seminc; `semantic` — whose
+  * within-cluster pair scan is the heaviest stage — `incstream` and
+  * `seminc` are opt-in) — the big-n stages each shuffle tens of GB, and
   * rerunning all of them to refresh one datapoint is how a /tmp
   * fills up.
   */
@@ -291,6 +291,58 @@ object DedupScaleSmoke {
     println(s"""{"stream_inc_dedup_smoke":{"n_history":$n,"n_incoming":$nInc,""" +
       s""""sec":$secS,"emissions":$emissions,"distinct_new_fps":$distinctFps,""" +
       s""""set_diff_vs_batch":$setDiff,"docs_per_sec":${(n + nInc) / secS}}}""")
+    }
+
+    if (stages("seminc")) {
+    // ---- 6) incremental SEMANTIC dedup (q104's path) at scale ----------
+    // history = n vectors, incoming = n/10 (the daily-ingest ratio): even
+    // incoming slots are near-copies (cos ≈ 0.9999) of history vectors,
+    // odd slots are fresh randoms. Assignment is the HIER kernel (branch
+    // = √k — the k ∝ n scale path, now with the distributed super-fit);
+    // history streams through one broadcast hash join and never
+    // shuffles. Gates: ≥98% of planted copies dropped (hier boundary
+    // approximation allows the slack), ZERO fresh vectors dropped.
+    val dim = 64
+    val genU = udf { (seedId: Long, copyOf: Long) =>
+      val src = if (copyOf >= 0) copyOf else seedId
+      val v = Array.tabulate(dim)(j => graft.functions.VectorOps.syntheticNoise(src + 7919L, j))
+      if (copyOf >= 0) v(0) += 0.01f
+      v.toSeq
+    }
+    val hist = spark.range(n)
+      .select(col("id").as("vec_id"), genU(col("id"), lit(-1L)).as("embedding"))
+      .repartition(cpus.toInt).persist()
+    hist.count()
+    val nInc = math.max(n / 10, 16L)
+    // fresh seeds offset past any history seed so no accidental dup
+    val copyOf = when(col("id") % 2 === 0, col("id")).otherwise(lit(-1L))
+    val incoming = spark.range(nInc)
+      .select((col("id") + n).as("vec_id"),
+        genU(col("id") + n + 5000000000L, copyOf).as("embedding"))
+      .repartition(cpus.toInt).persist()
+    incoming.count()
+    val kSem = 4096
+    val step = math.max(1L, n / kSem)
+    val centroids = hist.filter(col("vec_id") % step === 0)
+      .orderBy(col("vec_id")).limit(kSem)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce")).persist()
+    val kActual = centroids.count()
+    val t6 = System.nanoTime()
+    val surv = Curation.incrementalSemanticDedup(spark, hist, incoming, centroids,
+      threshold = 0.99, branch = -1).persist()
+    val nSurv = surv.count()
+    val semIncSec = (System.nanoTime() - t6) / 1e9
+    val planted = (nInc + 1) / 2
+    val plantedSurvived = surv.filter((col("vec_id") - n) % 2 === 0).count()
+    val freshDropped = (nInc - planted) - (nSurv - plantedSurvived)
+    surv.unpersist(); centroids.unpersist(); incoming.unpersist(); hist.unpersist()
+    require(freshDropped == 0, s"$freshDropped fresh vectors falsely dropped")
+    require(planted - plantedSurvived >= (planted * 98) / 100,
+      s"only ${planted - plantedSurvived} of $planted planted dups dropped")
+    println(s"""{"seminc_smoke":{"n_history":$n,"n_incoming":$nInc,"k":$kActual,""" +
+      s""""sec":$semIncSec,"survivors":$nSurv,""" +
+      s""""planted_dropped":${planted - plantedSurvived},"planted":$planted,""" +
+      s""""false_drops":$freshDropped,"vecs_per_sec":${(n + nInc) / semIncSec}}}""")
     }
     spark.stop()
   }

@@ -102,7 +102,7 @@ object Serve {
         s"saved index dim ${model.params.dim} != base embedding dim $baseDim — " +
           s"index at $dir was built from a different dataset")
     }
-    val index = index0.persist()
+    val index = withLabels(index0, base).persist()
     index.count(); base.count() // warm caches before first request
     val hot = HotTier.fromIndex(spark, model, index, base)
     // SERVING UNDER MUTATION: every request reads ONE immutable Engine
@@ -136,15 +136,29 @@ object Serve {
         val probe = parseInt(body, "probe")
           .getOrElse(math.max(8, (eng.model.params.numClusters + 1) / 2))
         val rerank = math.max(4 * topK, 64)
+        // optional "label": filtered vector search on the serving path —
+        // the batch filteredTopK composition (selectivity-aware probe
+        // widening + in-scan label skip), reference-style metadata-aware
+        // serving the reference itself lacks
+        val label = parseInt(body, "label").map(_.toLong)
         val results: Array[(Long, Double)] =
           if (parseString(body, "engine").contains("spark")) {
             import spark.implicits._
             val qDf = Seq((0L, vec.toSeq)).toDF("query_id", "qvec")
-            RabitqQuery.topK(spark, eng.model, eng.index, eng.base, qDf,
-              nprobe = probe, topk = topK, rerank = rerank)
-              .orderBy(col("rank")).select("neighbor_id", "dist").collect()
+            val res = label match {
+              case Some(l) =>
+                // the hot tier's label histogram IS the catalog statistic,
+                // so both engines widen identically → identical results
+                RabitqQuery.filteredTopK(spark, eng.model, eng.index, eng.base,
+                  qDf, col("label") === l, nprobe = probe, topk = topK,
+                  rerank = rerank, selectivity = Some(eng.hot.labelSelectivity(l)))
+              case None =>
+                RabitqQuery.topK(spark, eng.model, eng.index, eng.base, qDf,
+                  nprobe = probe, topk = topK, rerank = rerank)
+            }
+            res.orderBy(col("rank")).select("neighbor_id", "dist").collect()
               .map(r => (r.getLong(0), r.getDouble(1)))
-          } else eng.hot.query(vec, probe, topK, rerank)
+          } else eng.hot.query(vec, probe, topK, rerank, label)
         queriesServed.incrementAndGet()
         val ids = results.map(_._1).mkString("[", ",", "]")
         val scores = results.map(_._2).mkString("[", ",", "]")
@@ -184,7 +198,7 @@ object Serve {
         require(m2.params.dim == baseDim,
           s"reloaded index dim ${m2.params.dim} != base embedding dim $baseDim")
         val b2 = b2raw.persist(); persisted += b2
-        val i2 = i2raw.persist(); persisted += i2
+        val i2 = withLabels(i2raw, b2).persist(); persisted += i2
         val n2 = b2.count(); i2.count()
         val hot2 = HotTier.fromIndex(spark, m2, i2, b2)
         val old = engineRef.getAndSet(Engine(m2, i2, b2, hot2))
@@ -220,6 +234,17 @@ object Serve {
     server.start()
     server
   }
+
+  /** The filtered-vector-search layout at serve time: when the base
+    * carries a `label` column and the index rows don't already, join it
+    * in ONCE at engine build (the annIndexLabeled shape) — label
+    * predicates then filter index rows directly instead of joining base
+    * per query. A label-free corpus serves exactly as before.
+    */
+  private def withLabels(index: DataFrame, base: DataFrame): DataFrame =
+    if (base.columns.contains("label") && !index.columns.contains("label"))
+      index.join(base.select(col("vec_id"), col("label")), Seq("vec_id"))
+    else index
 
   /** Escape quotes/backslashes/control chars so exception messages can't
     * break the JSON error body.

@@ -23,8 +23,13 @@ object ServeBench {
     // "mutate": run the same timed load while a background thread
     // alternates POST /reload between the original and a mutated
     // (delete + upsert) saved index — p50/p99 UNDER INDEX CHURN, the
-    // latency cost of the atomic Engine swap on the serving path
-    val mutate = args.length > 3 && args(3) == "mutate"
+    // latency cost of the atomic Engine swap on the serving path.
+    // "filtered": every request carries "label": 7 — the label-filtered
+    // serving path (selectivity-aware widening + in-scan skip); needs a
+    // corpus with a label column (the testdata layout, not gen:).
+    val mode = if (args.length > 3) args(3) else ""
+    val mutate = mode == "mutate"
+    val filtered = mode == "filtered"
 
     // point-query serving tier: single-row query batches make AQE's
     // per-stage re-planning and wide shuffles pure overhead — a static
@@ -79,7 +84,9 @@ object ServeBench {
       val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
         .filter(col("vec_id") < 16).orderBy(col("vec_id"))
         .select("embedding").collect().map(_.getSeq[Float](0))
-      val bodies = vecs.map(v => s"""{"query": ${v.mkString("[", ",", "]")}, "top_k": 10, "probe": 8}""")
+      val labelField = if (filtered) """, "label": 7""" else ""
+      val bodies = vecs.map(v =>
+        s"""{"query": ${v.mkString("[", ",", "]")}, "top_k": 10, "probe": 8$labelField}""")
 
       val client = HttpClient.newHttpClient()
       def fire(i: Int): Long = {
@@ -165,7 +172,8 @@ object ServeBench {
 
       val sorted = latencies.toArray(new Array[java.lang.Long](0)).map(_.toLong).sorted
       def pct(p: Double): Double = sorted((p * (sorted.length - 1)).round.toInt) / 1e6
-      val mutTag = if (mutate) s""","reloads":${reloads.get()}""" else ""
+      val mutTag = if (mutate) s""","reloads":${reloads.get()}"""
+        else if (filtered) ""","mode":"filtered"""" else ""
       val failTag = Option(churnError.get())
         .map(e => s""","churn_failed":"${Serve.jsonEscape(
           s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")}"""")

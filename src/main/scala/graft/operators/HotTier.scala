@@ -21,7 +21,11 @@ import graft.functions.VectorOps
   * mirrors the column expression's double promotions exactly, shortlist
   * and final selection order by (score, vec_id) like TopKAgg — so
   * hot-tier results are byte-identical to `RabitqQuery.topK` at the
-  * same parameters (asserted by spec).
+  * same parameters (asserted by spec). The label-filtered path mirrors
+  * `RabitqQuery.filteredTopK` the same way: identical widening rule
+  * (selectivity from the label histogram = the same count aggregate),
+  * identical probe order, label skip during the rough scan ≡ the
+  * pre-filtered index.
   */
 final class HotTier private (
     model: RabitqModel,
@@ -32,11 +36,40 @@ final class HotTier private (
     factorPpc: Array[Array[Float]],
     errorBound: Array[Array[Float]],
     cds: Array[Array[Float]],
-    baseVecs: java.util.HashMap[java.lang.Long, Array[Float]]) {
+    baseVecs: java.util.HashMap[java.lang.Long, Array[Float]],
+    labels: Array[Array[Long]],              // per slot; null when unlabeled
+    labelCounts: Map[Long, Long],
+    nTotal: Long) {
 
-  /** Single-query top-k: (neighbor_id, dist) sorted by (dist, id). */
-  def query(vec: Array[Float], nprobe: Int, topk: Int, rerank: Int): Array[(Long, Double)] = {
-    val probes = RabitqQuery.computeProbes(model, 0L, vec, nprobe)
+  def hasLabels: Boolean = labels != null
+
+  /** Fraction of indexed vectors carrying `label` — the serving tier's
+    * catalog statistic, fed to the widening rule and to the Spark
+    * engine path's `filteredTopK(selectivity = ...)`.
+    */
+  def labelSelectivity(label: Long): Double =
+    if (nTotal == 0) 0.0 else labelCounts.getOrElse(label, 0L).toDouble / nTotal
+
+  /** Single-query top-k: (neighbor_id, dist) sorted by (dist, id).
+    *
+    * `label`: optional metadata filter — the serving analog of
+    * `RabitqQuery.filteredTopK`. The probe widens by the label's
+    * precomputed selectivity (effective candidates stay ≈ the caller's
+    * nprobe worth), and non-matching vectors are skipped inside the
+    * rough scan — no post-filter over-fetch, no recall collapse.
+    */
+  def query(vec: Array[Float], nprobe: Int, topk: Int, rerank: Int,
+            label: Option[Long] = None): Array[(Long, Double)] = {
+    val lbl = label.getOrElse(-1L)
+    val effProbe = label match {
+      case None => nprobe
+      case Some(l) =>
+        require(hasLabels, "index carries no label column — filtered query unsupported")
+        val sel = labelSelectivity(l)
+        if (sel == 0.0) return Array.empty // label absent: no candidate can match
+        RabitqQuery.widenedProbe(model.params.numClusters, nprobe, sel)
+    }
+    val probes = RabitqQuery.computeProbes(model, 0L, vec, effProbe)
     // rough estimates over probed clusters (same double-promotion order
     // as the fromProbes column expression)
     val cand = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
@@ -46,12 +79,14 @@ final class HotTier private (
         val sqrtG = math.sqrt(p.centroid_d2.toDouble)
         var i = 0
         while (i < n) {
-          val ad = VectorOps.asymDot(codes(s)(i), p.planes)
-          val rough = cds(s)(i).toDouble + p.centroid_d2.toDouble +
-            p.lb.toDouble * factorPpc(s)(i).toDouble +
-            (2.0 * ad.toDouble - p.sum_q.toDouble) * factorIp(s)(i).toDouble * p.delta.toDouble -
-            errorBound(s)(i).toDouble * sqrtG
-          cand += ((rough, vecIds(s)(i)))
+          if (label.isEmpty || labels(s)(i) == lbl) {
+            val ad = VectorOps.asymDot(codes(s)(i), p.planes)
+            val rough = cds(s)(i).toDouble + p.centroid_d2.toDouble +
+              p.lb.toDouble * factorPpc(s)(i).toDouble +
+              (2.0 * ad.toDouble - p.sum_q.toDouble) * factorIp(s)(i).toDouble * p.delta.toDouble -
+              errorBound(s)(i).toDouble * sqrtG
+            cand += ((rough, vecIds(s)(i)))
+          }
           i += 1
         }
       }
@@ -67,12 +102,16 @@ final class HotTier private (
 object HotTier {
 
   /** Collect the (RAM-sized, by contract) index + base into driver arrays
-    * grouped by cluster.
+    * grouped by cluster. A `label` column in the index rows (the
+    * filtered-vector-search layout) is picked up automatically and
+    * enables the label-filtered query path.
     */
   def fromIndex(spark: SparkSession, model: RabitqModel, index: DataFrame,
                 base: DataFrame): HotTier = {
-    val rows = index.select("vec_id", "cluster_id", "code", "factor_ip",
-      "factor_ppc", "error_bound", "cds").collect()
+    val labeled = index.columns.contains("label")
+    val cols = Seq("vec_id", "cluster_id", "code", "factor_ip",
+      "factor_ppc", "error_bound", "cds") ++ (if (labeled) Seq("label") else Nil)
+    val rows = index.select(cols.head, cols.tail: _*).collect()
     val byCluster = rows.groupBy(_.getInt(1)).toArray.sortBy(_._1)
     val slotOf = byCluster.map(_._1).zipWithIndex.toMap
     val vecIds = byCluster.map(_._2.map(_.getLong(0)))
@@ -81,10 +120,19 @@ object HotTier {
     val fppc = byCluster.map(_._2.map(_.getFloat(4)))
     val err = byCluster.map(_._2.map(_.getFloat(5)))
     val cds = byCluster.map(_._2.map(_.getFloat(6)))
+    val labels: Array[Array[Long]] =
+      if (labeled) byCluster.map(_._2.map(_.getAs[Number](7).longValue)) else null
+    val labelCounts: Map[Long, Long] =
+      if (labeled)
+        labels.iterator.flatten.foldLeft(Map.empty[Long, Long]) { (m, l) =>
+          m.updated(l, m.getOrElse(l, 0L) + 1L)
+        }
+      else Map.empty
     val baseVecs = new java.util.HashMap[java.lang.Long, Array[Float]]()
     base.select("vec_id", "embedding").collect().foreach { r =>
       baseVecs.put(r.getLong(0), r.getSeq[Float](1).toArray)
     }
-    new HotTier(model, slotOf, vecIds, codes, fip, fppc, err, cds, baseVecs)
+    new HotTier(model, slotOf, vecIds, codes, fip, fppc, err, cds, baseVecs,
+      labels, labelCounts, rows.length.toLong)
   }
 }

@@ -1179,6 +1179,46 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally server.stop(0)
   }
 
+  test("HTTP label-filtered queries: hot tier and spark engine agree and equal " +
+      "filtered brute force; absent label returns empty") {
+    val port = {
+      val s = new java.net.ServerSocket(0)
+      try s.getLocalPort finally s.close()
+    }
+    val server = graft.Serve.start(spark, sf, port)
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      val qvec = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      def post(extra: String) = client.send(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(s"http://localhost:$port/query"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+            s"""{"query": ${qvec.mkString("[", ",", "]")}, "top_k": 5, "probe": 4$extra}"""))
+          .build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+      val hot = graft.Serve.parseFloatArray(post(""", "label": 7"""), "ids").map(_.toLong)
+      val viaSpark = graft.Serve.parseFloatArray(
+        post(""", "label": 7, "engine": "spark""""), "ids").map(_.toLong)
+      assert(hot.toSeq == viaSpark.toSeq, s"hot=${hot.toSeq} spark=${viaSpark.toSeq}")
+      // widening saturates to full probe at this scale and the rerank
+      // width covers the filtered set ⇒ exactly filtered brute force
+      import spark.implicits._
+      val q = Seq((0L, qvec)).toDF("query_id", "qvec")
+      val want = ExactKnn.l2TopK(emb.filter(col("label") === 7), q, 5)
+        .orderBy(col("rank")).select("neighbor_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(hot.toSeq == want, s"got=${hot.toSeq} want=$want")
+      // every returned id actually carries the label
+      val lbl7 = emb.filter(col("label") === 7).select("vec_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(hot.forall(lbl7.contains))
+      // a label with no members: empty result, 200, on both engines
+      assert(graft.Serve.parseFloatArray(post(""", "label": 99999"""), "ids").isEmpty)
+      assert(graft.Serve.parseFloatArray(
+        post(""", "label": 99999, "engine": "spark""""), "ids").isEmpty)
+    } finally server.stop(0)
+  }
+
   test("HTTP query service answers /query, /health, /metrics") {
     val port = {
       val s = new java.net.ServerSocket(0)
