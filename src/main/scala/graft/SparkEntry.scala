@@ -1431,18 +1431,27 @@ object SparkEntry {
       val (model, index) = annIndexLabeled(s, dir)
       val emb = T(s, dir, "embeddings")
       val qs = annQueries(s, dir)
+      // materialize the saved index ONCE before fanning out (a concurrent
+      // first-call race would write it twice)
+      val savedIdx = diskIndexLabeled(s, dir)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
       def gates(pred: Column, floor: Double, tag: String): DataFrame = {
         // each leg's ≤ |q|·k result is materialized ONCE (localCheckpoint):
         // the truth/mem/disk pipelines would otherwise re-run inside every
         // exceptAll direction and the recall join — 3× the ANN work for
-        // zero additional invariant strength
+        // zero additional invariant strength. truth/mem/disk depend only
+        // on fb, so their jobs are submitted from three threads and the
+        // scheduler interleaves their stages across the cores.
         val fb = emb.filter(pred).localCheckpoint(true)
-        val truth = ExactKnn.l2TopK(fb, qs, 10).localCheckpoint(true)
-        val mem = RabitqQuery.topK(s, model, index.filter(pred),
-          fb, qs, nprobe = 8, topk = 10, rerank = 100).localCheckpoint(true)
-        val disk = RabitqQuery.topKFromDisk(s, diskIndexLabeled(s, dir),
-          fb, qs, nprobe = 8, topk = 10, rerank = 100, pred = pred)
-          .localCheckpoint(true)
+        val Seq(truth, mem, disk) = Await.result(Future.sequence(Seq(
+          Future(ExactKnn.l2TopK(fb, qs, 10).localCheckpoint(true)),
+          Future(RabitqQuery.topK(s, model, index.filter(pred),
+            fb, qs, nprobe = 8, topk = 10, rerank = 100).localCheckpoint(true)),
+          Future(RabitqQuery.topKFromDisk(s, savedIdx,
+            fb, qs, nprobe = 8, topk = 10, rerank = 100, pred = pred)
+            .localCheckpoint(true)))),
+          scala.concurrent.duration.Duration(10, "min"))
         val cols = Seq("query_id", "neighbor_id", "rank").map(col)
         val recallOk = ExactKnn.recall(mem, truth, 10)
           .select((col("recall") >= floor).cast("long").as(s"recall_ok_$tag"))
@@ -1452,8 +1461,16 @@ object SparkEntry {
           .select((col("n_diff") === 0).cast("long").as(s"paths_ok_$tag"))
         recallOk.crossJoin(pathsOk)
       }
-      gates(col("label") % 4 === 1, 0.8, "sel30")
-        .crossJoin(gates(col("label") === 7, 0.65, "sel10"))
+      // the two selectivity legs are independent eager pipelines (the
+      // localCheckpoints above submit real jobs) — run them from two
+      // threads so the scheduler interleaves their stages instead of
+      // serializing ~10 small jobs end to end (gate-heavy BY DESIGN;
+      // this halves its wall clock without weakening any invariant)
+      val legs = Await.result(Future.sequence(Seq(
+        Future(gates(col("label") % 4 === 1, 0.8, "sel30")),
+        Future(gates(col("label") === 7, 0.65, "sel10")))),
+        scala.concurrent.duration.Duration(10, "min"))
+      legs.reduce(_.crossJoin(_))
     }),
     "q100_ann_filtered_auto" -> ((s, dir) => {
       // selectivity-aware probe widening (RabitqQuery.filteredTopK — the
