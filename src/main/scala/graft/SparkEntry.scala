@@ -1577,6 +1577,46 @@ object SparkEntry {
         centroids, threshold = 0.4)
         .orderBy(col("vec_id"))
     }),
+    "q105_stream_semantic" -> ((s, dir) => {
+      // STREAMING twin of q104 (VecsStream.newVectors): the same incoming
+      // split arrives as 4 parquet chunk files replayed one per
+      // micro-batch; each vector is assigned by the same codegen argmin
+      // and anti-joined against same-cluster history. The per-row
+      // decision is STATELESS, so the emitted rows EXACTLY equal the
+      // batch operator regardless of batching — the oracle is q104's SQL
+      // verbatim (a real-rows gate, stronger than q95's set-parity,
+      // which exists there only because fingerprint survivorship is
+      // batch-dependent).
+      val emb = T(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") % 62 === 0)
+        .orderBy(col("vec_id")).limit(8)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      val tmp = graft.TempDirs.create("graft_q105_")
+      emb.filter(col("vec_id") % 3 =!= 0).select("vec_id", "embedding")
+        .repartition(4).write.parquet(s"$tmp/in")
+      val name = s"sem_stream_${streamCounter.incrementAndGet()}"
+      graft.streaming.VecsStream.newVectors(s, s"$tmp/in",
+        emb.filter(col("vec_id") % 3 === 0), centroids, threshold = 0.4,
+        name, maxFilesPerTrigger = Some(1))
+        .orderBy(col("vec_id"))
+    }),
+    "q106_incremental_minhash" -> ((s, dir) => {
+      // incremental NEAR-dup dedup (Dedup.incrementalMinhashNew) — the
+      // q94 contract lifted from exact to minhash near-duplicates,
+      // completing the incremental matrix (exact q94/q95, semantic
+      // q104/q105, n-gram near-dup here): incoming (doc_id % 3 ≠ 0)
+      // survives iff no history doc (doc_id % 3 = 0) shares a band AND
+      // clears exact-Jaccard 0.5. History bands stream map-side against
+      // the broadcast day-batch bands; the oracle replays signatures,
+      // banding, and verification verbatim (q20's machinery, cross-set)
+      val docs = T(s, dir, "documents")
+      Dedup.incrementalMinhashNew(
+        docs.filter(col("doc_id") % 3 === 0),
+        docs.filter(col("doc_id") % 3 =!= 0),
+        n = 3, simThreshold = 0.5)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
     "q96_char_entropy" -> ((s, dir) => {
       // codepoint-entropy quality signal (graft.functions.CharEntropy —
       // native codegen expression, one byte pass per row): the classic
@@ -1632,6 +1672,30 @@ object SparkEntry {
     * minhash families (literals embedded from `Dedup.affine`), same
     * band join + exact-Jaccard verification.
     */
+  // incremental semantic dedup replayed in SQL — shared by q104 (batch)
+  // and q105 (streaming twin; its per-row decision is stateless, so the
+  // emitted rows are batching-independent and equal the batch operator):
+  // q101's argmin CTEs over ALL vectors, then incoming (vec_id % 3 ≠ 0)
+  // survives iff no same-cluster history member is cosine-≥-0.4 near it
+  private val incrementalSemanticSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |c AS (SELECT vec_id AS cid, v AS ce FROM e WHERE vec_id % 62 = 0 ORDER BY vec_id LIMIT 8),
+      |ar AS (SELECT e.vec_id, c.cid,
+      |         row_number() OVER (PARTITION BY e.vec_id
+      |                            ORDER BY list_distance(e.v, c.ce), c.cid) AS rk
+      |       FROM e CROSS JOIN c),
+      |a AS (SELECT vec_id, cid AS cluster FROM ar WHERE rk = 1)
+      |SELECT i.vec_id, i.cluster FROM a i
+      |WHERE i.vec_id % 3 <> 0
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM a h
+      |    JOIN e he ON he.vec_id = h.vec_id
+      |    JOIN e ie ON ie.vec_id = i.vec_id
+      |    WHERE h.vec_id % 3 = 0 AND h.cluster = i.cluster
+      |      AND list_dot_product(ie.v, he.v) /
+      |          (sqrt(list_dot_product(ie.v, ie.v)) * sqrt(list_dot_product(he.v, he.v))) >= 0.4)
+      |ORDER BY i.vec_id""".stripMargin
+
   // filtered brute-force kNN at label = 7 — shared by q100 (in-memory
   // auto-widened) and q103 (disk + known-selectivity): both saturate to
   // full probe at fixture scale, so both must produce exactly these rows
@@ -1643,11 +1707,17 @@ object SparkEntry {
       |      FROM q CROSS JOIN b)
       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM d WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
-  private def minhashOracle: String = {
+  /** Shared CTE prefix replaying the minhash signature machinery in
+    * DuckDB — wide-shingle sets (`sh`), 8 permutation minima (`m`),
+    * 4×2 band keys (`bands`), set sizes (`sizes`) — used by both the
+    * within-corpus pair oracle (q20) and the cross-set incremental
+    * oracle (q106). Per-family min over the recombined permuted
+    * components — hi/lo extracted by div/mod 2^31, exactly
+    * minhashPairs' shift/mask.
+    */
+  private def minhashCtePrefix: String = {
     val P = Dedup.P
     val Hi = 1L << 31
-    // per-family min over the recombined permuted components — hi/lo
-    // extracted by div/mod 2^31, exactly minhashPairs' shift/mask
     val mins = (0 until 8).map { j =>
       val (a1, b1) = Dedup.affine(j); val (a2, b2) = Dedup.affine(j + 8)
       s"MIN((($a1*(s//$Hi)+$b1) % $P) * $Hi + (($a2*(s%$Hi)+$b2) % $P)) AS m$j"
@@ -1672,19 +1742,47 @@ object SparkEntry {
          |       FROM th, LATERAL unnest(range(len(th) - 2)) AS r(i)),
          |m AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
          |bands AS ($bandSel),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |         FROM bands a JOIN bands b
-         |           ON a.j = b.j AND a.mh1 = b.mh1 AND a.mh2 = b.mh2
-         |         WHERE a.doc_id < b.doc_id),
-         |sizes AS (SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY doc_id),
-         |inter AS (SELECT doc_a, doc_b, COUNT(*) AS nc FROM cand
-         |          JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b AND y.s = x.s
-         |          GROUP BY 1, 2)
-         |SELECT doc_a, doc_b FROM inter
-         |JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
-         |WHERE CAST(nc AS DOUBLE) / (sa.ns + sb.ns - nc) >= 0.5
-         |ORDER BY doc_a, doc_b""".stripMargin
+         |sizes AS (SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY doc_id)""".stripMargin
   }
+
+  private def minhashOracle: String =
+    minhashCtePrefix +
+      """,
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM bands a JOIN bands b
+        |           ON a.j = b.j AND a.mh1 = b.mh1 AND a.mh2 = b.mh2
+        |         WHERE a.doc_id < b.doc_id),
+        |inter AS (SELECT doc_a, doc_b, COUNT(*) AS nc FROM cand
+        |          JOIN sh x ON x.doc_id = doc_a JOIN sh y ON y.doc_id = doc_b AND y.s = x.s
+        |          GROUP BY 1, 2)
+        |SELECT doc_a, doc_b FROM inter
+        |JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE CAST(nc AS DOUBLE) / (sa.ns + sb.ns - nc) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Cross-set variant for q106: incoming (doc_id % 3 ≠ 0) survives iff
+    * no history (doc_id % 3 = 0) doc shares a band AND clears exact
+    * Jaccard at 0.5 — band-unmatched and too-short-to-shingle incoming
+    * docs trivially survive (NOT IN never sees them).
+    */
+  private def incrementalMinhashOracle: String =
+    minhashCtePrefix +
+      """,
+        |cand AS (SELECT DISTINCT a.doc_id AS inc_id, b.doc_id AS hist_id
+        |         FROM bands a JOIN bands b
+        |           ON a.j = b.j AND a.mh1 = b.mh1 AND a.mh2 = b.mh2
+        |         WHERE a.doc_id % 3 <> 0 AND b.doc_id % 3 = 0),
+        |inter AS (SELECT inc_id, hist_id, COUNT(*) AS nc FROM cand
+        |          JOIN sh x ON x.doc_id = inc_id JOIN sh y ON y.doc_id = hist_id AND y.s = x.s
+        |          GROUP BY 1, 2),
+        |matched AS (SELECT DISTINCT inc_id FROM inter
+        |            JOIN sizes sa ON sa.doc_id = inc_id
+        |            JOIN sizes sb ON sb.doc_id = hist_id
+        |            WHERE CAST(nc AS DOUBLE) / (sa.ns + sb.ns - nc) >= 0.5)
+        |SELECT d.doc_id, d.n_chars FROM documents d
+        |WHERE d.doc_id % 3 <> 0
+        |  AND d.doc_id NOT IN (SELECT inc_id FROM matched)
+        |ORDER BY d.doc_id""".stripMargin
 
   /** DuckDB replay of `Dedup.simhashPairs` (maxHamming=3): portable token
     * hash, 64 affine parity votes, two's-complement signature assembly
@@ -1914,24 +2012,10 @@ object SparkEntry {
       // q104: incremental semantic dedup replayed verbatim — argmin
       // assignment over ALL vectors (q101's CTEs), then incoming
       // survives iff no same-cluster history member is cosine-near
-      "q104_incremental_semantic" ->
-        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-          |c AS (SELECT vec_id AS cid, v AS ce FROM e WHERE vec_id % 62 = 0 ORDER BY vec_id LIMIT 8),
-          |ar AS (SELECT e.vec_id, c.cid,
-          |         row_number() OVER (PARTITION BY e.vec_id
-          |                            ORDER BY list_distance(e.v, c.ce), c.cid) AS rk
-          |       FROM e CROSS JOIN c),
-          |a AS (SELECT vec_id, cid AS cluster FROM ar WHERE rk = 1)
-          |SELECT i.vec_id, i.cluster FROM a i
-          |WHERE i.vec_id % 3 <> 0
-          |  AND NOT EXISTS (
-          |    SELECT 1 FROM a h
-          |    JOIN e he ON he.vec_id = h.vec_id
-          |    JOIN e ie ON ie.vec_id = i.vec_id
-          |    WHERE h.vec_id % 3 = 0 AND h.cluster = i.cluster
-          |      AND list_dot_product(ie.v, he.v) /
-          |          (sqrt(list_dot_product(ie.v, ie.v)) * sqrt(list_dot_product(he.v, he.v))) >= 0.4)
-          |ORDER BY i.vec_id""".stripMargin,
+      "q104_incremental_semantic" -> incrementalSemanticSql,
+      // q105: the streaming twin's per-row decision is stateless, so its
+      // rows EXACTLY equal batch q104 — same oracle verbatim
+      "q105_stream_semantic" -> incrementalSemanticSql,
       // q99: partial-probe filtered recall + mem≡disk path equality as
       // invariants (constant oracle — the q48 pattern)
       "q99_ann_filtered_recall" ->
@@ -1954,6 +2038,7 @@ object SparkEntry {
           |      FROM q CROSS JOIN b)
           |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM d WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
       "q20_minhash_pairs" -> minhashOracle,
+      "q106_incremental_minhash" -> incrementalMinhashOracle,
       "q21_simhash_pairs" -> simhashOracle,
       "q45_lsh_neardup" -> lshOracle,
       "q28_ann_recall" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",

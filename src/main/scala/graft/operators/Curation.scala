@@ -375,7 +375,7 @@ object Curation {
   /** Flat nearest-centroid assignment column (argmin over all k inside
     * one codegen expression, centroid matrix riding in the plan).
     */
-  private def flatAssignment(cent: Array[(Long, Array[Float])]): Column = {
+  private[graft] def flatAssignment(cent: Array[(Long, Array[Float])]): Column = {
     import graft.functions.VectorExpressions
     VectorExpressions.nearestCentroid(col("embedding"),
       cent.flatMap(_._2), cent.map(_._1))
@@ -395,7 +395,7 @@ object Curation {
     * Member indices ascend in cid within each super, so the strict-<
     * member argmin ties toward the smaller cid exactly like flat.
     */
-  private def hierAssignment(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def hierAssignment(spark: org.apache.spark.sql.SparkSession,
       centroids: DataFrame, cent: Array[(Long, Array[Float])], branch: Int): Column = {
     import graft.functions.VectorExpressions
     val k = cent.length
@@ -444,7 +444,7 @@ object Curation {
     * reduce k.
     */
   private val MaxCentroidFloats: Long = 1L << 28
-  private def collectCentroids(centroids: DataFrame): Array[(Long, Array[Float])] = {
+  private[graft] def collectCentroids(centroids: DataFrame): Array[(Long, Array[Float])] = {
     val sized = centroids.agg(count(lit(1)), first(size(col("ce")))).head()
     val k = sized.getLong(0)
     val dim = if (sized.isNullAt(1)) 0L else sized.getInt(1).toLong

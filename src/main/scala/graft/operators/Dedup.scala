@@ -426,44 +426,8 @@ object Dedup {
     // see ShinglePolyHashes.wideShingles); the squared-token second
     // component pushes joint collisions to ~1/P², negligible past 10¹⁰
     // docs, with every value inside i64 for the DuckDB replay.
-    val shingleArr = graft.functions.TextExpressions
-      .shingleWideHashes(trim(lower(col("text"))), n, 131L, 137L, P)
-    val Hi = 1L << 31
-    // per-doc distinct set AND all 8 minhash permutations computed INSIDE
-    // the row (`array_distinct` + `array_min(transform(...))`) — the
-    // explode→distinct→two-groupBy formulation this replaced paid three
-    // full shuffles of the posting set before the banded join; now the
-    // first exchange anywhere in the plan is the id-only candidate join.
-    val docSets = docs
-      .select(col("doc_id"), array_distinct(shingleArr).as("set"))
-      .filter(size(col("set")) > 0)
-      .withColumn("ns", size(col("set")).cast("long"))
-      .persist()
-    // per-family min over the permuted COMPONENTS, recombined: the high
-    // 31 bits carry π_j(hi) so the min orders primarily by the base-131
-    // permutation (the classic minhash property), and the low bits carry
-    // an independent π_{j+numHashes}(lo) so equal mins imply a genuine
-    // wide-shingle match, not a mod-P coincidence
-    val minCols = (0 until numHashes).map { j =>
-      val (a1, b1) = affine(j)
-      val (a2, b2) = affine(j + numHashes)
-      array_min(transform(col("set"), s => {
-        val hi = shiftright(s, 31)
-        val lo = s.bitwiseAND(lit(Hi - 1L))
-        ((lit(a1) * hi + lit(b1)) % lit(P)) * lit(Hi) +
-          ((lit(a2) * lo + lit(b2)) % lit(P))
-      })).as(s"m$j")
-    }
-    val mins = docSets.select(col("doc_id") +: minCols: _*)
-    val numBands = numHashes / rowsPerBand
-    // band key = the ARRAY of its r minhash values (exact values, not a
-    // re-hash — the oracle joins on the same lists); equality requires
-    // all r to match
-    val banded = mins.select(col("doc_id"), explode(array((0 until numBands).map { j =>
-      struct(lit(j).as("band"),
-        array((0 until rowsPerBand).map(k => col(s"m${j * rowsPerBand + k}")): _*).as("mh"))
-    }: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.mh").as("mh"))
+    val docSets = shingleSets(docs, n).persist()
+    val banded = bandedSignatures(docSets, numHashes, rowsPerBand)
     val ca = banded.select(col("doc_id").as("doc_a"), col("band"), col("mh"))
     val cb = banded.select(col("doc_id").as("doc_b"), col("band"), col("mh"))
     val candidates = ca.join(cb, Seq("band", "mh"))
@@ -484,6 +448,106 @@ object Dedup {
         (col("nc").cast("double") / (col("sa") + col("sb") - col("nc"))).as("jaccard"))
       .filter(col("jaccard") >= simThreshold)
     materializeAndRelease(result, docSets)
+  }
+
+  /** Per-doc distinct wide-shingle set, computed INSIDE the row
+    * (`array_distinct` over the fused `ShingleWideHashes` expression) —
+    * the explode→distinct→two-groupBy formulation this replaced paid
+    * three full shuffles of the posting set before any banded join.
+    * Docs below n tokens have no shingles and are dropped (they can
+    * never band-match anything).
+    */
+  private def shingleSets(docs: DataFrame, n: Int): DataFrame = {
+    val shingleArr = graft.functions.TextExpressions
+      .shingleWideHashes(trim(lower(col("text"))), n, 131L, 137L, P)
+    docs.select(col("doc_id"), array_distinct(shingleArr).as("set"))
+      .filter(size(col("set")) > 0)
+      .withColumn("ns", size(col("set")).cast("long"))
+  }
+
+  /** (doc_id, band, mh) band keys from a shingle-set frame: all
+    * numHashes permutations computed inside the row, grouped into
+    * b = numHashes/rowsPerBand bands of r values each. Per-family min
+    * over the permuted COMPONENTS, recombined — the high 31 bits carry
+    * π_j(hi) so the min orders primarily by the base-131 permutation
+    * (the classic minhash property), the low bits an independent
+    * π_{j+numHashes}(lo) so equal mins imply a genuine wide-shingle
+    * match, not a mod-P coincidence. The band key is the ARRAY of its r
+    * minhash values (exact values, not a re-hash — the oracle joins on
+    * the same lists).
+    */
+  private def bandedSignatures(docSets: DataFrame, numHashes: Int,
+                               rowsPerBand: Int): DataFrame = {
+    val Hi = 1L << 31
+    val minCols = (0 until numHashes).map { j =>
+      val (a1, b1) = affine(j)
+      val (a2, b2) = affine(j + numHashes)
+      array_min(transform(col("set"), s => {
+        val hi = shiftright(s, 31)
+        val lo = s.bitwiseAND(lit(Hi - 1L))
+        ((lit(a1) * hi + lit(b1)) % lit(P)) * lit(Hi) +
+          ((lit(a2) * lo + lit(b2)) % lit(P))
+      })).as(s"m$j")
+    }
+    val mins = docSets.select(col("doc_id") +: minCols: _*)
+    val numBands = numHashes / rowsPerBand
+    mins.select(col("doc_id"), explode(array((0 until numBands).map { j =>
+      struct(lit(j).as("band"),
+        array((0 until rowsPerBand).map(k => col(s"m${j * rowsPerBand + k}")): _*).as("mh"))
+    }: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.mh").as("mh"))
+  }
+
+  /** Incremental MINHASH near-dup — [[Dedup.incrementalNew]]'s contract
+    * lifted from exact to NEAR duplicates, completing the incremental
+    * matrix (exact: q94/q95; semantic: q104/q105; n-gram near-dup: this):
+    * an incoming doc survives iff NO history doc shares a minhash band
+    * with it AND clears exact-Jaccard verification at `simThreshold`.
+    * Within-incoming near-dups all survive (new to the corpus — the
+    * incrementalNew contract), and incoming docs too short to shingle
+    * trivially survive (no shingles ⇒ nothing to match).
+    *
+    * Scale shape: the history BAND TABLE is the reusable index — at
+    * scale it is computed once and persisted (bucketed by (band, mh) —
+    * `sources/Bucketed` — so daily joins are exchange-free on the
+    * history side); here it is derived in-plan. The day batch's bands
+    * BROADCAST into the candidate join, so history streams map-side and
+    * never shuffles; verification fetches only candidate history sets
+    * (semi-join-reduced), and the matched set is id-only. Candidate
+    * volume telemetry rides the same `dedup_candidates_` observe prefix
+    * as the batch pair joins.
+    *
+    * Output: the surviving incoming ROWS (all original columns).
+    */
+  def incrementalMinhashNew(history: DataFrame, incoming: DataFrame, n: Int,
+                            simThreshold: Double, numHashes: Int = 8,
+                            rowsPerBand: Int = 2): DataFrame = {
+    require(2 * numHashes <= affine.length,
+      s"needs 2·numHashes ≤ ${affine.length} hash families (hi + lo components)")
+    require(numHashes % rowsPerBand == 0, "rowsPerBand must divide numHashes")
+    val histSets = shingleSets(history, n).persist()
+    val incSets = shingleSets(incoming, n).persist()
+    val histBands = bandedSignatures(histSets, numHashes, rowsPerBand)
+      .select(col("doc_id").as("hist_id"), col("band"), col("mh"))
+    val incBands = bandedSignatures(incSets, numHashes, rowsPerBand)
+      .select(col("doc_id").as("inc_id"), col("band"), col("mh"))
+    val candidates = histBands.join(broadcast(incBands), Seq("band", "mh"))
+      .select("inc_id", "hist_id").distinct()
+      .observe(s"dedup_candidates_${obsCounter.incrementAndGet()}",
+        count(lit(1)).as("n_candidates"))
+    val matched = candidates
+      .join(incSets.select(col("doc_id").as("inc_id"),
+        col("set").as("ia"), col("ns").as("na")), Seq("inc_id"))
+      .join(histSets.select(col("doc_id").as("hist_id"),
+        col("set").as("hb"), col("ns").as("nb")), Seq("hist_id"))
+      .select(col("inc_id"),
+        size(array_intersect(col("ia"), col("hb"))).cast("long").as("nc"),
+        col("na"), col("nb"))
+      .filter(col("nc").cast("double") / (col("na") + col("nb") - col("nc"))
+        >= simThreshold)
+      .select(col("inc_id").as("doc_id")).distinct()
+    materializeAndRelease(
+      incoming.join(matched, Seq("doc_id"), "left_anti"), histSets, incSets)
   }
 
   /** 64-bit SimHash over word tokens: per-token hash votes per bit,

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.streaming.Trigger
+import graft.operators.Curation
+
+/** Streaming incremental SEMANTIC dedup — the continuous counterpart of
+  * `Curation.incrementalSemanticDedup` (batch q104) and the embedding-
+  * space analog of `DocsStream.newFingerprints` (q95): vectors arrive as
+  * files, each is assigned its coarse cluster by the SAME codegen
+  * argmin kernel the batch path uses, and survives iff no HISTORY
+  * member of that cluster is cosine-≥-threshold near it.
+  *
+  * The per-row decision is STATELESS — it depends only on (row, static
+  * history) — so unlike the fingerprint stream there is no watermark
+  * state and no "which copy wins" nondeterminism: the emitted row SET
+  * equals the batch operator exactly, independent of how the files are
+  * batched (q105's gate is therefore a real-rows oracle, q104's SQL
+  * verbatim). Within-stream duplicates all survive, exactly the batch
+  * contract (they are new to the corpus); a deployment that also wants
+  * first-seen-within-stream semantics feeds each micro-batch's
+  * survivors back into history via foreachBatch + the q91 append path.
+  *
+  * Scale shape: per micro-batch the stream side is day-batch-sized and
+  * the static side is the corpus — at fixture scale Catalyst broadcasts
+  * the assigned history frame; at corpus scale, persist history WITH
+  * its cluster assignment partitioned by cluster (the layout the
+  * semantic-dedup pipeline already writes) and the stream-static join
+  * shuffles only the micro-batch to it. `branch` selects flat vs
+  * two-level assignment exactly as in the batch operator.
+  */
+object VecsStream {
+
+  val vecsSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType))))
+
+  /** Run the stream to completion over a static dir (AvailableNow,
+    * memory sink) and return the surviving (vec_id, cluster) rows.
+    * `maxFilesPerTrigger = Some(1)` replays one file per micro-batch —
+    * the multi-batch regime the gate drives.
+    */
+  def newVectors(spark: SparkSession, path: String, history: DataFrame,
+                 centroids: DataFrame, threshold: Double, queryName: String,
+                 branch: Int = 0,
+                 maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import graft.functions.VectorExpressions
+    val cent = Curation.collectCentroids(centroids)
+    val cluster =
+      if (branch == 0) Curation.flatAssignment(cent)
+      else Curation.hierAssignment(spark, centroids, cent, branch)
+    // assigned history is the static join side — built once; Spark's
+    // reuse-exchange keeps the broadcast across micro-batches
+    val hist = history
+      .select(col("embedding").as("he"), cluster.as("hcluster"))
+    val f = new java.io.File(path)
+    val (dir, glob) = if (f.isFile) (f.getParent, f.getName) else (path, "*")
+    val reader0 = spark.readStream
+      .schema(vecsSchema)
+      .option("pathGlobFilter", glob)
+    val reader = maxFilesPerTrigger.fold(reader0)(m =>
+      reader0.option("maxFilesPerTrigger", m.toString).option("latestFirst", "false"))
+    val q = reader
+      .parquet(dir)
+      .select(col("vec_id"), col("embedding"), cluster.as("cluster"))
+      // stream-static LEFT ANTI join: drop the arriving vector iff some
+      // same-cluster history member clears the cosine threshold — the
+      // equi-component (cluster) keeps it a hash join; the cosine rides
+      // as the join's extra codegen condition
+      .join(hist, col("cluster") === col("hcluster") &&
+        VectorExpressions.cosineSim(col("embedding"), col("he")) >= threshold,
+        "left_anti")
+      .select(col("vec_id"), col("cluster"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+}

@@ -1755,6 +1755,59 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hier.contains(520L) && hier.contains(521L))
   }
 
+  test("VecsStream.newVectors (streaming incremental semantic dedup): multi-batch " +
+      "file replay emits EXACTLY the batch operator's rows") {
+    import spark.implicits._
+    val rnd = new java.util.Random(23)
+    val hist = (0L until 60L).map(i => (i, Array.fill(24)(rnd.nextFloat() * 2f - 1f)))
+    val inc = (0L until 4L).map(i => (400L + i, hist(i.toInt)._2.map(_ + 0.001f))) ++
+      (0L until 8L).map(i => (410L + i, Array.fill(24)(rnd.nextFloat() * 2f - 1f)))
+    val histDf = hist.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+    val incDf = inc.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+    val centroids = histDf.filter(col("vec_id") % 11 === 0).orderBy(col("vec_id")).limit(5)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val dir = java.nio.file.Files.createTempDirectory("vecs_stream").toString
+    incDf.repartition(3).write.parquet(s"$dir/in") // 3 files → 3 micro-batches
+    val streamed = graft.streaming.VecsStream.newVectors(spark, s"$dir/in",
+      histDf, centroids, threshold = 0.95, "vecs_stream_spec",
+      maxFilesPerTrigger = Some(1))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = Curation.incrementalSemanticDedup(spark, histDf, incDf, centroids,
+      threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+    assert((400L until 404L).forall(id => !streamed.exists(_._1 == id)))
+    assert((410L until 418L).forall(id => streamed.exists(_._1 == id)))
+  }
+
+  test("incrementalMinhashNew: history near-dups dropped; fresh, within-incoming " +
+      "near-dups, and too-short docs all survive") {
+    import spark.implicits._
+    def sent(seed: Int) = {
+      val r = new java.util.Random(seed)
+      (0 until 20).map(_ => s"w${r.nextInt(500)}").mkString(" ")
+    }
+    val hist = (0L until 30L).map(i => (i, sent(i.toInt)))
+    // 900..902: near-copies of history 0..2 (one token changed — jaccard
+    // ≈ 0.9); 910..914: fresh; 920/921: near-dups of EACH OTHER only;
+    // 930: too short to shingle (2 tokens)
+    def nearCopy(t: String) = t.split(" ").toSeq.updated(19, "wX").mkString(" ")
+    val freshPair = sent(777)
+    val inc = (0L until 3L).map(i => (900L + i, nearCopy(hist(i.toInt)._2))) ++
+      (0L until 5L).map(i => (910L + i, sent(1000 + i.toInt))) ++
+      Seq((920L, freshPair), (921L, nearCopy(freshPair)), (930L, "just two"))
+    val histDf = hist.toDF("doc_id", "text")
+    val incDf = inc.toDF("doc_id", "text")
+    val got = Dedup.incrementalMinhashNew(histDf, incDf, n = 3, simThreshold = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert((900L until 903L).forall(id => !got.contains(id)), s"history near-dup survived: $got")
+    assert((910L until 915L).forall(got.contains), s"fresh doc dropped: $got")
+    assert(got.contains(920L) && got.contains(921L),
+      "within-incoming near-dups must BOTH survive (new to the corpus)")
+    assert(got.contains(930L), "unshingleable doc must survive")
+    assert(got.size == 8)
+  }
+
   test("repetitionSignals: known fractions, single-token and repeated docs") {
     import spark.implicits._
     val docs = Seq(
