@@ -14,7 +14,7 @@ import graft.operators._
   *   sbt "runMain graft.DedupScaleSmoke 10000000 1000 inc"  # one stage only
   *
   * Optional third arg selects a stage subset (comma-separated from
-  * minhash,lsh,semantic,text,inc,incstream,seminc; `semantic` — whose
+  * minhash,lsh,semantic,text,inc,incstream,seminc,incmh; `semantic` — whose
   * within-cluster pair scan is the heaviest stage — `incstream` and
   * `seminc` are opt-in) — the big-n stages each shuffle tens of GB, and
   * rerunning all of them to refresh one datapoint is how a /tmp
@@ -291,6 +291,49 @@ object DedupScaleSmoke {
     println(s"""{"stream_inc_dedup_smoke":{"n_history":$n,"n_incoming":$nInc,""" +
       s""""sec":$secS,"emissions":$emissions,"distinct_new_fps":$distinctFps,""" +
       s""""set_diff_vs_batch":$setDiff,"docs_per_sec":${(n + nInc) / secS}}}""")
+    }
+
+    if (stages("incmh")) {
+    // ---- 5b) incremental MINHASH near-dup (q106's path) at scale ------
+    // history = n random 30-token docs, incoming = n/10: even slots are
+    // near-copies of history doc j (last token changed, jaccard ≈ 0.8 —
+    // well above the 0.5 threshold), odd slots fresh. The history band
+    // table streams map-side against the BROADCAST day-batch bands.
+    // Banding admits a near-threshold miss probability (1−(1−J²)^4 ≈
+    // 0.99 per planted pair at J ≈ 0.8), so the recall floor is 97%;
+    // false drops must be exactly zero (verification is exact Jaccard).
+    def tokText(seed: org.apache.spark.sql.Column,
+        lastAlt: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      concat_ws(" ", transform(sequence(lit(0), lit(29)), j =>
+        concat(lit("w"), pmod(xxhash64(seed * 31 + j,
+          when(j === 29, lastAlt).otherwise(lit(0L))), lit(50000L)))))
+    val hist = spark.range(n).select(col("id").as("doc_id"),
+      tokText(col("id"), lit(0L)).as("text")).repartition(cpus.toInt).persist()
+    hist.count()
+    val nInc = math.max(n / 10, 16L)
+    val j0 = col("id")
+    val incoming = spark.range(nInc).select((col("id") + n).as("doc_id"),
+      when(j0 % 2 === 0, tokText(j0, lit(1L)))                    // near-copy
+        .otherwise(tokText(j0 + n + 5000000000L, lit(0L))).as("text")) // fresh
+      .repartition(cpus.toInt).persist()
+    incoming.count()
+    val t5b = System.nanoTime()
+    val surv = Dedup.incrementalMinhashNew(hist, incoming, n = 3,
+      simThreshold = 0.5).persist()
+    val nSurv = surv.count()
+    val incMhSec = (System.nanoTime() - t5b) / 1e9
+    val mhCand = drainCandidates()
+    val planted = (nInc + 1) / 2
+    val plantedSurvived = surv.filter((col("doc_id") - n) % 2 === 0).count()
+    val freshDropped = (nInc - planted) - (nSurv - plantedSurvived)
+    surv.unpersist(); incoming.unpersist(); hist.unpersist()
+    require(freshDropped == 0, s"$freshDropped fresh docs falsely dropped")
+    require(planted - plantedSurvived >= (planted * 97) / 100,
+      s"only ${planted - plantedSurvived} of $planted planted near-dups dropped")
+    println(s"""{"incmh_smoke":{"n_history":$n,"n_incoming":$nInc,"sec":$incMhSec,""" +
+      s""""survivors":$nSurv,"planted_dropped":${planted - plantedSurvived},""" +
+      s""""planted":$planted,"false_drops":$freshDropped,"n_candidates":$mhCand,""" +
+      s""""docs_per_sec":${(n + nInc) / incMhSec}}}""")
     }
 
     if (stages("seminc")) {

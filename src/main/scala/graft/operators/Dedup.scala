@@ -546,8 +546,11 @@ object Dedup {
       .filter(col("nc").cast("double") / (col("na") + col("nb") - col("nc"))
         >= simThreshold)
       .select(col("inc_id").as("doc_id")).distinct()
+    // matched ⊆ incoming ids — broadcast it so the day batch never
+    // shuffles for the final anti-join (the q94 confirmed-set shape)
     materializeAndRelease(
-      incoming.join(matched, Seq("doc_id"), "left_anti"), histSets, incSets)
+      incoming.join(broadcast(matched), Seq("doc_id"), "left_anti"),
+      histSets, incSets)
   }
 
   /** 64-bit SimHash over word tokens: per-token hash votes per bit,
