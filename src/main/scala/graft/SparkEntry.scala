@@ -1617,6 +1617,35 @@ object SparkEntry {
         .select(col("doc_id"), col("n_chars"))
         .orderBy(col("doc_id"))
     }),
+    "q107_ingest_capstone" -> ((s, dir) => {
+      // the DAILY-INGEST capstone: a new doc ships iff it survives exact
+      // dedup (q94), minhash near-dup (q106), AND semantic near-dup
+      // (q104) vs the standing corpus — three incremental operators
+      // composed in one pipeline. Each stage's drop decision depends
+      // only on (doc, history), never on fellow incoming docs, so the
+      // composition is a pure intersection: stage order only affects
+      // cost (cheapest filter first — the bloom exact pass — so later
+      // stages scan only prior survivors). doc_id ↔ vec_id is the
+      // fixtures' 1:1 correspondence (the q98 pattern).
+      val docs = T(s, dir, "documents")
+      val emb = T(s, dir, "embeddings")
+      val history = docs.filter(col("doc_id") % 3 === 0)
+      val incoming = docs.filter(col("doc_id") % 3 =!= 0)
+      val afterExact = Dedup.incrementalNew(history, incoming, historyBloom(s, dir))
+      val afterMinhash = Dedup.incrementalMinhashNew(history, afterExact,
+        n = 3, simThreshold = 0.5)
+      val centroids = emb.filter(col("vec_id") % 62 === 0)
+        .orderBy(col("vec_id")).limit(8)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      val semSurvivors = Curation.incrementalSemanticDedup(s,
+        emb.filter(col("vec_id") % 3 === 0),
+        emb.filter(col("vec_id") % 3 =!= 0),
+        centroids, threshold = 0.4)
+        .select(col("vec_id").as("doc_id"))
+      afterMinhash.join(broadcast(semSurvivors), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
     "q96_char_entropy" -> ((s, dir) => {
       // codepoint-entropy quality signal (graft.functions.CharEntropy —
       // native codegen expression, one byte pass per row): the classic
@@ -1677,24 +1706,36 @@ object SparkEntry {
   // emitted rows are batching-independent and equal the batch operator):
   // q101's argmin CTEs over ALL vectors, then incoming (vec_id % 3 ≠ 0)
   // survives iff no same-cluster history member is cosine-≥-0.4 near it
-  private val incrementalSemanticSql: String =
-    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  // the q101/q104 argmin-assignment CTEs (deterministic-sample centroids,
+  // list_distance argmin with cid tie) as a reusable fragment
+  private val semanticAssignCtes: String =
+    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |c AS (SELECT vec_id AS cid, v AS ce FROM e WHERE vec_id % 62 = 0 ORDER BY vec_id LIMIT 8),
       |ar AS (SELECT e.vec_id, c.cid,
       |         row_number() OVER (PARTITION BY e.vec_id
       |                            ORDER BY list_distance(e.v, c.ce), c.cid) AS rk
       |       FROM e CROSS JOIN c),
-      |a AS (SELECT vec_id, cid AS cluster FROM ar WHERE rk = 1)
-      |SELECT i.vec_id, i.cluster FROM a i
-      |WHERE i.vec_id % 3 <> 0
-      |  AND NOT EXISTS (
+      |a AS (SELECT vec_id, cid AS cluster FROM ar WHERE rk = 1)""".stripMargin
+
+  // incoming vectors with a cosine-near same-cluster HISTORY member —
+  // the semantic drop set, shared by q104/q105's survivors oracle and
+  // the q107 capstone conjunction
+  private val semanticMatchedCte: String =
+    """sem_matched AS (SELECT i.vec_id FROM a i
+      |  WHERE i.vec_id % 3 <> 0 AND EXISTS (
       |    SELECT 1 FROM a h
       |    JOIN e he ON he.vec_id = h.vec_id
       |    JOIN e ie ON ie.vec_id = i.vec_id
       |    WHERE h.vec_id % 3 = 0 AND h.cluster = i.cluster
       |      AND list_dot_product(ie.v, he.v) /
-      |          (sqrt(list_dot_product(ie.v, ie.v)) * sqrt(list_dot_product(he.v, he.v))) >= 0.4)
-      |ORDER BY i.vec_id""".stripMargin
+      |          (sqrt(list_dot_product(ie.v, ie.v)) * sqrt(list_dot_product(he.v, he.v))) >= 0.4))""".stripMargin
+
+  private val incrementalSemanticSql: String =
+    "WITH " + semanticAssignCtes + ",\n" + semanticMatchedCte + "\n" +
+      """SELECT i.vec_id, i.cluster FROM a i
+        |WHERE i.vec_id % 3 <> 0
+        |  AND i.vec_id NOT IN (SELECT vec_id FROM sem_matched)
+        |ORDER BY i.vec_id""".stripMargin
 
   // filtered brute-force kNN at label = 7 — shared by q100 (in-memory
   // auto-widened) and q103 (disk + known-selectivity): both saturate to
@@ -1760,28 +1801,49 @@ object SparkEntry {
         |WHERE CAST(nc AS DOUBLE) / (sa.ns + sb.ns - nc) >= 0.5
         |ORDER BY doc_a, doc_b""".stripMargin
 
+  // incoming docs with a band-matched, Jaccard-verified HISTORY partner —
+  // the minhash drop set, shared by q106 and the q107 capstone
+  private val minhashMatchedCtes: String =
+    """cand AS (SELECT DISTINCT a.doc_id AS inc_id, b.doc_id AS hist_id
+      |         FROM bands a JOIN bands b
+      |           ON a.j = b.j AND a.mh1 = b.mh1 AND a.mh2 = b.mh2
+      |         WHERE a.doc_id % 3 <> 0 AND b.doc_id % 3 = 0),
+      |inter AS (SELECT inc_id, hist_id, COUNT(*) AS nc FROM cand
+      |          JOIN sh x ON x.doc_id = inc_id JOIN sh y ON y.doc_id = hist_id AND y.s = x.s
+      |          GROUP BY 1, 2),
+      |mh_matched AS (SELECT DISTINCT inc_id FROM inter
+      |            JOIN sizes sa ON sa.doc_id = inc_id
+      |            JOIN sizes sb ON sb.doc_id = hist_id
+      |            WHERE CAST(nc AS DOUBLE) / (sa.ns + sb.ns - nc) >= 0.5)""".stripMargin
+
   /** Cross-set variant for q106: incoming (doc_id % 3 ≠ 0) survives iff
     * no history (doc_id % 3 = 0) doc shares a band AND clears exact
     * Jaccard at 0.5 — band-unmatched and too-short-to-shingle incoming
     * docs trivially survive (NOT IN never sees them).
     */
   private def incrementalMinhashOracle: String =
-    minhashCtePrefix +
-      """,
-        |cand AS (SELECT DISTINCT a.doc_id AS inc_id, b.doc_id AS hist_id
-        |         FROM bands a JOIN bands b
-        |           ON a.j = b.j AND a.mh1 = b.mh1 AND a.mh2 = b.mh2
-        |         WHERE a.doc_id % 3 <> 0 AND b.doc_id % 3 = 0),
-        |inter AS (SELECT inc_id, hist_id, COUNT(*) AS nc FROM cand
-        |          JOIN sh x ON x.doc_id = inc_id JOIN sh y ON y.doc_id = hist_id AND y.s = x.s
-        |          GROUP BY 1, 2),
-        |matched AS (SELECT DISTINCT inc_id FROM inter
-        |            JOIN sizes sa ON sa.doc_id = inc_id
-        |            JOIN sizes sb ON sb.doc_id = hist_id
-        |            WHERE CAST(nc AS DOUBLE) / (sa.ns + sb.ns - nc) >= 0.5)
-        |SELECT d.doc_id, d.n_chars FROM documents d
+    minhashCtePrefix + ",\n" + minhashMatchedCtes + "\n" +
+      """SELECT d.doc_id, d.n_chars FROM documents d
         |WHERE d.doc_id % 3 <> 0
-        |  AND d.doc_id NOT IN (SELECT inc_id FROM matched)
+        |  AND d.doc_id NOT IN (SELECT inc_id FROM mh_matched)
+        |ORDER BY d.doc_id""".stripMargin
+
+  /** q107: the daily-ingest capstone — a new doc ships iff it survives
+    * exact dedup AND minhash near-dup AND semantic near-dup vs the
+    * standing corpus (doc_id ↔ vec_id is the fixtures' 1:1
+    * correspondence, the q98 pattern). Each stage's drop decision
+    * depends only on (doc, history), so the composition is a pure
+    * conjunction and replay order is irrelevant.
+    */
+  private def ingestCapstoneOracle: String =
+    minhashCtePrefix + ",\n" + semanticAssignCtes + ",\n" +
+      minhashMatchedCtes + ",\n" + semanticMatchedCte + "\n" +
+      """SELECT d.doc_id, d.n_chars FROM documents d
+        |WHERE d.doc_id % 3 <> 0
+        |  AND NOT EXISTS (SELECT 1 FROM documents h
+        |                  WHERE h.doc_id % 3 = 0 AND h.text = d.text)
+        |  AND d.doc_id NOT IN (SELECT inc_id FROM mh_matched)
+        |  AND d.doc_id NOT IN (SELECT vec_id FROM sem_matched)
         |ORDER BY d.doc_id""".stripMargin
 
   /** DuckDB replay of `Dedup.simhashPairs` (maxHamming=3): portable token
@@ -2039,6 +2101,7 @@ object SparkEntry {
           |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM d WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
       "q20_minhash_pairs" -> minhashOracle,
       "q106_incremental_minhash" -> incrementalMinhashOracle,
+      "q107_ingest_capstone" -> ingestCapstoneOracle,
       "q21_simhash_pairs" -> simhashOracle,
       "q45_lsh_neardup" -> lshOracle,
       "q28_ann_recall" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",
