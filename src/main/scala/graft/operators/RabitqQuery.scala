@@ -236,7 +236,7 @@ object RabitqQuery {
     * probed rows that pass the predicate — matches what the caller's
     * nprobe would yield unfiltered.
     */
-  private[operators] def widenedProbe(numClusters: Int, nprobe: Int, sel: Double): Int =
+  private[graft] def widenedProbe(numClusters: Int, nprobe: Int, sel: Double): Int =
     math.min(numClusters,
       math.max(nprobe, math.ceil(nprobe / math.max(sel, 1e-6)).toInt))
 

@@ -450,6 +450,16 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fdisk.count() > 0)
   }
 
+  test("widenedProbe: ceil(nprobe/sel), never below nprobe, clamped to numClusters, " +
+      "zero-selectivity guarded") {
+    assert(RabitqQuery.widenedProbe(256, 16, 0.1) == 160)
+    assert(RabitqQuery.widenedProbe(16, 4, 0.1) == 16)    // clamps to full probe
+    assert(RabitqQuery.widenedProbe(256, 16, 1.0) == 16)  // unfiltered: unchanged
+    assert(RabitqQuery.widenedProbe(256, 16, 0.9) == 18)  // ceil, not floor
+    assert(RabitqQuery.widenedProbe(8, 2, 0.5) == 4)
+    assert(RabitqQuery.widenedProbe(256, 16, 0.0) == 256) // sel floor 1e-6 → clamp
+  }
+
   test("q99 filtered-recall gate holds at sf0.001 (all four invariants green)") {
     val r = SparkEntry.queries("q99_ann_filtered_recall")(spark, sf).head()
     assert((0 until 4).forall(r.getLong(_) == 1L), s"q99 gate failed: $r")
