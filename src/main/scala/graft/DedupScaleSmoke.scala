@@ -14,11 +14,11 @@ import graft.operators._
   *   sbt "runMain graft.DedupScaleSmoke 10000000 1000 inc"  # one stage only
   *
   * Optional third arg selects a stage subset (comma-separated from
-  * minhash,lsh,semantic,text,inc,incstream,seminc,incmh; `semantic` — whose
-  * within-cluster pair scan is the heaviest stage — `incstream` and
-  * `seminc` are opt-in) — the big-n stages each shuffle tens of GB, and
-  * rerunning all of them to refresh one datapoint is how a /tmp
-  * fills up.
+  * minhash,lsh,semantic,text,inc,incstream,seminc,incmh; the default set
+  * is minhash,lsh,text,inc — `semantic` (whose within-cluster pair scan
+  * is the heaviest stage), `incstream`, `seminc`, and `incmh` are
+  * opt-in) — the big-n stages each shuffle tens of GB, and rerunning all
+  * of them to refresh one datapoint is how a /tmp fills up.
   */
 object DedupScaleSmoke {
   def main(args: Array[String]): Unit = {
@@ -59,8 +59,9 @@ object DedupScaleSmoke {
 
     // ---- 1) minhash over generated text ---------------------------------
     // docs 0..n/2-1 are random 30-token strings; docs n/2..n/2+planted-1
-    // copy doc (id - n/2) with the last token changed (jaccard ≈ 0.93);
-    // the rest are random again. Tokens drawn from a 50k vocabulary.
+    // copy doc (id - n/2) with the last token changed — 3 of the 28
+    // 3-token shingles differ, so jaccard = 25/31 ≈ 0.81; the rest are
+    // random again. Tokens drawn from a 50k vocabulary.
     val half = n / 2
     val baseId = when(col("doc_id") >= half && col("doc_id") < half + planted,
       col("doc_id") - half).otherwise(col("doc_id"))
@@ -296,12 +297,14 @@ object DedupScaleSmoke {
     if (stages("incmh")) {
     // ---- 5b) incremental MINHASH near-dup (q106's path) at scale ------
     // history = n random 30-token docs, incoming = n/10: even slots are
-    // near-copies of history doc j (last token changed, jaccard ≈ 0.8 —
-    // well above the 0.5 threshold), odd slots fresh. The history band
-    // table streams map-side against the BROADCAST day-batch bands.
-    // Banding admits a near-threshold miss probability (1−(1−J²)^4 ≈
-    // 0.99 per planted pair at J ≈ 0.8), so the recall floor is 97%;
-    // false drops must be exactly zero (verification is exact Jaccard).
+    // near-copies of history doc j (last token changed — 3 of 28
+    // 3-shingles differ, jaccard = 25/31 ≈ 0.81, well above the 0.5
+    // threshold), odd slots fresh. The history band table streams
+    // map-side against the BROADCAST day-batch bands. Banding admits a
+    // miss probability per planted pair of (1−J²)^4 ≈ 0.015 at J ≈ 0.81,
+    // so the 97% recall floor leaves ~2× headroom over the ~1.5%
+    // expected miss rate; false drops must be exactly zero (verification
+    // is exact Jaccard).
     def tokText(seed: org.apache.spark.sql.Column,
         lastAlt: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       concat_ws(" ", transform(sequence(lit(0), lit(29)), j =>

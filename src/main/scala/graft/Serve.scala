@@ -242,9 +242,25 @@ object Serve {
     * per query. A label-free corpus serves exactly as before.
     */
   private def withLabels(index: DataFrame, base: DataFrame): DataFrame =
-    if (base.columns.contains("label") && !index.columns.contains("label"))
-      index.join(base.select(col("vec_id"), col("label")), Seq("vec_id"))
-    else index
+    if (base.columns.contains("label") && !index.columns.contains("label")) {
+      // LEFT join + coverage check, not inner: an inner join would
+      // silently drop index rows whose vec_id is missing from the base
+      // (e.g. an upserted index reloaded against a stale base) and the
+      // engine would serve 200s that can never return those vectors.
+      // Mismatches must fail the build/reload loudly instead. The extra
+      // count runs once per engine build, beside the existing warm-up
+      // counts.
+      val lbl = base.select(col("vec_id"), col("label"),
+        org.apache.spark.sql.functions.lit(true).as("__covered"))
+      val joined = index.join(lbl, Seq("vec_id"), "left_outer")
+      val missing = joined.filter(
+        !org.apache.spark.sql.functions.coalesce(col("__covered"),
+          org.apache.spark.sql.functions.lit(false))).count()
+      require(missing == 0L,
+        s"$missing index rows have no vec_id in the labeled base — " +
+          "index/base mismatch (wrong base path for this index_dir?)")
+      joined.drop("__covered")
+    } else index
 
   /** Escape quotes/backslashes/control chars so exception messages can't
     * break the JSON error body.

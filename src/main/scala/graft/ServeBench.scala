@@ -168,7 +168,18 @@ object ServeBench {
       // understate qps, corrupting the mutate-vs-plain A/B
       val wallSec = (System.nanoTime() - t0) / 1e9
       pool.shutdown()
-      churnStop.set(true); churn.foreach(_.join(5000))
+      churnStop.set(true)
+      churn.foreach { th =>
+        th.join(15000)
+        // a reload still blocked in client.send when a bounded join
+        // returns can fail AFTER the checks below read churnError — if
+        // the thread is still alive the run cannot vouch for its churn,
+        // so record that as a failure rather than report clean numbers
+        if (th.isAlive)
+          churnError.compareAndSet(null, new IllegalStateException(
+            "churn thread still blocked in /reload after 15s — " +
+              "mutate-mode churn unverified"))
+      }
 
       val sorted = latencies.toArray(new Array[java.lang.Long](0)).map(_.toLong).sorted
       def pct(p: Double): Double = sorted((p * (sorted.length - 1)).round.toInt) / 1e6

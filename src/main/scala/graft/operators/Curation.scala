@@ -323,7 +323,7 @@ object Curation {
   def semanticDedupHier(spark: org.apache.spark.sql.SparkSession, emb: DataFrame,
       centroids: DataFrame, threshold: Double, branch: Int = 0): DataFrame =
     dedupByCluster(emb,
-      hierAssignment(spark, centroids, collectCentroids(centroids), branch), threshold)
+      hierAssignment(spark, collectCentroids(centroids), branch), threshold)
 
   /** Incremental SEMANTIC dedup — the q94 shape in embedding space, the
     * composition a real ingest pipeline runs daily: which vectors of
@@ -359,7 +359,7 @@ object Curation {
     val cent = collectCentroids(centroids)
     val cluster =
       if (branch == 0) flatAssignment(cent)
-      else hierAssignment(spark, centroids, cent, branch)
+      else hierAssignment(spark, cent, branch)
     val inc = incoming.select(col("vec_id"), col("embedding"), cluster.as("cluster"))
     val incSide = inc.select(col("cluster"), col("vec_id").as("iid"),
       col("embedding").as("ie"))
@@ -394,23 +394,33 @@ object Curation {
     * the kernel itself embeds (bounded by [[collectCentroids]]' budget).
     * Member indices ascend in cid within each super, so the strict-<
     * member argmin ties toward the smaller cid exactly like flat.
+    *
+    * The fit and the centroid→super pass both run over a frame REBUILT
+    * from the already-collected matrix — a derived, unpersisted caller
+    * frame is never re-executed here, and the fit input is guaranteed
+    * bit-equal to the matrix the kernel embeds.
     */
   private[graft] def hierAssignment(spark: org.apache.spark.sql.SparkSession,
-      centroids: DataFrame, cent: Array[(Long, Array[Float])], branch: Int): Column = {
+      cent: Array[(Long, Array[Float])], branch: Int): Column = {
     import graft.functions.VectorExpressions
     val k = cent.length
-    val b = if (branch > 0) math.min(branch, k) else math.max(1, math.round(math.sqrt(k)).toInt)
-    if (b <= 1) {
-      // degenerate single super: the member scan covers all k centroids,
-      // so assignment ≡ flat (the q102 exactness leg) — no fit needed
-      val supers = Array(cent(0)._2)
-      return VectorExpressions.nearestCentroidHier(col("embedding"),
-        supers.flatten, Array(0, k), cent.indices.toArray,
-        cent.flatMap(_._2), cent.map(_._1))
-    }
+    val b0 = if (branch > 0) math.min(branch, k) else math.max(1, math.round(math.sqrt(k)).toInt)
+    // MLlib k-means CRASHES (block-training indexes k centers) when the
+    // input has fewer distinct points than k — duplicate-heavy centroid
+    // sets are exactly the dedup use case, so cap the branching at the
+    // distinct count first (one O(k·dim) pass over the matrix we
+    // already hold)
+    val b = math.min(b0, cent.iterator.map(_._2.toSeq).toSet.size)
+    // degenerate single super: the member scan covers all k centroids,
+    // so assignment ≡ flat (the q102 exactness leg) — no fit needed
+    def singleSuper: Column = VectorExpressions.nearestCentroidHier(col("embedding"),
+      cent(0)._2, Array(0, k), cent.indices.toArray,
+      cent.flatMap(_._2), cent.map(_._1))
+    if (b <= 1) return singleSuper
+    val centDf = { import spark.implicits._; cent.toSeq.toDF("cid", "ce") }
     val supers: Array[Array[Float]] = {
       import org.apache.spark.ml.functions.array_to_vector
-      val withVec = centroids
+      val withVec = centDf
         .select(array_to_vector(col("ce")).as("features")).cache()
       try {
         val km = new org.apache.spark.ml.clustering.KMeans()
@@ -419,14 +429,20 @@ object Curation {
         km.fit(withVec).clusterCenters.map(_.toArray.map(_.toFloat))
       } finally { withVec.unpersist(); () }
     }
+    // k-means returns FEWER than b centers when the centroids hold fewer
+    // distinct points (duplicate-heavy corpora) — size every downstream
+    // array by what it actually returned, or the kernel's super stride
+    // (supers.length·dim / offsets) silently misreads the matrix
+    val bActual = supers.length
+    if (bActual <= 1) return singleSuper
     // distributed centroid→super argmin (same codegen kernel as row
     // assignment; label j = super index), collected as k ints
-    val supOf: Map[Long, Int] = centroids
+    val supOf: Map[Long, Int] = centDf
       .select(col("cid"), VectorExpressions.nearestCentroid(col("ce"),
-        supers.flatten, Array.tabulate(b)(_.toLong)).as("sup"))
+        supers.flatten, Array.tabulate(bActual)(_.toLong)).as("sup"))
       .collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
     val assignSup = cent.map(c => supOf(c._1))
-    val members = Array.tabulate(b)(s => cent.indices.filter(assignSup(_) == s).toArray)
+    val members = Array.tabulate(bActual)(s => cent.indices.filter(assignSup(_) == s).toArray)
     val offsets = members.scanLeft(0)(_ + _.length)
     VectorExpressions.nearestCentroidHier(col("embedding"),
       supers.flatten, offsets, members.flatten, cent.flatMap(_._2), cent.map(_._1))

@@ -50,7 +50,7 @@ object VecsStream {
     val cent = Curation.collectCentroids(centroids)
     val cluster =
       if (branch == 0) Curation.flatAssignment(cent)
-      else Curation.hierAssignment(spark, centroids, cent, branch)
+      else Curation.hierAssignment(spark, cent, branch)
     // assigned history is the static join side — built once; Spark's
     // reuse-exchange keeps the broadcast across micro-batches
     val hist = history
