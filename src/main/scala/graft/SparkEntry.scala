@@ -1646,6 +1646,29 @@ object SparkEntry {
         .select(col("doc_id"), col("n_chars"))
         .orderBy(col("doc_id"))
     }),
+    "q108_quality_model" -> ((s, dir) => {
+      // MODEL-based quality filter (fastText/CCNet shape): hashed
+      // unigram+bigram bag features (the minhash tier's portable token
+      // polyhash, mod B=4096) through a linear scorer + sigmoid. The
+      // gate runs the deterministic weight table (Knuth-hash weights —
+      // engine-replayable); Quality.train fits real MLlib weights over
+      // the SAME feature space for scoreWith (spec'd, not oracled —
+      // LBFGS isn't portable arithmetic). Scoring is ONE codegen pass,
+      // zero shuffles, model state embedded in the plan.
+      Quality.qualityScore(T(s, dir, "documents")).orderBy(col("doc_id"))
+    }),
+    "q109_dsir_resample" -> ((s, dir) => {
+      // DSIR importance resampling (Xie et al. 2023): weight every
+      // non-English doc by how target-like (lang='en') its hashed-ngram
+      // bag is — per-bucket add-one-smoothed log-likelihood ratios,
+      // SCALED TO INTEGERS (round(1e6·ln r)) so doc sums are
+      // engine-exact — and keep the top 100 (weight desc, doc_id asc).
+      // Fit = one B-bucket map-combined aggregation; scoring = zero
+      // shuffles (llr table rides in the plan); top-m = bounded
+      // per-partition heaps, never a global sort.
+      Quality.dsirResample(s, T(s, dir, "documents"),
+        col("lang") === "en", m = 100)
+    }),
     "q96_char_entropy" -> ((s, dir) => {
       // codepoint-entropy quality signal (graft.functions.CharEntropy —
       // native codegen expression, one byte pass per row): the classic
@@ -1827,6 +1850,68 @@ object SparkEntry {
         |WHERE d.doc_id % 3 <> 0
         |  AND d.doc_id NOT IN (SELECT inc_id FROM mh_matched)
         |ORDER BY d.doc_id""".stripMargin
+
+  /** Shared CTE prefix replaying `Quality.featureBuckets` in DuckDB:
+    * normalized tokens → per-token polyhash (base 131 mod P — the
+    * minhash tier's arithmetic verbatim) → unigram + bigram buckets
+    * mod B, multiplicity kept. Used by the q108 scorer and the q109
+    * DSIR resampler.
+    */
+  private def qualityFeatureCtes: String = {
+    val P = Dedup.P; val B = Quality.B
+    raw"""WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+         |              FROM documents WHERE trim(lower(text)) <> ''),
+         |th AS (SELECT doc_id, list_transform(t, tok -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |         list_transform(range(1, length(tok) + 1),
+         |           i -> CAST(ascii(substring(tok, CAST(i AS INT), 1)) AS BIGINT))),
+         |         (a, c) -> (a * 131 + c) % $P)) AS th
+         |       FROM toks),
+         |feat AS (SELECT doc_id, th[CAST(i + 1 AS INT)] % $B AS b
+         |         FROM th, LATERAL unnest(range(len(th))) AS r(i)
+         |         UNION ALL
+         |         SELECT doc_id, ((th[CAST(i + 1 AS INT)] * 131 + th[CAST(i + 2 AS INT)]) % $P) % $B AS b
+         |         FROM th, LATERAL unnest(range(len(th) - 1)) AS r(i))""".stripMargin
+  }
+
+  /** q108: deterministic-weight linear scorer — integer margins, one
+    * sigmoid rounded to 6 (the q76/q96 float-discipline pattern).
+    */
+  private def qualityModelOracle: String =
+    qualityFeatureCtes +
+      """,
+        |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feat,
+        |               CAST(SUM((b * 2654435761) % 2001 - 1000) AS BIGINT) AS margin_sum
+        |        FROM feat GROUP BY doc_id)
+        |SELECT doc_id, n_feat, margin_sum,
+        |       round(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) +
+        |         exp(-(CAST(margin_sum AS DOUBLE) / CAST(n_feat AS DOUBLE)) / CAST(1000 AS DOUBLE))), 6) AS quality_prob
+        |FROM agg ORDER BY doc_id""".stripMargin
+
+  /** q109: DSIR — per-bucket integer-scaled smoothed LLR vs the
+    * lang='en' target, doc weight = exact integer sum, top-100.
+    */
+  private def dsirOracle: String = {
+    val B = Quality.B
+    qualityFeatureCtes +
+      s""",
+         |lab AS (SELECT doc_id, lang FROM documents),
+         |cnt AS (SELECT b, CAST(SUM(CASE WHEN lab.lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         |               CAST(SUM(CASE WHEN lab.lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS cr
+         |        FROM feat JOIN lab ON lab.doc_id = feat.doc_id GROUP BY b),
+         |tot AS (SELECT CAST(COALESCE(SUM(ct), 0) AS BIGINT) AS nt,
+         |               CAST(COALESCE(SUM(cr), 0) AS BIGINT) AS nr FROM cnt),
+         |llr AS (SELECT CAST(g.b0 AS BIGINT) AS b,
+         |               CAST(round(CAST(1000000 AS DOUBLE) * ln(
+         |                 (CAST(COALESCE(cnt.ct, 0) + 1 AS DOUBLE) / CAST(tot.nt + $B AS DOUBLE)) /
+         |                 (CAST(COALESCE(cnt.cr, 0) + 1 AS DOUBLE) / CAST(tot.nr + $B AS DOUBLE)))) AS BIGINT) AS llr_scaled
+         |        FROM range($B) AS g(b0) LEFT JOIN cnt ON cnt.b = g.b0 CROSS JOIN tot),
+         |docw AS (SELECT f.doc_id, CAST(SUM(l.llr_scaled) AS BIGINT) AS dsir_weight
+         |         FROM feat f JOIN llr l ON l.b = f.b
+         |         JOIN lab ON lab.doc_id = f.doc_id
+         |         WHERE lab.lang <> 'en' GROUP BY f.doc_id)
+         |SELECT doc_id, dsir_weight FROM docw
+         |ORDER BY dsir_weight DESC, doc_id LIMIT 100""".stripMargin
+  }
 
   /** q107: the daily-ingest capstone — a new doc ships iff it survives
     * exact dedup AND minhash near-dup AND semantic near-dup vs the
@@ -2102,6 +2187,8 @@ object SparkEntry {
       "q20_minhash_pairs" -> minhashOracle,
       "q106_incremental_minhash" -> incrementalMinhashOracle,
       "q107_ingest_capstone" -> ingestCapstoneOracle,
+      "q108_quality_model" -> qualityModelOracle,
+      "q109_dsir_resample" -> dsirOracle,
       "q21_simhash_pairs" -> simhashOracle,
       "q45_lsh_neardup" -> lshOracle,
       "q28_ann_recall" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",

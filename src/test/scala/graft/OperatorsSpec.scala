@@ -1712,6 +1712,39 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.size == 100)
   }
 
+  test("semanticDedupHier stays correct when k-means returns FEWER supers than " +
+      "branch (duplicate-heavy centroids) — downstream arrays size to the " +
+      "actual center count") {
+    import spark.implicits._
+    val rnd = new java.util.Random(23)
+    val base = (0L until 90L).map(i => (i, Array.fill(32)(rnd.nextFloat() * 2f - 1f)))
+    val copies = (0L until 4L).map(i => (400L + i, base(i.toInt)._2.map(_ + 0.001f)))
+    val df = (base ++ copies).map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+    // 6 centroid rows but only TWO distinct points: pre-fix this CRASHED
+    // inside MLlib's block training (k centers indexed, <k distinct
+    // found), and any path returning fewer centers than requested would
+    // have made the kernel misread the super-matrix stride — both
+    // covered by capping branch at the distinct count + sizing member
+    // arrays by the ACTUAL center count
+    val centroids = Seq(
+      (0L, base(0)._2.toSeq), (1L, base(0)._2.toSeq), (2L, base(0)._2.toSeq),
+      (3L, base(50)._2.toSeq), (4L, base(50)._2.toSeq), (5L, base(50)._2.toSeq))
+      .toDF("cid", "ce")
+    val got = Curation.semanticDedupHier(spark, df, centroids, threshold = 0.95, branch = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert((400L to 403L).forall(id => !got.contains(id)), s"copies survived: $got")
+    assert((0L until 90L).forall(got.contains), "an original was dropped")
+    assert(got.size == 90)
+    // and the assignment must equal FLAT assignment exactly: with every
+    // centroid a member of some super and ≤2 supers over 2 distinct
+    // points, the two-level argmin scans the same candidate set
+    val flat = Curation.semanticDedup(spark, df, centroids, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hier = Curation.semanticDedupHier(spark, df, centroids, threshold = 0.95, branch = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hier == flat && flat.nonEmpty)
+  }
+
   test("semanticDedupHier at branch=1 equals the flat variant EXACTLY (degenerate " +
       "single super: member scan covers all k)") {
     import spark.implicits._
@@ -2233,6 +2266,88 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val q = SparkEntry.queries("q02_revenue_by_nation")(spark, sf)
     val plan = q.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  // ---------------- quality model / DSIR ---------------------------------
+  test("Quality.train learns a separable vocabulary signal; scoreWith ranks " +
+      "spammy docs below quality docs") {
+    import spark.implicits._
+    val rnd = new java.util.Random(31)
+    // quality docs draw from a 'good' vocabulary, spam docs from a
+    // disjoint 'bad' one — linearly separable in hashed-ngram space
+    def doc(id: Long, bad: Boolean): (Long, String, Int) = {
+      val words = (0 until 20).map { _ =>
+        val w = rnd.nextInt(500)
+        if (bad) s"zz$w" else s"ok$w"
+      }
+      (id, words.mkString(" "), if (bad) 0 else 1)
+    }
+    val rows = (0L until 120L).map(i => doc(i, bad = i % 2 == 0))
+    val docs = rows.toDF("doc_id", "text", "label")
+    val (w, bias) = Quality.train(spark, docs, "label", maxIter = 30)
+    assert(w.length == Quality.B)
+    val scored = Quality.scoreWith(docs, w, bias)
+      .join(docs.select(col("doc_id"), col("label")), Seq("doc_id"))
+      .select(col("label"), col("quality_prob")).collect()
+    val acc = scored.count(r =>
+      (r.getDouble(1) >= 0.5) == (r.getInt(0) == 1)).toDouble / scored.length
+    assert(acc >= 0.95, s"train/score accuracy $acc")
+  }
+
+  test("Quality.qualityScore: margins are the exact integer sum of the " +
+      "deterministic bucket weights; empty docs are excluded") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha"), (3L, "   "))
+      .toDF("doc_id", "text")
+    val got = Quality.qualityScore(docs).orderBy("doc_id").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L), "whitespace-only doc must drop")
+    // doc 1: 3 unigrams + 2 bigrams = 5 features; doc 2: 1 unigram
+    assert(got(0).getLong(1) == 5L && got(1).getLong(1) == 1L)
+    // recompute doc 2's margin by hand: bucket = polyhash('alpha') % B
+    val P = 1000000007L
+    val h = "alpha".getBytes("UTF-8").foldLeft(0L)((a, c) => (a * 131 + c) % P)
+    val wexp = (h % Quality.B) * 2654435761L % 2001L - 1000L
+    assert(got(1).getLong(2) == wexp, s"margin ${got(1).getLong(2)} != $wexp")
+  }
+
+  test("Quality.dsirResample surfaces the raw docs most like the target " +
+      "distribution, with deterministic integer weights") {
+    import spark.implicits._
+    val rnd = new java.util.Random(37)
+    // target (is_t) speaks vocabulary T; raw pool: half speak T (should
+    // win resampling), half speak a disjoint vocabulary U
+    def txt(vocab: String) =
+      (0 until 15).map(_ => s"$vocab${rnd.nextInt(300)}").mkString(" ")
+    val target = (0L until 60L).map(i => (i, txt("t"), true))
+    val rawLike = (100L until 130L).map(i => (i, txt("t"), false))
+    val rawUnlike = (200L until 230L).map(i => (i, txt("u"), false))
+    val docs = (target ++ rawLike ++ rawUnlike).toDF("doc_id", "text", "is_t")
+    val picked = Quality.dsirResample(spark, docs, col("is_t"), m = 30)
+      .collect().map(_.getLong(0)).toSet
+    assert(picked == (100L until 130L).toSet,
+      s"target-like raw docs must win resampling, got $picked")
+    // determinism: same inputs → identical weights
+    val again = Quality.dsirResample(spark, docs, col("is_t"), m = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val first = Quality.dsirResample(spark, docs, col("is_t"), m = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(again == first)
+  }
+
+  test("quality scoring is shuffle-free and DSIR's top-m is a bounded heap, " +
+      "not a global sort") {
+    import spark.implicits._
+    val docs = (0L until 50L)
+      .map(i => (i, s"tok$i tok${i + 1} tok${i + 2}", i % 2 == 0))
+      .toDF("doc_id", "text", "is_t")
+    val scorePlan = Quality.qualityScore(docs).queryExecution.executedPlan.toString
+    assert(!scorePlan.contains("Exchange"), scorePlan.take(2000))
+    val resample = Quality.dsirResample(spark, docs, col("is_t"), m = 10)
+    val plan = resample.queryExecution.executedPlan.toString
+    // the llr table is collected before this plan exists — scoring +
+    // selection is scan → project → per-partition heaps
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    assert(!plan.contains("Exchange"), plan.take(2000))
   }
 
   // ---------------- entry smoke -----------------------------------------
