@@ -100,13 +100,40 @@ object QualityScaleSmoke {
     require(nPlantedPicked == m,
       s"only $nPlantedPicked of $m DSIR picks were planted target-like docs")
 
+    // ---- 4) BPE tokenizer: train on the full corpus, segment it --------
+    // the corpus-wide pass is the word-count aggregation; 30 merge
+    // iterations then run over the compressed distinct-word table.
+    // Invariants: all 30 merges learned, and each step's symbol
+    // reduction inside its exact two-sided bound (freq/2 ≤ removed ≤
+    // freq — overlapping-pair semantics)
+    val (bpe, bpeTrainSec) = timed {
+      graft.operators.BpeTrain.learn(spark, docs, numMerges = 30)
+    }
+    require(bpe.merges.length == 30, s"learned ${bpe.merges.length} of 30 merges")
+    val totals = bpe.initialSymbols +: bpe.stepSymbols
+    require(bpe.merges.indices.forall { i =>
+      val rm = totals(i) - totals(i + 1)
+      rm * 2 >= bpe.merges(i).freq && rm <= bpe.merges(i).freq
+    }, "per-step compression outside the overlap bound")
+    // segmentation: 30 nested codegen MergePair applications per word,
+    // zero shuffles — the tokenizer-apply hot path
+    val ((nSeg, nSubwords), segSec) = timed {
+      val r = graft.operators.BpeTrain.segment(docs, bpe.merges)
+        .agg(count(lit(1)), sum(size(col("subwords")))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    require(nSeg == n, s"segmented $nSeg of $n docs")
+
     println(s"""{"quality_scale_smoke":{"n_docs":$n,""" +
       s""""score_sec":$scoreSec,"score_docs_per_sec":${(n / scoreSec).toLong},""" +
       s""""avg_prob":$avgProb,""" +
       s""""train_sec":$trainSec,"train_rows":${n / 7},""" +
       s""""infer_sec":$inferSec,"infer_docs_per_sec":${(n / inferSec).toLong},"accuracy":$acc,""" +
       s""""dsir_sec":$dsirSec,"dsir_docs_per_sec":${(n / dsirSec).toLong},""" +
-      s""""m":$m,"planted_picked":$nPlantedPicked}}""")
+      s""""m":$m,"planted_picked":$nPlantedPicked,""" +
+      s""""bpe_train_sec":$bpeTrainSec,"bpe_merges":${bpe.merges.length},""" +
+      s""""bpe_segment_sec":$segSec,"bpe_segment_docs_per_sec":${(n / segSec).toLong},""" +
+      s""""bpe_subwords":$nSubwords}}""")
     spark.stop()
   }
 }

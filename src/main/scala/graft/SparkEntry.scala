@@ -1657,6 +1657,42 @@ object SparkEntry {
       // zero shuffles, model state embedded in the plan.
       Quality.qualityScore(T(s, dir, "documents")).orderBy(col("doc_id"))
     }),
+    "q110_bpe_pair_stats" -> ((s, dir) => {
+      // the SQL-expressible slice of distributed BPE tokenizer training
+      // (BpeTrain): weighted adjacent character-pair counts over the
+      // word-frequency table — the statistic every merge iteration
+      // maximizes — top-50 under the trainer's own deterministic
+      // (cnt desc, pair asc) tie-break. The corpus is touched once
+      // (word counts); the pair scan runs on the compressed word table.
+      BpeTrain.pairStats(T(s, dir, "documents"), 50)
+    }),
+    "q111_bpe_train" -> ((s, dir) => {
+      // FULL distributed BPE training as an invariant gate (the q24/q28
+      // pattern for iterative, non-SQL-expressible ops). Invariants:
+      // 20 merges learned; the first merge IS the q110 top pair;
+      // training is deterministic (two full runs, identical merge
+      // sequences); and the symbol bookkeeping holds its exact
+      // two-sided bound per step — greedy application merges ⌊chain/2⌋
+      // of each overlapping run, so freq/2 ≤ removed ≤ freq.
+      val docs = T(s, dir, "documents")
+      val r1 = BpeTrain.learn(s, docs, numMerges = 20)
+      val r2 = BpeTrain.learn(s, docs, numMerges = 20)
+      val top = BpeTrain.pairStats(docs, 1).collect()(0)
+      val firstOk = r1.merges.nonEmpty &&
+        r1.merges.head.left == top.getString(0) &&
+        r1.merges.head.right == top.getString(1) &&
+        r1.merges.head.freq == top.getLong(2)
+      val totals = r1.initialSymbols +: r1.stepSymbols
+      val comprOk = r1.merges.indices.forall { i =>
+        val removed = totals(i) - totals(i + 1)
+        val f = r1.merges(i).freq
+        removed * 2 >= f && removed <= f
+      }
+      import s.implicits._
+      Seq((r1.merges.length.toLong, if (firstOk) 1L else 0L,
+        if (r1 == r2) 1L else 0L, if (comprOk) 1L else 0L))
+        .toDF("n_merges", "first_matches", "deterministic", "compression_exact")
+    }),
     "q109_dsir_resample" -> ((s, dir) => {
       // DSIR importance resampling (Xie et al. 2023): weight every
       // non-English doc by how target-like (lang='en') its hashed-ngram
@@ -2189,6 +2225,22 @@ object SparkEntry {
       "q107_ingest_capstone" -> ingestCapstoneOracle,
       "q108_quality_model" -> qualityModelOracle,
       "q109_dsir_resample" -> dsirOracle,
+      // q110: word counts → char split → weighted adjacent pairs, the
+      // trainer's own tie-break (DuckDB string_split(word, '') is
+      // codepoint-aware like Spark substr)
+      "q110_bpe_pair_stats" ->
+        raw"""WITH w AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word FROM documents),
+             |wc AS (SELECT word, COUNT(*) AS freq FROM w WHERE word <> '' GROUP BY word),
+             |sy AS (SELECT freq, string_split(word, '') AS s FROM wc),
+             |p AS (SELECT s[CAST(j + 1 AS INT)] AS pair_left, s[CAST(j + 2 AS INT)] AS pair_right, freq
+             |      FROM sy, LATERAL unnest(range(len(s) - 1)) AS r(j))
+             |SELECT pair_left, pair_right, CAST(SUM(freq) AS BIGINT) AS cnt
+             |FROM p GROUP BY 1, 2 ORDER BY cnt DESC, pair_left, pair_right LIMIT 50""".stripMargin,
+      // q111: invariant gate over the full iterative trainer (constant
+      // oracle — the q24/q28 pattern)
+      "q111_bpe_train" ->
+        ("SELECT CAST(20 AS BIGINT) AS n_merges, CAST(1 AS BIGINT) AS first_matches, " +
+          "CAST(1 AS BIGINT) AS deterministic, CAST(1 AS BIGINT) AS compression_exact"),
       "q21_simhash_pairs" -> simhashOracle,
       "q45_lsh_neardup" -> lshOracle,
       "q28_ann_recall" -> "SELECT CAST(1 AS BIGINT) AS recall_ok",

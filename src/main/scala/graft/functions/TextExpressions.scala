@@ -254,6 +254,59 @@ case class ShingleWideHashes(child: Expression, n: Int, base: Long, base2: Long,
     copy(child = newChild)
 }
 
+/** Apply ONE learned BPE merge (a, b) → a·b over a symbol array in a
+  * single left-to-right greedy scan (the standard BPE application
+  * order: "aaa" under merge (a,a) becomes [aa, a]). The merge pair
+  * rides in the plan as reference objects, so a k-merge tokenizer is k
+  * nested copies of this expression — all inside whole-stage codegen,
+  * no UDF, no per-row lambda. Used by `operators/BpeTrain` for both the
+  * training loop (one merge appended per iteration over the compressed
+  * word table) and corpus segmentation.
+  */
+case class MergePair(child: Expression, a: UTF8String, b: UTF8String)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<string>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_bpe_merge"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MergePair.merge(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], a, b)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("bpeMergeA", a, classOf[UTF8String].getName)
+    val bRef = ctx.addReferenceObj("bpeMergeB", b, classOf[UTF8String].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MergePair.merge($c, $aRef, $bRef);\n")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MergePair {
+  def merge(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+            a: UTF8String, b: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = arr.numElements()
+    val out = new java.util.ArrayList[UTF8String](n)
+    val ab = UTF8String.concat(a, b)
+    var i = 0
+    while (i < n) {
+      if (i + 1 < n && a.equals(arr.getUTF8String(i)) && b.equals(arr.getUTF8String(i + 1))) {
+        out.add(ab); i += 2
+      } else { out.add(arr.getUTF8String(i)); i += 1 }
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+      out.toArray(new Array[UTF8String](out.size())))
+  }
+}
+
 /** Shannon entropy (log base 2) of a string's CODEPOINT multiset — the
   * classic gibberish/boilerplate quality signal (low entropy = repeated
   * characters/padding, high = encrypted/binary junk). One byte pass, no
@@ -345,4 +398,7 @@ object TextExpressions {
     ColumnShim.column(ShingleWideHashes(ColumnShim.expression(s), n, base, base2, mod))
   def charEntropy(s: Column): Column =
     ColumnShim.column(CharEntropy(ColumnShim.expression(s)))
+  def mergePair(syms: Column, a: String, b: String): Column =
+    ColumnShim.column(MergePair(ColumnShim.expression(syms),
+      UTF8String.fromString(a), UTF8String.fromString(b)))
 }

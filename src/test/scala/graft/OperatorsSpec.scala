@@ -2350,6 +2350,42 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("Exchange"), plan.take(2000))
   }
 
+  // ---------------- BPE training -----------------------------------------
+  test("BpeTrain learns the textbook merge sequence and segment applies it " +
+      "greedily left-to-right") {
+    import spark.implicits._
+    // Sennrich-style toy corpus: 'aaab' x4, 'aab' x2 — weighted pair
+    // counts at step 0: (a,a) = 4*2 + 2*1 = 10, (a,b) = 6. First merge
+    // (a,a) -> aa; then 'aaab' = [aa, a, b], 'aab' = [aa, b]:
+    // (aa,a) = 4 TIES (a,b) = 4 -> the (pair_left asc) tie-break picks
+    // (a,b) — the determinism contract, pinned here.
+    val docs = Seq((1L, "aaab aaab aab"), (2L, "aaab aaab aab"))
+      .toDF("doc_id", "text")
+    val r = BpeTrain.learn(spark, docs, numMerges = 2)
+    assert(r.merges.map(m => (m.left, m.right, m.freq)) ==
+      Seq(("a", "a", 10L), ("a", "b", 4L)), r.merges)
+    // bookkeeping: 4*4+2*3 = 22 symbols; merge 1 removes 6 (freq 10
+    // counts OVERLAPPING (a,a) pairs, greedy merges floor(run/2) per
+    // run: 'aaab' drops 1 of its 2 pairs); merge 2 removes its full 4
+    assert(r.initialSymbols == 22L && r.stepSymbols == Seq(16L, 12L), r)
+    assert(r.finalSymbols == 12L)
+    val segs = BpeTrain.segment(docs, r.merges).orderBy("doc_id")
+      .collect().map(_.getSeq[String](1))
+    // 'aaab': (a,a) greedy left-to-right: [aa, a, b]; then (a,b):
+    // [aa, ab]. 'aab' -> [aa, b] (no adjacent (a,b) remains)
+    assert(segs(0) == Seq("aa", "ab", "aa", "ab", "aa", "b"), segs(0))
+  }
+
+  test("BpeTrain.pairStats matches hand counts and uses the deterministic " +
+      "tie-break") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab ab ba")).toDF("doc_id", "text")
+    val got = BpeTrain.pairStats(docs, 10).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    // (a,b) x2 from 'ab', (b,a) x1 — tie-free here; check full order
+    assert(got == Seq(("a", "b", 2L), ("b", "a", 1L)), got)
+  }
+
   // ---------------- entry smoke -----------------------------------------
   test("SparkEntry.entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
