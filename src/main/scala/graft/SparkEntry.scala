@@ -1693,6 +1693,34 @@ object SparkEntry {
         if (r1 == r2) 1L else 0L, if (comprOk) 1L else 0L))
         .toDF("n_merges", "first_matches", "deterministic", "compression_exact")
     }),
+    "q112_stream_ingest" -> ((s, dir) => {
+      // CONTINUOUS daily-ingest curation (IngestStream.curatedIngest) —
+      // the q107 capstone running on the ingest firehose, with the q108
+      // model-quality filter composed in: incoming docs arrive as 4
+      // parquet chunk files replayed one per micro-batch; each batch
+      // ships the docs that clear quality margin > 0 AND exact AND
+      // minhash AND semantic dedup vs the standing corpus. Every stage
+      // decision is (doc, static history)-only, so the emitted set
+      // equals the batch conjunction at any batching — a real-rows
+      // oracle (q107's SQL ∧ the integer-margin quality clause).
+      val docs = T(s, dir, "documents")
+      val emb = T(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") % 62 === 0)
+        .orderBy(col("vec_id")).limit(8)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      val tmp = graft.TempDirs.create("graft_q112_")
+      docs.filter(col("doc_id") % 3 =!= 0)
+        .select("doc_id", "text", "n_chars")
+        .repartition(4).write.parquet(s"$tmp/in")
+      graft.streaming.IngestStream.curatedIngest(s, s"$tmp/in",
+        docs.filter(col("doc_id") % 3 === 0),
+        emb.filter(col("vec_id") % 3 === 0),
+        emb, centroids, historyBloom(s, dir),
+        cosineThreshold = 0.4, shingleN = 3, simThreshold = 0.5,
+        tmp, s"ingest_stream_${streamCounter.incrementAndGet()}",
+        maxFilesPerTrigger = Some(1))
+        .orderBy(col("doc_id"))
+    }),
     "q109_dsir_resample" -> ((s, dir) => {
       // DSIR importance resampling (Xie et al. 2023): weight every
       // non-English doc by how target-like (lang='en') its hashed-ngram
@@ -1967,6 +1995,41 @@ object SparkEntry {
         |  AND d.doc_id NOT IN (SELECT vec_id FROM sem_matched)
         |ORDER BY d.doc_id""".stripMargin
 
+  /** q112: the streaming ingest capstone — q107's conjunction extended
+    * with the q108 model-quality clause (kept iff integer margin_sum >
+    * 0 ⇔ sigmoid > 0.5 — exact in both engines, no float threshold).
+    * The quality CTEs are the q108 feature machinery under q-prefixed
+    * names (its `toks`/`th` differ from the minhash prefix's: no
+    * 3-token minimum, empty-text docs dropped — which is also why
+    * empty docs vanish here: no features ⇒ no positive margin).
+    */
+  private def streamIngestOracle: String = {
+    val P = Dedup.P; val B = Quality.B
+    minhashCtePrefix + ",\n" + semanticAssignCtes + ",\n" +
+      minhashMatchedCtes + ",\n" + semanticMatchedCte + ",\n" +
+      raw"""qth AS (SELECT doc_id, list_transform(string_split_regex(trim(lower(text)), '\s+'),
+           |         tok -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |           list_transform(range(1, length(tok) + 1),
+           |             i -> CAST(ascii(substring(tok, CAST(i AS INT), 1)) AS BIGINT))),
+           |           (a, c) -> (a * 131 + c) % $P)) AS th
+           |       FROM documents WHERE trim(lower(text)) <> ''),
+           |qfeat AS (SELECT doc_id, th[CAST(i + 1 AS INT)] % $B AS b
+           |          FROM qth, LATERAL unnest(range(len(th))) AS r(i)
+           |          UNION ALL
+           |          SELECT doc_id, ((th[CAST(i + 1 AS INT)] * 131 + th[CAST(i + 2 AS INT)]) % $P) % $B AS b
+           |          FROM qth, LATERAL unnest(range(len(th) - 1)) AS r(i)),
+           |qpos AS (SELECT doc_id FROM qfeat GROUP BY doc_id
+           |         HAVING SUM((b * 2654435761) % 2001 - 1000) > 0)""".stripMargin + "\n" +
+      """SELECT d.doc_id, d.n_chars FROM documents d
+        |WHERE d.doc_id % 3 <> 0
+        |  AND d.doc_id IN (SELECT doc_id FROM qpos)
+        |  AND NOT EXISTS (SELECT 1 FROM documents h
+        |                  WHERE h.doc_id % 3 = 0 AND h.text = d.text)
+        |  AND d.doc_id NOT IN (SELECT inc_id FROM mh_matched)
+        |  AND d.doc_id NOT IN (SELECT vec_id FROM sem_matched)
+        |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** DuckDB replay of `Dedup.simhashPairs` (maxHamming=3): portable token
     * hash, 64 affine parity votes, two's-complement signature assembly
     * (bit 63 enters as min-long so BIGINT arithmetic never overflows),
@@ -2223,6 +2286,7 @@ object SparkEntry {
       "q20_minhash_pairs" -> minhashOracle,
       "q106_incremental_minhash" -> incrementalMinhashOracle,
       "q107_ingest_capstone" -> ingestCapstoneOracle,
+      "q112_stream_ingest" -> streamIngestOracle,
       "q108_quality_model" -> qualityModelOracle,
       "q109_dsir_resample" -> dsirOracle,
       // q110: word counts → char split → weighted adjacent pairs, the

@@ -522,13 +522,47 @@ object Dedup {
   def incrementalMinhashNew(history: DataFrame, incoming: DataFrame, n: Int,
                             simThreshold: Double, numHashes: Int = 8,
                             rowsPerBand: Int = 2): DataFrame = {
+    val (histSets, histBands) = minhashHistory(history, n, numHashes, rowsPerBand)
+    val out = incrementalMinhashNewWith(histSets, histBands, incoming, n,
+      simThreshold, numHashes, rowsPerBand)
+    // out is already materialized, so the one-shot caller's history
+    // caches can be released here without recompute risk
+    if (!sys.props.get("graft.dedup.lazyPlans").contains("true")) {
+      histSets.unpersist(); histBands.unpersist()
+    }
+    out
+  }
+
+  /** Precompute the HISTORY side of [[incrementalMinhashNew]] — the
+    * persisted shingle-set frame and the band index — once, for callers
+    * running MANY incremental passes against the same history: the
+    * streaming ingest loop ([[graft.streaming.IngestStream]]) pays the
+    * history scan once per stream, not once per micro-batch, which is
+    * the whole point of the incremental contract. The caller owns the
+    * two frames' lifecycle (unpersist when the stream ends); a
+    * deployment persists the band table bucketed by (band, mh) instead
+    * (see the scaladoc above).
+    */
+  def minhashHistory(history: DataFrame, n: Int, numHashes: Int = 8,
+                     rowsPerBand: Int = 2): (DataFrame, DataFrame) = {
     require(2 * numHashes <= affine.length,
       s"needs 2·numHashes ≤ ${affine.length} hash families (hi + lo components)")
     require(numHashes % rowsPerBand == 0, "rowsPerBand must divide numHashes")
     val histSets = shingleSets(history, n).persist()
-    val incSets = shingleSets(incoming, n).persist()
     val histBands = bandedSignatures(histSets, numHashes, rowsPerBand)
-      .select(col("doc_id").as("hist_id"), col("band"), col("mh"))
+      .select(col("doc_id").as("hist_id"), col("band"), col("mh")).persist()
+    (histSets, histBands)
+  }
+
+  /** [[incrementalMinhashNew]] against a PREBUILT history side from
+    * [[minhashHistory]]. Releases only the incoming-side cache; the
+    * history frames stay persisted for the next pass.
+    */
+  def incrementalMinhashNewWith(histSets: DataFrame, histBands: DataFrame,
+                                incoming: DataFrame, n: Int,
+                                simThreshold: Double, numHashes: Int = 8,
+                                rowsPerBand: Int = 2): DataFrame = {
+    val incSets = shingleSets(incoming, n).persist()
     val incBands = bandedSignatures(incSets, numHashes, rowsPerBand)
       .select(col("doc_id").as("inc_id"), col("band"), col("mh"))
     val candidates = histBands.join(broadcast(incBands), Seq("band", "mh"))
@@ -550,7 +584,7 @@ object Dedup {
     // shuffles for the final anti-join (the q94 confirmed-set shape)
     materializeAndRelease(
       incoming.join(broadcast(matched), Seq("doc_id"), "left_anti"),
-      histSets, incSets)
+      incSets)
   }
 
   /** 64-bit SimHash over word tokens: per-token hash votes per bit,

@@ -1,0 +1,126 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.streaming.Trigger
+import graft.operators.{Curation, Dedup, Quality}
+
+/** Continuous daily-ingest CURATION — the streaming twin of the q107
+  * batch capstone, with the model-quality filter composed in: documents
+  * arrive as files, and each micro-batch ships exactly the docs that
+  * clear (1) the model quality filter, (2) exact dedup, (3) minhash
+  * near-dup, and (4) semantic near-dup against the STANDING corpus.
+  * This is the pipeline shape a production LLM-data platform runs on
+  * its ingest firehose (reference analog: the offline variant is the
+  * reference's whole preprocessing story; it has no streaming surface).
+  *
+  * Every stage's drop decision depends only on (doc, static history) —
+  * never on fellow incoming docs — so the emitted row SET equals the
+  * batch composition exactly, independent of how files are batched
+  * (the q105 stateless-equality argument, now for the four-stage
+  * conjunction). The gate is therefore a real-rows DuckDB oracle: the
+  * q107 conjunction SQL extended with the integer-margin quality
+  * clause. Stage order inside a batch only affects cost, so the
+  * cheapest row-local filter (the quality margin — one codegen pass)
+  * runs first and each later stage scans only prior survivors.
+  *
+  * Scale shape, per micro-batch (day-batch-sized stream side, corpus-
+  * sized static side, all built ONCE per stream, not once per batch):
+  *  - quality: pure row-local codegen arithmetic, no model I/O (the
+  *    weight table lives in the plan);
+  *  - exact: the shared bloom predicate (plan-literal bitmap) splits
+  *    definitely-new from positives; only positives join history;
+  *  - minhash: the PREBUILT history band index ([[Dedup.minhashHistory]])
+  *    streams map-side against the broadcast batch bands — history
+  *    never shuffles, candidates are O(true matches);
+  *  - semantic: the assigned history frame (persisted once) anti-joins
+  *    the batch's vectors on (cluster, cosine ≥ t).
+  * The quality margin is compared as an INTEGER (margin_sum > 0 ⇔
+  * sigmoid > 0.5) so the keep decision is exact in both engines — no
+  * float-threshold flake at the boundary.
+  */
+object IngestStream {
+
+  val docsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("n_chars", LongType)))
+
+  private val outSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("n_chars", LongType)))
+
+  /** Drive the stream to completion over a static dir (AvailableNow,
+    * parquet sink via foreachBatch — survivors go executor→file, never
+    * through the driver) and return the surviving (doc_id, n_chars)
+    * rows read back from the sink. `maxFilesPerTrigger = Some(1)`
+    * replays one file per micro-batch — the multi-batch regime the gate
+    * drives.
+    *
+    * `historyDocs`/`historyEmb` are the standing corpus (text and
+    * embedding sides); `embLookup` maps incoming doc_id → embedding
+    * (vec_id ↔ doc_id, the fixtures' 1:1 correspondence — a deployment
+    * carries the embedding in the ingest record itself). `bloom` is the
+    * shared history sketch from [[Dedup.historyBloomPredicate]].
+    */
+  def curatedIngest(spark: SparkSession, path: String,
+                    historyDocs: DataFrame, historyEmb: DataFrame,
+                    embLookup: DataFrame, centroids: DataFrame,
+                    bloom: Option[Column],
+                    cosineThreshold: Double, shingleN: Int,
+                    simThreshold: Double,
+                    workDir: String, queryName: String,
+                    maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import graft.functions.VectorExpressions
+    // static sides — built once per stream, shared by every micro-batch
+    val (histSets, histBands) = Dedup.minhashHistory(historyDocs, shingleN)
+    val cent = Curation.collectCentroids(centroids)
+    val cluster = Curation.flatAssignment(cent)
+    val histAssigned = historyEmb
+      .select(col("embedding").as("he"), cluster.as("hcluster")).persist()
+    histAssigned.count()
+    val outDir = s"$workDir/out"
+    new java.io.File(outDir).mkdirs()
+
+    val f = new java.io.File(path)
+    val (dir, glob) = if (f.isFile) (f.getParent, f.getName) else (path, "*")
+    val reader0 = spark.readStream.schema(docsSchema)
+      .option("pathGlobFilter", glob)
+    val reader = maxFilesPerTrigger.fold(reader0)(m =>
+      reader0.option("maxFilesPerTrigger", m.toString).option("latestFirst", "false"))
+    val q = reader.parquet(dir)
+      .writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", s"$workDir/ckpt")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // 1. model quality: keep positive-margin docs (integer-exact)
+        val posIds = Quality.qualityScore(batch)
+          .filter(col("margin_sum") > 0).select("doc_id")
+        val afterQuality = batch.join(broadcast(posIds), Seq("doc_id"), "left_semi")
+        // 2. exact dedup vs history (shared bloom + confirm joins)
+        val afterExact = Dedup.incrementalNew(historyDocs, afterQuality, bloom)
+        // 3. minhash near-dup vs the prebuilt history band index
+        val afterMinhash = Dedup.incrementalMinhashNewWith(
+          histSets, histBands, afterExact, shingleN, simThreshold)
+        // 4. semantic near-dup: batch ids → vectors, anti-join history
+        //    members of the same coarse cluster at cosine ≥ t
+        val batchVecs = embLookup
+          .join(broadcast(afterMinhash.select(col("doc_id").as("vec_id"))),
+            Seq("vec_id"), "left_semi")
+        val semSurvivors = batchVecs
+          .select(col("vec_id"), col("embedding"), cluster.as("cluster"))
+          .join(histAssigned, col("cluster") === col("hcluster") &&
+            VectorExpressions.cosineSim(col("embedding"), col("he")) >= cosineThreshold,
+            "left_anti")
+          .select(col("vec_id").as("doc_id"))
+        afterMinhash.join(broadcast(semSurvivors), Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), col("n_chars"))
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    histSets.unpersist(); histBands.unpersist(); histAssigned.unpersist()
+    spark.read.schema(outSchema).parquet(outDir)
+  }
+}

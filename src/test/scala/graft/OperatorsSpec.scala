@@ -1823,6 +1823,85 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((410L until 418L).forall(id => streamed.exists(_._1 == id)))
   }
 
+  test("IngestStream.curatedIngest: multi-batch file replay equals the four-stage " +
+      "batch conjunction, with every stage exercised") {
+    import spark.implicits._
+    import graft.operators.Quality
+    def sent(seed: Int) = {
+      val r = new java.util.Random(seed)
+      (0 until 20).map(_ => s"w${r.nextInt(500)}").mkString(" ")
+    }
+    // split candidate texts by quality margin sign so each dup-stage
+    // assertion below uses a POSITIVE-margin doc (the quality filter
+    // can't mask the stage under test) and the quality assertion uses a
+    // negative-margin one
+    val cand = (0 until 80).map(i => (i.toLong, sent(i)))
+    val posIds = Quality.qualityScore(cand.toDF("doc_id", "text"))
+      .filter(col("margin_sum") > 0).collect().map(_.getLong(0)).toSet
+    val posTexts = cand.filter(c => posIds.contains(c._1)).map(_._2)
+    val negTexts = cand.filterNot(c => posIds.contains(c._1)).map(_._2)
+    assert(posTexts.size >= 16 && negTexts.nonEmpty, "fixture needs both margin signs")
+    // a positive-margin near-copy of posTexts(1) for the minhash stage
+    val nearCopies = (0 until 40).map(k =>
+      posTexts(1).split(" ").toSeq.updated(19, s"wX$k").mkString(" "))
+    val ncPos = {
+      val ids = Quality.qualityScore(
+        nearCopies.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text"))
+        .filter(col("margin_sum") > 0).collect().map(_.getLong(0))
+      assert(ids.nonEmpty); nearCopies(ids.head.toInt)
+    }
+    val rnd = new java.util.Random(31)
+    def vec() = Seq.fill(16)(rnd.nextFloat() * 2f - 1f)
+    val histDocs = (0L until 8L).map(i => (i, posTexts(i.toInt), posTexts(i.toInt).length.toLong))
+    val histVecs = (0L until 8L).map(i => (i, vec()))
+    // incoming: 900 exact-dup of history 0; 901 minhash near-dup of
+    // history 1; 902 fresh text but semantic near-dup of history 2's
+    // vector; 920 negative-margin text; 910..913 fresh on all four axes
+    val inc = Seq(
+      (900L, posTexts(0), posTexts(0).length.toLong),
+      (901L, ncPos, ncPos.length.toLong),
+      (902L, posTexts(8), posTexts(8).length.toLong),
+      (920L, negTexts(0), negTexts(0).length.toLong)) ++
+      (0 until 4).map(i => (910L + i, posTexts(9 + i), posTexts(9 + i).length.toLong))
+    val incVecs = inc.map { case (id, _, _) =>
+      (id, if (id == 902L) histVecs(2)._2.map(x => x + 0.001f) else vec())
+    }
+    val histDf = histDocs.toDF("doc_id", "text", "n_chars")
+    val histEmb = histVecs.toDF("vec_id", "embedding")
+    val embLookup = histEmb.unionByName(incVecs.toDF("vec_id", "embedding"))
+    val centroids = histEmb.orderBy(col("vec_id")).limit(3)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val dir = java.nio.file.Files.createTempDirectory("ingest_stream").toString
+    inc.toDF("doc_id", "text", "n_chars").repartition(3)
+      .write.parquet(s"$dir/in") // 3 files → 3 micro-batches
+    val bloom = Dedup.historyBloomPredicate(histDf, 1000, 0.01)
+    val streamed = graft.streaming.IngestStream.curatedIngest(spark, s"$dir/in",
+      histDf, histEmb, embLookup, centroids, bloom,
+      cosineThreshold = 0.95, shingleN = 3, simThreshold = 0.5,
+      dir, "ingest_stream_spec", maxFilesPerTrigger = Some(1))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch reference: the same conjunction via the batch operators
+    val incDf = inc.toDF("doc_id", "text", "n_chars")
+    val posInc = Quality.qualityScore(incDf).filter(col("margin_sum") > 0).select("doc_id")
+    val afterQ = incDf.join(posInc, Seq("doc_id"), "left_semi")
+    val afterE = Dedup.incrementalNew(histDf, afterQ, bloom)
+    val afterM = Dedup.incrementalMinhashNew(histDf, afterE, n = 3, simThreshold = 0.5)
+    val semIds = graft.operators.Curation.incrementalSemanticDedup(spark, histEmb,
+      incVecs.toDF("vec_id", "embedding"), centroids, threshold = 0.95)
+      .select(col("vec_id").as("doc_id"))
+    val batch = afterM.join(semIds, Seq("doc_id"), "left_semi")
+      .select("doc_id", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+    assert(!streamed.exists(_._1 == 900L), "exact dup must not ship")
+    assert(!streamed.exists(_._1 == 901L), "minhash near-dup must not ship")
+    assert(!streamed.exists(_._1 == 902L), "semantic near-dup must not ship")
+    assert(!streamed.exists(_._1 == 920L), "negative-margin doc must not ship")
+    assert((910L until 914L).forall(id => streamed.exists(_._1 == id)),
+      s"fresh doc dropped: $streamed")
+  }
+
   test("incrementalMinhashNew: history near-dups dropped; fresh, within-incoming " +
       "near-dups, and too-short docs all survive") {
     import spark.implicits._
