@@ -14,7 +14,7 @@ import graft.operators._
   *   sbt "runMain graft.DedupScaleSmoke 10000000 1000 inc"  # one stage only
   *
   * Optional third arg selects a stage subset (comma-separated from
-  * minhash,lsh,semantic,text,inc,incstream,seminc,incmh; the default set
+  * minhash,lsh,semantic,text,inc,incstream,seminc,incmh,ingstream; the default set
   * is minhash,lsh,text,inc — `semantic` (whose within-cluster pair scan
   * is the heaviest stage), `incstream`, `seminc`, and `incmh` are
   * opt-in) — the big-n stages each shuffle tens of GB, and rerunning all
@@ -389,6 +389,94 @@ object DedupScaleSmoke {
       s""""sec":$semIncSec,"survivors":$nSurv,""" +
       s""""planted_dropped":${planted - plantedSurvived},"planted":$planted,""" +
       s""""false_drops":$freshDropped,"vecs_per_sec":${(n + nInc) / semIncSec}}}""")
+    }
+
+    if (stages("ingstream")) {
+    // ---- 7) CONTINUOUS ingest curation (q112's path) at scale ----------
+    // The four-stage conjunction (quality ∧ exact ∧ minhash ∧ semantic)
+    // over 4 real micro-batches, against a text+vector history of n.
+    // Per-category recovery is each component smoke's job (inc / incmh /
+    // seminc); the gate HERE is the composition's own contract — the
+    // streamed survivor set must EXACTLY equal the batch conjunction —
+    // plus the amortization claim: static sides (bloom, minhash band
+    // index, assigned history vectors) are built once per stream, so
+    // per-batch cost is day-batch-sized. Incoming slots cycle
+    // exact-dup / minhash-near-copy / vector-near-copy / fresh; the
+    // content-hash quality filter drops ~half of each class on top,
+    // which the equality gate absorbs by construction.
+    val dim = 64
+    def tokText7(seed: org.apache.spark.sql.Column,
+        lastAlt: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      concat_ws(" ", transform(sequence(lit(0), lit(29)), j =>
+        concat(lit("w"), pmod(xxhash64(seed * 31 + j,
+          when(j === 29, lastAlt).otherwise(lit(0L))), lit(50000L)))))
+    val genU7 = udf { (seedId: Long, copyOf: Long) =>
+      val src = if (copyOf >= 0) copyOf else seedId
+      val v = Array.tabulate(dim)(j => graft.functions.VectorOps.syntheticNoise(src + 7919L, j))
+      if (copyOf >= 0) v(0) += 0.01f
+      v.toSeq
+    }
+    val hist = spark.range(n).select(col("id").as("doc_id"),
+      tokText7(col("id"), lit(0L)).as("text"),
+      lit(100L).as("n_chars")).repartition(cpus.toInt).persist()
+    hist.count()
+    val histEmb = spark.range(n).select(col("id").as("vec_id"),
+      genU7(col("id"), lit(-1L)).as("embedding")).repartition(cpus.toInt).persist()
+    histEmb.count()
+    val nInc = math.max(n / 10, 16L)
+    val slot = col("id") % 4
+    val incText = when(slot === 0, tokText7(col("id") % n, lit(0L)))        // exact dup
+      .when(slot === 1, tokText7(col("id") % n, lit(1L)))                   // minhash near-copy
+      .otherwise(tokText7(col("id") + n + 5000000000L, lit(0L)))            // fresh text
+    val incCopyOf = when(slot === 2, col("id") % n).otherwise(lit(-1L))     // vector near-copy
+    val incDir = graft.TempDirs.create("graft_ingstream_scale_")
+    val incoming = spark.range(nInc).select((col("id") + n).as("doc_id"),
+      incText.as("text"), lit(100L).as("n_chars"),
+      genU7(col("id") + n + 9000000000L, incCopyOf).as("embedding"))
+      .persist()
+    incoming.count()
+    incoming.select("doc_id", "text", "n_chars").repartition(4)
+      .write.parquet(s"$incDir/in")
+    val embLookup = histEmb.unionByName(
+      incoming.select(col("doc_id").as("vec_id"), col("embedding")))
+    val kIng = 4096
+    val stepIng = math.max(1L, n / kIng)
+    val centroids = histEmb.filter(col("vec_id") % stepIng === 0)
+      .orderBy(col("vec_id")).limit(kIng)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce")).persist()
+    val kActualIng = centroids.count()
+    val bloom = Dedup.historyBloomPredicate(hist, n, 0.01)
+    val t7 = System.nanoTime()
+    val streamed = graft.streaming.IngestStream.curatedIngest(spark,
+      s"$incDir/in", hist, histEmb, embLookup, centroids, bloom,
+      cosineThreshold = 0.99, shingleN = 3, simThreshold = 0.5,
+      incDir, "ingest_scale_stream", maxFilesPerTrigger = Some(1),
+      branch = -1).persist()
+    val nStreamed = streamed.count()
+    val ingSec = (System.nanoTime() - t7) / 1e9
+    // batch reference: the same conjunction via the batch operators
+    val t7b = System.nanoTime()
+    val posIds = graft.operators.Quality.qualityScore(incoming)
+      .filter(col("margin_sum") > 0).select("doc_id")
+    val afterQ = incoming.join(posIds, Seq("doc_id"), "left_semi")
+    val afterE = Dedup.incrementalNew(hist, afterQ, bloom)
+    val afterM = Dedup.incrementalMinhashNew(hist, afterE, n = 3, simThreshold = 0.5)
+    val semIds = Curation.incrementalSemanticDedup(spark, histEmb,
+      incoming.select(col("doc_id").as("vec_id"), col("embedding")),
+      centroids, threshold = 0.99, branch = -1)
+      .select(col("vec_id").as("doc_id"))
+    val batch = afterM.join(semIds, Seq("doc_id"), "left_semi")
+      .select("doc_id", "n_chars").persist()
+    val nBatch = batch.count()
+    val batchSec = (System.nanoTime() - t7b) / 1e9
+    val setDiff = streamed.exceptAll(batch).count() + batch.exceptAll(streamed).count()
+    streamed.unpersist(); batch.unpersist(); centroids.unpersist()
+    incoming.unpersist(); histEmb.unpersist(); hist.unpersist()
+    require(setDiff == 0, s"stream/batch conjunction diverged by $setDiff rows")
+    println(s"""{"ingstream_smoke":{"n_history":$n,"n_incoming":$nInc,""" +
+      s""""k":$kActualIng,"stream_sec":$ingSec,"batch_sec":$batchSec,""" +
+      s""""survivors":$nStreamed,"batch_survivors":$nBatch,"set_diff":$setDiff,""" +
+      s""""docs_per_sec":${(n + nInc) / ingSec}}}""")
     }
     spark.stop()
   }

@@ -69,12 +69,15 @@ object IngestStream {
                     cosineThreshold: Double, shingleN: Int,
                     simThreshold: Double,
                     workDir: String, queryName: String,
-                    maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+                    maxFilesPerTrigger: Option[Int] = None,
+                    branch: Int = 0): DataFrame = {
     import graft.functions.VectorExpressions
     // static sides — built once per stream, shared by every micro-batch
     val (histSets, histBands) = Dedup.minhashHistory(historyDocs, shingleN)
     val cent = Curation.collectCentroids(centroids)
-    val cluster = Curation.flatAssignment(cent)
+    val cluster =
+      if (branch == 0) Curation.flatAssignment(cent)
+      else Curation.hierAssignment(spark, cent, branch)
     val histAssigned = historyEmb
       .select(col("embedding").as("he"), cluster.as("hcluster")).persist()
     histAssigned.count()
