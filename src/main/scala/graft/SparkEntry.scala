@@ -1721,6 +1721,32 @@ object SparkEntry {
         maxFilesPerTrigger = Some(1))
         .orderBy(col("doc_id"))
     }),
+    "q113_stream_index" -> ((s, dir) => {
+      // CONTINUOUS INDEXING (VecsStream.appendToIndex) — q91's insert
+      // leg on the ingest stream: bootstrap model + index from the
+      // vec_id % 5 == 0 slice, stream the other 80% in as 3 chunk files
+      // replayed one per micro-batch, each encoded with the FROZEN
+      // model and appended to the saved cluster_id-partitioned layout.
+      // Full probe + full rerank over the RELOADED index must equal
+      // brute force over ALL vectors — q23's exact-kNN oracle through
+      // an index that was mostly built by the stream.
+      val emb = T(s, dir, "embeddings")
+      val tmp = graft.TempDirs.create("graft_q113_")
+      val (model, index0) = RabitqIndex.build(s,
+        emb.filter(col("vec_id") % 5 === 0), NumClusters, Seed)
+      RabitqIndex.save(s, model, index0, s"$tmp/idx")
+      emb.filter(col("vec_id") % 5 =!= 0).select("vec_id", "embedding")
+        .repartition(3).write.parquet(s"$tmp/in")
+      graft.streaming.VecsStream.appendToIndex(s, s"$tmp/in", s"$tmp/idx",
+        s"$tmp/ckpt", model,
+        s"index_stream_${streamCounter.incrementAndGet()}",
+        maxFilesPerTrigger = Some(1))
+      val (m2, idx2) = RabitqIndex.load(s, s"$tmp/idx")
+      RabitqQuery.topK(s, m2, idx2, emb, annQueries(s, dir),
+        nprobe = NumClusters, topk = 10, rerank = fullRerank(s, dir))
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "q109_dsir_resample" -> ((s, dir) => {
       // DSIR importance resampling (Xie et al. 2023): weight every
       // non-English doc by how target-like (lang='en') its hashed-ngram
@@ -2287,6 +2313,7 @@ object SparkEntry {
       "q106_incremental_minhash" -> incrementalMinhashOracle,
       "q107_ingest_capstone" -> ingestCapstoneOracle,
       "q112_stream_ingest" -> streamIngestOracle,
+      "q113_stream_index" -> knnSql,
       "q108_quality_model" -> qualityModelOracle,
       "q109_dsir_resample" -> dsirOracle,
       // q110: word counts → char split → weighted adjacent pairs, the

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.streaming.Trigger
-import graft.operators.Curation
+import graft.operators.{Curation, RabitqIndex, RabitqModel}
 
 /** Streaming incremental SEMANTIC dedup — the continuous counterpart of
   * `Curation.incrementalSemanticDedup` (batch q104) and the embedding-
@@ -81,5 +81,44 @@ object VecsStream {
       .start()
     q.awaitTermination()
     spark.table(queryName)
+  }
+
+  /** Continuous INDEXING — the q91 insert leg running on the ingest
+    * stream: vectors arrive as files and each micro-batch is encoded
+    * with the FROZEN model ([[RabitqIndex.appendVectors]] — a narrow
+    * per-row pass assigning the nearest frozen centroid, exactly the
+    * production shape: encode continuously, re-cluster on a schedule)
+    * and appended to the saved index's cluster_id-partitioned parquet
+    * layout. Encoding is deterministic per row, so the resulting index
+    * is identical at any batching; the q113 gate reloads the index and
+    * requires full-probe + full-rerank search to equal brute-force kNN
+    * over ALL vectors — a dropped batch, a double-encode, or a
+    * wrong-cluster append all flip the oracle row set. The sink is the
+    * partitioned layout itself: appends go executor→file into the
+    * cluster directories, nothing crosses the driver.
+    */
+  def appendToIndex(spark: SparkSession, path: String, idxDir: String,
+                    ckptDir: String, model: RabitqModel, queryName: String,
+                    maxFilesPerTrigger: Option[Int] = None): Unit = {
+    val f = new java.io.File(path)
+    val (dir, glob) = if (f.isFile) (f.getParent, f.getName) else (path, "*")
+    val reader0 = spark.readStream
+      .schema(vecsSchema)
+      .option("pathGlobFilter", glob)
+    val reader = maxFilesPerTrigger.fold(reader0)(m =>
+      reader0.option("maxFilesPerTrigger", m.toString).option("latestFirst", "false"))
+    val q = reader.parquet(dir)
+      .writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        RabitqIndex.appendVectors(spark, model, batch)
+          .write.mode("append").partitionBy("cluster_id")
+          .parquet(s"$idxDir/index")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
   }
 }

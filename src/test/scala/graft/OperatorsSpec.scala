@@ -1511,28 +1511,21 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("streaming ANN ingest: foreachBatch appends encoded vectors to the saved index") {
-    import org.apache.spark.sql.streaming.Trigger
     // bootstrap the index from the first 250 vectors, then stream the rest
     // in and append their encodings batch-by-batch (frozen model — the
     // production shape for continuous ingest: encode is a narrow pass,
-    // re-clustering happens on a schedule, not per batch)
+    // re-clustering happens on a schedule, not per batch). Multi-file
+    // write + maxFilesPerTrigger=1 forces real multi-batch appends.
     val first = emb.filter(col("vec_id") < 250)
     val rest = emb.filter(col("vec_id") >= 250)
     val (model, index0) = RabitqIndex.build(spark, first, numClusters = 8, seed = 4L)
     val idxDir = java.nio.file.Files.createTempDirectory("stream_idx").toString
     RabitqIndex.save(spark, model, index0, idxDir)
     val srcDir = java.nio.file.Files.createTempDirectory("stream_vecs").toString
-    rest.coalesce(1).write.mode("overwrite").parquet(srcDir)
-    val q = spark.readStream.schema(emb.schema).parquet(srcDir)
-      .writeStream.outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        RabitqIndex.appendVectors(spark, model, batch)
-          .write.mode("append").partitionBy("cluster_id").parquet(s"$idxDir/index")
-        ()
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    rest.select("vec_id", "embedding").repartition(3)
+      .write.mode("overwrite").parquet(srcDir)
+    graft.streaming.VecsStream.appendToIndex(spark, srcDir, idxDir,
+      s"$srcDir/ckpt", model, "ann_ingest_spec", maxFilesPerTrigger = Some(1))
     // reload: streamed-in rows are part of the index; full probe + full
     // rerank over the merged index must equal brute force exactly
     val (model2, index2) = RabitqIndex.load(spark, idxDir)
