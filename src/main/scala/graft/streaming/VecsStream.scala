@@ -83,9 +83,10 @@ object VecsStream {
     spark.table(queryName)
   }
 
-  /** Continuous INDEXING — the q91 insert leg running on the ingest
-    * stream: vectors arrive as files and each micro-batch is encoded
-    * with the FROZEN model ([[RabitqIndex.appendVectors]] — a narrow
+  /** Continuous INDEXING — the q91 insert leg (the reference's
+    * unchecked insert box, `/root/reference/README.md:18`) running on
+    * the ingest stream: vectors arrive as files and each micro-batch is
+    * encoded with the FROZEN model ([[RabitqIndex.appendVectors]] — a narrow
     * per-row pass assigning the nearest frozen centroid, exactly the
     * production shape: encode continuously, re-cluster on a schedule)
     * and appended to the saved index's cluster_id-partitioned parquet
