@@ -1747,6 +1747,45 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    "q114_stream_ingest_index" -> ((s, dir) => {
+      // THE DAILY LOOP in one stream (q112 ∘ q113): per micro-batch,
+      // incoming docs pass quality ∧ exact ∧ minhash ∧ semantic vs the
+      // standing corpus, and exactly the SURVIVORS' vectors are encoded
+      // with the frozen model and appended into the saved index — new
+      // data becomes searchable as it ships. Gate: full probe + full
+      // rerank over the reloaded index vs the FINAL logical base
+      // (history ∪ survivors) must equal brute force — the q23 oracle
+      // restricted to the q112 conjunction's survivor set, so a doc
+      // that shipped without being indexed, or was indexed without
+      // shipping, flips the row set.
+      val docs = T(s, dir, "documents")
+      val emb = T(s, dir, "embeddings")
+      val histEmb = emb.filter(col("vec_id") % 3 === 0)
+      val centroids = emb.filter(col("vec_id") % 62 === 0)
+        .orderBy(col("vec_id")).limit(8)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      val tmp = graft.TempDirs.create("graft_q114_")
+      val (model, index0) = RabitqIndex.build(s, histEmb, NumClusters, Seed)
+      RabitqIndex.save(s, model, index0, s"$tmp/idx")
+      docs.filter(col("doc_id") % 3 =!= 0)
+        .select("doc_id", "text", "n_chars")
+        .repartition(3).write.parquet(s"$tmp/in")
+      val surv = graft.streaming.IngestStream.curatedIngest(s, s"$tmp/in",
+        docs.filter(col("doc_id") % 3 === 0), histEmb, emb, centroids,
+        historyBloom(s, dir),
+        cosineThreshold = 0.4, shingleN = 3, simThreshold = 0.5,
+        tmp, s"ingest_index_stream_${streamCounter.incrementAndGet()}",
+        maxFilesPerTrigger = Some(1),
+        indexInto = Some((model, s"$tmp/idx")))
+      val (m2, idx2) = RabitqIndex.load(s, s"$tmp/idx")
+      val baseFinal = histEmb.unionByName(
+        emb.join(surv.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi"),
+        allowMissingColumns = false)
+      RabitqQuery.topK(s, m2, idx2, baseFinal, annQueries(s, dir),
+        nprobe = NumClusters, topk = 10, rerank = fullRerank(s, dir))
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "q109_dsir_resample" -> ((s, dir) => {
       // DSIR importance resampling (Xie et al. 2023): weight every
       // non-English doc by how target-like (lang='en') its hashed-ngram
@@ -2029,7 +2068,11 @@ object SparkEntry {
     * 3-token minimum, empty-text docs dropped — which is also why
     * empty docs vanish here: no features ⇒ no positive margin).
     */
-  private def streamIngestOracle: String = {
+  /** Shared CTE prefix for q112/q114: the q107 conjunction machinery
+    * plus the q-prefixed quality CTEs (its `toks`/`th` differ from the
+    * minhash prefix's: no 3-token minimum, empty-text docs dropped).
+    */
+  private def streamIngestCtes: String = {
     val P = Dedup.P; val B = Quality.B
     minhashCtePrefix + ",\n" + semanticAssignCtes + ",\n" +
       minhashMatchedCtes + ",\n" + semanticMatchedCte + ",\n" +
@@ -2045,16 +2088,40 @@ object SparkEntry {
            |          SELECT doc_id, ((th[CAST(i + 1 AS INT)] * 131 + th[CAST(i + 2 AS INT)]) % $P) % $B AS b
            |          FROM qth, LATERAL unnest(range(len(th) - 1)) AS r(i)),
            |qpos AS (SELECT doc_id FROM qfeat GROUP BY doc_id
-           |         HAVING SUM((b * 2654435761) % 2001 - 1000) > 0)""".stripMargin + "\n" +
-      """SELECT d.doc_id, d.n_chars FROM documents d
-        |WHERE d.doc_id % 3 <> 0
-        |  AND d.doc_id IN (SELECT doc_id FROM qpos)
-        |  AND NOT EXISTS (SELECT 1 FROM documents h
-        |                  WHERE h.doc_id % 3 = 0 AND h.text = d.text)
-        |  AND d.doc_id NOT IN (SELECT inc_id FROM mh_matched)
-        |  AND d.doc_id NOT IN (SELECT vec_id FROM sem_matched)
-        |ORDER BY d.doc_id""".stripMargin
+           |         HAVING SUM((b * 2654435761) % 2001 - 1000) > 0)""".stripMargin
   }
+
+  private val streamIngestConjunction: String =
+    """d.doc_id % 3 <> 0
+      |  AND d.doc_id IN (SELECT doc_id FROM qpos)
+      |  AND NOT EXISTS (SELECT 1 FROM documents h
+      |                  WHERE h.doc_id % 3 = 0 AND h.text = d.text)
+      |  AND d.doc_id NOT IN (SELECT inc_id FROM mh_matched)
+      |  AND d.doc_id NOT IN (SELECT vec_id FROM sem_matched)""".stripMargin
+
+  private def streamIngestOracle: String =
+    streamIngestCtes + "\n" +
+      s"""SELECT d.doc_id, d.n_chars FROM documents d
+         |WHERE $streamIngestConjunction
+         |ORDER BY d.doc_id""".stripMargin
+
+  /** q114: curate→index in ONE stream — exact kNN over the FINAL
+    * logical base (history ∪ curated survivors). The survivor set is
+    * the q112 conjunction; the kNN tail is q23's brute force restricted
+    * to that base.
+    */
+  private def streamIngestIndexOracle: String =
+    streamIngestCtes + ",\n" +
+      s"""surv AS (SELECT d.doc_id FROM documents d
+         |  WHERE $streamIngestConjunction),
+         |qq AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 10),
+         |bb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS be FROM embeddings
+         |       WHERE vec_id % 3 = 0 OR vec_id IN (SELECT doc_id FROM surv)),
+         |dd AS (SELECT qq.query_id, bb.vec_id AS neighbor_id,
+         |        row_number() OVER (PARTITION BY qq.query_id ORDER BY list_distance(qq.qe, bb.be), bb.vec_id) AS rank
+         |      FROM qq CROSS JOIN bb)
+         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM dd
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   /** DuckDB replay of `Dedup.simhashPairs` (maxHamming=3): portable token
     * hash, 64 affine parity votes, two's-complement signature assembly
@@ -2314,6 +2381,7 @@ object SparkEntry {
       "q107_ingest_capstone" -> ingestCapstoneOracle,
       "q112_stream_ingest" -> streamIngestOracle,
       "q113_stream_index" -> knnSql,
+      "q114_stream_ingest_index" -> streamIngestIndexOracle,
       "q108_quality_model" -> qualityModelOracle,
       "q109_dsir_resample" -> dsirOracle,
       // q110: word counts → char split → weighted adjacent pairs, the

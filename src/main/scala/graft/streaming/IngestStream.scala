@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.streaming.Trigger
-import graft.operators.{Curation, Dedup, Quality}
+import graft.operators.{Curation, Dedup, Quality, RabitqIndex, RabitqModel}
 
 /** Continuous daily-ingest CURATION — the streaming twin of the q107
   * batch capstone, with the model-quality filter composed in: documents
@@ -61,6 +61,13 @@ object IngestStream {
     * (vec_id ↔ doc_id, the fixtures' 1:1 correspondence — a deployment
     * carries the embedding in the ingest record itself). `bloom` is the
     * shared history sketch from [[Dedup.historyBloomPredicate]].
+    *
+    * `indexInto = Some((model, idxDir))` closes the daily loop (q114):
+    * each micro-batch's SURVIVORS are additionally encoded with the
+    * frozen `model` ([[RabitqIndex.appendVectors]]) and appended into
+    * the saved index's cluster_id-partitioned layout at `idxDir` — the
+    * [[VecsStream.appendToIndex]] sink fused behind the curation
+    * stages, so exactly the docs that ship become searchable.
     */
   def curatedIngest(spark: SparkSession, path: String,
                     historyDocs: DataFrame, historyEmb: DataFrame,
@@ -70,7 +77,8 @@ object IngestStream {
                     simThreshold: Double,
                     workDir: String, queryName: String,
                     maxFilesPerTrigger: Option[Int] = None,
-                    branch: Int = 0): DataFrame = {
+                    branch: Int = 0,
+                    indexInto: Option[(RabitqModel, String)] = None): DataFrame = {
     import graft.functions.VectorExpressions
     // static sides — built once per stream, shared by every micro-batch
     val (histSets, histBands) = Dedup.minhashHistory(historyDocs, shingleN)
@@ -115,9 +123,21 @@ object IngestStream {
             VectorExpressions.cosineSim(col("embedding"), col("he")) >= cosineThreshold,
             "left_anti")
           .select(col("vec_id").as("doc_id"))
-        afterMinhash.join(broadcast(semSurvivors), Seq("doc_id"), "left_semi")
-          .select(col("doc_id"), col("n_chars"))
+        val survivors = afterMinhash
+          .join(broadcast(semSurvivors), Seq("doc_id"), "left_semi")
+        survivors.select(col("doc_id"), col("n_chars"))
           .write.mode("append").parquet(outDir)
+        // q114 leg: exactly the shipped docs become searchable — their
+        // vectors encode with the FROZEN model and append executor-side
+        // into the saved cluster_id-partitioned index layout
+        indexInto.foreach { case (model, idxDir) =>
+          val survVecs = batchVecs
+            .join(broadcast(survivors.select(col("doc_id").as("vec_id"))),
+              Seq("vec_id"), "left_semi")
+          RabitqIndex.appendVectors(spark, model, survVecs)
+            .write.mode("append").partitionBy("cluster_id")
+            .parquet(s"$idxDir/index")
+        }
         ()
       }
       .trigger(Trigger.AvailableNow())

@@ -1869,11 +1869,23 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     inc.toDF("doc_id", "text", "n_chars").repartition(3)
       .write.parquet(s"$dir/in") // 3 files → 3 micro-batches
     val bloom = Dedup.historyBloomPredicate(histDf, 1000, 0.01)
+    // bootstrap an index over history so the indexInto leg (q114) is
+    // exercised in the same run: survivors — and ONLY survivors — must
+    // land in the appended index
+    val (idxModel, idx0) = RabitqIndex.build(spark, histEmb, numClusters = 4, seed = 9L)
+    val idxDir = java.nio.file.Files.createTempDirectory("ingest_idx").toString
+    RabitqIndex.save(spark, idxModel, idx0, idxDir)
     val streamed = graft.streaming.IngestStream.curatedIngest(spark, s"$dir/in",
       histDf, histEmb, embLookup, centroids, bloom,
       cosineThreshold = 0.95, shingleN = 3, simThreshold = 0.5,
-      dir, "ingest_stream_spec", maxFilesPerTrigger = Some(1))
+      dir, "ingest_stream_spec", maxFilesPerTrigger = Some(1),
+      indexInto = Some((idxModel, idxDir)))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val indexedIds = RabitqIndex.load(spark, idxDir)._2
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val histIds = (0L until 8L).toSet
+    assert(indexedIds == histIds ++ streamed.map(_._1),
+      s"index must hold history ∪ survivors exactly: $indexedIds vs ${histIds ++ streamed.map(_._1)}")
     // batch reference: the same conjunction via the batch operators
     val incDf = inc.toDF("doc_id", "text", "n_chars")
     val posInc = Quality.qualityScore(incDf).filter(col("margin_sum") > 0).select("doc_id")
