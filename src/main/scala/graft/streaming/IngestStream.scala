@@ -112,19 +112,27 @@ object IngestStream {
         // 3. minhash near-dup vs the prebuilt history band index
         val afterMinhash = Dedup.incrementalMinhashNewWith(
           histSets, histBands, afterExact, shingleN, simThreshold)
-        // 4. semantic near-dup: batch ids → vectors, anti-join history
-        //    members of the same coarse cluster at cosine ≥ t
+        // 4. semantic near-dup — the batch operator's scale shape
+        //    (Curation.incrementalSemanticDedup): history streams
+        //    through an INNER hash join against the BROADCAST day-batch
+        //    vectors and never shuffles (the first formulation
+        //    anti-joined the batch against history on the right, which
+        //    re-exchanges the whole corpus every micro-batch); the
+        //    matched ids — day-batch-bounded — anti-join back. A doc
+        //    with no vector in `embLookup` cannot match and therefore
+        //    SURVIVES this stage, which is also the oracle's semantics.
         val batchVecs = embLookup
           .join(broadcast(afterMinhash.select(col("doc_id").as("vec_id"))),
             Seq("vec_id"), "left_semi")
-        val semSurvivors = batchVecs
-          .select(col("vec_id"), col("embedding"), cluster.as("cluster"))
-          .join(histAssigned, col("cluster") === col("hcluster") &&
-            VectorExpressions.cosineSim(col("embedding"), col("he")) >= cosineThreshold,
-            "left_anti")
-          .select(col("vec_id").as("doc_id"))
+        val incSide = batchVecs
+          .select(col("vec_id").as("iid"), col("embedding").as("ie"),
+            cluster.as("icluster"))
+        val matchedIds = histAssigned
+          .join(broadcast(incSide), col("hcluster") === col("icluster") &&
+            VectorExpressions.cosineSim(col("he"), col("ie")) >= cosineThreshold)
+          .select(col("iid").as("doc_id")).distinct()
         val survivors = afterMinhash
-          .join(broadcast(semSurvivors), Seq("doc_id"), "left_semi")
+          .join(broadcast(matchedIds), Seq("doc_id"), "left_anti")
         survivors.select(col("doc_id"), col("n_chars"))
           .write.mode("append").parquet(outDir)
         // q114 leg: exactly the shipped docs become searchable — their
