@@ -103,36 +103,9 @@ object IngestStream {
       .queryName(queryName)
       .option("checkpointLocation", s"$workDir/ckpt")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // 1. model quality: keep positive-margin docs (integer-exact)
-        val posIds = Quality.qualityScore(batch)
-          .filter(col("margin_sum") > 0).select("doc_id")
-        val afterQuality = batch.join(broadcast(posIds), Seq("doc_id"), "left_semi")
-        // 2. exact dedup vs history (shared bloom + confirm joins)
-        val afterExact = Dedup.incrementalNew(historyDocs, afterQuality, bloom)
-        // 3. minhash near-dup vs the prebuilt history band index
-        val afterMinhash = Dedup.incrementalMinhashNewWith(
-          histSets, histBands, afterExact, shingleN, simThreshold)
-        // 4. semantic near-dup — the batch operator's scale shape
-        //    (Curation.incrementalSemanticDedup): history streams
-        //    through an INNER hash join against the BROADCAST day-batch
-        //    vectors and never shuffles (the first formulation
-        //    anti-joined the batch against history on the right, which
-        //    re-exchanges the whole corpus every micro-batch); the
-        //    matched ids — day-batch-bounded — anti-join back. A doc
-        //    with no vector in `embLookup` cannot match and therefore
-        //    SURVIVES this stage, which is also the oracle's semantics.
-        val batchVecs = embLookup
-          .join(broadcast(afterMinhash.select(col("doc_id").as("vec_id"))),
-            Seq("vec_id"), "left_semi")
-        val incSide = batchVecs
-          .select(col("vec_id").as("iid"), col("embedding").as("ie"),
-            cluster.as("icluster"))
-        val matchedIds = histAssigned
-          .join(broadcast(incSide), col("hcluster") === col("icluster") &&
-            VectorExpressions.cosineSim(col("he"), col("ie")) >= cosineThreshold)
-          .select(col("iid").as("doc_id")).distinct()
-        val survivors = afterMinhash
-          .join(broadcast(matchedIds), Seq("doc_id"), "left_anti")
+        val (survivors, batchVecs) = curateBatch(batch, historyDocs,
+          embLookup, histSets, histBands, histAssigned, cluster, bloom,
+          cosineThreshold, shingleN, simThreshold)
         survivors.select(col("doc_id"), col("n_chars"))
           .write.mode("append").parquet(outDir)
         // q114 leg: exactly the shipped docs become searchable — their
@@ -153,5 +126,51 @@ object IngestStream {
     q.awaitTermination()
     histSets.unpersist(); histBands.unpersist(); histAssigned.unpersist()
     spark.read.schema(outSchema).parquet(outDir)
+  }
+
+  /** The per-micro-batch conjunction, extracted for plan-level testing:
+    * returns (survivors — all incoming columns, batchVecs — the
+    * post-minhash ids' vector rows). Every broadcast here is a HINT on
+    * the day-batch side, never a size decision, so the shape survives
+    * any history size: the quality filter is row-local; the bloom test
+    * is a plan-literal predicate; the minhash candidate join streams
+    * the prebuilt history band index map-side against the broadcast
+    * batch bands; and the semantic leg streams the assigned history
+    * through an INNER hash join against the broadcast day-batch vectors
+    * (the matched ids — day-batch-bounded — anti-join back; the first
+    * formulation anti-joined the batch against history on the join's
+    * right, re-exchanging the corpus every micro-batch). A doc with no
+    * vector in `embLookup` cannot match and therefore SURVIVES the
+    * semantic stage, which is also the oracle's semantics.
+    */
+  private[graft] def curateBatch(batch: DataFrame, historyDocs: DataFrame,
+      embLookup: DataFrame, histSets: DataFrame, histBands: DataFrame,
+      histAssigned: DataFrame, cluster: Column, bloom: Option[Column],
+      cosineThreshold: Double, shingleN: Int,
+      simThreshold: Double): (DataFrame, DataFrame) = {
+    import graft.functions.VectorExpressions
+    // 1. model quality: keep positive-margin docs (integer-exact)
+    val posIds = Quality.qualityScore(batch)
+      .filter(col("margin_sum") > 0).select("doc_id")
+    val afterQuality = batch.join(broadcast(posIds), Seq("doc_id"), "left_semi")
+    // 2. exact dedup vs history (shared bloom + confirm joins)
+    val afterExact = Dedup.incrementalNew(historyDocs, afterQuality, bloom)
+    // 3. minhash near-dup vs the prebuilt history band index
+    val afterMinhash = Dedup.incrementalMinhashNewWith(
+      histSets, histBands, afterExact, shingleN, simThreshold)
+    // 4. semantic near-dup (see scaladoc)
+    val batchVecs = embLookup
+      .join(broadcast(afterMinhash.select(col("doc_id").as("vec_id"))),
+        Seq("vec_id"), "left_semi")
+    val incSide = batchVecs
+      .select(col("vec_id").as("iid"), col("embedding").as("ie"),
+        cluster.as("icluster"))
+    val matchedIds = histAssigned
+      .join(broadcast(incSide), col("hcluster") === col("icluster") &&
+        VectorExpressions.cosineSim(col("he"), col("ie")) >= cosineThreshold)
+      .select(col("iid").as("doc_id")).distinct()
+    val survivors = afterMinhash
+      .join(broadcast(matchedIds), Seq("doc_id"), "left_anti")
+    (survivors, batchVecs)
   }
 }

@@ -1907,6 +1907,61 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"fresh doc dropped: $streamed")
   }
 
+  test("IngestStream.curateBatch: day-batch broadcasts are hint-driven — the shape " +
+      "holds with auto-broadcast disabled and no join falls back to sort-merge") {
+    import spark.implicits._
+    import graft.operators.Quality
+    def sent(seed: Int) = {
+      val r = new java.util.Random(seed)
+      (0 until 20).map(_ => s"w${r.nextInt(500)}").mkString(" ")
+    }
+    val rnd = new java.util.Random(77)
+    def vec() = Seq.fill(8)(rnd.nextFloat() * 2f - 1f)
+    val histDf = (0L until 6L).map(i => (i, sent(i.toInt), 100L))
+      .toDF("doc_id", "text", "n_chars")
+    val histEmb = (0L until 6L).map(i => (i, vec())).toDF("vec_id", "embedding")
+    val batch = (0 until 6).map(i => (200L + i, sent(100 + i), 100L))
+      .toDF("doc_id", "text", "n_chars")
+    val embLookup = histEmb.unionByName(
+      (0 until 6).map(i => (200L + i, vec())).toDF("vec_id", "embedding"))
+    val centroids = histEmb.orderBy(col("vec_id")).limit(2)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val (histSets, histBands) = Dedup.minhashHistory(histDf, 3)
+    val cent = Curation.collectCentroids(centroids)
+    val cluster = Curation.flatAssignment(cent)
+    val histAssigned = histEmb
+      .select(col("embedding").as("he"), cluster.as("hcluster"))
+    val bloom = Dedup.historyBloomPredicate(histDf, 100, 0.01)
+    def survivors() = graft.streaming.IngestStream.curateBatch(batch, histDf,
+      embLookup, histSets, histBands, histAssigned, cluster, bloom,
+      cosineThreshold = 0.95, shingleN = 3, simThreshold = 0.5)._1
+    val defaultRows = survivors().select("doc_id").collect().map(_.getLong(0)).toSet
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val s2 = survivors()
+      val plan = s2.queryExecution.executedPlan
+      val bx = plan.collect {
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+      }
+      assert(bx.nonEmpty,
+        "day-batch broadcast hints must hold with auto-broadcast disabled")
+      val smj = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }
+      assert(smj.isEmpty,
+        s"no join may fall back to sort-merge (history would shuffle): ${smj.length}")
+      assert(s2.select("doc_id").collect().map(_.getLong(0)).toSet == defaultRows,
+        "join strategy must not change the survivor set")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+      spark.conf.set("spark.sql.adaptive.enabled", prevA)
+    }
+    histSets.unpersist(); histBands.unpersist()
+  }
+
   test("incrementalMinhashNew: history near-dups dropped; fresh, within-incoming " +
       "near-dups, and too-short docs all survive") {
     import spark.implicits._
