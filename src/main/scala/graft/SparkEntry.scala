@@ -1786,6 +1786,42 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    "q115_stream_index_maint" -> ((s, dir) => {
+      // CONTINUOUS index MAINTENANCE (VecsStream.maintainIndex) — both
+      // reference mutation boxes on one stream: (op, vec_id, embedding)
+      // rows arrive as 3 files replayed one per micro-batch; adds
+      // (vec_id % 5 ≥ 3) encode against the frozen model and append
+      // into the layout, dels (vec_id % 7 = 3 — hitting BOTH initial
+      // and streamed-in rows, in arbitrary batch order) append to the
+      // id-only tombstone log. Tombstones are terminal until
+      // compaction, so the final logical set is (initial ∪ adds) ∖ dels
+      // regardless of interleaving. loadMaintained anti-joins the log;
+      // full probe + full rerank over the live rows must equal brute
+      // force over vec_id % 7 ≠ 3 — q91's oracle through the streamed
+      // maintenance path (surviving tombstoned row, dropped add, or
+      // resurrected delete all flip the row set).
+      val emb = T(s, dir, "embeddings")
+      val tmp = graft.TempDirs.create("graft_q115_")
+      val initial = emb.filter(col("vec_id") % 5 < 3)
+      val (model, index0) = RabitqIndex.build(s, initial, NumClusters, Seed)
+      RabitqIndex.save(s, model, index0, s"$tmp/idx")
+      emb.filter(col("vec_id") % 5 >= 3)
+        .select(lit("add").as("op"), col("vec_id"), col("embedding"))
+        .unionByName(emb.filter(col("vec_id") % 7 === 3)
+          .select(lit("del").as("op"), col("vec_id"),
+            lit(null).cast("array<float>").as("embedding")))
+        .repartition(3).write.parquet(s"$tmp/in")
+      graft.streaming.VecsStream.maintainIndex(s, s"$tmp/in", s"$tmp/idx",
+        s"$tmp/ckpt", model,
+        s"index_maint_stream_${streamCounter.incrementAndGet()}",
+        maxFilesPerTrigger = Some(1))
+      val (m2, live) = graft.streaming.VecsStream.loadMaintained(s, s"$tmp/idx")
+      val baseFinal = emb.filter(col("vec_id") % 7 =!= 3)
+      RabitqQuery.topK(s, m2, live, baseFinal, annQueries(s, dir),
+        nprobe = NumClusters, topk = 10, rerank = fullRerank(s, dir))
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "q109_dsir_resample" -> ((s, dir) => {
       // DSIR importance resampling (Xie et al. 2023): weight every
       // non-English doc by how target-like (lang='en') its hashed-ngram
@@ -2382,6 +2418,15 @@ object SparkEntry {
       "q112_stream_ingest" -> streamIngestOracle,
       "q113_stream_index" -> knnSql,
       "q114_stream_ingest_index" -> streamIngestIndexOracle,
+      // q115 reuses q91's oracle verbatim: the final logical set after
+      // streamed adds + tombstoned deletes is exactly vec_id % 7 ≠ 3
+      "q115_stream_index_maint" ->
+        """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 10),
+          |b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS be FROM embeddings WHERE vec_id % 7 <> 3),
+          |d AS (SELECT q.query_id, b.vec_id AS neighbor_id,
+          |        row_number() OVER (PARTITION BY q.query_id ORDER BY list_distance(q.qe, b.be), b.vec_id) AS rank
+          |      FROM q CROSS JOIN b)
+          |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM d WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
       "q108_quality_model" -> qualityModelOracle,
       "q109_dsir_resample" -> dsirOracle,
       // q110: word counts → char split → weighted adjacent pairs, the

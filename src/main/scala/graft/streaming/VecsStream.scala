@@ -122,4 +122,86 @@ object VecsStream {
       .start()
     q.awaitTermination()
   }
+
+  val opsSchema: StructType = StructType(Seq(
+    StructField("op", StringType),
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType))))
+
+  /** Continuous index MAINTENANCE — both of the reference's unchecked
+    * mutation boxes (`/root/reference/README.md:18`) on one stream: ops
+    * arrive as (op, vec_id, embedding) rows; per micro-batch, `add`
+    * rows are encoded with the frozen model and appended into the
+    * partitioned layout ([[appendToIndex]]'s sink) and `del` ids are
+    * appended to an id-only TOMBSTONE log (`$idxDir/deletes`) — the
+    * append-log shape every LSM/lakehouse delete takes: nothing
+    * rewrites at ingest time, reads anti-join the tombstones
+    * ([[loadMaintained]]), and a scheduled [[compactIndex]] folds them
+    * in. Contract: tombstones are TERMINAL until compaction (an add of
+    * an already-tombstoned id stays invisible — updates go through the
+    * batch `upsertVectors` path or post-compaction re-add), so the
+    * final logical set is (initial ∪ adds) ∖ dels regardless of how
+    * ops interleave across micro-batches — which is what makes the
+    * q115 gate a deterministic real-rows oracle.
+    */
+  def maintainIndex(spark: SparkSession, path: String, idxDir: String,
+                    ckptDir: String, model: RabitqModel, queryName: String,
+                    maxFilesPerTrigger: Option[Int] = None): Unit = {
+    val f = new java.io.File(path)
+    val (dir, glob) = if (f.isFile) (f.getParent, f.getName) else (path, "*")
+    val reader0 = spark.readStream
+      .schema(opsSchema)
+      .option("pathGlobFilter", glob)
+    val reader = maxFilesPerTrigger.fold(reader0)(m =>
+      reader0.option("maxFilesPerTrigger", m.toString).option("latestFirst", "false"))
+    val q = reader.parquet(dir)
+      .writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        RabitqIndex.appendVectors(spark, model, batch.filter(col("op") === "add"))
+          .write.mode("append").partitionBy("cluster_id")
+          .parquet(s"$idxDir/index")
+        batch.filter(col("op") === "del").select("vec_id")
+          .write.mode("append").parquet(s"$idxDir/deletes")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Read side of [[maintainIndex]]: the saved index with tombstones
+    * anti-joined out — an id-only join against the (delete-volume-
+    * sized) log, broadcast at any realistic delete rate.
+    */
+  def loadMaintained(spark: SparkSession, idxDir: String): (RabitqModel, DataFrame) = {
+    val (model, index) = RabitqIndex.load(spark, idxDir)
+    val delDir = new java.io.File(s"$idxDir/deletes")
+    val live =
+      if (delDir.exists)
+        index.join(spark.read.parquet(delDir.toString).select("vec_id"),
+          Seq("vec_id"), "left_anti")
+      else index
+    (model, live)
+  }
+
+  /** Scheduled compaction for [[maintainIndex]]: fold the tombstone log
+    * into the layout (rewrite minus tombstoned rows, clear the log).
+    * The rewrite is materialized BEFORE the old directory is replaced;
+    * a production deployment writes a new versioned directory and swaps
+    * a manifest instead (the /reload snapshot pattern) so readers never
+    * observe a partial layout — at spec/gate scale the in-place swap is
+    * the same observable state.
+    */
+  def compactIndex(spark: SparkSession, idxDir: String): Unit = {
+    val delDir = new java.io.File(s"$idxDir/deletes")
+    if (!delDir.exists) return
+    val (_, live) = loadMaintained(spark, idxDir)
+    val compacted = live.localCheckpoint(true)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$idxDir/index"))
+    compacted.write.mode("overwrite").partitionBy("cluster_id")
+      .parquet(s"$idxDir/index")
+    org.apache.commons.io.FileUtils.deleteDirectory(delDir)
+  }
 }

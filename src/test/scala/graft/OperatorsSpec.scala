@@ -1536,6 +1536,52 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ExactKnn.recall(res, truth, 10).head().getDouble(0) == 1.0)
   }
 
+  test("VecsStream.maintainIndex: streamed adds + tombstoned deletes, del-before-add " +
+      "terminal, compaction folds the log without changing the live set") {
+    import org.apache.spark.sql.functions.lit
+    val initial = emb.filter(col("vec_id") < 200)
+    val adds = emb.filter(col("vec_id") >= 200 && col("vec_id") < 260)
+    val delIds = Seq(5L, 210L, 255L) // one initial row, two streamed-in rows
+    val (model, index0) = RabitqIndex.build(spark, initial, numClusters = 4, seed = 11L)
+    val idxDir = java.nio.file.Files.createTempDirectory("maint_idx").toString
+    RabitqIndex.save(spark, model, index0, idxDir)
+    val srcDir = java.nio.file.Files.createTempDirectory("maint_ops").toString
+    // file 0: the deletes (earliest mtime ⇒ FIRST micro-batch — the
+    // del-before-add order for 210/255, which tombstone-wins makes
+    // equivalent to any other order); files 1-2: the adds
+    import spark.implicits._
+    delIds.toDF("vec_id")
+      .select(lit("del").as("op"), col("vec_id"),
+        lit(null).cast("array<float>").as("embedding"))
+      .coalesce(1).write.parquet(s"$srcDir/in")
+    Thread.sleep(1100)
+    adds.select(lit("add").as("op"), col("vec_id"), col("embedding"))
+      .repartition(2).write.mode("append").parquet(s"$srcDir/in")
+    graft.streaming.VecsStream.maintainIndex(spark, s"$srcDir/in", idxDir,
+      s"$srcDir/ckpt", model, "maint_spec", maxFilesPerTrigger = Some(1))
+    val expected = ((0L until 200L) ++ (200L until 260L)).toSet -- delIds
+    val (m2, live) = graft.streaming.VecsStream.loadMaintained(spark, idxDir)
+    assert(live.select("vec_id").collect().map(_.getLong(0)).toSet == expected,
+      "live set after stream must be (initial ∪ adds) ∖ dels")
+    // exactness through the maintained index: full probe + full rerank
+    val baseFinal = emb.filter(col("vec_id") < 260 && !col("vec_id").isin(delIds: _*))
+    val qs = ExactKnn.queriesFromEmbeddings(emb, 5)
+    val truth = ExactKnn.l2TopK(baseFinal, qs, 10)
+    val res = RabitqQuery.topK(spark, m2, live, baseFinal, qs, 4, 10, 4096)
+    assert(ExactKnn.recall(res, truth, 10).head().getDouble(0) == 1.0)
+    // materialize before compaction: res's plan reads the tombstone
+    // files compaction is about to fold in and delete
+    val resRows = res.collect().map(_.toSeq).toSet
+    // compaction folds the tombstones in and clears the log; the live
+    // set and search results are unchanged
+    graft.streaming.VecsStream.compactIndex(spark, idxDir)
+    assert(!new java.io.File(s"$idxDir/deletes").exists, "log must be cleared")
+    val (m3, live2) = graft.streaming.VecsStream.loadMaintained(spark, idxDir)
+    assert(live2.select("vec_id").collect().map(_.getLong(0)).toSet == expected)
+    val res2 = RabitqQuery.topK(spark, m3, live2, baseFinal, qs, 4, 10, 4096)
+    assert(res2.collect().map(_.toSeq).toSet == resRows)
+  }
+
   test("driver contract: SparkEntry.entry returns rows at sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
