@@ -1822,6 +1822,39 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    "q116_index_rebalance" -> ((s, dir) => {
+      // SCHEDULED REBALANCE (RabitqIndex.rebalanceIndex) — the lifecycle
+      // step after continuous appends skew cluster sizes: bootstrap the
+      // model on the embedding[0] < 0 halfspace only, append the other
+      // half through the frozen model (it piles into the boundary
+      // clusters — guaranteed oversize), then rebalance. Rebalance is a
+      // pure layout op — only oversized clusters are re-fit (one task
+      // each), their members re-encoded, their partition dirs rewritten —
+      // so full probe + full rerank over the reloaded index must STILL
+      // equal brute-force kNN over all vectors (q23's oracle); a vector
+      // lost, duplicated, or re-encoded against the wrong centroid flips
+      // the row set. The require() makes a silently-no-op rebalance fail
+      // the gate rather than pass it vacuously.
+      val emb = T(s, dir, "embeddings")
+      val tmp = graft.TempDirs.create("graft_q116_")
+      val (model, index0) = RabitqIndex.build(s,
+        emb.filter(element_at(col("embedding"), 1) < 0f), NumClusters, Seed)
+      RabitqIndex.save(s, model, index0, s"$tmp/idx")
+      RabitqIndex.appendVectors(s, model,
+          emb.filter(element_at(col("embedding"), 1) >= 0f))
+        .write.mode("append").partitionBy("cluster_id").parquet(s"$tmp/idx/index")
+      val report = RabitqIndex.rebalanceIndex(s, s"$tmp/idx", emb,
+        maxSizeFactor = 1.4)
+      require(report.split.nonEmpty,
+        s"rebalance gate is vacuous: no cluster exceeded 1.4x mean ($report)")
+      require(report.maxSizeAfter < report.maxSizeBefore,
+        s"rebalance did not reduce the max cluster size ($report)")
+      val (m2, idx2) = RabitqIndex.load(s, s"$tmp/idx")
+      RabitqQuery.topK(s, m2, idx2, emb, annQueries(s, dir),
+        nprobe = m2.params.numClusters, topk = 10, rerank = fullRerank(s, dir))
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "q109_dsir_resample" -> ((s, dir) => {
       // DSIR importance resampling (Xie et al. 2023): weight every
       // non-English doc by how target-like (lang='en') its hashed-ngram
@@ -2427,6 +2460,9 @@ object SparkEntry {
           |        row_number() OVER (PARTITION BY q.query_id ORDER BY list_distance(q.qe, b.be), b.vec_id) AS rank
           |      FROM q CROSS JOIN b)
           |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM d WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+      // q116: rebalance is a pure layout op over the full vector set, so
+      // the oracle is q23's exact kNN verbatim
+      "q116_index_rebalance" -> knnSql,
       "q108_quality_model" -> qualityModelOracle,
       "q109_dsir_resample" -> dsirOracle,
       // q110: word counts → char split → weighted adjacent pairs, the

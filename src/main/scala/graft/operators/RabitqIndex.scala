@@ -419,6 +419,158 @@ object RabitqIndex {
       s"$dir/offsets_ids.ivecs")
   }
 
+  /** What [[rebalanceIndex]] did: which clusters split into how many,
+    * how many rows were re-encoded, and the before/after shape of the
+    * size distribution. `movedRows` over the corpus size is the IO
+    * fraction — the number that must stay ∝ skew, not ∝ corpus.
+    */
+  case class RebalanceReport(
+      numClustersBefore: Int, numClustersAfter: Int,
+      split: Map[Int, Int], movedRows: Long,
+      maxSizeBefore: Long, maxSizeAfter: Long)
+
+  /** Scheduled IVF REBALANCE — the lifecycle step after continuous
+    * appends ([[appendVectors]], `VecsStream.appendToIndex/maintainIndex`)
+    * skew the cluster-size distribution. Probe-bounded search cost is
+    * driven by the largest probed clusters, so skew inflates tail
+    * latency AND recall at fixed nprobe degrades (one giant cluster
+    * soaks up the probe budget while holding vectors that belong in
+    * many). The reference never mutates its index (insert/update/delete
+    * unchecked, `/root/reference/README.md:18`) so it never needs this;
+    * every production IVF store does — this is the vector-index analog
+    * of a lakehouse OPTIMIZE/compaction pass.
+    *
+    * Shape (the one that holds at 100 TB): per-cluster sizes are a
+    * numClusters-row aggregate; only clusters with
+    * size > maxSizeFactor × mean are touched. Each oversized cluster is
+    * re-fit with the deterministic local Lloyd in ROTATED space
+    * (orthogonal rotation preserves L2, and the model stores rotated
+    * centroids, so the fit output slots in directly) — ONE task per
+    * cluster ([[buildHierarchical]]'s second-level shape) over a
+    * deterministic hash-capped fit sample. The split cluster's id is
+    * REUSED for its first sub-centroid and the rest append at fresh
+    * ids, so untouched partitions stay bit-valid (their rows reference
+    * unchanged centroid ids). Only the oversized clusters' members are
+    * re-encoded (globally nearest over the grown centroid set — they
+    * may land in untouched clusters, which is an append, not a
+    * rewrite) and only their partition dirs are deleted. IO ∝ oversized
+    * mass, never corpus size. Exactness is untouched by construction:
+    * rebalance is a pure LAYOUT op — every vector remains present
+    * exactly once with a valid (cluster_id, residual) encoding, so
+    * full-probe search still equals brute force (the q116 gate) while
+    * fixed-nprobe recall improves (the smoke's number).
+    *
+    * `base` supplies the raw embeddings for re-encoding (codes are
+    * lossy — same reason rerank reads the base). Respects a
+    * `VecsStream.maintainIndex` tombstone log if present (tombstoned
+    * rows of split clusters are dropped here rather than rewritten;
+    * the log itself is left for the scheduled compaction — the
+    * anti-join is idempotent).
+    */
+  def rebalanceIndex(spark: SparkSession, dir: String, base: DataFrame,
+                     maxSizeFactor: Double = 1.5,
+                     fitSampleCap: Long = 100000L): RebalanceReport = {
+    import spark.implicits._
+    val (model, index) = load(spark, dir)
+    val delDir = new java.io.File(s"$dir/deletes")
+    val live =
+      if (delDir.exists)
+        index.join(spark.read.parquet(delDir.toString).select("vec_id"),
+          Seq("vec_id"), "left_anti")
+      else index
+    val sizes = live.groupBy("cluster_id").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = sizes.values.sum
+    val k0 = model.centroids.length
+    val mean = total.toDouble / k0
+    val maxBefore = if (sizes.isEmpty) 0L else sizes.values.max
+    // splitK per oversized cluster: enough sub-centroids to bring its
+    // expected size back to the mean
+    val splitK = sizes.collect {
+      case (c, n) if n > maxSizeFactor * mean && math.ceil(n / mean) >= 2 =>
+        c -> math.ceil(n / mean).toInt
+    }
+    if (splitK.isEmpty)
+      return RebalanceReport(k0, k0, Map.empty, 0L, maxBefore, maxBefore)
+
+    val splitIds = splitK.keys.toSeq.sorted
+    val members = live.filter(col("cluster_id").isin(splitIds.map(Int.box): _*))
+      .select("vec_id", "cluster_id")
+      .join(base.select("vec_id", "embedding"), Seq("vec_id"))
+
+    // deterministic per-cluster fit sample: rate_c = cap / size_c as a
+    // permille threshold on xxhash64(vec_id) — the buildSampled pattern,
+    // but per cluster (sizes are already on the driver)
+    val rates = splitK.map { case (c, _) =>
+      c -> math.min(1000000L, fitSampleCap * 1000000L / math.max(1L, sizes(c)))
+    }
+    val rateCol = rates.foldLeft(lit(1000000L)) { case (acc, (c, r)) =>
+      when(col("cluster_id") === c, lit(r)).otherwise(acc)
+    }
+    val bRot = spark.sparkContext.broadcast(model.rotation)
+    val bSplitK = spark.sparkContext.broadcast(splitK)
+    // per-cluster Lloyd over the (id-sorted) rotated fit sample — one
+    // task per split cluster, deterministic like buildHierarchical
+    val subCentroids: Map[Int, Array[Array[Float]]] = members
+      .filter(pmod(xxhash64(col("vec_id"), lit(model.params.seed)),
+        lit(1000000L)) < rateCol)
+      .select(col("cluster_id"), col("vec_id"), col("embedding"))
+      .as[(Int, Long, Seq[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (c, it) =>
+        val pts = it.toArray.sortBy(_._2)
+          .map(t => VectorOps.rotate(bRot.value, VectorOps.pad(t._3.toArray, 64)))
+        localLloyd(pts, math.min(bSplitK.value(c), pts.length), iters = 10)
+          .zipWithIndex.map { case (cent, i) => (c, i, cent.toSeq) }
+      }
+      .collect()
+      .groupBy(_._1)
+      .map { case (c, rows) => c -> rows.sortBy(_._2).map(_._3.toArray) }
+
+    // stable ids: split cluster c keeps its id for sub(0); the remaining
+    // sub-centroids append at fresh ids. Untouched centroids unchanged.
+    val grown = scala.collection.mutable.ArrayBuffer(model.centroids: _*)
+    subCentroids.toSeq.sortBy(_._1).foreach { case (c, subs) =>
+      grown(c) = subs(0)
+      grown ++= subs.drop(1)
+    }
+    val centroids2 = grown.toArray
+    val model2 = model.copy(
+      params = model.params.copy(numClusters = centroids2.length),
+      centroids = centroids2)
+
+    // re-encode the members against the grown centroid set; materialize
+    // BEFORE the partition dirs they were read from are deleted
+    val reenc = appendVectors(spark, model2, members).localCheckpoint(true)
+    val movedRows = reenc.count()
+    val reencSizes = reenc.groupBy("cluster_id").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+    splitIds.foreach { c =>
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(s"$dir/index/cluster_id=$c"))
+    }
+    reenc.write.mode("append").partitionBy("cluster_id").parquet(s"$dir/index")
+
+    // model sidecar: centroids + params change, rotation/bias don't.
+    // The model was collected eagerly above, so overwriting the dirs it
+    // was loaded from is safe.
+    centroids2.zipWithIndex.map { case (cen, i) => (i, cen.toSeq) }.toSeq
+      .toDF("cluster_id", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    Seq((model2.params.dim, model2.params.padDim, model2.params.numClusters,
+         model2.params.seed, model2.bias.toSeq))
+      .toDF("dim", "pad_dim", "num_clusters", "seed", "bias").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/params")
+
+    // after-sizes without re-reading the layout: untouched sizes +
+    // re-encoded destinations
+    val after = (sizes -- splitIds) ++
+      reencSizes.map { case (c, n) => c -> ((sizes -- splitIds).getOrElse(c, 0L) + n) }
+    RebalanceReport(k0, centroids2.length, splitK, movedRows,
+      maxBefore, if (after.isEmpty) 0L else after.values.max)
+  }
+
   def load(spark: SparkSession, dir: String): (RabitqModel, DataFrame) = {
     val p = spark.read.parquet(s"$dir/params").head()
     val params = RabitqParams(p.getAs[Int]("dim"), p.getAs[Int]("pad_dim"),

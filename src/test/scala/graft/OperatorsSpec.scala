@@ -1582,6 +1582,74 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(res2.collect().map(_.toSeq).toSet == resRows)
   }
 
+  test("RabitqIndex.rebalanceIndex: splits only oversized clusters, keeps untouched " +
+      "partition files, respects tombstones, search stays exact") {
+    import org.apache.spark.sql.functions.{element_at, lit}
+    import spark.implicits._
+    // skewed by construction: model fit on the embedding[0] < 0 halfspace,
+    // the other half appended through the frozen model piles into the
+    // boundary clusters
+    val (model, index0) = RabitqIndex.build(spark,
+      emb.filter(element_at(col("embedding"), 1) < 0f), numClusters = 8, seed = 11L)
+    val idxDir = java.nio.file.Files.createTempDirectory("rebal_idx").toString
+    RabitqIndex.save(spark, model, index0, idxDir)
+    RabitqIndex.appendVectors(spark, model,
+        emb.filter(element_at(col("embedding"), 1) >= 0f))
+      .write.mode("append").partitionBy("cluster_id").parquet(s"$idxDir/index")
+    // tombstone one row that lives in a cluster the rebalance will split:
+    // pick the most-loaded cluster's first member
+    val sizes = spark.read.parquet(s"$idxDir/index")
+      .groupBy("cluster_id").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(-_._2)
+    val bigCluster = sizes.head._1
+    val tombId = spark.read.parquet(s"$idxDir/index")
+      .filter(col("cluster_id") === bigCluster)
+      .select("vec_id").orderBy("vec_id").head().getLong(0)
+    Seq(tombId).toDF("vec_id").write.parquet(s"$idxDir/deletes")
+    // snapshot the untouched clusters' physical files before the rebalance
+    def parquetFiles(c: Int): Map[String, Long] = {
+      val d = new java.io.File(s"$idxDir/index/cluster_id=$c")
+      if (!d.exists) Map.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val filesBefore: Map[Int, Map[String, Long]] =
+      sizes.map { case (c, _) => c -> parquetFiles(c) }.toMap
+    val report = RabitqIndex.rebalanceIndex(spark, idxDir, emb, maxSizeFactor = 1.4)
+    assert(report.split.nonEmpty, s"skewed build must trigger a split: $report")
+    assert(report.split.contains(bigCluster), s"the biggest cluster must split: $report")
+    assert(report.maxSizeAfter < report.maxSizeBefore, report.toString)
+    assert(report.numClustersAfter ==
+      report.numClustersBefore + report.split.values.map(_ - 1).sum)
+    // moved IO ∝ oversized mass: exactly the split clusters' live members
+    val splitMass = sizes.toMap.view.filterKeys(report.split.contains).values.sum - 1 // tombstoned row dropped
+    assert(report.movedRows == splitMass, s"moved ${report.movedRows}, expected $splitMass")
+    // untouched partitions: pre-existing files still present with
+    // unchanged mtimes (appends of re-assigned members are allowed)
+    sizes.map(_._1).filterNot(report.split.contains).foreach { c =>
+      filesBefore(c).foreach { case (name, mtime) =>
+        val f = new java.io.File(s"$idxDir/index/cluster_id=$c/$name")
+        assert(f.exists && f.lastModified() == mtime,
+          s"untouched cluster $c file $name was rewritten")
+      }
+    }
+    // tombstoned member of a split cluster is dropped by the rewrite —
+    // physically absent, not merely masked; the log itself is untouched
+    val (m2, idx2) = RabitqIndex.load(spark, idxDir)
+    assert(m2.params.numClusters == report.numClustersAfter)
+    assert(idx2.filter(col("vec_id") === tombId).count() == 0,
+      "tombstoned member of a split cluster must not survive the rewrite")
+    assert(new java.io.File(s"$idxDir/deletes").exists, "log is compaction's job")
+    assert(idx2.count() == emb.count() - 1)
+    // exactness through the rebalanced index: full probe + full rerank
+    val baseFinal = emb.filter(col("vec_id") =!= tombId)
+    val qs = ExactKnn.queriesFromEmbeddings(emb, 5)
+    val truth = ExactKnn.l2TopK(baseFinal, qs, 10)
+    val res = RabitqQuery.topK(spark, m2, idx2, baseFinal, qs,
+      m2.params.numClusters, 10, 4096)
+    assert(ExactKnn.recall(res, truth, 10).head().getDouble(0) == 1.0)
+  }
+
   test("driver contract: SparkEntry.entry returns rows at sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
