@@ -179,6 +179,56 @@ object ScaleSmoke {
         s""""query_sec":$autoSec,"qps":${nQueries / autoSec}}}}""")
       fTruth.unpersist(); fBase.unpersist()
     }
+    // opt-in REBALANCE stage ("rebalance" arg): the q116 property at
+    // generated scale. Bootstrap the model on HALF the generator modes
+    // only, append the other half through the frozen model — the appends
+    // pile into the boundary clusters, the skew every continuously-fed
+    // IVF index accumulates. Then RabitqIndex.rebalanceIndex. Numbers
+    // that matter: moved_frac (rewrite IO must be ∝ skew, not corpus),
+    // rebalance_sec, and recall at the SAME nprobe before vs after —
+    // fixed probe budget over more, smaller clusters, so the gain has to
+    // beat the smaller-probed-fraction headwind (the honest comparison).
+    if (args.contains("rebalance") && truthOpt.isDefined) {
+      val truth = truthOpt.get
+      val tmp = TempDirs.create("graft_rebal_smoke_")
+      val boot = base.filter(col("vec_id") % 100L < 50L)
+      val t6 = System.nanoTime()
+      val (bModel, bIndex) =
+        if (n / 2 > 500000L) RabitqIndex.buildSampled(spark, boot, k, sampleN = 200000L, seed = 42L)
+        else RabitqIndex.build(spark, boot, k, seed = 42L)
+      RabitqIndex.save(spark, bModel, bIndex, s"$tmp/idx")
+      RabitqIndex.appendVectors(spark, bModel,
+          base.filter(col("vec_id") % 100L >= 50L))
+        .write.mode("append").partitionBy("cluster_id").parquet(s"$tmp/idx/index")
+      val setupSec = (System.nanoTime() - t6) / 1e9
+      def recallAt(m: RabitqModel, idx: org.apache.spark.sql.DataFrame): (Double, Double) = {
+        val p = idx.persist()
+        p.count()
+        val t = System.nanoTime()
+        val r = RabitqQuery.topK(spark, m, p, base, queries, nprobe, 10, rerank)
+        r.count()
+        val sec = (System.nanoTime() - t) / 1e9
+        val rec = ExactKnn.recall(r, truth, 10).head().getDouble(0)
+        p.unpersist()
+        (rec, sec)
+      }
+      val (m0, idx0) = RabitqIndex.load(spark, s"$tmp/idx")
+      val (recBefore, secBefore) = recallAt(m0, idx0)
+      val t7 = System.nanoTime()
+      val report = RabitqIndex.rebalanceIndex(spark, s"$tmp/idx", base,
+        maxSizeFactor = 1.5)
+      val rebalSec = (System.nanoTime() - t7) / 1e9
+      val (m1, idx1) = RabitqIndex.load(spark, s"$tmp/idx")
+      val (recAfter, secAfter) = recallAt(m1, idx1)
+      println(s"""{"scale_smoke_rebalance":{"n":$n,"k":$k,"nprobe":$nprobe,""" +
+        s""""setup_sec":$setupSec,"clusters_split":${report.split.size},""" +
+        s""""k_before":${report.numClustersBefore},"k_after":${report.numClustersAfter},""" +
+        s""""moved_rows":${report.movedRows},"moved_frac":${report.movedRows.toDouble / n},""" +
+        s""""max_size_before":${report.maxSizeBefore},"max_size_after":${report.maxSizeAfter},""" +
+        s""""rebalance_sec":$rebalSec,""" +
+        s""""recall_at_10_before":$recBefore,"recall_at_10_after":$recAfter,""" +
+        s""""query_sec_before":$secBefore,"query_sec_after":$secAfter}}""")
+    }
     spark.stop()
   }
 }
