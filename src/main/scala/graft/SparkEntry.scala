@@ -1855,6 +1855,57 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    "q117_index_lifecycle" -> ((s, dir) => {
+      // THE FULL CONTINUOUS-INDEX LIFECYCLE in one gate: bootstrap on
+      // the embedding[0] < 0 halfspace → maintenance stream 1 (adds:
+      // upper halfspace evens; dels: vec_id % 11 = 4, id-only
+      // tombstones) → SCHEDULED REBALANCE (the appends piled into the
+      // boundary clusters; require() a real split) → writers RELOAD the
+      // model (rebalance invalidates frozen models — split ids are
+      // re-used with new centroids, the q116 contract) → maintenance
+      // stream 2 with the reloaded model (adds: upper halfspace odds;
+      // dels: vec_id % 13 = 6) → loadMaintained. Tombstones are
+      // terminal and never compacted here, so the final logical set is
+      // simply ALL ∖ dels regardless of phase interleaving; full probe
+      // + full rerank must equal brute force over vec_id % 11 ≠ 4 ∧
+      // % 13 ≠ 6 — a stale-model encode, a lost tombstone across the
+      // rebalance, or a resurrected delete all flip the row set.
+      val emb = T(s, dir, "embeddings")
+      val tmp = graft.TempDirs.create("graft_q117_")
+      val upper = element_at(col("embedding"), 1) >= 0f
+      val (model, index0) = RabitqIndex.build(s,
+        emb.filter(element_at(col("embedding"), 1) < 0f), NumClusters, Seed)
+      RabitqIndex.save(s, model, index0, s"$tmp/idx")
+      def opsFile(adds: DataFrame, delPred: Column, path: String): Unit =
+        adds.select(lit("add").as("op"), col("vec_id"), col("embedding"))
+          .unionByName(emb.filter(delPred)
+            .select(lit("del").as("op"), col("vec_id"),
+              lit(null).cast("array<float>").as("embedding")))
+          .repartition(2).write.parquet(path)
+      opsFile(emb.filter(upper && col("vec_id") % 2 === 0),
+        col("vec_id") % 11 === 4, s"$tmp/in1")
+      graft.streaming.VecsStream.maintainIndex(s, s"$tmp/in1", s"$tmp/idx",
+        s"$tmp/ckpt1", model,
+        s"lifecycle_p1_${streamCounter.incrementAndGet()}",
+        maxFilesPerTrigger = Some(1))
+      val report = RabitqIndex.rebalanceIndex(s, s"$tmp/idx", emb,
+        maxSizeFactor = 1.4)
+      require(report.split.nonEmpty,
+        s"lifecycle gate is vacuous: rebalance was a no-op ($report)")
+      val (m2, _) = RabitqIndex.load(s, s"$tmp/idx")
+      opsFile(emb.filter(upper && col("vec_id") % 2 === 1),
+        col("vec_id") % 13 === 6, s"$tmp/in2")
+      graft.streaming.VecsStream.maintainIndex(s, s"$tmp/in2", s"$tmp/idx",
+        s"$tmp/ckpt2", m2,
+        s"lifecycle_p2_${streamCounter.incrementAndGet()}",
+        maxFilesPerTrigger = Some(1))
+      val (m3, live) = graft.streaming.VecsStream.loadMaintained(s, s"$tmp/idx")
+      val baseFinal = emb.filter(col("vec_id") % 11 =!= 4 && col("vec_id") % 13 =!= 6)
+      RabitqQuery.topK(s, m3, live, baseFinal, annQueries(s, dir),
+        nprobe = m3.params.numClusters, topk = 10, rerank = fullRerank(s, dir))
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "q109_dsir_resample" -> ((s, dir) => {
       // DSIR importance resampling (Xie et al. 2023): weight every
       // non-English doc by how target-like (lang='en') its hashed-ngram
@@ -2463,6 +2514,16 @@ object SparkEntry {
       // q116: rebalance is a pure layout op over the full vector set, so
       // the oracle is q23's exact kNN verbatim
       "q116_index_rebalance" -> knnSql,
+      // q117: initial ∪ both phases' adds = ALL vectors, tombstones are
+      // terminal and uncompacted, so the final logical set is simply
+      // ALL ∖ (vec_id % 11 = 4) ∖ (vec_id % 13 = 6)
+      "q117_index_lifecycle" ->
+        """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 10),
+          |b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS be FROM embeddings WHERE vec_id % 11 <> 4 AND vec_id % 13 <> 6),
+          |d AS (SELECT q.query_id, b.vec_id AS neighbor_id,
+          |        row_number() OVER (PARTITION BY q.query_id ORDER BY list_distance(q.qe, b.be), b.vec_id) AS rank
+          |      FROM q CROSS JOIN b)
+          |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM d WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
       "q108_quality_model" -> qualityModelOracle,
       "q109_dsir_resample" -> dsirOracle,
       // q110: word counts → char split → weighted adjacent pairs, the

@@ -466,6 +466,13 @@ object RabitqIndex {
     * rows of split clusters are dropped here rather than rewritten;
     * the log itself is left for the scheduled compaction — the
     * anti-join is idempotent).
+    *
+    * CONTRACT for writers: a rebalance INVALIDATES frozen models —
+    * split-cluster ids are re-used with NEW centroids, so a stale
+    * [[appendVectors]] caller would encode residuals against a
+    * centroid the layout no longer has. Run rebalance between ingest
+    * windows and have writers re-[[load]] the model after (the q117
+    * lifecycle gate drives exactly this sequence).
     */
   def rebalanceIndex(spark: SparkSession, dir: String, base: DataFrame,
                      maxSizeFactor: Double = 1.5,
