@@ -1906,6 +1906,41 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    "q118_rebalance_labeled" -> ((s, dir) => {
+      // REBALANCE × FILTERED SEARCH composition: metadata columns riding
+      // in the layout must survive the rebalance rewrite. Rewritten rows
+      // are re-encoded from the base, so a rewrite that forgot the carry
+      // would null the label on exactly the oversized clusters — filtered
+      // search would then silently drop those rows while untouched
+      // partitions keep answering (parquet merges the mixed schemas
+      // without complaint, which is what makes this failure silent).
+      // Gate: q116's skew construction with the label riding throughout,
+      // rebalance (require a real split), then FULL-probe filtered search
+      // from the rebalanced disk layout ≡ brute force over the label
+      // predicate (q97's oracle) — a nulled or corrupted label flips the
+      // row set.
+      val emb = T(s, dir, "embeddings")
+      val labels = emb.select(col("vec_id"), col("label"))
+      val tmp = graft.TempDirs.create("graft_q118_")
+      val lower = element_at(col("embedding"), 1) < 0f
+      val (model, index0) = RabitqIndex.build(s, emb.filter(lower),
+        NumClusters, Seed)
+      RabitqIndex.save(s, model, index0.join(labels, Seq("vec_id")),
+        s"$tmp/idx")
+      RabitqIndex.appendVectors(s, model, emb.filter(!lower))
+        .join(labels, Seq("vec_id"))
+        .write.mode("append").partitionBy("cluster_id").parquet(s"$tmp/idx/index")
+      val report = RabitqIndex.rebalanceIndex(s, s"$tmp/idx", emb,
+        maxSizeFactor = 1.4)
+      require(report.split.nonEmpty,
+        s"labeled-rebalance gate is vacuous: rebalance was a no-op ($report)")
+      val pred = col("label") % 4 === 1
+      RabitqQuery.filteredTopKFromDisk(s, s"$tmp/idx", emb.filter(pred),
+        annQueries(s, dir), pred, nprobe = report.numClustersAfter,
+        topk = 10, rerank = fullRerank(s, dir), selectivity = Some(1.0))
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "q109_dsir_resample" -> ((s, dir) => {
       // DSIR importance resampling (Xie et al. 2023): weight every
       // non-English doc by how target-like (lang='en') its hashed-ngram
@@ -2520,6 +2555,16 @@ object SparkEntry {
       "q117_index_lifecycle" ->
         """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 10),
           |b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS be FROM embeddings WHERE vec_id % 11 <> 4 AND vec_id % 13 <> 6),
+          |d AS (SELECT q.query_id, b.vec_id AS neighbor_id,
+          |        row_number() OVER (PARTITION BY q.query_id ORDER BY list_distance(q.qe, b.be), b.vec_id) AS rank
+          |      FROM q CROSS JOIN b)
+          |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM d WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+      // q118: rebalance is layout-pure and must preserve the riding label,
+      // so filtered full-probe search from the rebalanced layout is q97's
+      // filtered brute force verbatim
+      "q118_rebalance_labeled" ->
+        """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 10),
+          |b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS be FROM embeddings WHERE label % 4 = 1),
           |d AS (SELECT q.query_id, b.vec_id AS neighbor_id,
           |        row_number() OVER (PARTITION BY q.query_id ORDER BY list_distance(q.qe, b.be), b.vec_id) AS rank
           |      FROM q CROSS JOIN b)

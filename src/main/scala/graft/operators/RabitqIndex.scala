@@ -251,6 +251,15 @@ object RabitqIndex {
     * parquet — no re-clustering, no touch of existing rows. Recall decays
     * only as the new data drifts from the frozen centroids; re-cluster on
     * a schedule, not per batch.
+    *
+    * CONTRACT: emits exactly the index schema (vec_id, cluster_id, code,
+    * factors) — metadata columns the caller wants riding in the layout
+    * (the filtered tier's label) are the CALLER's join before the write,
+    * like the labeled gates do. Ops that REWRITE existing rows are
+    * different: they must preserve whatever already rides in the layout
+    * themselves ([[rebalanceIndex]] carries extras across its rewrite;
+    * `VecsStream.compactIndex` rewrites the full live frame so extras
+    * ride for free).
     */
   def appendVectors(spark: SparkSession, model: RabitqModel, newVecs: DataFrame): DataFrame = {
     // raw-space centroids are not persisted in the model (rotated ones
@@ -465,7 +474,11 @@ object RabitqIndex {
     * `VecsStream.maintainIndex` tombstone log if present (tombstoned
     * rows of split clusters are dropped here rather than rewritten;
     * the log itself is left for the scheduled compaction — the
-    * anti-join is idempotent).
+    * anti-join is idempotent). Metadata columns riding in the layout
+    * beyond the index schema (the filtered-search tier's `label`,
+    * `RabitqQuery.filteredTopKFromDisk`) are preserved through the
+    * rewrite — carried by an id join over the split members only, so
+    * IO stays ∝ skew (the q118 gate).
     *
     * CONTRACT for writers: a rebalance INVALIDATES frozen models —
     * split-cluster ids are re-used with NEW centroids, so a stale
@@ -546,9 +559,27 @@ object RabitqIndex {
       params = model.params.copy(numClusters = centroids2.length),
       centroids = centroids2)
 
-    // re-encode the members against the grown centroid set; materialize
-    // BEFORE the partition dirs they were read from are deleted
-    val reenc = appendVectors(spark, model2, members).localCheckpoint(true)
+    // re-encode the members against the grown centroid set. Metadata
+    // columns riding in the layout beyond the index schema (e.g. the
+    // label the filtered-search tier reads from PushedFilters) must be
+    // carried through the rewrite — appendVectors emits only the index
+    // schema, so without this join the rewrite would null them on
+    // exactly the oversized clusters while untouched partitions keep
+    // answering. Joined over the split members only (IO stays ∝ skew).
+    // Materialize BEFORE the partition dirs they were read from are
+    // deleted.
+    val indexSchemaCols =
+      Set("vec_id", "cluster_id", "code", "factor_ip", "factor_ppc",
+        "error_bound", "cds")
+    val extraCols = live.columns.filterNot(indexSchemaCols.contains)
+    val reencRaw = appendVectors(spark, model2, members)
+    val reencWide =
+      if (extraCols.isEmpty) reencRaw
+      else reencRaw.join(
+        live.filter(col("cluster_id").isin(splitIds.map(Int.box): _*))
+          .select("vec_id", extraCols.toIndexedSeq: _*),
+        Seq("vec_id"))
+    val reenc = reencWide.localCheckpoint(true)
     val movedRows = reenc.count()
     val reencSizes = reenc.groupBy("cluster_id").count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap

@@ -1592,9 +1592,14 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (model, index0) = RabitqIndex.build(spark,
       emb.filter(element_at(col("embedding"), 1) < 0f), numClusters = 8, seed = 11L)
     val idxDir = java.nio.file.Files.createTempDirectory("rebal_idx").toString
-    RabitqIndex.save(spark, model, index0, idxDir)
+    // the label rides in the layout (the filtered-search tier's shape):
+    // the rewrite must carry it — appendVectors alone would null it on
+    // exactly the split clusters
+    val labels = emb.select(col("vec_id"), col("label"))
+    RabitqIndex.save(spark, model, index0.join(labels, Seq("vec_id")), idxDir)
     RabitqIndex.appendVectors(spark, model,
         emb.filter(element_at(col("embedding"), 1) >= 0f))
+      .join(labels, Seq("vec_id"))
       .write.mode("append").partitionBy("cluster_id").parquet(s"$idxDir/index")
     // tombstone one row that lives in a cluster the rebalance will split:
     // pick the most-loaded cluster's first member
@@ -1641,6 +1646,15 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "tombstoned member of a split cluster must not survive the rewrite")
     assert(new java.io.File(s"$idxDir/deletes").exists, "log is compaction's job")
     assert(idx2.count() == emb.count() - 1)
+    // metadata preservation: every surviving row still carries its label,
+    // and the values match the base mapping exactly (rewritten rows
+    // included — a dropped carry would null them on the split clusters)
+    assert(idx2.filter(col("label").isNull).count() == 0,
+      "rebalance nulled metadata on rewritten rows")
+    assert(idx2.select("vec_id", "label")
+      .join(labels.withColumnRenamed("label", "expected"), Seq("vec_id"))
+      .filter(col("label") =!= col("expected")).count() == 0,
+      "rebalance corrupted a metadata value")
     // exactness through the rebalanced index: full probe + full rerank
     val baseFinal = emb.filter(col("vec_id") =!= tombId)
     val qs = ExactKnn.queriesFromEmbeddings(emb, 5)
