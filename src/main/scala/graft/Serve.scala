@@ -73,9 +73,13 @@ object Serve {
             indexDir: Option[String] = None): HttpServer = {
     val base = spark.read.parquet(s"$sfDir/embeddings.parquet").persist()
     // load a persisted index when given one (the reference service's cold
-    // start: model from disk, no training); otherwise train in-process
+    // start: model from disk, no training); otherwise train in-process.
+    // loadLive, not load: a maintained layout (VecsStream.maintainIndex)
+    // carries an uncompacted tombstone log, and serving the raw layout
+    // would RESURRECT deleted vectors — the anti-join is a no-op when no
+    // log exists
     val (model, index0) = indexDir match {
-      case Some(dir) => RabitqIndex.load(spark, dir)
+      case Some(dir) => RabitqIndex.loadLive(spark, dir)
       case None =>
         // √n clusters (IVF rule of thumb, clamped): a fixed small k makes
         // every query rough-scan n·nprobe/k candidates — at 200k vectors
@@ -187,7 +191,8 @@ object Serve {
           .getOrElse(throw new IllegalArgumentException("missing 'index_dir'"))
         val basePath = parseString(body, "base")
           .getOrElse(s"$sfDir/embeddings.parquet")
-        val (m2, i2raw) = RabitqIndex.load(spark, idxDir)
+        // loadLive: respect an uncompacted tombstone log (see start)
+        val (m2, i2raw) = RabitqIndex.loadLive(spark, idxDir)
         // validate BEFORE persisting: an empty base is the same fatal
         // state start() rejects — a 200 here would silently serve nothing
         val b2raw = spark.read.parquet(basePath)

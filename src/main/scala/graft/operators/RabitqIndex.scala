@@ -622,4 +622,25 @@ object RabitqIndex {
       .map(r => r.getAs[Seq[Float]]("centroid").toArray)
     (RabitqModel(params, rotation, centroids, bias), spark.read.parquet(s"$dir/index"))
   }
+
+  /** [[load]] with the maintained-layout READ CONTRACT applied: if the
+    * dir carries an uncompacted `VecsStream.maintainIndex` tombstone log,
+    * anti-join it out (id-only — broadcast at any realistic delete rate);
+    * a no-op, plan-identical to [[load]], when no log exists. Every
+    * consumer that ANSWERS QUERIES from a saved layout must read through
+    * this (the disk query paths, the serving tier) — raw [[load]] is for
+    * layout-level ops that handle the log themselves ([[rebalanceIndex]],
+    * `VecsStream.compactIndex`) and for gates that assert physical
+    * layout state.
+    */
+  def loadLive(spark: SparkSession, dir: String): (RabitqModel, DataFrame) = {
+    val (model, index) = load(spark, dir)
+    val delDir = new java.io.File(s"$dir/deletes")
+    val live =
+      if (delDir.exists)
+        index.join(spark.read.parquet(delDir.toString).select("vec_id"),
+          Seq("vec_id"), "left_anti")
+      else index
+    (model, live)
+  }
 }

@@ -270,7 +270,9 @@ object RabitqQuery {
                            queries: DataFrame, pred: org.apache.spark.sql.Column,
                            nprobe: Int, topk: Int, rerank: Int,
                            selectivity: Option[Double] = None): DataFrame = {
-    val (model, index) = RabitqIndex.load(spark, dir)
+    // loadLive: respect an uncompacted maintainIndex tombstone log —
+    // plan-identical to a raw load when no log exists
+    val (model, index) = RabitqIndex.loadLive(spark, dir)
     val widened = widenedProbe(model.params.numClusters, nprobe,
       selectivity.getOrElse(measuredSelectivity(index, pred)))
     val probed = probedClusterIds(model, queries, widened)
@@ -403,7 +405,9 @@ object RabitqQuery {
   def topKFromDisk(spark: SparkSession, dir: String, base: DataFrame,
                    queries: DataFrame, nprobe: Int, topk: Int, rerank: Int,
                    pred: org.apache.spark.sql.Column = lit(true)): DataFrame = {
-    val (model, index) = RabitqIndex.load(spark, dir)
+    // loadLive: respect an uncompacted maintainIndex tombstone log —
+    // plan-identical to a raw load when no log exists
+    val (model, index) = RabitqIndex.loadLive(spark, dir)
     val probed = probedClusterIds(model, queries, nprobe)
     val pruned = index.filter(col("cluster_id").isin(probed: _*)).filter(pred)
     fromProbes(pruned, base, queries, probesDf(spark, model, queries, nprobe), topk, rerank)

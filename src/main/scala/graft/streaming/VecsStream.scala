@@ -175,16 +175,8 @@ object VecsStream {
     * anti-joined out — an id-only join against the (delete-volume-
     * sized) log, broadcast at any realistic delete rate.
     */
-  def loadMaintained(spark: SparkSession, idxDir: String): (RabitqModel, DataFrame) = {
-    val (model, index) = RabitqIndex.load(spark, idxDir)
-    val delDir = new java.io.File(s"$idxDir/deletes")
-    val live =
-      if (delDir.exists)
-        index.join(spark.read.parquet(delDir.toString).select("vec_id"),
-          Seq("vec_id"), "left_anti")
-      else index
-    (model, live)
-  }
+  def loadMaintained(spark: SparkSession, idxDir: String): (RabitqModel, DataFrame) =
+    RabitqIndex.loadLive(spark, idxDir)
 
   /** Scheduled compaction for [[maintainIndex]]: fold the tombstone log
     * into the layout (rewrite minus tombstoned rows, clear the log).

@@ -1189,6 +1189,47 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally server.stop(0)
   }
 
+  test("serving a maintained layout respects the tombstone log on cold start " +
+      "and /reload — deleted vectors never surface") {
+    import spark.implicits._
+    // a maintained dir: saved index + uncompacted deletes log tombstoning
+    // vec 0 — the query IS vec 0's embedding, so serving the raw layout
+    // would return the deleted id at rank 1
+    val dirM = java.nio.file.Files.createTempDirectory("serve_maint").toString
+    val (model, index) = RabitqIndex.build(spark, emb, numClusters = 8, seed = 3L)
+    RabitqIndex.save(spark, model, index, dirM)
+    Seq(0L, 7L).toDF("vec_id").write.parquet(s"$dirM/deletes")
+    val port = {
+      val s = new java.net.ServerSocket(0)
+      try s.getLocalPort finally s.close()
+    }
+    val server = graft.Serve.start(spark, sf, port, Some(dirM))
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      val qvec = emb.filter(col("vec_id") === 0)
+        .select("embedding").head().getSeq[Float](0)
+      def post(path: String, body: String) = client.send(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(s"http://localhost:$port/$path"))
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      val qbody = s"""{"query": ${qvec.mkString("[", ",", "]")}, "top_k": 5, "probe": 8}"""
+      def ids(engine: String = "") =
+        graft.Serve.parseFloatArray(post("query",
+          qbody.dropRight(1) + engine + "}").body(), "ids").map(_.toLong).toSeq
+      // cold start from the maintained dir: both engines exclude tombstones
+      assert(!ids().contains(0L) && !ids().contains(7L), s"hot resurrected: ${ids()}")
+      val sp = ids(""", "engine": "spark"""")
+      assert(!sp.contains(0L) && !sp.contains(7L), s"spark resurrected: $sp")
+      // /reload of the same maintained dir: the reload path must apply the
+      // log too (a raw load here would resurrect vec 0 post-swap)
+      val reload = post("reload", s"""{"index_dir": "$dirM"}""")
+      assert(reload.statusCode() == 200, s"reload failed: ${reload.body()}")
+      val after = ids()
+      assert(!after.contains(0L) && !after.contains(7L), s"reload resurrected: $after")
+      assert(after.nonEmpty)
+    } finally server.stop(0)
+  }
+
   test("HTTP label-filtered queries: hot tier and spark engine agree and equal " +
       "filtered brute force; absent label returns empty") {
     val port = {
@@ -1572,6 +1613,12 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // materialize before compaction: res's plan reads the tombstone
     // files compaction is about to fold in and delete
     val resRows = res.collect().map(_.toSeq).toSet
+    // the DISK query path reads through loadLive, so the uncompacted
+    // tombstone log is respected there too — same rows as the
+    // in-memory maintained read (a raw load would resurrect 5/210/255)
+    val fromDisk = RabitqQuery.topKFromDisk(spark, idxDir, baseFinal, qs, 4, 10, 4096)
+    assert(fromDisk.collect().map(_.toSeq).toSet == resRows,
+      "topKFromDisk must apply the tombstone log")
     // compaction folds the tombstones in and clears the log; the live
     // set and search results are unchanged
     graft.streaming.VecsStream.compactIndex(spark, idxDir)
