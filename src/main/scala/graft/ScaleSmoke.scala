@@ -192,13 +192,19 @@ object ScaleSmoke {
       val truth = truthOpt.get
       val tmp = TempDirs.create("graft_rebal_smoke_")
       val boot = base.filter(col("vec_id") % 100L < 50L)
+      // a metadata label rides in the layout throughout (the filtered-
+      // search shape), so rebalance_sec INCLUDES the extras carry across
+      // the rewrite and label integrity is checked at this scale (q118)
+      val labels = base.select(col("vec_id"),
+        (col("vec_id") % 16L).cast("int").as("label"))
       val t6 = System.nanoTime()
       val (bModel, bIndex) =
         if (n / 2 > 500000L) RabitqIndex.buildSampled(spark, boot, k, sampleN = 200000L, seed = 42L)
         else RabitqIndex.build(spark, boot, k, seed = 42L)
-      RabitqIndex.save(spark, bModel, bIndex, s"$tmp/idx")
+      RabitqIndex.save(spark, bModel, bIndex.join(labels, Seq("vec_id")), s"$tmp/idx")
       RabitqIndex.appendVectors(spark, bModel,
           base.filter(col("vec_id") % 100L >= 50L))
+        .join(labels, Seq("vec_id"))
         .write.mode("append").partitionBy("cluster_id").parquet(s"$tmp/idx/index")
       val setupSec = (System.nanoTime() - t6) / 1e9
       def recallAt(m: RabitqModel, idx: org.apache.spark.sql.DataFrame): (Double, Double) = {
@@ -219,8 +225,14 @@ object ScaleSmoke {
         maxSizeFactor = 1.5)
       val rebalSec = (System.nanoTime() - t7) / 1e9
       val (m1, idx1) = RabitqIndex.load(spark, s"$tmp/idx")
+      // metadata integrity through the rewrite: zero nulls, zero drift
+      val labelNulls = idx1.filter(col("label").isNull).count()
+      val labelMism = idx1.select(col("vec_id"), col("label"))
+        .join(labels.withColumnRenamed("label", "expected"), Seq("vec_id"))
+        .filter(col("label") =!= col("expected")).count()
       val (recAfter, secAfter) = recallAt(m1, idx1)
       println(s"""{"scale_smoke_rebalance":{"n":$n,"k":$k,"nprobe":$nprobe,""" +
+        s""""label_nulls":$labelNulls,"label_mismatches":$labelMism,""" +
         s""""setup_sec":$setupSec,"clusters_split":${report.split.size},""" +
         s""""k_before":${report.numClustersBefore},"k_after":${report.numClustersAfter},""" +
         s""""moved_rows":${report.movedRows},"moved_frac":${report.movedRows.toDouble / n},""" +
