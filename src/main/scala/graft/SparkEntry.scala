@@ -1941,6 +1941,27 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    "q119_index_stats" -> ((s, dir) => {
+      // INDEX OBSERVABILITY (RabitqIndex.describeIndex): the one-row
+      // layout/health report an operator reads to SCHEDULE maintenance —
+      // tombstone debt decides when compaction is worth the rewrite,
+      // skew/oversized decide when rebalance is (describeIndex applies
+      // rebalanceIndex's own split criterion, so report and op can never
+      // disagree). Metadata-cheap at any corpus size: a parquet metadata
+      // count + a numClusters-row aggregate. Gate pins the deterministic
+      // columns against SQL over the construction: full index saved,
+      // vec_id % 9 = 2 tombstoned, describe. The skew/debt/needs_rebalance
+      // semantics are spec-asserted on a constructed-skew layout.
+      val emb = T(s, dir, "embeddings")
+      val (model, index) = annIndex(s, dir)
+      val tmp = graft.TempDirs.create("graft_q119_")
+      RabitqIndex.save(s, model, index, s"$tmp/idx")
+      emb.filter(col("vec_id") % 9 === 2).select("vec_id")
+        .write.parquet(s"$tmp/idx/deletes")
+      RabitqIndex.describeIndex(s, s"$tmp/idx")
+        .select(col("num_clusters"), col("n_rows"), col("n_live"),
+          col("n_tombstones"))
+    }),
     "q109_dsir_resample" -> ((s, dir) => {
       // DSIR importance resampling (Xie et al. 2023): weight every
       // non-English doc by how target-like (lang='en') its hashed-ngram
@@ -2569,6 +2590,13 @@ object SparkEntry {
           |        row_number() OVER (PARTITION BY q.query_id ORDER BY list_distance(q.qe, b.be), b.vec_id) AS rank
           |      FROM q CROSS JOIN b)
           |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM d WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+      // q119: the report's deterministic columns replay as plain counts
+      // over the construction (full index + vec_id % 9 = 2 tombstones)
+      "q119_index_stats" ->
+        s"""SELECT CAST($NumClusters AS INT) AS num_clusters,
+           |  (SELECT count(*) FROM embeddings) AS n_rows,
+           |  (SELECT count(*) FROM embeddings WHERE vec_id % 9 <> 2) AS n_live,
+           |  (SELECT count(*) FROM embeddings WHERE vec_id % 9 = 2) AS n_tombstones""".stripMargin,
       "q108_quality_model" -> qualityModelOracle,
       "q109_dsir_resample" -> dsirOracle,
       // q110: word counts → char split → weighted adjacent pairs, the

@@ -643,4 +643,45 @@ object RabitqIndex {
       else index
     (model, live)
   }
+
+  /** Layout/health statistics for a saved index dir — the one-row report
+    * an operator reads to SCHEDULE the maintenance the lifecycle ops
+    * perform: `tombstone debt` (n_tombstones/n_rows) decides when
+    * `VecsStream.compactIndex` is worth the rewrite, `skew` and
+    * `clusters_oversized` decide when [[rebalanceIndex]] is (the emitted
+    * `needs_rebalance` applies rebalanceIndex's own split criterion at
+    * the same `maxSizeFactor`, so the report and the op can never
+    * disagree). Metadata-cheap at any corpus size: one parquet metadata
+    * count plus a numClusters-row aggregate over the live layout (the
+    * clusterStats pattern — the collected frame is the cluster count,
+    * never the corpus).
+    */
+  def describeIndex(spark: SparkSession, dir: String,
+                    maxSizeFactor: Double = 1.5): DataFrame = {
+    import spark.implicits._
+    val (model, index) = load(spark, dir)
+    val delDir = new java.io.File(s"$dir/deletes")
+    val nRows = index.count()
+    val tomb =
+      if (delDir.exists)
+        Some(spark.read.parquet(delDir.toString).select("vec_id").distinct())
+      else None
+    val nTomb = tomb.map(_.count()).getOrElse(0L)
+    val live = tomb.map(t => index.join(t, Seq("vec_id"), "left_anti"))
+      .getOrElse(index)
+    val sizes = live.groupBy("cluster_id").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+    val nLive = sizes.map(_._2).sum
+    val maxSize = if (sizes.isEmpty) 0L else sizes.map(_._2).max
+    val mean = nLive.toDouble / model.params.numClusters
+    val oversized = sizes.count { case (_, s) =>
+      s > maxSizeFactor * mean && math.ceil(s / mean) >= 2 }
+    Seq((model.params.numClusters, nRows, nLive, nTomb,
+        if (nRows == 0) 0.0 else nTomb.toDouble / nRows,
+        maxSize, mean, if (mean == 0) 0.0 else maxSize / mean,
+        oversized, oversized > 0))
+      .toDF("num_clusters", "n_rows", "n_live", "n_tombstones",
+        "tombstone_debt", "max_cluster_size", "mean_cluster_size",
+        "skew", "clusters_oversized", "needs_rebalance")
+  }
 }

@@ -1667,8 +1667,18 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     val filesBefore: Map[Int, Map[String, Long]] =
       sizes.map { case (c, _) => c -> parquetFiles(c) }.toMap
+    // the health report applies rebalanceIndex's own criterion, so it
+    // must flag this layout before the op runs and report the counts
+    val stats0 = RabitqIndex.describeIndex(spark, idxDir, maxSizeFactor = 1.4).head()
+    assert(stats0.getAs[Boolean]("needs_rebalance"), s"report missed the skew: $stats0")
+    assert(stats0.getAs[Long]("n_rows") == emb.count())
+    assert(stats0.getAs[Long]("n_tombstones") == 1L)
+    assert(stats0.getAs[Long]("n_live") == emb.count() - 1)
+    assert(stats0.getAs[Double]("skew") > 1.4)
     val report = RabitqIndex.rebalanceIndex(spark, idxDir, emb, maxSizeFactor = 1.4)
     assert(report.split.nonEmpty, s"skewed build must trigger a split: $report")
+    assert(stats0.getAs[Int]("clusters_oversized") == report.split.size,
+      "report and op disagree on the oversized set")
     assert(report.split.contains(bigCluster), s"the biggest cluster must split: $report")
     assert(report.maxSizeAfter < report.maxSizeBefore, report.toString)
     assert(report.numClustersAfter ==
@@ -1702,6 +1712,13 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .join(labels.withColumnRenamed("label", "expected"), Seq("vec_id"))
       .filter(col("label") =!= col("expected")).count() == 0,
       "rebalance corrupted a metadata value")
+    // post-rebalance report: the max cluster shrank and the physically-
+    // dropped tombstone no longer counts as debt against the live set
+    val stats1 = RabitqIndex.describeIndex(spark, idxDir, maxSizeFactor = 1.4).head()
+    assert(stats1.getAs[Long]("max_cluster_size") < stats0.getAs[Long]("max_cluster_size"))
+    assert(stats1.getAs[Long]("n_live") == emb.count() - 1)
+    assert(stats1.getAs[Long]("n_rows") == emb.count() - 1,
+      "the split cluster's tombstoned row must be physically gone")
     // exactness through the rebalanced index: full probe + full rerank
     val baseFinal = emb.filter(col("vec_id") =!= tombId)
     val qs = ExactKnn.queriesFromEmbeddings(emb, 5)
