@@ -127,6 +127,34 @@ object Serve {
     server.createContext("/health", (ex: HttpExchange) => respond(ex, 200, "OK"))
     server.createContext("/metrics", (ex: HttpExchange) =>
       respond(ex, 200, s"""{"queries_served":${queriesServed.get()}}"""))
+    // GET/POST /describe: the RabitqIndex.describeIndex health report for
+    // the LIVE engine snapshot (ops hit this to decide when to rebalance
+    // off-path and /reload). Same split criterion as rebalanceIndex at
+    // its default maxSizeFactor — the spec pins equality with
+    // describeIndex over the same dir. Served from the cached index
+    // frame (tombstones were already anti-joined at load), so the cost
+    // is one numClusters-row aggregate per call.
+    server.createContext("/describe", (ex: HttpExchange) => {
+      try {
+        val eng = engineRef.get()
+        val sizes = eng.index.groupBy("cluster_id").count()
+          .collect().map(_.getLong(1))
+        val nLive = sizes.sum
+        val k = eng.model.params.numClusters
+        val maxSize = if (sizes.isEmpty) 0L else sizes.max
+        val mean = nLive.toDouble / k
+        val oversized = sizes.count(s => s > 1.5 * mean && math.ceil(s / mean) >= 2)
+        respond(ex, 200,
+          s"""{"num_clusters":$k,"n_live":$nLive,"max_cluster_size":$maxSize,""" +
+          s""""mean_cluster_size":$mean,""" +
+          s""""skew":${if (mean == 0) 0.0 else maxSize / mean},""" +
+          s""""clusters_oversized":$oversized,"needs_rebalance":${oversized > 0}}""")
+      } catch {
+        case e: Throwable =>
+          val msg = jsonEscape(Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
+          respond(ex, 500, s"""{"error":"$msg"}""")
+      }
+    })
     server.createContext("/query", (ex: HttpExchange) => {
       try {
         val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)

@@ -1227,6 +1227,20 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       val after = ids()
       assert(!after.contains(0L) && !after.contains(7L), s"reload resurrected: $after")
       assert(after.nonEmpty)
+      // /describe reports the LIVE engine's health: n_live excludes the
+      // tombstones and the numbers equal RabitqIndex.describeIndex over
+      // the same dir (the live columns) — serve report ≡ dir report ≡
+      // (via the rebalance spec) the op's own criterion
+      val desc = post("describe", "").body()
+      def jsonLong(k: String): Long =
+        ("\"" + k + "\":(-?\\d+)").r.findFirstMatchIn(desc).get.group(1).toLong
+      val stats = RabitqIndex.describeIndex(spark, dirM).head()
+      assert(jsonLong("n_live") == stats.getAs[Long]("n_live"), desc)
+      assert(jsonLong("n_live") == emb.count() - 2)
+      assert(jsonLong("num_clusters") == stats.getAs[Int]("num_clusters").toLong)
+      assert(jsonLong("max_cluster_size") == stats.getAs[Long]("max_cluster_size"))
+      assert(jsonLong("clusters_oversized") ==
+        stats.getAs[Int]("clusters_oversized").toLong)
     } finally server.stop(0)
   }
 
