@@ -241,6 +241,53 @@ object ScaleSmoke {
         s""""recall_at_10_before":$recBefore,"recall_at_10_after":$recAfter,""" +
         s""""query_sec_before":$secBefore,"query_sec_after":$secAfter}}""")
     }
+    // opt-in MAINTENANCE stage ("maintain" arg): the tombstone half of
+    // the lifecycle at scale. Save the index, tombstone 5% of ids into
+    // the maintainIndex log, then measure what the lifecycle docs claim:
+    // (a) the health report is metadata-cheap, (b) querying THROUGH the
+    // uncompacted log costs ~nothing (id-only anti-join), (c) compaction
+    // is the expensive scheduled rewrite — which is why it's scheduled
+    // by tombstone_debt, not run per batch. Invariants: identical result
+    // rows before vs after compaction, and no tombstoned id ever
+    // surfaces in either.
+    if (args.contains("maintain") && nQueries <= 1000) {
+      val tmp = TempDirs.create("graft_maint_smoke_")
+      val t8 = System.nanoTime()
+      RabitqIndex.save(spark, model, indexP, s"$tmp/idx")
+      val saveSec = (System.nanoTime() - t8) / 1e9
+      base.filter(col("vec_id") % 20L === 7L).select("vec_id")
+        .write.parquet(s"$tmp/idx/deletes")
+      val liveBase = base.filter(col("vec_id") % 20L =!= 7L).persist()
+      liveBase.count()
+      val t9 = System.nanoTime()
+      val debt = RabitqIndex.describeIndex(spark, s"$tmp/idx").head()
+      val describeSec = (System.nanoTime() - t9) / 1e9
+      def timedQuery(): (Set[Seq[Any]], Double) = {
+        val t = System.nanoTime()
+        val rows = RabitqQuery.topKFromDisk(spark, s"$tmp/idx", liveBase,
+          queries, nprobe, 10, rerank)
+          .select(col("query_id"), col("neighbor_id"), col("rank"))
+          .collect().map(_.toSeq).toSet
+        (rows, (System.nanoTime() - t) / 1e9)
+      }
+      val (rowsLog, secLog) = timedQuery()
+      val t10 = System.nanoTime()
+      graft.streaming.VecsStream.compactIndex(spark, s"$tmp/idx")
+      val compactSec = (System.nanoTime() - t10) / 1e9
+      val (rowsCompact, secCompact) = timedQuery()
+      val resurrected = (rowsLog ++ rowsCompact)
+        .count(r => r(1).asInstanceOf[Long] % 20L == 7L)
+      println(s"""{"scale_smoke_maintain":{"n":$n,"k":$k,"nprobe":$nprobe,""" +
+        s""""save_sec":$saveSec,""" +
+        s""""n_tombstones":${debt.getAs[Long]("n_tombstones")},""" +
+        s""""tombstone_debt":${debt.getAs[Double]("tombstone_debt")},""" +
+        s""""describe_sec":$describeSec,""" +
+        s""""query_sec_with_log":$secLog,"compact_sec":$compactSec,""" +
+        s""""query_sec_compacted":$secCompact,""" +
+        s""""results_equal":${rowsLog == rowsCompact},""" +
+        s""""resurrected":$resurrected}}""")
+      liveBase.unpersist()
+    }
     spark.stop()
   }
 }

@@ -1947,8 +1947,9 @@ object SparkEntry {
       // tombstone debt decides when compaction is worth the rewrite,
       // skew/oversized decide when rebalance is (describeIndex applies
       // rebalanceIndex's own split criterion, so report and op can never
-      // disagree). Metadata-cheap at any corpus size: a parquet metadata
-      // count + a numClusters-row aggregate. Gate pins the deterministic
+      // disagree). n_rows is a parquet-metadata count; the sizes are one
+      // slim two-column scan + numClusters-row aggregate — never the
+      // codes, never the corpus width. Gate pins the deterministic
       // columns against SQL over the construction: full index saved,
       // vec_id % 9 = 2 tombstoned, describe. The skew/debt/needs_rebalance
       // semantics are spec-asserted on a constructed-skew layout.

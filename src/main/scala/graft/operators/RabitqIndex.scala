@@ -651,10 +651,13 @@ object RabitqIndex {
     * `clusters_oversized` decide when [[rebalanceIndex]] is (the emitted
     * `needs_rebalance` applies rebalanceIndex's own split criterion at
     * the same `maxSizeFactor`, so the report and the op can never
-    * disagree). Metadata-cheap at any corpus size: one parquet metadata
-    * count plus a numClusters-row aggregate over the live layout (the
-    * clusterStats pattern — the collected frame is the cluster count,
-    * never the corpus).
+    * disagree). Cost shape: `n_rows` is a parquet-metadata count; the
+    * per-cluster sizes are ONE slim two-column scan (vec_id, cluster_id
+    * — column-pruned, never the codes) into a numClusters-row aggregate
+    * (the clusterStats pattern — the collected frame is the cluster
+    * count, never the corpus). 10.9s at 1M cold from disk (the smoke);
+    * the serving tier's /describe reads the cached frame instead and is
+    * per-call cheap.
     */
   def describeIndex(spark: SparkSession, dir: String,
                     maxSizeFactor: Double = 1.5): DataFrame = {
