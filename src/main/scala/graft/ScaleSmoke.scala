@@ -277,6 +277,16 @@ object ScaleSmoke {
       val (rowsCompact, secCompact) = timedQuery()
       val resurrected = (rowsLog ++ rowsCompact)
         .count(r => r(1).asInstanceOf[Long] % 20L == 7L)
+      // encode-throughput anchor: a frozen-model appendVectors pass over
+      // the full corpus, materialized without collecting (the continuous-
+      // ingest unit cost; the encode is a Scala UDF today — this is the
+      // baseline a codegen encode expression would have to beat)
+      val tEnc = System.nanoTime()
+      // sum over encoded outputs, NOT count(*): count would let Catalyst
+      // prune the projection and skip the UDF entirely
+      RabitqIndex.appendVectors(spark, model, base)
+        .agg(sum(col("cluster_id").cast("long")), max(col("factor_ip"))).head()
+      val encodeSec = (System.nanoTime() - tEnc) / 1e9
       println(s"""{"scale_smoke_maintain":{"n":$n,"k":$k,"nprobe":$nprobe,""" +
         s""""save_sec":$saveSec,""" +
         s""""n_tombstones":${debt.getAs[Long]("n_tombstones")},""" +
@@ -285,7 +295,9 @@ object ScaleSmoke {
         s""""query_sec_with_log":$secLog,"compact_sec":$compactSec,""" +
         s""""query_sec_compacted":$secCompact,""" +
         s""""results_equal":${rowsLog == rowsCompact},""" +
-        s""""resurrected":$resurrected}}""")
+        s""""resurrected":$resurrected,""" +
+        s""""encode_sec":$encodeSec,""" +
+        s""""encode_vecs_per_sec":${(n / encodeSec).toLong}}}""")
       liveBase.unpersist()
     }
     spark.stop()

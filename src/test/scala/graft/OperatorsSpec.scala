@@ -1641,6 +1641,12 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(live2.select("vec_id").collect().map(_.getLong(0)).toSet == expected)
     val res2 = RabitqQuery.topK(spark, m3, live2, baseFinal, qs, 4, 10, 4096)
     assert(res2.collect().map(_.toSeq).toSet == resRows)
+    // with the log folded in, loadLive is PLAN-IDENTICAL to the raw load
+    // (the documented no-op contract — the disk query paths pay nothing
+    // for tombstone support on a compacted layout)
+    val (_, rawIdx) = RabitqIndex.load(spark, idxDir)
+    assert(live2.queryExecution.analyzed.sameResult(rawIdx.queryExecution.analyzed),
+      "loadLive over a log-free layout must be the raw load's plan")
   }
 
   test("RabitqIndex.rebalanceIndex: splits only oversized clusters, keeps untouched " +
