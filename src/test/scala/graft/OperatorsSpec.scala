@@ -1659,10 +1659,12 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (model, index0) = RabitqIndex.build(spark,
       emb.filter(element_at(col("embedding"), 1) < 0f), numClusters = 8, seed = 11L)
     val idxDir = java.nio.file.Files.createTempDirectory("rebal_idx").toString
-    // the label rides in the layout (the filtered-search tier's shape):
-    // the rewrite must carry it — appendVectors alone would null it on
-    // exactly the split clusters
-    val labels = emb.select(col("vec_id"), col("label"))
+    // TWO metadata columns ride in the layout (the filtered-search
+    // tier's int label plus a string tag — the multi-column, mixed-type
+    // carry): the rewrite must carry both — appendVectors alone would
+    // null them on exactly the split clusters
+    val labels = emb.select(col("vec_id"), col("label"),
+      concat(lit("t"), (col("vec_id") % 3).cast("string")).as("tag"))
     RabitqIndex.save(spark, model, index0.join(labels, Seq("vec_id")), idxDir)
     RabitqIndex.appendVectors(spark, model,
         emb.filter(element_at(col("embedding"), 1) >= 0f))
@@ -1723,14 +1725,17 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "tombstoned member of a split cluster must not survive the rewrite")
     assert(new java.io.File(s"$idxDir/deletes").exists, "log is compaction's job")
     assert(idx2.count() == emb.count() - 1)
-    // metadata preservation: every surviving row still carries its label,
-    // and the values match the base mapping exactly (rewritten rows
-    // included — a dropped carry would null them on the split clusters)
-    assert(idx2.filter(col("label").isNull).count() == 0,
+    // metadata preservation: every surviving row still carries BOTH
+    // extras, and the values match the base mapping exactly (rewritten
+    // rows included — a dropped carry would null them on the split
+    // clusters)
+    assert(idx2.filter(col("label").isNull || col("tag").isNull).count() == 0,
       "rebalance nulled metadata on rewritten rows")
-    assert(idx2.select("vec_id", "label")
-      .join(labels.withColumnRenamed("label", "expected"), Seq("vec_id"))
-      .filter(col("label") =!= col("expected")).count() == 0,
+    assert(idx2.select("vec_id", "label", "tag")
+      .join(labels.withColumnRenamed("label", "expected")
+        .withColumnRenamed("tag", "expectedTag"), Seq("vec_id"))
+      .filter(col("label") =!= col("expected") ||
+        col("tag") =!= col("expectedTag")).count() == 0,
       "rebalance corrupted a metadata value")
     // post-rebalance report: the max cluster shrank and the physically-
     // dropped tombstone no longer counts as debt against the live set
