@@ -22,9 +22,14 @@ object Serve {
 
   /** One immutable serving snapshot: swapped atomically by `/reload`,
     * read once per request — the unit of consistency under mutation.
+    * `nRows`/`nTombstones` are the layout stats captured at load/reload
+    * time (the cached index frame is already tombstone-anti-joined, so
+    * the debt half of the health report must ride in the snapshot —
+    * it's what schedules compaction).
     */
   private final case class Engine(model: RabitqModel, index: org.apache.spark.sql.DataFrame,
-                                  base: org.apache.spark.sql.DataFrame, hot: HotTier)
+                                  base: org.apache.spark.sql.DataFrame, hot: HotTier,
+                                  nRows: Long, nTombstones: Long)
 
   // must be set before the HttpServer class initializes: without
   // TCP_NODELAY the response write stalls in the Nagle/delayed-ACK
@@ -107,7 +112,14 @@ object Serve {
           s"index at $dir was built from a different dataset")
     }
     val index = withLabels(index0, base).persist()
-    index.count(); base.count() // warm caches before first request
+    val nLiveWarm = index.count(); base.count() // warm caches before first request
+    // tombstone debt for /describe: the cached frame is already live
+    // (anti-joined), so the raw-row/tombstone half comes from the layout
+    // once per engine build. A freshly trained engine has no log.
+    val (nRows, nTomb) = indexDir match {
+      case Some(d) => RabitqIndex.layoutStats(spark, d)
+      case None    => (nLiveWarm, 0L)
+    }
     val hot = HotTier.fromIndex(spark, model, index, base)
     // SERVING UNDER MUTATION: every request reads ONE immutable Engine
     // snapshot from this reference, so an index swap (`/reload`) is
@@ -117,7 +129,7 @@ object Serve {
     // mutation boxes (README:18) with serving needs exactly this
     // copy-on-swap discipline.
     val engineRef = new java.util.concurrent.atomic.AtomicReference(
-      Engine(model, index, base, hot))
+      Engine(model, index, base, hot, nRows, nTomb))
     // per-server counter (a JVM-global would bleed across serve instances)
     val queriesServed = new AtomicLong(0)
 
@@ -127,13 +139,15 @@ object Serve {
     server.createContext("/health", (ex: HttpExchange) => respond(ex, 200, "OK"))
     server.createContext("/metrics", (ex: HttpExchange) =>
       respond(ex, 200, s"""{"queries_served":${queriesServed.get()}}"""))
-    // GET/POST /describe: the RabitqIndex.describeIndex health report for
-    // the LIVE engine snapshot (ops hit this to decide when to rebalance
-    // off-path and /reload). Same split criterion as rebalanceIndex at
-    // its default maxSizeFactor — the spec pins equality with
-    // describeIndex over the same dir. Served from the cached index
-    // frame (tombstones were already anti-joined at load), so the cost
-    // is one numClusters-row aggregate per call.
+    // GET/POST /describe: the FULL RabitqIndex.describeIndex health
+    // report for the LIVE engine snapshot (ops hit this to decide when
+    // to compact/rebalance off-path and /reload). Same split criterion
+    // as rebalanceIndex at its default maxSizeFactor — the spec pins
+    // field-for-field equality with describeIndex over the same dir,
+    // tombstone-debt fields included. Served from the cached index frame
+    // (tombstones were already anti-joined at load; the raw/tombstone
+    // counts ride in the snapshot), so the cost is one numClusters-row
+    // aggregate per call.
     server.createContext("/describe", (ex: HttpExchange) => {
       try {
         val eng = engineRef.get()
@@ -144,9 +158,12 @@ object Serve {
         val maxSize = if (sizes.isEmpty) 0L else sizes.max
         val mean = nLive.toDouble / k
         val oversized = sizes.count(s => s > 1.5 * mean && math.ceil(s / mean) >= 2)
+        val debt =
+          if (eng.nRows == 0) 0.0 else eng.nTombstones.toDouble / eng.nRows
         respond(ex, 200,
-          s"""{"num_clusters":$k,"n_live":$nLive,"max_cluster_size":$maxSize,""" +
-          s""""mean_cluster_size":$mean,""" +
+          s"""{"num_clusters":$k,"n_rows":${eng.nRows},"n_live":$nLive,""" +
+          s""""n_tombstones":${eng.nTombstones},"tombstone_debt":$debt,""" +
+          s""""max_cluster_size":$maxSize,"mean_cluster_size":$mean,""" +
           s""""skew":${if (mean == 0) 0.0 else maxSize / mean},""" +
           s""""clusters_oversized":$oversized,"needs_rebalance":${oversized > 0}}""")
       } catch {
@@ -233,8 +250,9 @@ object Serve {
         val b2 = b2raw.persist(); persisted += b2
         val i2 = withLabels(i2raw, b2).persist(); persisted += i2
         val n2 = b2.count(); i2.count()
+        val (nRows2, nTomb2) = RabitqIndex.layoutStats(spark, idxDir)
         val hot2 = HotTier.fromIndex(spark, m2, i2, b2)
-        val old = engineRef.getAndSet(Engine(m2, i2, b2, hot2))
+        val old = engineRef.getAndSet(Engine(m2, i2, b2, hot2, nRows2, nTomb2))
         // release the OLD engine's cache — but Spark keys the cache by
         // analyzed plan, so a reload from the same path would share the
         // entry with the frame just installed; unpersisting that shared
@@ -281,8 +299,18 @@ object Serve {
       // (e.g. an upserted index reloaded against a stale base) and the
       // engine would serve 200s that can never return those vectors.
       // Mismatches must fail the build/reload loudly instead. The extra
-      // count runs once per engine build, beside the existing warm-up
+      // counts run once per engine build, beside the existing warm-up
       // counts.
+      // Uniqueness first: a base with DUPLICATED vec_ids would silently
+      // multiply index rows through the join — inflated candidate sets
+      // and duplicate neighbors in every response.
+      val idCounts = base.agg(
+        org.apache.spark.sql.functions.count(col("vec_id")).as("n"),
+        org.apache.spark.sql.functions.countDistinct(col("vec_id")).as("nd")).head()
+      require(idCounts.getLong(0) == idCounts.getLong(1),
+        s"labeled base has duplicate vec_ids (${idCounts.getLong(0)} rows, " +
+          s"${idCounts.getLong(1)} distinct) — joining labels would " +
+          "multiply index rows; fix the base before serving")
       val lbl = base.select(col("vec_id"), col("label"),
         org.apache.spark.sql.functions.lit(true).as("__covered"))
       val joined = index.join(lbl, Seq("vec_id"), "left_outer")

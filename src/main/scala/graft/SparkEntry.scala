@@ -1963,6 +1963,63 @@ object SparkEntry {
         .select(col("num_clusters"), col("n_rows"), col("n_live"),
           col("n_tombstones"))
     }),
+    "q120_maintenance_loop" -> ((s, dir) => {
+      // SELF-SCHEDULED MAINTENANCE (VecsStream.maintenanceLoop) — the
+      // ops loop the q119 health report exists for, driven end-to-end:
+      // construct a layout with BOTH tombstone debt and skew (bootstrap
+      // on the lower halfspace, stream in the upper half as adds —
+      // they pile into the boundary clusters — plus vec_id % 6 = 1
+      // dels), then let the loop read describeIndex and act: debt ≥
+      // threshold → compactIndex (versioned rewrite + atomic MANIFEST
+      // swap), needs_rebalance → rebalanceIndex. require()s pin that
+      // BOTH actions actually fired, that the re-described layout has
+      // zero debt (physically folded, not masked), and that the max
+      // cluster shrank. Then the q115-shape oracle: full probe + full
+      // rerank over the post-loop layout ≡ brute force over
+      // vec_id % 6 ≠ 1 — a row lost by compaction, a resurrected
+      // delete, or a bad rebalance re-encode all flip the row set.
+      val emb = T(s, dir, "embeddings")
+      val tmp = graft.TempDirs.create("graft_q120_")
+      val lower = element_at(col("embedding"), 1) < 0f
+      val (model, index0) = RabitqIndex.build(s, emb.filter(lower),
+        NumClusters, Seed)
+      RabitqIndex.save(s, model, index0, s"$tmp/idx")
+      emb.filter(!lower)
+        .select(lit("add").as("op"), col("vec_id"), col("embedding"))
+        .unionByName(emb.filter(col("vec_id") % 6 === 1)
+          .select(lit("del").as("op"), col("vec_id"),
+            lit(null).cast("array<float>").as("embedding")))
+        .repartition(2).write.parquet(s"$tmp/in")
+      graft.streaming.VecsStream.maintainIndex(s, s"$tmp/in", s"$tmp/idx",
+        s"$tmp/ckpt", model,
+        s"maint_loop_${streamCounter.incrementAndGet()}",
+        maxFilesPerTrigger = Some(1))
+      val before = RabitqIndex.describeIndex(s, s"$tmp/idx",
+        maxSizeFactor = 1.4).head()
+      require(before.getAs[Double]("tombstone_debt") >= 0.1 &&
+        before.getAs[Boolean]("needs_rebalance"),
+        s"loop gate is vacuous: construction created no debt/skew ($before)")
+      val report = graft.streaming.VecsStream.maintenanceLoop(s, s"$tmp/idx",
+        emb, debtThreshold = 0.1, maxSizeFactor = 1.4)
+      require(report.compacted, s"loop did not compact ($report)")
+      require(report.rebalanced.exists(_.split.nonEmpty),
+        s"loop did not rebalance ($report)")
+      val after = RabitqIndex.describeIndex(s, s"$tmp/idx",
+        maxSizeFactor = 1.4).head()
+      require(after.getAs[Long]("n_tombstones") == 0L &&
+        after.getAs[Double]("tombstone_debt") == 0.0 &&
+        after.getAs[Long]("n_rows") == after.getAs[Long]("n_live"),
+        s"debt survived the loop ($after)")
+      require(after.getAs[Long]("max_cluster_size") <
+        before.getAs[Long]("max_cluster_size"),
+        s"rebalance did not shrink the max cluster ($before → $after)")
+      val (m2, live) = RabitqIndex.loadLive(s, s"$tmp/idx")
+      val baseFinal = emb.filter(col("vec_id") % 6 =!= 1)
+      RabitqQuery.topK(s, m2, live, baseFinal, annQueries(s, dir),
+        nprobe = m2.params.numClusters, topk = 10, rerank = fullRerank(s, dir))
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "q109_dsir_resample" -> ((s, dir) => {
       // DSIR importance resampling (Xie et al. 2023): weight every
       // non-English doc by how target-like (lang='en') its hashed-ngram
@@ -2598,6 +2655,16 @@ object SparkEntry {
            |  (SELECT count(*) FROM embeddings) AS n_rows,
            |  (SELECT count(*) FROM embeddings WHERE vec_id % 9 <> 2) AS n_live,
            |  (SELECT count(*) FROM embeddings WHERE vec_id % 9 = 2) AS n_tombstones""".stripMargin,
+      // q120: after the ops loop (compaction folds the % 6 = 1
+      // tombstones, rebalance is layout-pure), the live set is exactly
+      // ALL ∖ (vec_id % 6 = 1) — the q115 oracle shape
+      "q120_maintenance_loop" ->
+        """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 10),
+          |b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS be FROM embeddings WHERE vec_id % 6 <> 1),
+          |d AS (SELECT q.query_id, b.vec_id AS neighbor_id,
+          |        row_number() OVER (PARTITION BY q.query_id ORDER BY list_distance(q.qe, b.be), b.vec_id) AS rank
+          |      FROM q CROSS JOIN b)
+          |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM d WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
       "q108_quality_model" -> qualityModelOracle,
       "q109_dsir_resample" -> dsirOracle,
       // q110: word counts → char split → weighted adjacent pairs, the

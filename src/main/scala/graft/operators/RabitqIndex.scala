@@ -224,13 +224,81 @@ object RabitqIndex {
     (model, index)
   }
 
+  /** Resolve the ACTIVE index data directory of a saved layout. A fresh
+    * [[save]] writes `$dir/index` and no MANIFEST; a compaction
+    * (`VecsStream.compactIndex`) rewrites the live rows into a new
+    * versioned sibling (`index-v2`, `index-v3`, …) and atomically swaps
+    * a one-line MANIFEST to point at it — so every reader and appender
+    * resolves through here and a crash mid-compaction can never expose
+    * a partial layout (readers keep the old generation until the swap).
+    */
+  def indexDataDir(dir: String): String = {
+    val mf = new java.io.File(s"$dir/MANIFEST")
+    if (mf.exists)
+      s"$dir/${java.nio.file.Files.readString(mf.toPath).trim}"
+    else s"$dir/index"
+  }
+
+  /** Move staged parquet data files into a (possibly partitioned) layout
+    * directory, preserving the partition-dir structure. `rename =
+    * Some(prefix)` gives per-directory DETERMINISTIC names
+    * (`$prefix-00000.parquet`, sorted source order) so a retried caller
+    * overwrites its own files instead of duplicating them; `None` keeps
+    * the writer's names (globally unique part-UUIDs — right for
+    * run-once ops like the rebalance promote). File moves are
+    * metadata-only on a real filesystem — the staged bytes are written
+    * exactly once.
+    */
+  private[graft] def promoteStaged(staging: java.io.File, target: java.io.File,
+                                   rename: Option[String]): Unit = {
+    def walk(src: java.io.File, dst: java.io.File): Unit = {
+      val kids = Option(src.listFiles()).getOrElse(Array.empty[java.io.File])
+      kids.filter(d => d.isDirectory && !d.getName.startsWith("_"))
+        .foreach(d => walk(d, new java.io.File(dst, d.getName)))
+      val files = kids.filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .sortBy(_.getName)
+      if (files.nonEmpty) dst.mkdirs()
+      files.zipWithIndex.foreach { case (f, i) =>
+        val name = rename.fold(f.getName)(p => f"$p-$i%05d.parquet")
+        java.nio.file.Files.move(f.toPath, new java.io.File(dst, name).toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    walk(staging, target)
+  }
+
+  /** Raw-layout statistics the serving tier carries into its engine
+    * snapshot: (physical index rows of the active generation, distinct
+    * tombstoned ids). The tombstone side is delete-volume-sized; the row
+    * count is a parquet-metadata aggregate.
+    */
+  def layoutStats(spark: SparkSession, dir: String): (Long, Long) = {
+    val nRows = spark.read.parquet(indexDataDir(dir)).count()
+    val delDir = new java.io.File(s"$dir/deletes")
+    val nTomb =
+      if (delDir.exists)
+        spark.read.parquet(delDir.toString).select("vec_id").distinct().count()
+      else 0L
+    (nRows, nTomb)
+  }
+
   /** Persist as a parquet directory (S6 analog of the reference's 5-file
     * layout `/root/reference/src/rabitq.rs:128-156`): index partitioned by
     * cluster_id (→ partition pruning on probes), model sidecar tables.
+    * A save RESETS the layout to generation zero: any MANIFEST, old
+    * versioned data dirs, and stale tombstone log from a previous
+    * lifecycle are removed (a brand-new index has no history) — data is
+    * written first, so a crash mid-save leaves the previous generation
+    * readable.
     */
   def save(spark: SparkSession, model: RabitqModel, index: DataFrame, dir: String): Unit = {
     import spark.implicits._
     index.write.mode("overwrite").partitionBy("cluster_id").parquet(s"$dir/index")
+    new java.io.File(s"$dir/MANIFEST").delete()
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory &&
+        (f.getName.startsWith("index-v") || f.getName == "deletes"))
+      .foreach(org.apache.commons.io.FileUtils.deleteDirectory)
     model.rotation.zipWithIndex.map { case (r, i) => (i, r.toSeq) }.toSeq
       .toDF("row_id", "row").coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/rotation")
@@ -492,6 +560,7 @@ object RabitqIndex {
                      fitSampleCap: Long = 100000L): RebalanceReport = {
     import spark.implicits._
     val (model, index) = load(spark, dir)
+    val dataDir = indexDataDir(dir)
     val delDir = new java.io.File(s"$dir/deletes")
     val live =
       if (delDir.exists)
@@ -514,9 +583,19 @@ object RabitqIndex {
       return RebalanceReport(k0, k0, Map.empty, 0L, maxBefore, maxBefore)
 
     val splitIds = splitK.keys.toSeq.sorted
+    // LEFT join + coverage check, not inner: an inner join would silently
+    // DROP any live split-cluster member whose vec_id is missing from the
+    // supplied base (a stale/incomplete base) — quiet data loss in the
+    // rewrite. A mismatched base must abort the rebalance loudly instead
+    // (the Serve.withLabels discipline). The check scans only the split
+    // members, so its cost stays ∝ skew.
     val members = live.filter(col("cluster_id").isin(splitIds.map(Int.box): _*))
       .select("vec_id", "cluster_id")
-      .join(base.select("vec_id", "embedding"), Seq("vec_id"))
+      .join(base.select("vec_id", "embedding"), Seq("vec_id"), "left_outer")
+    val missingBase = members.filter(col("embedding").isNull).count()
+    require(missingBase == 0L,
+      s"$missingBase live index rows in the clusters to split have no vec_id in " +
+        "the supplied base — stale base? aborting rebalance instead of dropping them")
 
     // deterministic per-cluster fit sample: rate_c = cap / size_c as a
     // permille threshold on xxhash64(vec_id) — the buildSampled pattern,
@@ -566,29 +645,38 @@ object RabitqIndex {
     // schema, so without this join the rewrite would null them on
     // exactly the oversized clusters while untouched partitions keep
     // answering. Joined over the split members only (IO stays ∝ skew).
-    // Materialize BEFORE the partition dirs they were read from are
-    // deleted.
     val indexSchemaCols =
       Set("vec_id", "cluster_id", "code", "factor_ip", "factor_ppc",
         "error_bound", "cds")
     val extraCols = live.columns.filterNot(indexSchemaCols.contains)
-    val reencRaw = appendVectors(spark, model2, members)
+    val reencRaw = appendVectors(spark, model2, members.drop("cluster_id"))
     val reencWide =
       if (extraCols.isEmpty) reencRaw
       else reencRaw.join(
         live.filter(col("cluster_id").isin(splitIds.map(Int.box): _*))
           .select("vec_id", extraCols.toIndexedSeq: _*),
         Seq("vec_id"))
-    val reenc = reencWide.localCheckpoint(true)
+    // stage the rewrite DURABLY (distributed parquet write to a sibling
+    // staging dir) BEFORE deleting the old partition dirs: a crash in
+    // the delete→promote window leaves the only copy of these rows on
+    // disk, not in block-manager memory, and the promote itself is
+    // metadata-only file moves. (compactIndex goes further — whole-layout
+    // version swap — but rebalance touches only the skewed slice, so
+    // per-partition staging keeps its IO ∝ skew.)
+    val staging = new java.io.File(s"$dir/_rebalance_staging")
+    reencWide.write.mode("overwrite").partitionBy("cluster_id")
+      .parquet(staging.toString)
+    val reenc = spark.read.parquet(staging.toString)
     val movedRows = reenc.count()
     val reencSizes = reenc.groupBy("cluster_id").count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
 
     splitIds.foreach { c =>
       org.apache.commons.io.FileUtils.deleteDirectory(
-        new java.io.File(s"$dir/index/cluster_id=$c"))
+        new java.io.File(s"$dataDir/cluster_id=$c"))
     }
-    reenc.write.mode("append").partitionBy("cluster_id").parquet(s"$dir/index")
+    promoteStaged(staging, new java.io.File(dataDir), rename = None)
+    org.apache.commons.io.FileUtils.deleteDirectory(staging)
 
     // model sidecar: centroids + params change, rotation/bias don't.
     // The model was collected eagerly above, so overwriting the dirs it
@@ -620,7 +708,8 @@ object RabitqIndex {
     val centroids = spark.read.parquet(s"$dir/centroids")
       .orderBy("cluster_id").collect()
       .map(r => r.getAs[Seq[Float]]("centroid").toArray)
-    (RabitqModel(params, rotation, centroids, bias), spark.read.parquet(s"$dir/index"))
+    (RabitqModel(params, rotation, centroids, bias),
+      spark.read.parquet(indexDataDir(dir)))
   }
 
   /** [[load]] with the maintained-layout READ CONTRACT applied: if the

@@ -102,24 +102,29 @@ object IngestStream {
       .writeStream
       .queryName(queryName)
       .option("checkpointLocation", s"$workDir/ckpt")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      // both sinks go through IdempotentSink (commit marker + staged
+      // move): a replayed micro-batch must not double-append survivors
+      // or index rows
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val (survivors, batchVecs) = curateBatch(batch, historyDocs,
           embLookup, histSets, histBands, histAssigned, cluster, bloom,
           cosineThreshold, shingleN, simThreshold)
-        survivors.select(col("doc_id"), col("n_chars"))
-          .write.mode("append").parquet(outDir)
+        IdempotentSink.appendBatch(
+          survivors.select(col("doc_id"), col("n_chars")),
+          outDir, workDir, queryName, batchId)
         // q114 leg: exactly the shipped docs become searchable — their
         // vectors encode with the FROZEN model and append executor-side
-        // into the saved cluster_id-partitioned index layout
+        // into the saved cluster_id-partitioned index layout (resolved
+        // through the MANIFEST — the active generation)
         indexInto.foreach { case (model, idxDir) =>
           val survVecs = batchVecs
             .join(broadcast(survivors.select(col("doc_id").as("vec_id"))),
               Seq("vec_id"), "left_semi")
-          RabitqIndex.appendVectors(spark, model, survVecs)
-            .write.mode("append").partitionBy("cluster_id")
-            .parquet(s"$idxDir/index")
+          IdempotentSink.appendBatch(
+            RabitqIndex.appendVectors(spark, model, survVecs),
+            RabitqIndex.indexDataDir(idxDir), idxDir, s"$queryName-idx",
+            batchId, partitionCols = Seq("cluster_id"))
         }
-        ()
       }
       .trigger(Trigger.AvailableNow())
       .start()

@@ -112,11 +112,16 @@ object VecsStream {
       .writeStream
       .queryName(queryName)
       .option("checkpointLocation", ckptDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        RabitqIndex.appendVectors(spark, model, batch)
-          .write.mode("append").partitionBy("cluster_id")
-          .parquet(s"$idxDir/index")
-        ()
+      // IdempotentSink: a replayed micro-batch (partial write failure,
+      // driver restart mid-batch) must not double-append index rows —
+      // the commit marker + staged-move protocol gives exactly-once.
+      // The target resolves through the MANIFEST so appends land in the
+      // active generation even after a compaction swap.
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        IdempotentSink.appendBatch(
+          RabitqIndex.appendVectors(spark, model, batch),
+          RabitqIndex.indexDataDir(idxDir), idxDir, queryName, batchId,
+          partitionCols = Seq("cluster_id"))
       }
       .trigger(Trigger.AvailableNow())
       .start()
@@ -158,13 +163,17 @@ object VecsStream {
       .writeStream
       .queryName(queryName)
       .option("checkpointLocation", ckptDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        RabitqIndex.appendVectors(spark, model, batch.filter(col("op") === "add"))
-          .write.mode("append").partitionBy("cluster_id")
-          .parquet(s"$idxDir/index")
-        batch.filter(col("op") === "del").select("vec_id")
-          .write.mode("append").parquet(s"$idxDir/deletes")
-        ()
+      // both legs idempotent per batch (separate markers): a replay
+      // after a crash between the add-commit and the del-commit redoes
+      // only the uncommitted leg
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        IdempotentSink.appendBatch(
+          RabitqIndex.appendVectors(spark, model, batch.filter(col("op") === "add")),
+          RabitqIndex.indexDataDir(idxDir), idxDir, s"$queryName-add", batchId,
+          partitionCols = Seq("cluster_id"))
+        IdempotentSink.appendBatch(
+          batch.filter(col("op") === "del").select("vec_id"),
+          s"$idxDir/deletes", idxDir, s"$queryName-del", batchId)
       }
       .trigger(Trigger.AvailableNow())
       .start()
@@ -179,21 +188,90 @@ object VecsStream {
     RabitqIndex.loadLive(spark, idxDir)
 
   /** Scheduled compaction for [[maintainIndex]]: fold the tombstone log
-    * into the layout (rewrite minus tombstoned rows, clear the log).
-    * The rewrite is materialized BEFORE the old directory is replaced;
-    * a production deployment writes a new versioned directory and swaps
-    * a manifest instead (the /reload snapshot pattern) so readers never
-    * observe a partial layout — at spec/gate scale the in-place swap is
-    * the same observable state.
+    * into the layout. Scale-safe shape (the /reload snapshot pattern,
+    * and the reference's immutable-model-dir contract,
+    * `/root/reference/src/rabitq.rs:128-156`):
+    *
+    *  1. [[compactRewrite]] — a DISTRIBUTED parquet rewrite of the live
+    *     (tombstone-anti-joined) rows into a NEW versioned sibling dir
+    *     (`index-v{N+1}`), executor→file, nothing materializes on the
+    *     driver or in block-manager memory; `mode("overwrite")` makes a
+    *     retry idempotent;
+    *  2. [[compactSwap]] — an ATOMIC one-line MANIFEST rename pointing
+    *     `RabitqIndex.indexDataDir` (every reader: load/loadLive/Serve)
+    *     at the new generation, then cleanup (log + old dir).
+    *
+    * Crash anywhere: before the swap, readers resolve the OLD dir + log
+    * (the partial new generation is invisible); after the swap but
+    * before cleanup, readers resolve the new dir and the stale log
+    * anti-joins ids that are already physically gone — a no-op. Readers
+    * therefore see old-or-new, never partial (spec-asserted).
     */
   def compactIndex(spark: SparkSession, idxDir: String): Unit = {
     val delDir = new java.io.File(s"$idxDir/deletes")
     if (!delDir.exists) return
+    compactSwap(idxDir, compactRewrite(spark, idxDir))
+  }
+
+  /** Phase 1 (durable, retry-safe): rewrite the live rows into the next
+    * versioned data dir; returns its name. Nothing the current
+    * generation's readers resolve is touched.
+    */
+  private[graft] def compactRewrite(spark: SparkSession, idxDir: String): String = {
+    val cur = new java.io.File(RabitqIndex.indexDataDir(idxDir)).getName
+    val curV = if (cur == "index") 1 else cur.stripPrefix("index-v").toInt
+    val nextName = s"index-v${curV + 1}"
     val (_, live) = loadMaintained(spark, idxDir)
-    val compacted = live.localCheckpoint(true)
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$idxDir/index"))
-    compacted.write.mode("overwrite").partitionBy("cluster_id")
-      .parquet(s"$idxDir/index")
-    org.apache.commons.io.FileUtils.deleteDirectory(delDir)
+    live.write.mode("overwrite").partitionBy("cluster_id")
+      .parquet(s"$idxDir/$nextName")
+    nextName
+  }
+
+  /** Phase 2 (atomic): point the MANIFEST at the new generation via
+    * write-temp + atomic rename, then clean up the folded log and the
+    * previous generation's dir.
+    */
+  private[graft] def compactSwap(idxDir: String, nextName: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val oldData = RabitqIndex.indexDataDir(idxDir)
+    val tmp = Paths.get(idxDir, "MANIFEST.tmp")
+    Files.writeString(tmp, nextName)
+    Files.move(tmp, Paths.get(idxDir, "MANIFEST"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$idxDir/deletes"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(oldData))
+  }
+
+  /** What one [[maintenanceLoop]] pass did. */
+  case class MaintenanceReport(
+      compacted: Boolean, rebalanced: Option[RabitqIndex.RebalanceReport])
+
+  /** The self-scheduled OPS LOOP the `RabitqIndex.describeIndex` health
+    * report exists for: read the report, fold the tombstone log when
+    * `tombstone_debt` crosses `debtThreshold` ([[compactIndex]]), split
+    * oversized clusters when `needs_rebalance`
+    * (`RabitqIndex.rebalanceIndex` — which invalidates frozen writer
+    * models, so run the loop between ingest windows and have writers
+    * re-load after, the q117 contract). Compaction runs FIRST so the
+    * rebalance sizes the live set without the log riding along. Each
+    * action's cost is bounded by its own operator's shape (rewrite of
+    * the live set / IO ∝ skew); the describe read is one slim scan.
+    */
+  def maintenanceLoop(spark: SparkSession, idxDir: String,
+                      base: org.apache.spark.sql.DataFrame,
+                      debtThreshold: Double = 0.2,
+                      maxSizeFactor: Double = 1.5): MaintenanceReport = {
+    val d = RabitqIndex.describeIndex(spark, idxDir, maxSizeFactor).head()
+    val compacted =
+      if (d.getAs[Double]("tombstone_debt") >= debtThreshold &&
+          d.getAs[Long]("n_tombstones") > 0L) {
+        compactIndex(spark, idxDir); true
+      } else false
+    val rebalanced =
+      if (d.getAs[Boolean]("needs_rebalance"))
+        Some(RabitqIndex.rebalanceIndex(spark, idxDir, base, maxSizeFactor))
+      else None
+    MaintenanceReport(compacted, rebalanced)
   }
 }

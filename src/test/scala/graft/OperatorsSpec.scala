@@ -1227,13 +1227,19 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       val after = ids()
       assert(!after.contains(0L) && !after.contains(7L), s"reload resurrected: $after")
       assert(after.nonEmpty)
-      // /describe reports the LIVE engine's health: n_live excludes the
-      // tombstones and the numbers equal RabitqIndex.describeIndex over
-      // the same dir (the live columns) — serve report ≡ dir report ≡
-      // (via the rebalance spec) the op's own criterion
+      // /describe reports the LIVE engine's health, FIELD-FOR-FIELD equal
+      // to RabitqIndex.describeIndex over the same dir — tombstone-debt
+      // half included (this dir carries an uncompacted log, so an ops
+      // loop polling the serving tier can schedule compaction, not just
+      // rebalance): serve report ≡ dir report ≡ (via the rebalance
+      // spec) the op's own criterion
       val desc = post("describe", "").body()
       def jsonLong(k: String): Long =
         ("\"" + k + "\":(-?\\d+)").r.findFirstMatchIn(desc).get.group(1).toLong
+      def jsonDouble(k: String): Double =
+        ("\"" + k + "\":([-0-9.eE]+)").r.findFirstMatchIn(desc).get.group(1).toDouble
+      def jsonBool(k: String): Boolean =
+        ("\"" + k + "\":(true|false)").r.findFirstMatchIn(desc).get.group(1).toBoolean
       val stats = RabitqIndex.describeIndex(spark, dirM).head()
       assert(jsonLong("n_live") == stats.getAs[Long]("n_live"), desc)
       assert(jsonLong("n_live") == emb.count() - 2)
@@ -1241,6 +1247,17 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(jsonLong("max_cluster_size") == stats.getAs[Long]("max_cluster_size"))
       assert(jsonLong("clusters_oversized") ==
         stats.getAs[Int]("clusters_oversized").toLong)
+      assert(jsonLong("n_rows") == stats.getAs[Long]("n_rows"), desc)
+      assert(jsonLong("n_rows") == emb.count())
+      assert(jsonLong("n_tombstones") == stats.getAs[Long]("n_tombstones"), desc)
+      assert(jsonLong("n_tombstones") == 2L)
+      assert(math.abs(jsonDouble("tombstone_debt") -
+        stats.getAs[Double]("tombstone_debt")) < 1e-12, desc)
+      assert(jsonDouble("tombstone_debt") > 0.0)
+      assert(math.abs(jsonDouble("mean_cluster_size") -
+        stats.getAs[Double]("mean_cluster_size")) < 1e-9, desc)
+      assert(math.abs(jsonDouble("skew") - stats.getAs[Double]("skew")) < 1e-9, desc)
+      assert(jsonBool("needs_rebalance") == stats.getAs[Boolean]("needs_rebalance"), desc)
     } finally server.stop(0)
   }
 
@@ -1282,6 +1299,22 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(graft.Serve.parseFloatArray(
         post(""", "label": 99999, "engine": "spark""""), "ids").isEmpty)
     } finally server.stop(0)
+  }
+
+  test("Serve: a labeled base with duplicate vec_ids is rejected at engine " +
+      "build instead of silently multiplying index rows") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("serve_dup").toString
+    val vecs = (0L until 32L).map(i =>
+      (i, Array.tabulate(8)(j => (i * 8 + j).toFloat).toSeq, i % 3))
+    (vecs :+ vecs.head).toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"),
+        col("label"))
+      .write.parquet(s"$tmp/embeddings.parquet")
+    val e = intercept[IllegalArgumentException] {
+      graft.Serve.start(spark, tmp, 0)
+    }
+    assert(e.getMessage.contains("duplicate vec_ids"), e.getMessage)
   }
 
   test("HTTP query service answers /query, /health, /metrics") {
@@ -1649,6 +1682,136 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "loadLive over a log-free layout must be the raw load's plan")
   }
 
+  test("compactIndex: versioned rewrite + atomic MANIFEST swap — readers see " +
+      "old-or-new, never partial; a crashed cycle retries to convergence") {
+    import spark.implicits._
+    val idxDir = java.nio.file.Files.createTempDirectory("compact_v").toString
+    val initial = emb.filter(col("vec_id") < 300)
+    val (model, index0) = RabitqIndex.build(spark, initial, numClusters = 4, seed = 7L)
+    RabitqIndex.save(spark, model, index0, idxDir)
+    Seq(3L, 5L, 11L).toDF("vec_id").write.parquet(s"$idxDir/deletes")
+    val dels = Set(3L, 5L, 11L)
+    val expected = (0L until 300L).toSet -- dels
+    def liveIds(): Set[Long] = RabitqIndex.loadLive(spark, idxDir)._2
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // CRASH BEFORE THE SWAP: the distributed rewrite completed but the
+    // MANIFEST never moved — readers must resolve the OLD generation +
+    // log (correct live set); the new dir is invisible
+    val next = graft.streaming.VecsStream.compactRewrite(spark, idxDir)
+    assert(next == "index-v2" && new java.io.File(s"$idxDir/$next").exists)
+    assert(!new java.io.File(s"$idxDir/MANIFEST").exists)
+    assert(RabitqIndex.indexDataDir(idxDir) == s"$idxDir/index",
+      "pre-swap readers must still resolve the old generation")
+    assert(liveIds() == expected)
+    // a RETRY of the rewrite (mode overwrite) is idempotent
+    assert(graft.streaming.VecsStream.compactRewrite(spark, idxDir) == "index-v2")
+    // CRASH AFTER THE SWAP, BEFORE CLEANUP: manifest points at v2 but
+    // the log and old dir are still on disk — readers resolve the new
+    // generation; the stale log anti-joins ids that are already
+    // physically gone (a no-op). Still the right answer.
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(idxDir, "MANIFEST"), "index-v2")
+    assert(RabitqIndex.indexDataDir(idxDir) == s"$idxDir/index-v2")
+    assert(liveIds() == expected)
+    // the scheduled RETRY (just run compactIndex again) converges: the
+    // stale log folds into v3, the swap completes, log cleared
+    graft.streaming.VecsStream.compactIndex(spark, idxDir)
+    assert(RabitqIndex.indexDataDir(idxDir) == s"$idxDir/index-v3")
+    assert(!new java.io.File(s"$idxDir/deletes").exists, "log must be cleared")
+    assert(!new java.io.File(s"$idxDir/index-v2").exists, "old generation cleaned up")
+    assert(liveIds() == expected)
+    // next maintenance cycle stacks generations: new tombstone → v4
+    Seq(20L).toDF("vec_id").write.parquet(s"$idxDir/deletes")
+    graft.streaming.VecsStream.compactIndex(spark, idxDir)
+    assert(RabitqIndex.indexDataDir(idxDir) == s"$idxDir/index-v4")
+    assert(liveIds() == expected - 20L)
+    // search through the multi-generation layout stays exact
+    val baseFinal = initial.filter(!col("vec_id").isin((dels + 20L).toSeq: _*))
+    val qs = ExactKnn.queriesFromEmbeddings(emb, 5)
+    val truth = ExactKnn.l2TopK(baseFinal, qs, 10)
+    val (m2, live2) = RabitqIndex.loadLive(spark, idxDir)
+    val res = RabitqQuery.topK(spark, m2, live2, baseFinal, qs, 4, 10, 4096)
+    assert(ExactKnn.recall(res, truth, 10).head().getDouble(0) == 1.0)
+    // save() RESETS to generation zero: manifest + versioned dirs gone
+    RabitqIndex.save(spark, m2, live2, idxDir)
+    assert(RabitqIndex.indexDataDir(idxDir) == s"$idxDir/index")
+    assert(!new java.io.File(s"$idxDir/MANIFEST").exists)
+    assert(!new java.io.File(s"$idxDir/index-v4").exists)
+    assert(liveIds() == expected - 20L)
+  }
+
+  test("IdempotentSink.appendBatch: replayed and crashed micro-batches land " +
+      "exactly once") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("idem").toString
+    val target = s"$root/data"
+    val rows = Seq((1L, 10), (2L, 20), (3L, 30)).toDF("vec_id", "cluster_id")
+    def put(df: org.apache.spark.sql.DataFrame, batchId: Long): Unit =
+      graft.streaming.IdempotentSink.appendBatch(df, target, root, "q", batchId,
+        partitionCols = Seq("cluster_id"))
+    def count() = spark.read.parquet(target).count()
+    put(rows, 0L)
+    assert(count() == 3)
+    // replay of a COMMITTED batch (marker present): no-op
+    put(rows, 0L)
+    assert(count() == 3)
+    // crash AFTER the move, BEFORE the marker: the replay re-stages and
+    // re-moves under the same deterministic names — still one copy
+    assert(new java.io.File(s"$root/_commits/q/0").delete())
+    put(rows, 0L)
+    assert(count() == 3)
+    // crash MID-MOVE where the dead attempt left an orphan file this
+    // attempt doesn't produce: the prefix sweep removes it
+    assert(new java.io.File(s"$root/_commits/q/0").delete())
+    val orphan = new java.io.File(s"$target/cluster_id=10/q-0-99999.parquet")
+    java.nio.file.Files.write(orphan.toPath, Array.empty[Byte])
+    put(rows, 0L)
+    assert(!orphan.exists, "sweep must remove the dead attempt's orphan")
+    assert(count() == 3)
+    // a different batchId is a genuine append
+    put(Seq((4L, 10)).toDF("vec_id", "cluster_id"), 1L)
+    assert(count() == 4)
+    assert(spark.read.parquet(target).select("vec_id").distinct().count() == 4)
+    // flat (unpartitioned) targets — the tombstone-log shape
+    val flat = s"$root/flat"
+    graft.streaming.IdempotentSink.appendBatch(
+      Seq(7L).toDF("vec_id"), flat, root, "del", 0L)
+    graft.streaming.IdempotentSink.appendBatch(
+      Seq(7L).toDF("vec_id"), flat, root, "del", 0L)
+    assert(spark.read.parquet(flat).count() == 1)
+  }
+
+  test("maintenanceLoop: below thresholds nothing fires; debt alone compacts " +
+      "without a rebalance") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("maint_loop").toString
+    val (model, index0) = RabitqIndex.build(spark, emb, numClusters = 8, seed = 3L)
+    RabitqIndex.save(spark, model, index0, dir)
+    // healthy layout: no action, no rewrite (maxSizeFactor high enough
+    // that the natural k-means imbalance can't trip the rebalance arm —
+    // this spec isolates the debt arm; q120 drives both together)
+    val r0 = graft.streaming.VecsStream.maintenanceLoop(spark, dir, emb,
+      maxSizeFactor = 10.0)
+    assert(!r0.compacted && r0.rebalanced.isEmpty)
+    assert(RabitqIndex.indexDataDir(dir) == s"$dir/index")
+    // debt below threshold: still a no-op, log left in place
+    Seq(1L).toDF("vec_id").write.parquet(s"$dir/deletes")
+    val r1 = graft.streaming.VecsStream.maintenanceLoop(spark, dir, emb,
+      debtThreshold = 0.5, maxSizeFactor = 10.0)
+    assert(!r1.compacted && r1.rebalanced.isEmpty)
+    assert(new java.io.File(s"$dir/deletes").exists)
+    // debt over threshold: compaction fires alone — versioned swap, log
+    // folded, the tombstoned row physically gone
+    val r2 = graft.streaming.VecsStream.maintenanceLoop(spark, dir, emb,
+      debtThreshold = 1e-9, maxSizeFactor = 10.0)
+    assert(r2.compacted && r2.rebalanced.isEmpty)
+    assert(!new java.io.File(s"$dir/deletes").exists)
+    assert(RabitqIndex.indexDataDir(dir) == s"$dir/index-v2")
+    val (_, live) = RabitqIndex.loadLive(spark, dir)
+    assert(live.filter(col("vec_id") === 1L).count() == 0)
+    assert(live.count() == emb.count() - 1)
+  }
+
   test("RabitqIndex.rebalanceIndex: splits only oversized clusters, keeps untouched " +
       "partition files, respects tombstones, search stays exact") {
     import org.apache.spark.sql.functions.{element_at, lit}
@@ -1751,6 +1914,33 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val res = RabitqQuery.topK(spark, m2, idx2, baseFinal, qs,
       m2.params.numClusters, 10, 4096)
     assert(ExactKnn.recall(res, truth, 10).head().getDouble(0) == 1.0)
+  }
+
+  test("rebalanceIndex: a stale base missing live split members aborts loudly " +
+      "instead of silently dropping them from the rewrite") {
+    import org.apache.spark.sql.functions.element_at
+    // q116's skew construction, then a base with one split-cluster member
+    // removed — the inner-join formulation would quietly lose that vector
+    val (model, index0) = RabitqIndex.build(spark,
+      emb.filter(element_at(col("embedding"), 1) < 0f), numClusters = 8, seed = 11L)
+    val idxDir = java.nio.file.Files.createTempDirectory("rebal_stale").toString
+    RabitqIndex.save(spark, model, index0, idxDir)
+    RabitqIndex.appendVectors(spark, model,
+        emb.filter(element_at(col("embedding"), 1) >= 0f))
+      .write.mode("append").partitionBy("cluster_id").parquet(s"$idxDir/index")
+    val sizes = spark.read.parquet(s"$idxDir/index")
+      .groupBy("cluster_id").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(-_._2)
+    val victim = spark.read.parquet(s"$idxDir/index")
+      .filter(col("cluster_id") === sizes.head._1)
+      .select("vec_id").orderBy("vec_id").head().getLong(0)
+    val e = intercept[IllegalArgumentException] {
+      RabitqIndex.rebalanceIndex(spark, idxDir,
+        emb.filter(col("vec_id") =!= victim), maxSizeFactor = 1.4)
+    }
+    assert(e.getMessage.contains("stale base"), e.getMessage)
+    // the abort left the layout untouched: every row still present
+    assert(spark.read.parquet(s"$idxDir/index").count() == emb.count())
   }
 
   test("driver contract: SparkEntry.entry returns rows at sf0.001") {
