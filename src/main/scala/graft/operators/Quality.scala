@@ -27,10 +27,13 @@ import graft.functions.TextExpressions
   */
 object Quality {
 
-  /** Hashed feature space size. 4096 buckets keeps weight tables
-    * plan-embeddable (32 KiB of longs) while leaving unigram collision
-    * rates low for fixture vocabularies; production fastText uses 2^21
-    * — bump B, everything else is size-agnostic.
+  /** Default hashed feature space size. 4096 buckets keeps weight
+    * tables plan-embeddable (32 KiB of longs) while leaving unigram
+    * collision rates low for fixture vocabularies; production fastText
+    * uses 2^21 — pass `numBuckets` to [[train]] (the trainer's feature
+    * build is sparse: per-row cost is doc-length-sized, never
+    * bucket-count-sized, so 2^21 costs the same per row as 4096) and
+    * [[scoreWith]] sizes itself from the weight table.
     */
   val B = 4096
 
@@ -50,12 +53,12 @@ object Quality {
     * multiplicity kept — a bag of hashed n-grams as ONE codegen array
     * expression, no shuffle, no UDF. Empty array below one token.
     */
-  def featureBuckets(text: Column): Column = {
+  def featureBuckets(text: Column, numBuckets: Int = B): Column = {
     val norm = lower(trim(text))
     val uni = TextExpressions.shinglePolyHashes(norm, 1, 131L, P)
     val bi = TextExpressions.shinglePolyHashes(norm, 2, 131L, P)
-    concat(transform(uni, h => h % lit(B.toLong)),
-      transform(bi, h => h % lit(B.toLong)))
+    concat(transform(uni, h => h % lit(numBuckets.toLong)),
+      transform(bi, h => h % lit(numBuckets.toLong)))
   }
 
   /** Deterministic per-bucket weight in [-1000, 1000] (Knuth
@@ -90,9 +93,11 @@ object Quality {
     * zero shuffles. Output: (doc_id, quality_prob).
     */
   def scoreWith(docs: DataFrame, weights: Array[Double], bias: Double): DataFrame = {
-    require(weights.length == B, s"weight table must have $B entries, got ${weights.length}")
+    require(weights.nonEmpty, "weight table is empty")
+    // the bucket count IS the table length — a scorer fed 2^21-bucket
+    // fastText-scale weights hashes into 2^21 automatically
     val w = typedLit(weights.toSeq)
-    val f = featureBuckets(col("text"))
+    val f = featureBuckets(col("text"), weights.length)
     nonEmpty(docs).select(col("doc_id"), f.as("f"))
       .select(col("doc_id"),
         (aggregate(col("f"), lit(0.0d),
@@ -110,21 +115,28 @@ object Quality {
     * online pass. L2-regularized, deterministic (no sampling).
     */
   def train(spark: SparkSession, docs: DataFrame, labelCol: String,
-            maxIter: Int = 50, regParam: Double = 1e-4): (Array[Double], Double) = {
+            maxIter: Int = 50, regParam: Double = 1e-4,
+            numBuckets: Int = B): (Array[Double], Double) = {
     import org.apache.spark.ml.classification.LogisticRegression
     import org.apache.spark.ml.linalg.Vectors
     val feats = nonEmpty(docs)
       .select(col(labelCol).cast("double").as("label"),
-        featureBuckets(col("text")).as("f"))
+        featureBuckets(col("text"), numBuckets).as("f"))
     import spark.implicits._
     val train = feats.select(col("label"), col("f")).as[(Double, Seq[Long])]
       .map { case (label, f) =>
-        val counts = new Array[Double](B)
-        f.foreach(b => counts(b.toInt) += 1.0)
+        // per-row SPARSE build: the map is doc-length-sized, never
+        // bucket-count-sized — at fastText's 2^21 buckets a dense
+        // per-row buffer would be a 16 MB allocation per document
+        val counts = scala.collection.mutable.HashMap.empty[Int, Double]
+        f.foreach { b =>
+          val i = b.toInt
+          counts.update(i, counts.getOrElse(i, 0.0) + 1.0)
+        }
         val n = f.length.toDouble
         // mean-normalized counts — matches scoreWith's mean-weight form
-        val idx = counts.indices.filter(counts(_) != 0.0).toArray
-        (label, Vectors.sparse(B, idx, idx.map(counts(_) / n)))
+        val idx = counts.keysIterator.toArray.sorted
+        (label, Vectors.sparse(numBuckets, idx, idx.map(counts(_) / n)))
       }.toDF("label", "features")
     val model = new LogisticRegression()
       .setMaxIter(maxIter).setRegParam(regParam)

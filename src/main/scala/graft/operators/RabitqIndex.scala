@@ -697,6 +697,42 @@ object RabitqIndex {
       maxBefore, if (after.isEmpty) 0L else after.values.max)
   }
 
+  /** Per-cluster row counts from parquet FOOTER metadata only — no data
+    * pages touched. One lightweight task per file, distributed (at
+    * corpus scale a partitioned layout holds thousands of files; the
+    * driver only ever sees the numClusters-row reduction). Returns None
+    * when the dir has no `cluster_id=` partition dirs (caller falls
+    * back to the scan).
+    */
+  private[operators] def clusterSizesFromFooters(
+      spark: SparkSession, dataDir: String): Option[Array[(Int, Long)]] = {
+    val root = new java.io.File(dataDir)
+    val parts = Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("cluster_id="))
+    if (parts.isEmpty) return None
+    val files: Seq[(Int, String)] = parts.toSeq.flatMap { d =>
+      val c = d.getName.stripPrefix("cluster_id=").toInt
+      Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .map(f => (c, f.getAbsolutePath))
+    }
+    if (files.isEmpty) return Some(Array.empty)
+    val sizes = spark.sparkContext
+      .parallelize(files, math.max(1, math.min(64, files.length)))
+      .mapPartitions { it =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        it.map { case (c, p) =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(p), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try (c, r.getRecordCount) finally r.close()
+        }
+      }
+      .reduceByKey(_ + _)
+      .collect()
+    Some(sizes)
+  }
+
   def load(spark: SparkSession, dir: String): (RabitqModel, DataFrame) = {
     val p = spark.read.parquet(s"$dir/params").head()
     val params = RabitqParams(p.getAs[Int]("dim"), p.getAs[Int]("pad_dim"),
@@ -740,29 +776,45 @@ object RabitqIndex {
     * `clusters_oversized` decide when [[rebalanceIndex]] is (the emitted
     * `needs_rebalance` applies rebalanceIndex's own split criterion at
     * the same `maxSizeFactor`, so the report and the op can never
-    * disagree). Cost shape: `n_rows` is a parquet-metadata count; the
-    * per-cluster sizes are ONE slim two-column scan (vec_id, cluster_id
-    * — column-pruned, never the codes) into a numClusters-row aggregate
-    * (the clusterStats pattern — the collected frame is the cluster
-    * count, never the corpus). 10.9s at 1M cold from disk (the smoke);
-    * the serving tier's /describe reads the cached frame instead and is
-    * per-call cheap.
+    * disagree). Cost shape: with no tombstone log the WHOLE report is
+    * parquet FOOTER metadata ([[clusterSizesFromFooters]] — zero data
+    * pages, sub-second at 1M where the scan took 10.9s); with a log the
+    * live sizes need the anti-join, so it falls back to ONE slim
+    * two-column scan (vec_id, cluster_id — column-pruned, never the
+    * codes) into a numClusters-row aggregate. Either way the collected
+    * frame is the cluster count, never the corpus. The serving tier's
+    * /describe reads the cached frame instead and is per-call cheap.
     */
   def describeIndex(spark: SparkSession, dir: String,
-                    maxSizeFactor: Double = 1.5): DataFrame = {
+                    maxSizeFactor: Double = 1.5,
+                    footerFastPath: Boolean = true): DataFrame = {
     import spark.implicits._
     val (model, index) = load(spark, dir)
     val delDir = new java.io.File(s"$dir/deletes")
-    val nRows = index.count()
-    val tomb =
-      if (delDir.exists)
-        Some(spark.read.parquet(delDir.toString).select("vec_id").distinct())
+    // FOOTER fast path: with no tombstone log, every statistic here is a
+    // row count per cluster_id= partition — parquet footers carry those
+    // exactly, so read ONLY file metadata (one tiny distributed pass,
+    // zero data pages) instead of scanning a corpus-sized column. With a
+    // log present the live sizes need the anti-join, so fall back to the
+    // slim two-column scan.
+    val footerSizes: Option[Array[(Int, Long)]] =
+      if (footerFastPath && !delDir.exists)
+        clusterSizesFromFooters(spark, indexDataDir(dir))
       else None
-    val nTomb = tomb.map(_.count()).getOrElse(0L)
-    val live = tomb.map(t => index.join(t, Seq("vec_id"), "left_anti"))
-      .getOrElse(index)
-    val sizes = live.groupBy("cluster_id").count().collect()
-      .map(r => r.getInt(0) -> r.getLong(1))
+    val (nRows, nTomb, sizes) = footerSizes match {
+      case Some(fs) => (fs.map(_._2).sum, 0L, fs)
+      case None =>
+        val nRows = index.count()
+        val tomb =
+          if (delDir.exists)
+            Some(spark.read.parquet(delDir.toString).select("vec_id").distinct())
+          else None
+        val nTomb = tomb.map(_.count()).getOrElse(0L)
+        val live = tomb.map(t => index.join(t, Seq("vec_id"), "left_anti"))
+          .getOrElse(index)
+        (nRows, nTomb, live.groupBy("cluster_id").count().collect()
+          .map(r => r.getInt(0) -> r.getLong(1)))
+    }
     val nLive = sizes.map(_._2).sum
     val maxSize = if (sizes.isEmpty) 0L else sizes.map(_._2).max
     val mean = nLive.toDouble / model.params.numClusters

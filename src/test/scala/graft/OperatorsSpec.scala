@@ -1812,6 +1812,29 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(live.count() == emb.count() - 1)
   }
 
+  test("describeIndex: footer-metadata fast path equals the scan path field " +
+      "for field; a tombstone log falls back to the scan") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("desc_footer").toString
+    val (model, index0) = RabitqIndex.build(spark, emb, numClusters = 6, seed = 5L)
+    RabitqIndex.save(spark, model, index0, dir)
+    def report(footers: Boolean) =
+      RabitqIndex.describeIndex(spark, dir, footerFastPath = footers).head()
+    assert(report(footers = true) == report(footers = false),
+      s"${report(footers = true)} != ${report(footers = false)}")
+    // multiple files per partition dir (a frozen-model append): footer
+    // counts must sum across files
+    RabitqIndex.appendVectors(spark, model, emb.filter(col("vec_id") < 50))
+      .write.mode("append").partitionBy("cluster_id").parquet(s"$dir/index")
+    assert(report(footers = true) == report(footers = false))
+    assert(report(footers = true).getAs[Long]("n_rows") == emb.count() + 50)
+    // a tombstone log needs the anti-join — the fast path bypasses
+    // itself and both calls give the scan report
+    Seq(3L).toDF("vec_id").write.parquet(s"$dir/deletes")
+    assert(report(footers = true) == report(footers = false))
+    assert(report(footers = true).getAs[Long]("n_tombstones") == 1L)
+  }
+
   test("RabitqIndex.rebalanceIndex: splits only oversized clusters, keeps untouched " +
       "partition files, respects tombstones, search stays exact") {
     import org.apache.spark.sql.functions.{element_at, lit}
@@ -2832,12 +2855,22 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val docs = rows.toDF("doc_id", "text", "label")
     val (w, bias) = Quality.train(spark, docs, "label", maxIter = 30)
     assert(w.length == Quality.B)
-    val scored = Quality.scoreWith(docs, w, bias)
-      .join(docs.select(col("doc_id"), col("label")), Seq("doc_id"))
-      .select(col("label"), col("quality_prob")).collect()
-    val acc = scored.count(r =>
-      (r.getDouble(1) >= 0.5) == (r.getInt(0) == 1)).toDouble / scored.length
-    assert(acc >= 0.95, s"train/score accuracy $acc")
+    def accuracy(weights: Array[Double], b: Double): Double = {
+      val scored = Quality.scoreWith(docs, weights, b)
+        .join(docs.select(col("doc_id"), col("label")), Seq("doc_id"))
+        .select(col("label"), col("quality_prob")).collect()
+      scored.count(r =>
+        (r.getDouble(1) >= 0.5) == (r.getInt(0) == 1)).toDouble / scored.length
+    }
+    assert(accuracy(w, bias) >= 0.95, s"train/score accuracy ${accuracy(w, bias)}")
+    // the feature build is SPARSE (per-row cost ∝ doc length, not bucket
+    // count), so a much larger hashed space trains identically — the
+    // scorer sizes itself from the weight table it is handed
+    val (w2, bias2) = Quality.train(spark, docs, "label", maxIter = 30,
+      numBuckets = 65536)
+    assert(w2.length == 65536)
+    assert(accuracy(w2, bias2) >= 0.95,
+      s"B=65536 train/score accuracy ${accuracy(w2, bias2)}")
   }
 
   test("Quality.qualityScore: margins are the exact integer sum of the " +
