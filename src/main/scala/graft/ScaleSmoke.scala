@@ -274,6 +274,14 @@ object ScaleSmoke {
       val t10 = System.nanoTime()
       graft.streaming.VecsStream.compactIndex(spark, s"$tmp/idx")
       val compactSec = (System.nanoTime() - t10) / 1e9
+      // post-compaction the layout has no log, so describeIndex takes
+      // the parquet-FOOTER path (zero data pages) — the metadata-cheap
+      // report the ops loop polls between maintenance windows
+      val t10b = System.nanoTime()
+      val post = RabitqIndex.describeIndex(spark, s"$tmp/idx").head()
+      val describeFooterSec = (System.nanoTime() - t10b) / 1e9
+      require(post.getAs[Long]("n_rows") == post.getAs[Long]("n_live") &&
+        post.getAs[Long]("n_tombstones") == 0L, s"compaction left debt: $post")
       val (rowsCompact, secCompact) = timedQuery()
       val resurrected = (rowsLog ++ rowsCompact)
         .count(r => r(1).asInstanceOf[Long] % 20L == 7L)
@@ -292,6 +300,7 @@ object ScaleSmoke {
         s""""n_tombstones":${debt.getAs[Long]("n_tombstones")},""" +
         s""""tombstone_debt":${debt.getAs[Double]("tombstone_debt")},""" +
         s""""describe_sec":$describeSec,""" +
+        s""""describe_footer_sec":$describeFooterSec,""" +
         s""""query_sec_with_log":$secLog,"compact_sec":$compactSec,""" +
         s""""query_sec_compacted":$secCompact,""" +
         s""""results_equal":${rowsLog == rowsCompact},""" +

@@ -23,10 +23,12 @@ import graft.operators.RabitqIndex
   *     so a crash at ANY point (mid-write, mid-move, before the marker)
   *     replays to exactly one copy.
   *
-  * The sweep walks the target tree once per batch — cheap at micro-batch
-  * cadence on a filesystem; on an object store the same protocol runs
-  * against a transaction log (the Delta/Iceberg commit shape) instead of
-  * directory listings, with steps 1–3 unchanged.
+  * An in-progress sentinel (created before the first write, removed at
+  * commit) confines the target-tree sweep to genuine retry-after-crash
+  * attempts — the common path never walks the layout. On an object
+  * store the same protocol runs against a transaction log (the
+  * Delta/Iceberg commit shape) instead of directory listings, with
+  * steps 1–3 unchanged.
   */
 object IdempotentSink {
 
@@ -36,15 +38,24 @@ object IdempotentSink {
     val marker = new java.io.File(s"$commitRoot/_commits/$queryName/$batchId")
     if (marker.exists) return
     val prefix = s"$queryName-$batchId"
+    // in-progress sentinel: created before any write, removed with the
+    // commit — its presence on entry means a PRIOR attempt crashed
+    // somewhere, so only then pay the target-tree sweep (a partitioned
+    // index target can hold thousands of cluster dirs; the common
+    // first-attempt path must not walk them every batch)
+    val inprog = new java.io.File(s"$commitRoot/_commits/$queryName/$batchId.inprogress")
+    val retry = inprog.exists
+    inprog.getParentFile.mkdirs()
+    inprog.createNewFile()
     val staging = new java.io.File(s"$commitRoot/_staging/$prefix")
     val w0 = df.write.mode("overwrite")
     val w = if (partitionCols.nonEmpty) w0.partitionBy(partitionCols: _*) else w0
     w.parquet(staging.toString)
-    sweepPrefix(new java.io.File(targetDir), prefix)
+    if (retry) sweepPrefix(new java.io.File(targetDir), prefix)
     RabitqIndex.promoteStaged(staging, new java.io.File(targetDir), Some(prefix))
     org.apache.commons.io.FileUtils.deleteDirectory(staging)
-    marker.getParentFile.mkdirs()
     marker.createNewFile()
+    inprog.delete()
     ()
   }
 

@@ -1761,13 +1761,19 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     put(rows, 0L)
     assert(count() == 3)
     // crash MID-MOVE where the dead attempt left an orphan file this
-    // attempt doesn't produce: the prefix sweep removes it
+    // attempt doesn't produce: a real crash leaves the in-progress
+    // sentinel behind (it is only removed at commit), which makes the
+    // retry pay the prefix sweep that removes the orphan
     assert(new java.io.File(s"$root/_commits/q/0").delete())
+    java.nio.file.Files.createFile(
+      new java.io.File(s"$root/_commits/q/0.inprogress").toPath)
     val orphan = new java.io.File(s"$target/cluster_id=10/q-0-99999.parquet")
     java.nio.file.Files.write(orphan.toPath, Array.empty[Byte])
     put(rows, 0L)
     assert(!orphan.exists, "sweep must remove the dead attempt's orphan")
     assert(count() == 3)
+    assert(!new java.io.File(s"$root/_commits/q/0.inprogress").exists,
+      "commit must clear the in-progress sentinel")
     // a different batchId is a genuine append
     put(Seq((4L, 10)).toDF("vec_id", "cluster_id"), 1L)
     assert(count() == 4)
