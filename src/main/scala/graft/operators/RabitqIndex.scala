@@ -733,6 +733,42 @@ object RabitqIndex {
     Some(sizes)
   }
 
+  /** What [[vacuumIndex]] removed. */
+  case class VacuumReport(removed: Seq[String], reclaimedBytes: Long)
+
+  /** Garbage-collect a saved layout: remove what the crash-safe
+    * lifecycle protocols can leave behind — data generations NOT
+    * referenced by the MANIFEST (a compaction that rewrote but never
+    * swapped, or swapped but crashed before cleanup), a dead
+    * `_rebalance_staging`, orphaned `IdempotentSink` batch staging, and
+    * a torn `MANIFEST.tmp`. Never touches the active generation, the
+    * tombstone log (vacuum cannot know from FS state whether a log
+    * predates or postdates the last swap — folding it is compaction's
+    * job, and a stale log anti-joins ids that are already gone, a
+    * no-op), the model sidecars, or the `_commits` markers (a restarted
+    * stream needs its retry evidence). Same single-writer window as the
+    * other scheduled maintenance ops: don't vacuum while a compaction
+    * or rebalance is mid-flight. Pure filesystem metadata — no jobs.
+    */
+  def vacuumIndex(dir: String): VacuumReport = {
+    val active = new java.io.File(indexDataDir(dir)).getName
+    val root = new java.io.File(dir)
+    val dirVictims = Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter { f =>
+        f.isDirectory && f.getName != active &&
+          (f.getName == "index" || f.getName.startsWith("index-v") ||
+            f.getName == "_rebalance_staging" || f.getName == "_staging")
+      }
+    val fileVictims = Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isFile && f.getName == "MANIFEST.tmp")
+    val sized = dirVictims.map(v =>
+      v.getPath -> org.apache.commons.io.FileUtils.sizeOfDirectory(v)) ++
+      fileVictims.map(v => v.getPath -> v.length())
+    dirVictims.foreach(org.apache.commons.io.FileUtils.deleteDirectory)
+    fileVictims.foreach(_.delete())
+    VacuumReport(sized.map(_._1).toIndexedSeq, sized.map(_._2).sum)
+  }
+
   def load(spark: SparkSession, dir: String): (RabitqModel, DataFrame) = {
     val p = spark.read.parquet(s"$dir/params").head()
     val params = RabitqParams(p.getAs[Int]("dim"), p.getAs[Int]("pad_dim"),

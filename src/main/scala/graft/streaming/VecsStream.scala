@@ -245,7 +245,8 @@ object VecsStream {
 
   /** What one [[maintenanceLoop]] pass did. */
   case class MaintenanceReport(
-      compacted: Boolean, rebalanced: Option[RabitqIndex.RebalanceReport])
+      compacted: Boolean, rebalanced: Option[RabitqIndex.RebalanceReport],
+      vacuumed: RabitqIndex.VacuumReport)
 
   /** The self-scheduled OPS LOOP the `RabitqIndex.describeIndex` health
     * report exists for: read the report, fold the tombstone log when
@@ -262,6 +263,10 @@ object VecsStream {
                       base: org.apache.spark.sql.DataFrame,
                       debtThreshold: Double = 0.2,
                       maxSizeFactor: Double = 1.5): MaintenanceReport = {
+    // vacuum first: a crashed prior cycle's debris (unreferenced
+    // generations, dead staging) must not ride along forever — pure
+    // file metadata, no jobs
+    val vac = RabitqIndex.vacuumIndex(idxDir)
     val d = RabitqIndex.describeIndex(spark, idxDir, maxSizeFactor).head()
     val compacted =
       if (d.getAs[Double]("tombstone_debt") >= debtThreshold &&
@@ -272,6 +277,6 @@ object VecsStream {
       if (d.getAs[Boolean]("needs_rebalance"))
         Some(RabitqIndex.rebalanceIndex(spark, idxDir, base, maxSizeFactor))
       else None
-    MaintenanceReport(compacted, rebalanced)
+    MaintenanceReport(compacted, rebalanced, vac)
   }
 }

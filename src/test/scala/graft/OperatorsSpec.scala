@@ -1818,6 +1818,52 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(live.count() == emb.count() - 1)
   }
 
+  test("vacuumIndex: removes crash debris (unreferenced generations, dead " +
+      "staging, torn manifest) and never touches live state") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("vacuum").toString
+    val initial = emb.filter(col("vec_id") < 300)
+    val (model, index0) = RabitqIndex.build(spark, initial, numClusters = 4, seed = 7L)
+    RabitqIndex.save(spark, model, index0, dir)
+    Seq(9L).toDF("vec_id").write.parquet(s"$dir/deletes")
+    // debris: a compaction that rewrote but never swapped, a dead
+    // rebalance staging, orphaned batch staging, a torn MANIFEST.tmp,
+    // and a committed batch's marker (which must SURVIVE)
+    graft.streaming.VecsStream.compactRewrite(spark, dir) // index-v2, no swap
+    new java.io.File(s"$dir/_rebalance_staging/cluster_id=0").mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/_rebalance_staging/cluster_id=0/part-0.parquet"), "x")
+    new java.io.File(s"$dir/_staging/q-0").mkdirs()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "MANIFEST.tmp"), "index-v2")
+    new java.io.File(s"$dir/_commits/q").mkdirs()
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(s"$dir/_commits/q/0"))
+    val before = RabitqIndex.loadLive(spark, dir)._2
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val rep = RabitqIndex.vacuumIndex(dir)
+    assert(rep.removed.size == 4 && rep.reclaimedBytes > 0, rep.toString)
+    assert(!new java.io.File(s"$dir/index-v2").exists, "unreferenced generation")
+    assert(!new java.io.File(s"$dir/_rebalance_staging").exists)
+    assert(!new java.io.File(s"$dir/_staging").exists)
+    assert(!new java.io.File(s"$dir/MANIFEST.tmp").exists)
+    // live state intact: active generation, tombstone log, sidecars,
+    // commit markers, and the logical live set
+    assert(new java.io.File(s"$dir/index").exists)
+    assert(new java.io.File(s"$dir/deletes").exists)
+    assert(new java.io.File(s"$dir/_commits/q/0").exists)
+    val after = RabitqIndex.loadLive(spark, dir)._2
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(after == before && !after.contains(9L))
+    // after a real swap the OLD generation is the unreferenced one
+    graft.streaming.VecsStream.compactIndex(spark, dir)
+    assert(RabitqIndex.indexDataDir(dir) == s"$dir/index-v2")
+    // simulate a crashed cleanup by recreating the old dir
+    new java.io.File(s"$dir/index/cluster_id=0").mkdirs()
+    val rep2 = RabitqIndex.vacuumIndex(dir)
+    assert(rep2.removed == Seq(s"$dir/index"))
+    assert(new java.io.File(s"$dir/index-v2").exists)
+    assert(RabitqIndex.loadLive(spark, dir)._2.count() == before.size)
+  }
+
   test("describeIndex: footer-metadata fast path equals the scan path field " +
       "for field; a tombstone log falls back to the scan") {
     import spark.implicits._
