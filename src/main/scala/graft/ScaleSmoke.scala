@@ -309,6 +309,84 @@ object ScaleSmoke {
         s""""encode_vecs_per_sec":${(n / encodeSec).toLong}}}""")
       liveBase.unpersist()
     }
+    // opt-in MAINTENANCE-LOOP stage ("loop" arg): the q120 operator at
+    // generated scale — ONE self-scheduled VecsStream.maintenanceLoop
+    // pass (vacuum → describe → compact → rebalance under a single
+    // lease) over a layout carrying BOTH tombstone debt and append
+    // skew: the state a continuously-fed index reaches between
+    // maintenance windows. Construction reuses the rebalance stage's
+    // skew shape (bootstrap on half the generator modes, frozen-model
+    // append of the rest) plus the maintain stage's 5% tombstones.
+    // Numbers that matter: loop_sec end-to-end, recall at the SAME
+    // nprobe before vs after the pass, and the invariants — both
+    // actions fired, zero debt after, and no tombstoned id in either
+    // measured result set.
+    if (args.contains("loop") && nQueries <= 1000) {
+      val tmp = TempDirs.create("graft_loop_smoke_")
+      val t11 = System.nanoTime()
+      val boot = base.filter(col("vec_id") % 100L < 50L)
+      val (bModel, bIndex) =
+        if (n / 2 > 500000L) RabitqIndex.buildSampled(spark, boot, k, sampleN = 200000L, seed = 42L)
+        else RabitqIndex.build(spark, boot, k, seed = 42L)
+      RabitqIndex.save(spark, bModel, bIndex, s"$tmp/idx")
+      RabitqIndex.appendVectors(spark, bModel,
+          base.filter(col("vec_id") % 100L >= 50L))
+        .write.mode("append").partitionBy("cluster_id").parquet(s"$tmp/idx/index")
+      base.filter(col("vec_id") % 20L === 7L).select("vec_id")
+        .write.parquet(s"$tmp/idx/deletes")
+      val setupSec = (System.nanoTime() - t11) / 1e9
+      val liveBase = base.filter(col("vec_id") % 20L =!= 7L).persist()
+      liveBase.count()
+      val liveTruth = ExactKnn.l2TopK(liveBase, queries, 10).persist()
+      liveTruth.count()
+      // measured read: loadLive (tombstone-respecting before the loop,
+      // plain after) + fixed-nprobe search; the resurrection guard
+      // rides every measured result set
+      def readNow(): (Double, Double) = {
+        val (m, live) = RabitqIndex.loadLive(spark, s"$tmp/idx")
+        val p = live.persist(); p.count()
+        val t = System.nanoTime()
+        val r = RabitqQuery.topK(spark, m, p, liveBase, queries,
+          nprobe = nprobe, topk = 10, rerank = rerank).persist()
+        r.count()
+        val sec = (System.nanoTime() - t) / 1e9
+        val rec = ExactKnn.recall(r, liveTruth, 10).head().getDouble(0)
+        val resurrected = r.filter(col("neighbor_id") % 20L === 7L).count()
+        require(resurrected == 0L, s"tombstoned ids surfaced: $resurrected")
+        r.unpersist(); p.unpersist()
+        (rec, sec)
+      }
+      val before = RabitqIndex.describeIndex(spark, s"$tmp/idx",
+        maxSizeFactor = 1.5).head()
+      require(before.getAs[Double]("tombstone_debt") >= 0.02 &&
+        before.getAs[Boolean]("needs_rebalance"),
+        s"loop smoke is vacuous: construction created no debt/skew ($before)")
+      val (recBefore, secBefore) = readNow()
+      val t12 = System.nanoTime()
+      val report = graft.streaming.VecsStream.maintenanceLoop(spark,
+        s"$tmp/idx", base, debtThreshold = 0.02, maxSizeFactor = 1.5)
+      val loopSec = (System.nanoTime() - t12) / 1e9
+      require(report.compacted, s"loop did not compact: $report")
+      require(report.rebalanced.exists(_.split.nonEmpty),
+        s"loop did not rebalance: $report")
+      val after = RabitqIndex.describeIndex(spark, s"$tmp/idx",
+        maxSizeFactor = 1.5).head()
+      require(after.getAs[Long]("n_tombstones") == 0L &&
+        after.getAs[Long]("n_rows") == after.getAs[Long]("n_live"),
+        s"debt survived the loop: $after")
+      val (recAfter, secAfter) = readNow()
+      val rb = report.rebalanced.get
+      println(s"""{"scale_smoke_loop":{"n":$n,"k":$k,"nprobe":$nprobe,""" +
+        s""""setup_sec":$setupSec,"loop_sec":$loopSec,""" +
+        s""""compacted":${report.compacted},"clusters_split":${rb.split.size},""" +
+        s""""k_after":${rb.numClustersAfter},"moved_rows":${rb.movedRows},""" +
+        s""""max_size_before":${before.getAs[Long]("max_cluster_size")},""" +
+        s""""max_size_after":${after.getAs[Long]("max_cluster_size")},""" +
+        s""""n_tombstones_before":${before.getAs[Long]("n_tombstones")},""" +
+        s""""recall_at_10_before":$recBefore,"recall_at_10_after":$recAfter,""" +
+        s""""query_sec_before":$secBefore,"query_sec_after":$secAfter}}""")
+      liveTruth.unpersist(); liveBase.unpersist()
+    }
     spark.stop()
   }
 }

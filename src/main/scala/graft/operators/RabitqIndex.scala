@@ -557,7 +557,13 @@ object RabitqIndex {
     */
   def rebalanceIndex(spark: SparkSession, dir: String, base: DataFrame,
                      maxSizeFactor: Double = 1.5,
-                     fitSampleCap: Long = 100000L): RebalanceReport = {
+                     fitSampleCap: Long = 100000L): RebalanceReport =
+    withLayoutLock(dir)(
+      rebalanceUnlocked(spark, dir, base, maxSizeFactor, fitSampleCap))
+
+  private[graft] def rebalanceUnlocked(
+      spark: SparkSession, dir: String, base: DataFrame,
+      maxSizeFactor: Double, fitSampleCap: Long): RebalanceReport = {
     import spark.implicits._
     val (model, index) = load(spark, dir)
     val dataDir = indexDataDir(dir)
@@ -733,6 +739,45 @@ object RabitqIndex {
     Some(sizes)
   }
 
+  /** Lease file serializing the SCHEDULED maintenance mutators
+    * ([[rebalanceIndex]], [[vacuumIndex]], `VecsStream.compactIndex`,
+    * and one whole `VecsStream.maintenanceLoop` pass) against a
+    * double-fired scheduler: two maintenance ops interleaving on the
+    * same layout can be destructive (a rebalance deleting partition
+    * dirs a compaction is mid-rewrite on; a vacuum reclaiming a
+    * generation a swap is about to reference), and at fleet scale
+    * cron/airflow retries DO double-fire. Acquired atomically
+    * (`Files.createFile`), released in `finally`; a lease older than
+    * `staleMs` is broken (the ops themselves are each crash-safe —
+    * versioned rewrite, staged promote, idempotent anti-join — so a
+    * crashed holder must not wedge maintenance forever; the lease only
+    * serializes CONCURRENT mutators). READERS never take it: the
+    * MANIFEST protocol already gives every reader
+    * old-or-new-never-partial. Continuous-ingest APPENDS don't either —
+    * running maintenance between ingest windows is the documented q117
+    * contract (a rebalance invalidates frozen writer models regardless
+    * of any lock); this lease enforces the intra-window half.
+    */
+  private[graft] def withLayoutLock[A](
+      dir: String, staleMs: Long = 60L * 60 * 1000)(body: => A): A = {
+    val lock = java.nio.file.Paths.get(dir, "_maintenance.lock")
+    def acquire(): Boolean =
+      try { java.nio.file.Files.createFile(lock); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    if (!acquire()) {
+      // lastModified() == 0 if the holder released between our failed
+      // acquire and here — that reads as stale, and the re-acquire wins
+      val heldMs = System.currentTimeMillis() - lock.toFile.lastModified()
+      val stale = heldMs >= staleMs
+      if (stale) lock.toFile.delete()
+      if (!(stale && acquire()))
+        throw new IllegalStateException(
+          s"maintenance already in flight on $dir (_maintenance.lock held " +
+            s"${heldMs / 1000}s; a lease breaks after ${staleMs / 1000}s)")
+    }
+    try body finally java.nio.file.Files.deleteIfExists(lock)
+  }
+
   /** What [[vacuumIndex]] removed. */
   case class VacuumReport(removed: Seq[String], reclaimedBytes: Long)
 
@@ -745,12 +790,18 @@ object RabitqIndex {
     * tombstone log (vacuum cannot know from FS state whether a log
     * predates or postdates the last swap — folding it is compaction's
     * job, and a stale log anti-joins ids that are already gone, a
-    * no-op), the model sidecars, or the `_commits` markers (a restarted
-    * stream needs its retry evidence). Same single-writer window as the
-    * other scheduled maintenance ops: don't vacuum while a compaction
-    * or rebalance is mid-flight. Pure filesystem metadata — no jobs.
+    * no-op), the model sidecars, the `_commits` markers (a restarted
+    * stream needs its retry evidence), or the `_maintenance.lock` lease
+    * (held by the caller — [[withLayoutLock]] breaks stale ones itself).
+    * Mutual exclusion with the other scheduled maintenance ops (a
+    * vacuum mid-compaction would reclaim the generation the swap is
+    * about to reference) is ENFORCED by the lease, not left to the
+    * scheduler. Pure filesystem metadata — no jobs.
     */
-  def vacuumIndex(dir: String): VacuumReport = {
+  def vacuumIndex(dir: String): VacuumReport =
+    withLayoutLock(dir)(vacuumUnlocked(dir))
+
+  private[graft] def vacuumUnlocked(dir: String): VacuumReport = {
     val active = new java.io.File(indexDataDir(dir)).getName
     val root = new java.io.File(dir)
     val dirVictims = Option(root.listFiles()).getOrElse(Array.empty[java.io.File])

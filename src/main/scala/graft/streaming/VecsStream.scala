@@ -207,7 +207,10 @@ object VecsStream {
     * anti-joins ids that are already physically gone — a no-op. Readers
     * therefore see old-or-new, never partial (spec-asserted).
     */
-  def compactIndex(spark: SparkSession, idxDir: String): Unit = {
+  def compactIndex(spark: SparkSession, idxDir: String): Unit =
+    RabitqIndex.withLayoutLock(idxDir)(compactUnlocked(spark, idxDir))
+
+  private[graft] def compactUnlocked(spark: SparkSession, idxDir: String): Unit = {
     val delDir = new java.io.File(s"$idxDir/deletes")
     if (!delDir.exists) return
     compactSwap(idxDir, compactRewrite(spark, idxDir))
@@ -262,21 +265,26 @@ object VecsStream {
   def maintenanceLoop(spark: SparkSession, idxDir: String,
                       base: org.apache.spark.sql.DataFrame,
                       debtThreshold: Double = 0.2,
-                      maxSizeFactor: Double = 1.5): MaintenanceReport = {
-    // vacuum first: a crashed prior cycle's debris (unreferenced
-    // generations, dead staging) must not ride along forever — pure
-    // file metadata, no jobs
-    val vac = RabitqIndex.vacuumIndex(idxDir)
-    val d = RabitqIndex.describeIndex(spark, idxDir, maxSizeFactor).head()
-    val compacted =
-      if (d.getAs[Double]("tombstone_debt") >= debtThreshold &&
-          d.getAs[Long]("n_tombstones") > 0L) {
-        compactIndex(spark, idxDir); true
-      } else false
-    val rebalanced =
-      if (d.getAs[Boolean]("needs_rebalance"))
-        Some(RabitqIndex.rebalanceIndex(spark, idxDir, base, maxSizeFactor))
-      else None
-    MaintenanceReport(compacted, rebalanced, vac)
-  }
+                      maxSizeFactor: Double = 1.5): MaintenanceReport =
+    // ONE lease across the whole pass: the describe→act sequence must
+    // not interleave with another scheduler's pass (each acting on the
+    // other's stale report), and the loop IS the maintenance window
+    RabitqIndex.withLayoutLock(idxDir) {
+      // vacuum first: a crashed prior cycle's debris (unreferenced
+      // generations, dead staging) must not ride along forever — pure
+      // file metadata, no jobs
+      val vac = RabitqIndex.vacuumUnlocked(idxDir)
+      val d = RabitqIndex.describeIndex(spark, idxDir, maxSizeFactor).head()
+      val compacted =
+        if (d.getAs[Double]("tombstone_debt") >= debtThreshold &&
+            d.getAs[Long]("n_tombstones") > 0L) {
+          compactUnlocked(spark, idxDir); true
+        } else false
+      val rebalanced =
+        if (d.getAs[Boolean]("needs_rebalance"))
+          Some(RabitqIndex.rebalanceUnlocked(spark, idxDir, base,
+            maxSizeFactor, fitSampleCap = 100000L))
+        else None
+      MaintenanceReport(compacted, rebalanced, vac)
+    }
 }

@@ -1864,6 +1864,49 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(RabitqIndex.loadLive(spark, dir)._2.count() == before.size)
   }
 
+  test("maintenance lease: concurrent maintenance mutators are mutually " +
+      "exclusive; a stale lease is broken; the lease is released on exit") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("lease").toString
+    val initial = emb.filter(col("vec_id") < 300)
+    val (model, index0) = RabitqIndex.build(spark, initial, numClusters = 4, seed = 7L)
+    RabitqIndex.save(spark, model, index0, dir)
+    Seq(9L).toDF("vec_id").write.parquet(s"$dir/deletes")
+    val lock = new java.io.File(s"$dir/_maintenance.lock")
+
+    // a held lease blocks every maintenance mutator (compact, rebalance,
+    // vacuum, the loop) — the double-fired-scheduler scenario
+    assert(lock.createNewFile())
+    for (op <- Seq[() => Any](
+        () => graft.streaming.VecsStream.compactIndex(spark, dir),
+        () => RabitqIndex.rebalanceIndex(spark, dir, initial),
+        () => RabitqIndex.vacuumIndex(dir),
+        () => graft.streaming.VecsStream.maintenanceLoop(spark, dir, initial))) {
+      val e = intercept[IllegalStateException](op())
+      assert(e.getMessage.contains("maintenance already in flight"))
+    }
+    // blocked callers must not have swallowed the holder's lease
+    assert(lock.exists(), "a blocked caller removed the holder's lease")
+    assert(new java.io.File(s"$dir/deletes").exists,
+      "a blocked compaction still folded the log")
+
+    // a STALE lease (crashed holder) is broken and the op proceeds;
+    // afterwards the lease is released (the finally path)
+    assert(lock.setLastModified(System.currentTimeMillis() - 2L * 3600 * 1000))
+    graft.streaming.VecsStream.compactIndex(spark, dir)
+    assert(!lock.exists(), "lease not released after a successful op")
+    assert(RabitqIndex.indexDataDir(dir) == s"$dir/index-v2")
+    assert(!new java.io.File(s"$dir/deletes").exists)
+    val live = RabitqIndex.loadLive(spark, dir)._2
+    assert(live.filter(col("vec_id") === 9L).count() == 0)
+    assert(live.count() == initial.count() - 1)
+
+    // vacuum never reclaims a LIVE lease riding in the dir
+    assert(lock.createNewFile())
+    val rep = try RabitqIndex.vacuumUnlocked(dir) finally lock.delete()
+    assert(!rep.removed.exists(_.contains("_maintenance.lock")))
+  }
+
   test("describeIndex: footer-metadata fast path equals the scan path field " +
       "for field; a tombstone log falls back to the scan") {
     import spark.implicits._
