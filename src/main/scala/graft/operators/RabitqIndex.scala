@@ -565,6 +565,7 @@ object RabitqIndex {
       spark: SparkSession, dir: String, base: DataFrame,
       maxSizeFactor: Double, fitSampleCap: Long): RebalanceReport = {
     import spark.implicits._
+    completeRebalanceSwap(dir) // finish a predecessor's crashed swap first
     val (model, index) = load(spark, dir)
     val dataDir = indexDataDir(dir)
     val delDir = new java.io.File(s"$dir/deletes")
@@ -662,38 +663,42 @@ object RabitqIndex {
         live.filter(col("cluster_id").isin(splitIds.map(Int.box): _*))
           .select("vec_id", extraCols.toIndexedSeq: _*),
         Seq("vec_id"))
-    // stage the rewrite DURABLY (distributed parquet write to a sibling
-    // staging dir) BEFORE deleting the old partition dirs: a crash in
-    // the delete→promote window leaves the only copy of these rows on
-    // disk, not in block-manager memory, and the promote itself is
-    // metadata-only file moves. (compactIndex goes further — whole-layout
-    // version swap — but rebalance touches only the skewed slice, so
-    // per-partition staging keeps its IO ∝ skew.)
+    // stage EVERYTHING the swap needs DURABLY before touching the live
+    // layout: the re-encoded rows (distributed parquet write, IO ∝
+    // skew) AND the new model sidecar (centroids + params change,
+    // rotation/bias don't) — recovery must be able to finish the swap
+    // with file operations alone, no SparkSession. Then a _COMMIT
+    // marker makes the swap the point of no return: before it, a crash
+    // rolls BACK (vacuum reclaims the staging as debris, the live
+    // layout was never touched); after it, the swap rolls FORWARD
+    // ([[completeRebalanceSwap]] — idempotent atomic directory renames,
+    // re-driven by the next maintenance pass if this process dies
+    // mid-swap). No state ever exists where re-encoded rows are lost.
     val staging = new java.io.File(s"$dir/_rebalance_staging")
+    org.apache.commons.io.FileUtils.deleteDirectory(staging) // pre-commit debris
     reencWide.write.mode("overwrite").partitionBy("cluster_id")
-      .parquet(staging.toString)
-    val reenc = spark.read.parquet(staging.toString)
+      .parquet(s"$staging/index")
+    val reenc = spark.read.parquet(s"$staging/index")
     val movedRows = reenc.count()
     val reencSizes = reenc.groupBy("cluster_id").count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
-
-    splitIds.foreach { c =>
-      org.apache.commons.io.FileUtils.deleteDirectory(
-        new java.io.File(s"$dataDir/cluster_id=$c"))
-    }
-    promoteStaged(staging, new java.io.File(dataDir), rename = None)
-    org.apache.commons.io.FileUtils.deleteDirectory(staging)
-
-    // model sidecar: centroids + params change, rotation/bias don't.
-    // The model was collected eagerly above, so overwriting the dirs it
-    // was loaded from is safe.
     centroids2.zipWithIndex.map { case (cen, i) => (i, cen.toSeq) }.toSeq
       .toDF("cluster_id", "centroid").coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/centroids")
+      .write.mode("overwrite").parquet(s"$staging/centroids")
     Seq((model2.params.dim, model2.params.padDim, model2.params.numClusters,
          model2.params.seed, model2.bias.toSeq))
       .toDF("dim", "pad_dim", "num_clusters", "seed", "bias").coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/params")
+      .write.mode("overwrite").parquet(s"$staging/params")
+    // the marker names the SPLIT clusters (their dirs are replaced
+    // wholesale; every other destination merges) and is itself staged +
+    // atomically renamed — a torn marker can never misclassify a dir
+    val cTmp = new java.io.File(staging, "_COMMIT.tmp")
+    java.nio.file.Files.write(cTmp.toPath,
+      splitIds.mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.move(cTmp.toPath,
+      new java.io.File(staging, "_COMMIT").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    completeRebalanceSwap(dir)
 
     // after-sizes without re-reading the layout: untouched sizes +
     // re-encoded destinations
@@ -701,6 +706,74 @@ object RabitqIndex {
       reencSizes.map { case (c, n) => c -> ((sizes -- splitIds).getOrElse(c, 0L) + n) }
     RebalanceReport(k0, centroids2.length, splitK, movedRows,
       maxBefore, if (after.isEmpty) 0L else after.values.max)
+  }
+
+  /** Finish a COMMITTED rebalance swap — idempotent, file operations
+    * only, no SparkSession. No-op unless `_rebalance_staging/_COMMIT`
+    * exists (i.e. [[rebalanceUnlocked]] finished staging the re-encoded
+    * rows and the new sidecar and declared the point of no return).
+    * The `_COMMIT` marker lists the SPLIT cluster ids: their partition
+    * dirs are REPLACED wholesale (their rows were all re-encoded —
+    * atomically rename the old dir aside, rename the staged dir in);
+    * every other staged destination MERGES its files into the existing
+    * dir (a re-encoded member can land in ANY cluster of the grown
+    * centroid set, and untouched clusters keep their rows — globally
+    * unique part names make the file moves idempotent under retry).
+    * Sidecar: copy the staged tables to a temp sibling, then
+    * atomic-rename over centroids/params (the staged copy survives
+    * until final cleanup, so a crash at ANY point re-drives to the same
+    * end state). Called at the top of every maintenance entry point
+    * (vacuum runs first in the loop), so a swap orphaned by a crash
+    * completes on the next pass — the staged rows can never be
+    * stranded or reclaimed as debris. Readers racing a mid-swap crash
+    * see a consistent-but-incomplete index (a split cluster's dir
+    * missing for the duration of two renames) — never a torn file,
+    * never resurrections.
+    */
+  private[graft] def completeRebalanceSwap(dir: String): Unit = {
+    val staging = new java.io.File(s"$dir/_rebalance_staging")
+    val commitF = new java.io.File(staging, "_COMMIT")
+    if (!commitF.exists) return
+    val splitIds = java.nio.file.Files.readAllLines(commitF.toPath)
+      .toArray(Array.empty[String]).filter(_.nonEmpty).map(_.toInt).toSet
+    val dataDir = new java.io.File(indexDataDir(dir))
+    val stagedIdx = new java.io.File(staging, "index")
+    Option(stagedIdx.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("cluster_id="))
+      .foreach { sd =>
+        val cid = sd.getName.stripPrefix("cluster_id=").toInt
+        val tgt = new java.io.File(dataDir, sd.getName)
+        if (splitIds.contains(cid)) {
+          if (tgt.exists) {
+            // tgt still holds the OLD rows (the staged dir is only
+            // renamed away after the old one is moved aside)
+            val aside = new java.io.File(dataDir, s".rebalance-old-${sd.getName}")
+            org.apache.commons.io.FileUtils.deleteDirectory(aside)
+            java.nio.file.Files.move(tgt.toPath, aside.toPath)
+          }
+          java.nio.file.Files.move(sd.toPath, tgt.toPath)
+        } else {
+          tgt.mkdirs()
+          Option(sd.listFiles()).getOrElse(Array.empty[java.io.File])
+            .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+            .foreach(f => java.nio.file.Files.move(f.toPath,
+              new java.io.File(tgt, f.getName).toPath,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING))
+          org.apache.commons.io.FileUtils.deleteDirectory(sd)
+        }
+      }
+    for (t <- Seq("centroids", "params")) {
+      val tmp = new java.io.File(s"$dir/.rebalance-new-$t")
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+      org.apache.commons.io.FileUtils.copyDirectory(
+        new java.io.File(staging, t), tmp)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$dir/$t"))
+      java.nio.file.Files.move(tmp.toPath, java.nio.file.Paths.get(dir, t))
+    }
+    Option(dataDir.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith(".rebalance-old-"))
+      .foreach(org.apache.commons.io.FileUtils.deleteDirectory)
+    org.apache.commons.io.FileUtils.deleteDirectory(staging)
   }
 
   /** Per-cluster row counts from parquet FOOTER metadata only — no data
@@ -802,14 +875,25 @@ object RabitqIndex {
     withLayoutLock(dir)(vacuumUnlocked(dir))
 
   private[graft] def vacuumUnlocked(dir: String): VacuumReport = {
+    // a COMMITTED rebalance swap is recovery state, not debris — roll
+    // it forward before reclaiming anything (its staging holds the only
+    // copy of the re-encoded rows until the renames land)
+    completeRebalanceSwap(dir)
     val active = new java.io.File(indexDataDir(dir)).getName
     val root = new java.io.File(dir)
-    val dirVictims = Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
+    // .rebalance-* temp dirs (root-level sidecar tmp, in-dataDir asides)
+    // can only be stranded WITHOUT a _COMMIT by a crash inside the final
+    // cleanup — by then the swap's end state is fully in place
+    val asideDebris = Option(new java.io.File(s"$dir/$active").listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith(".rebalance-old-"))
+    val dirVictims = (Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
       .filter { f =>
         f.isDirectory && f.getName != active &&
           (f.getName == "index" || f.getName.startsWith("index-v") ||
-            f.getName == "_rebalance_staging" || f.getName == "_staging")
-      }
+            f.getName == "_rebalance_staging" || f.getName == "_staging" ||
+            f.getName.startsWith(".rebalance-new-"))
+      }) ++ asideDebris
     val fileVictims = Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
       .filter(f => f.isFile && f.getName == "MANIFEST.tmp")
     val sized = dirVictims.map(v =>

@@ -211,6 +211,10 @@ object VecsStream {
     RabitqIndex.withLayoutLock(idxDir)(compactUnlocked(spark, idxDir))
 
   private[graft] def compactUnlocked(spark: SparkSession, idxDir: String): Unit = {
+    // finish a predecessor's crashed-but-committed rebalance swap first:
+    // compacting a mid-swap layout would rewrite a generation missing
+    // the split clusters' rows
+    RabitqIndex.completeRebalanceSwap(idxDir)
     val delDir = new java.io.File(s"$idxDir/deletes")
     if (!delDir.exists) return
     compactSwap(idxDir, compactRewrite(spark, idxDir))

@@ -1864,6 +1864,85 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(RabitqIndex.loadLive(spark, dir)._2.count() == before.size)
   }
 
+  test("rebalance swap: a crash after _COMMIT rolls FORWARD on the next " +
+      "maintenance pass — staged rows are never stranded or vacuumed away") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("rebal_commit").toString
+    val initial = emb.filter(col("vec_id") < 400)
+    val (model, index0) = RabitqIndex.build(spark, initial, numClusters = 4, seed = 7L)
+    RabitqIndex.save(spark, model, index0, dir)
+    val dataDir = RabitqIndex.indexDataDir(dir)
+
+    // manufacture the exact crash state: everything STAGED and COMMITTED,
+    // process died before any rename. Staged index = cluster 0 re-split
+    // into clusters 0 and 4 (half the rows each, marker factor_ip values
+    // so provenance is checkable), staged sidecar = 5 centroids.
+    val c0 = spark.read.parquet(dataDir).filter(col("cluster_id") === 0)
+      .withColumn("cluster_id", lit(0))
+    val half0 = c0.filter(col("vec_id") % 2 === 0).withColumn("cluster_id", lit(0))
+    val half4 = c0.filter(col("vec_id") % 2 =!= 0).withColumn("cluster_id", lit(4))
+    val staging = s"$dir/_rebalance_staging"
+    half0.unionByName(half4).write.partitionBy("cluster_id")
+      .parquet(s"$staging/index")
+    val oldCent = spark.read.parquet(s"$dir/centroids")
+    oldCent.unionByName(oldCent.filter(col("cluster_id") === 0)
+        .withColumn("cluster_id", lit(4)))
+      .coalesce(1).write.parquet(s"$staging/centroids")
+    spark.read.parquet(s"$dir/params").withColumn("num_clusters", lit(5))
+      .coalesce(1).write.parquet(s"$staging/params")
+    // the marker lists the split ids: cluster 0 is REPLACED (all its
+    // rows were re-encoded), cluster 4 is a fresh destination (merge
+    // path, empty target)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(staging, "_COMMIT"), "0".getBytes)
+    val c0RowsBefore = c0.count()
+
+    // the next maintenance pass (vacuum runs first in the loop) must
+    // FINISH the swap, not reclaim it as debris
+    val rep = RabitqIndex.vacuumIndex(dir)
+    assert(!new java.io.File(staging).exists, "staging not cleaned up")
+    assert(!rep.removed.exists(_.contains("_rebalance_staging")),
+      "a committed swap was reported as reclaimed debris")
+    val (m2, live) = RabitqIndex.loadLive(spark, dir)
+    assert(m2.params.numClusters == 5, "staged sidecar not swapped in")
+    val sizes = live.groupBy("cluster_id").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sizes.getOrElse(0, 0L) + sizes.getOrElse(4, 0L) == c0RowsBefore,
+      s"split rows lost or duplicated: $sizes")
+    assert(sizes.contains(4), "fresh cluster dir not renamed in")
+    assert(live.count() == initial.count())
+    assert(Option(new java.io.File(dataDir).listFiles()).get
+      .forall(!_.getName.startsWith(".rebalance-")), "aside debris left")
+
+    // idempotence under a crash MID-swap: cluster 0 already renamed in,
+    // cluster 4 still staged — the redo finishes only what's left
+    val again = s"$dir/_rebalance_staging"
+    live.filter(col("cluster_id") === 4).withColumn("cluster_id", lit(4))
+      .write.partitionBy("cluster_id").parquet(s"$again/index")
+    spark.read.parquet(s"$dir/centroids").coalesce(1)
+      .write.parquet(s"$again/centroids")
+    spark.read.parquet(s"$dir/params").coalesce(1)
+      .write.parquet(s"$again/params")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(again, "_COMMIT"), "4".getBytes)
+    RabitqIndex.completeRebalanceSwap(dir)
+    val live2 = RabitqIndex.loadLive(spark, dir)._2
+    assert(live2.count() == initial.count(),
+      "mid-swap redo lost or duplicated rows")
+    assert(live2.filter(col("cluster_id") === 4).count() == sizes(4))
+
+    // an UNCOMMITTED staging (crash before the point of no return)
+    // still rolls BACK: vacuum reclaims it, the layout is untouched
+    // (read the CURRENT layout — the swaps above renamed the original
+    // files this test staged from)
+    RabitqIndex.loadLive(spark, dir)._2.filter(col("cluster_id") === 4)
+      .withColumn("cluster_id", lit(4))
+      .write.partitionBy("cluster_id").parquet(s"$again/index")
+    val rep2 = RabitqIndex.vacuumIndex(dir)
+    assert(rep2.removed.exists(_.contains("_rebalance_staging")))
+    assert(RabitqIndex.loadLive(spark, dir)._2.count() == initial.count())
+  }
+
   test("maintenance lease: concurrent maintenance mutators are mutually " +
       "exclusive; a stale lease is broken; the lease is released on exit") {
     import spark.implicits._
