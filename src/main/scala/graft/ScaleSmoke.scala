@@ -225,6 +225,14 @@ object ScaleSmoke {
         maxSizeFactor = 1.5)
       val rebalSec = (System.nanoTime() - t7) / 1e9
       val (m1, idx1) = RabitqIndex.load(spark, s"$tmp/idx")
+      // layout-content invariants the recall number silently depends on:
+      // exactly one row per vector (a surviving stale split dir or a
+      // double-merged staged file would pollute every shortlist), found
+      // as a real bug in the first cut of the roll-forward swap
+      val nIdx = idx1.count()
+      val nDup = idx1.groupBy("vec_id").count().filter(col("count") > 1).count()
+      require(nIdx == n && nDup == 0,
+        s"rebalanced layout corrupt: rows=$nIdx (want $n), dup vec_ids=$nDup")
       // metadata integrity through the rewrite: zero nulls, zero drift
       val labelNulls = idx1.filter(col("label").isNull).count()
       val labelMism = idx1.select(col("vec_id"), col("label"))

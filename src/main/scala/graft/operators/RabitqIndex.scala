@@ -714,7 +714,9 @@ object RabitqIndex {
     * rows and the new sidecar and declared the point of no return).
     * The `_COMMIT` marker lists the SPLIT cluster ids: their partition
     * dirs are REPLACED wholesale (their rows were all re-encoded —
-    * atomically rename the old dir aside, rename the staged dir in);
+    * atomically rename the old dir aside, rename the staged dir in; a
+    * split cluster every member re-assigned AWAY from has no staged dir
+    * and its old dir is simply retired);
     * every other staged destination MERGES its files into the existing
     * dir (a re-encoded member can land in ANY cluster of the grown
     * centroid set, and untouched clusters keep their rows — globally
@@ -738,30 +740,49 @@ object RabitqIndex {
       .toArray(Array.empty[String]).filter(_.nonEmpty).map(_.toInt).toSet
     val dataDir = new java.io.File(indexDataDir(dir))
     val stagedIdx = new java.io.File(staging, "index")
-    Option(stagedIdx.listFiles()).getOrElse(Array.empty[java.io.File])
+    val stagedDirs = Option(stagedIdx.listFiles())
+      .getOrElse(Array.empty[java.io.File])
       .filter(f => f.isDirectory && f.getName.startsWith("cluster_id="))
-      .foreach { sd =>
-        val cid = sd.getName.stripPrefix("cluster_id=").toInt
-        val tgt = new java.io.File(dataDir, sd.getName)
-        if (splitIds.contains(cid)) {
+      .map(f => f.getName -> f).toMap
+    // every SPLIT cluster's old dir must go — all its rows were
+    // re-encoded, wherever they landed. A split cluster can receive
+    // ZERO staged rows (every member re-assigned to a sibling sub or a
+    // neighbor), so iterate the marker's ids, not the staged dirs: the
+    // old dir is moved aside either way (the aside doubles as the
+    // processed-marker that makes a crash-retry skip this id instead of
+    // moving freshly-swapped rows aside).
+    splitIds.foreach { cid =>
+      val name = s"cluster_id=$cid"
+      val tgt = new java.io.File(dataDir, name)
+      val aside = new java.io.File(dataDir, s".rebalance-old-$name")
+      stagedDirs.get(name) match {
+        case Some(sd) =>
           if (tgt.exists) {
             // tgt still holds the OLD rows (the staged dir is only
             // renamed away after the old one is moved aside)
-            val aside = new java.io.File(dataDir, s".rebalance-old-${sd.getName}")
             org.apache.commons.io.FileUtils.deleteDirectory(aside)
             java.nio.file.Files.move(tgt.toPath, aside.toPath)
           }
           java.nio.file.Files.move(sd.toPath, tgt.toPath)
-        } else {
-          tgt.mkdirs()
-          Option(sd.listFiles()).getOrElse(Array.empty[java.io.File])
-            .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-            .foreach(f => java.nio.file.Files.move(f.toPath,
-              new java.io.File(tgt, f.getName).toPath,
-              java.nio.file.StandardCopyOption.REPLACE_EXISTING))
-          org.apache.commons.io.FileUtils.deleteDirectory(sd)
-        }
+        case None =>
+          if (!aside.exists && tgt.exists)
+            java.nio.file.Files.move(tgt.toPath, aside.toPath)
       }
+    }
+    // every other staged destination MERGES its files into the existing
+    // dir (idempotent: moves of globally-unique part names)
+    stagedDirs.foreach { case (name, sd) =>
+      if (!splitIds.contains(name.stripPrefix("cluster_id=").toInt)) {
+        val tgt = new java.io.File(dataDir, name)
+        tgt.mkdirs()
+        Option(sd.listFiles()).getOrElse(Array.empty[java.io.File])
+          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+          .foreach(f => java.nio.file.Files.move(f.toPath,
+            new java.io.File(tgt, f.getName).toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING))
+        org.apache.commons.io.FileUtils.deleteDirectory(sd)
+      }
+    }
     for (t <- Seq("centroids", "params")) {
       val tmp = new java.io.File(s"$dir/.rebalance-new-$t")
       org.apache.commons.io.FileUtils.deleteDirectory(tmp)
@@ -770,10 +791,15 @@ object RabitqIndex {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$dir/$t"))
       java.nio.file.Files.move(tmp.toPath, java.nio.file.Paths.get(dir, t))
     }
+    // ORDER MATTERS: delete the staging (and with it the _COMMIT marker
+    // that makes retries re-drive the swap) BEFORE the asides — a retry
+    // that found no _COMMIT must never re-interpret swapped-in dirs,
+    // and asides stranded by a crash right here are reclaimed by
+    // vacuum's debris sweep (no _COMMIT → debris)
+    org.apache.commons.io.FileUtils.deleteDirectory(staging)
     Option(dataDir.listFiles()).getOrElse(Array.empty[java.io.File])
       .filter(f => f.isDirectory && f.getName.startsWith(".rebalance-old-"))
       .foreach(org.apache.commons.io.FileUtils.deleteDirectory)
-    org.apache.commons.io.FileUtils.deleteDirectory(staging)
   }
 
   /** Per-cluster row counts from parquet FOOTER metadata only — no data

@@ -1941,6 +1941,27 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rep2 = RabitqIndex.vacuumIndex(dir)
     assert(rep2.removed.exists(_.contains("_rebalance_staging")))
     assert(RabitqIndex.loadLive(spark, dir)._2.count() == initial.count())
+
+    // a split cluster every member re-assigned AWAY from has NO staged
+    // dir — its old dir must still be retired, or its rows (re-encoded
+    // elsewhere in a real rebalance) would survive as duplicates. The
+    // 200k smoke caught exactly this in the first cut of the swap.
+    val c1Rows = RabitqIndex.loadLive(spark, dir)._2
+      .filter(col("cluster_id") === 1).count()
+    assert(c1Rows > 0, "fixture has no cluster-1 rows to retire")
+    new java.io.File(s"$again/index").mkdirs() // staged rows: none at all
+    spark.read.parquet(s"$dir/centroids").coalesce(1)
+      .write.parquet(s"$again/centroids")
+    spark.read.parquet(s"$dir/params").coalesce(1)
+      .write.parquet(s"$again/params")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(again, "_COMMIT"), "1".getBytes)
+    RabitqIndex.completeRebalanceSwap(dir)
+    val live3 = RabitqIndex.loadLive(spark, dir)._2
+    assert(!new java.io.File(s"$dataDir/cluster_id=1").exists,
+      "zero-staged split cluster's old dir survived the swap")
+    assert(live3.count() == initial.count() - c1Rows)
+    assert(!new java.io.File(again).exists)
   }
 
   test("maintenance lease: concurrent maintenance mutators are mutually " +
