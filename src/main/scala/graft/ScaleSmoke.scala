@@ -382,6 +382,14 @@ object ScaleSmoke {
       require(after.getAs[Long]("n_tombstones") == 0L &&
         after.getAs[Long]("n_rows") == after.getAs[Long]("n_live"),
         s"debt survived the loop: $after")
+      // exactly one row per LIVE vector (the rebalance-stage invariant,
+      // post compaction-then-rebalance)
+      val postIdx = RabitqIndex.loadLive(spark, s"$tmp/idx")._2
+      val nLiveRows = postIdx.count()
+      val nDupLoop = postIdx.groupBy("vec_id").count()
+        .filter(col("count") > 1).count()
+      require(nLiveRows == liveBase.count() && nDupLoop == 0,
+        s"post-loop layout corrupt: rows=$nLiveRows dup vec_ids=$nDupLoop")
       val (recAfter, secAfter) = readNow()
       val rb = report.rebalanced.get
       println(s"""{"scale_smoke_loop":{"n":$n,"k":$k,"nprobe":$nprobe,""" +
