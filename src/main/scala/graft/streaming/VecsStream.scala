@@ -228,8 +228,16 @@ object VecsStream {
     val cur = new java.io.File(RabitqIndex.indexDataDir(idxDir)).getName
     val curV = if (cur == "index") 1 else cur.stripPrefix("index-v").toInt
     val nextName = s"index-v${curV + 1}"
-    val (_, live) = loadMaintained(spark, idxDir)
-    live.write.mode("overwrite").partitionBy("cluster_id")
+    val (m, live) = loadMaintained(spark, idxDir)
+    // compaction's SECOND job: undo file fragmentation. Continuous
+    // appends and rebalances leave O(write-tasks × clusters) small part
+    // files (measured ~8k at 1M/256 — footer-describe and scan listing
+    // are file-count-bound), and a straight rewrite would carry every
+    // one of them into the next generation forever. Hash-partitioning
+    // on cluster_id first lands ~one file per cluster; the shuffle
+    // moves exactly the rows the rewrite was going to write anyway.
+    live.repartition(m.params.numClusters, col("cluster_id"))
+      .write.mode("overwrite").partitionBy("cluster_id")
       .parquet(s"$idxDir/$nextName")
     nextName
   }

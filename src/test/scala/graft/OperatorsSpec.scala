@@ -1725,6 +1725,14 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.streaming.VecsStream.compactIndex(spark, idxDir)
     assert(RabitqIndex.indexDataDir(idxDir) == s"$idxDir/index-v4")
     assert(liveIds() == expected - 20L)
+    // compaction CONSOLIDATES files: ~one part file per cluster in the
+    // new generation, regardless of how fragmented appends left the old
+    // one (the footer-describe and scan-listing costs are file-count-bound)
+    val v4Files = Option(new java.io.File(s"$idxDir/index-v4").listFiles())
+      .get.filter(_.getName.startsWith("cluster_id="))
+      .map(d => d.listFiles().count(_.getName.endsWith(".parquet")))
+    assert(v4Files.nonEmpty && v4Files.forall(_ <= 2),
+      s"compacted generation still fragmented: ${v4Files.mkString(",")}")
     // search through the multi-generation layout stays exact
     val baseFinal = initial.filter(!col("vec_id").isin((dels + 20L).toSeq: _*))
     val qs = ExactKnn.queriesFromEmbeddings(emb, 5)
