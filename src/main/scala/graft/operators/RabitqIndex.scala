@@ -676,7 +676,12 @@ object RabitqIndex {
     // mid-swap). No state ever exists where re-encoded rows are lost.
     val staging = new java.io.File(s"$dir/_rebalance_staging")
     org.apache.commons.io.FileUtils.deleteDirectory(staging) // pre-commit debris
-    reencWide.write.mode("overwrite").partitionBy("cluster_id")
+    // hash-partition on the destination cluster before the partitioned
+    // write (the compactRewrite consolidation): ~one part file per
+    // destination instead of O(tasks × destinations) fragments riding
+    // in the layout until the next compaction
+    reencWide.repartition(model2.params.numClusters, col("cluster_id"))
+      .write.mode("overwrite").partitionBy("cluster_id")
       .parquet(s"$staging/index")
     val reenc = spark.read.parquet(s"$staging/index")
     val movedRows = reenc.count()
