@@ -1642,7 +1642,17 @@ object SparkEntry {
         emb.filter(col("vec_id") % 3 =!= 0),
         centroids, threshold = 0.4)
         .select(col("vec_id").as("doc_id"))
-      afterMinhash.join(broadcast(semSurvivors), Seq("doc_id"), "left_semi")
+      // anti-join the semantically MATCHED ids (incoming embeddings ∖
+      // survivors), not semi-join the survivors: a doc with no vector
+      // in the embeddings table cannot match and must SURVIVE this
+      // stage — q112's streaming formulation and the oracle's
+      // semantics. The semi-join formulation silently dropped every
+      // no-embedding doc, caught by the sf0.1 verify where documents
+      // outnumber embeddings 5000:2000 (at sf0.01 they're 1:1).
+      val semDropped = emb.filter(col("vec_id") % 3 =!= 0)
+        .select(col("vec_id").as("doc_id"))
+        .join(semSurvivors, Seq("doc_id"), "left_anti")
+      afterMinhash.join(broadcast(semDropped), Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("n_chars"))
         .orderBy(col("doc_id"))
     }),
