@@ -1973,6 +1973,54 @@ object SparkEntry {
         .select(col("num_clusters"), col("n_rows"), col("n_live"),
           col("n_tombstones"))
     }),
+    "q121_swap_recovery" -> ((s, dir) => {
+      // CRASH-RECOVERY gate for the rebalance ROLL-FORWARD swap: a
+      // process died right after declaring the point of no return (all
+      // re-encoded rows + the new sidecar staged durably, _COMMIT
+      // written, ZERO renames done). The next maintenance pass — here
+      // vacuumIndex, the loop's first step — must FINISH the swap, and
+      // search through the recovered layout must still equal brute
+      // force. Construction: save a healthy index, then manufacture the
+      // committed state — cluster 0 "re-split" into clusters 0 and k
+      // (half the rows each, re-labeled only: the new centroid k is an
+      // exact COPY of centroid 0, so the rows' codes/factors stay valid
+      // against their new centroid and full probe + full rerank remains
+      // an exact oracle) plus the k+1-centroid sidecar. A row lost,
+      // duplicated, or left in a stale dir by the recovery flips the
+      // row set; a staging reclaimed as debris (the pre-roll-forward
+      // failure mode) loses half of cluster 0 outright.
+      val emb = T(s, dir, "embeddings")
+      val tmp = graft.TempDirs.create("graft_q121_")
+      val (model, index0) = RabitqIndex.build(s, emb, NumClusters, Seed)
+      RabitqIndex.save(s, model, index0, s"$tmp/idx")
+      val dataDir = RabitqIndex.indexDataDir(s"$tmp/idx")
+      val c0 = s.read.parquet(dataDir).filter(col("cluster_id") === 0)
+      require(c0.count() >= 2, "fixture cluster 0 too small for a split")
+      val staging = s"$tmp/idx/_rebalance_staging"
+      c0.withColumn("cluster_id",
+          when(col("vec_id") % 2 === 0, lit(0)).otherwise(lit(NumClusters)))
+        .write.partitionBy("cluster_id").parquet(s"$staging/index")
+      val cents = s.read.parquet(s"$tmp/idx/centroids")
+      cents.unionByName(cents.filter(col("cluster_id") === 0)
+          .withColumn("cluster_id", lit(NumClusters)))
+        .coalesce(1).write.parquet(s"$staging/centroids")
+      s.read.parquet(s"$tmp/idx/params")
+        .withColumn("num_clusters", lit(NumClusters + 1))
+        .coalesce(1).write.parquet(s"$staging/params")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(staging, "_COMMIT"), "0".getBytes)
+      val rep = RabitqIndex.vacuumIndex(s"$tmp/idx") // the recovery entry
+      require(!new java.io.File(staging).exists &&
+        !rep.removed.exists(_.contains("_rebalance_staging")),
+        s"committed swap was reclaimed as debris instead of finished ($rep)")
+      val (m2, live) = RabitqIndex.loadLive(s, s"$tmp/idx")
+      require(m2.params.numClusters == NumClusters + 1,
+        "staged sidecar not swapped in by the recovery")
+      RabitqQuery.topK(s, m2, live, emb, annQueries(s, dir),
+        nprobe = m2.params.numClusters, topk = 10, rerank = fullRerank(s, dir))
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "q120_maintenance_loop" -> ((s, dir) => {
       // SELF-SCHEDULED MAINTENANCE (VecsStream.maintenanceLoop) — the
       // ops loop the q119 health report exists for, driven end-to-end:
@@ -2675,6 +2723,10 @@ object SparkEntry {
           |        row_number() OVER (PARTITION BY q.query_id ORDER BY list_distance(q.qe, b.be), b.vec_id) AS rank
           |      FROM q CROSS JOIN b)
           |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM d WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+      // q121: recovery is layout-pure over the full vector set (the
+      // "split" only re-labels half of cluster 0 against an identical
+      // centroid copy), so the oracle is q23's exact kNN verbatim
+      "q121_swap_recovery" -> knnSql,
       "q108_quality_model" -> qualityModelOracle,
       "q109_dsir_resample" -> dsirOracle,
       // q110: word counts → char split → weighted adjacent pairs, the
