@@ -207,11 +207,12 @@ object ScaleSmoke {
         .join(labels, Seq("vec_id"))
         .write.mode("append").partitionBy("cluster_id").parquet(s"$tmp/idx/index")
       val setupSec = (System.nanoTime() - t6) / 1e9
-      def recallAt(m: RabitqModel, idx: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      def recallAt(m: RabitqModel, idx: org.apache.spark.sql.DataFrame,
+                   np: Int = nprobe): (Double, Double) = {
         val p = idx.persist()
         p.count()
         val t = System.nanoTime()
-        val r = RabitqQuery.topK(spark, m, p, base, queries, nprobe, 10, rerank)
+        val r = RabitqQuery.topK(spark, m, p, base, queries, np, 10, rerank)
         r.count()
         val sec = (System.nanoTime() - t) / 1e9
         val rec = ExactKnn.recall(r, truth, 10).head().getDouble(0)
@@ -239,7 +240,18 @@ object ScaleSmoke {
         .join(labels.withColumnRenamed("label", "expected"), Seq("vec_id"))
         .filter(col("label") =!= col("expected")).count()
       val (recAfter, secAfter) = recallAt(m1, idx1)
+      // PROBE-BUDGET SCALING (BUILT_K sidecar, written by the rebalance):
+      // a fixed nprobe over the grown centroid set covers a k0/k′ smaller
+      // corpus fraction — the recall headwind measured above. The scaled
+      // budget nprobe·k′/k0 (what the disk paths and the serving tier now
+      // apply automatically) restores the probed fraction; its recall and
+      // cost are the honest post-rebalance operating point.
+      val npScaled = RabitqIndex.scaledNprobe(s"$tmp/idx",
+        m1.params.numClusters, nprobe)
+      val (recScaled, secScaled) = recallAt(m1, idx1, npScaled)
       println(s"""{"scale_smoke_rebalance":{"n":$n,"k":$k,"nprobe":$nprobe,""" +
+        s""""nprobe_scaled":$npScaled,"recall_at_10_scaled":$recScaled,""" +
+        s""""query_sec_scaled":$secScaled,""" +
         s""""label_nulls":$labelNulls,"label_mismatches":$labelMism,""" +
         s""""setup_sec":$setupSec,"clusters_split":${report.split.size},""" +
         s""""k_before":${report.numClustersBefore},"k_after":${report.numClustersAfter},""" +

@@ -29,7 +29,8 @@ object Serve {
     */
   private final case class Engine(model: RabitqModel, index: org.apache.spark.sql.DataFrame,
                                   base: org.apache.spark.sql.DataFrame, hot: HotTier,
-                                  nRows: Long, nTombstones: Long)
+                                  nRows: Long, nTombstones: Long,
+                                  probeScale: Double = 1.0)
 
   // must be set before the HttpServer class initializes: without
   // TCP_NODELAY the response write stalls in the Nagle/delayed-ACK
@@ -128,8 +129,15 @@ object Serve {
     // reference serves read-only (`crates/service`); composing its
     // mutation boxes (README:18) with serving needs exactly this
     // copy-on-swap discipline.
+    // probe-budget scale for a rebalance-grown layout (BUILT_K sidecar):
+    // an EXPLICIT client probe was tuned against the original cluster
+    // count; scale it like the batch disk paths do. The DEFAULT probe
+    // below already tracks the live numClusters, so it needs no scale.
+    def probeScaleOf(d: Option[String], k: Int): Double =
+      d.fold(1.0)(RabitqIndex.probeScale(_, k))
     val engineRef = new java.util.concurrent.atomic.AtomicReference(
-      Engine(model, index, base, hot, nRows, nTomb))
+      Engine(model, index, base, hot, nRows, nTomb,
+        probeScaleOf(indexDir, model.params.numClusters)))
     // per-server counter (a JVM-global would bleed across serve instances)
     val queriesServed = new AtomicLong(0)
 
@@ -181,9 +189,16 @@ object Serve {
         // default probe follows k so the probed FRACTION (not count) is
         // corpus-size-invariant — the fixed 8 was 50% of the old fixed
         // k=16, and silently shrinking to 8/k would degrade default-recall
-        // as corpora grow; explicit "probe" in the request overrides
+        // as corpora grow; explicit "probe" in the request overrides.
+        // An explicit probe was tuned against the ORIGINAL cluster count,
+        // so on a rebalance-grown layout it is rescaled by
+        // numClusters/BUILT_K (engine.probeScale) like the batch disk
+        // paths — otherwise a fixed client budget silently covers a
+        // shrinking corpus fraction after every split.
+        val k = eng.model.params.numClusters
         val probe = parseInt(body, "probe")
-          .getOrElse(math.max(8, (eng.model.params.numClusters + 1) / 2))
+          .map(p => math.min(k, math.ceil(p * eng.probeScale).toInt))
+          .getOrElse(math.max(8, (k + 1) / 2))
         val rerank = math.max(4 * topK, 64)
         // optional "label": filtered vector search on the serving path —
         // the batch filteredTopK composition (selectivity-aware probe
@@ -252,7 +267,8 @@ object Serve {
         val n2 = b2.count(); i2.count()
         val (nRows2, nTomb2) = RabitqIndex.layoutStats(spark, idxDir)
         val hot2 = HotTier.fromIndex(spark, m2, i2, b2)
-        val old = engineRef.getAndSet(Engine(m2, i2, b2, hot2, nRows2, nTomb2))
+        val old = engineRef.getAndSet(Engine(m2, i2, b2, hot2, nRows2, nTomb2,
+          probeScaleOf(Some(idxDir), m2.params.numClusters)))
         // release the OLD engine's cache — but Spark keys the cache by
         // analyzed plan, so a reload from the same path would share the
         // entry with the frame just installed; unpersisting that shared

@@ -2021,6 +2021,44 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    "q122_append_vs_compact" -> ((s, dir) => {
+      // MECHANICAL APPEND-vs-MAINTENANCE EXCLUSION: a compaction swap
+      // fires in the one window a scheduling convention could never
+      // police — between a streamed batch's staged write and its
+      // promote. The promote runs under the layout lease and re-resolves
+      // the generation inside it, so the batch lands whole in the NEW
+      // generation (its rows were never in the old one, so the rewrite
+      // neither carried nor lost them). Construction: build on
+      // vec_id % 5 ≠ 0, tombstone vec_id % 7 = 3, then append the
+      // % 5 = 0 holdout through IdempotentSink with the compaction fired
+      // from the onStaged seam. The tombstones fold BEFORE the appends
+      // land, so the live set is exactly (% 5 ≠ 0 ∧ % 7 ≠ 3) ∪ (% 5 = 0)
+      // — a batch lost to the dead generation, folded twice, or
+      // double-promoted all flip the full-probe + full-rerank row set.
+      val emb = T(s, dir, "embeddings")
+      val tmp = graft.TempDirs.create("graft_q122_")
+      val (model, index0) = RabitqIndex.build(s,
+        emb.filter(col("vec_id") % 5 =!= 0), NumClusters, Seed)
+      RabitqIndex.save(s, model, index0, s"$tmp/idx")
+      emb.filter(col("vec_id") % 7 === 3 && col("vec_id") % 5 =!= 0)
+        .select("vec_id")
+        .write.parquet(RabitqIndex.tombstoneLogDir(s"$tmp/idx"))
+      graft.streaming.IdempotentSink.appendBatch(
+        RabitqIndex.appendVectors(s, model, emb.filter(col("vec_id") % 5 === 0)),
+        RabitqIndex.indexDataDir(s"$tmp/idx"), s"$tmp/idx", "q122", 0L,
+        partitionCols = Seq("cluster_id"),
+        onStaged = () =>
+          graft.streaming.VecsStream.compactIndex(s, s"$tmp/idx"))
+      require(RabitqIndex.indexDataDir(s"$tmp/idx") == s"$tmp/idx/index-v2",
+        "gate is vacuous: the compaction did not swap mid-batch")
+      val (m2, live) = RabitqIndex.loadLive(s, s"$tmp/idx")
+      val baseFinal = emb.filter(
+        col("vec_id") % 5 === 0 || col("vec_id") % 7 =!= 3)
+      RabitqQuery.topK(s, m2, live, baseFinal, annQueries(s, dir),
+        nprobe = m2.params.numClusters, topk = 10, rerank = fullRerank(s, dir))
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "q120_maintenance_loop" -> ((s, dir) => {
       // SELF-SCHEDULED MAINTENANCE (VecsStream.maintenanceLoop) — the
       // ops loop the q119 health report exists for, driven end-to-end:
@@ -2727,6 +2765,16 @@ object SparkEntry {
       // "split" only re-labels half of cluster 0 against an identical
       // centroid copy), so the oracle is q23's exact kNN verbatim
       "q121_swap_recovery" -> knnSql,
+      // q122: the mid-compaction batch lands whole in the new
+      // generation and the folded tombstones stay folded, so the live
+      // set is (built ∖ dels) ∪ appends — plain predicates
+      "q122_append_vs_compact" ->
+        """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 10),
+          |b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS be FROM embeddings WHERE vec_id % 5 = 0 OR vec_id % 7 <> 3),
+          |d AS (SELECT q.query_id, b.vec_id AS neighbor_id,
+          |        row_number() OVER (PARTITION BY q.query_id ORDER BY list_distance(q.qe, b.be), b.vec_id) AS rank
+          |      FROM q CROSS JOIN b)
+          |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM d WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
       "q108_quality_model" -> qualityModelOracle,
       "q109_dsir_resample" -> dsirOracle,
       // q110: word counts → char split → weighted adjacent pairs, the

@@ -239,6 +239,36 @@ object RabitqIndex {
     else s"$dir/index"
   }
 
+  /** The tombstone log of the ACTIVE generation. Logs are PER
+    * GENERATION (`deletes` for the base `index` dir, `deletes-vN` for
+    * `index-vN`): a compaction folds the current generation's log into
+    * the rewrite and swaps the MANIFEST — the NEW generation starts with
+    * no log, and the folded log stays on disk untouched (an in-flight
+    * reader that resolved the old generation pre-swap keeps BOTH its
+    * data dir and its log until the retention window expires —
+    * [[vacuumIndex]] reclaims them together). Writers (the maintain
+    * stream's del leg) resolve through here per batch, exactly like the
+    * data dir resolves through the MANIFEST.
+    */
+  def tombstoneLogDir(dir: String): String = logDirOfGen(dir,
+    new java.io.File(indexDataDir(dir)).getName)
+
+  private[graft] def logDirOfGen(dir: String, gen: String): String =
+    if (gen == "index") s"$dir/deletes"
+    else s"$dir/deletes-${gen.stripPrefix("index-")}"
+
+  /** Mark a generation as RETIRED (superseded by a compaction swap) —
+    * the marker's mtime starts the retention clock [[vacuumIndex]]
+    * reclaims it on. Written BEFORE the MANIFEST swap so no state exists
+    * where a superseded generation looks like immediately-reclaimable
+    * rewrite debris.
+    */
+  private[graft] def markRetired(dir: String, gen: String): Unit = {
+    val f = new java.io.File(s"$dir/_retired/$gen")
+    f.getParentFile.mkdirs()
+    LayoutCommit.atomicWriteFile(f.toPath, System.currentTimeMillis().toString)
+  }
+
   /** Move staged parquet data files into a (possibly partitioned) layout
     * directory, preserving the partition-dir structure. `rename =
     * Some(prefix)` gives per-directory DETERMINISTIC names
@@ -260,8 +290,8 @@ object RabitqIndex {
       if (files.nonEmpty) dst.mkdirs()
       files.zipWithIndex.foreach { case (f, i) =>
         val name = rename.fold(f.getName)(p => f"$p-$i%05d.parquet")
-        java.nio.file.Files.move(f.toPath, new java.io.File(dst, name).toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        LayoutCommit.atomicMoveFile(f.toPath,
+          new java.io.File(dst, name).toPath, replace = true)
       }
     }
     walk(staging, target)
@@ -274,7 +304,7 @@ object RabitqIndex {
     */
   def layoutStats(spark: SparkSession, dir: String): (Long, Long) = {
     val nRows = spark.read.parquet(indexDataDir(dir)).count()
-    val delDir = new java.io.File(s"$dir/deletes")
+    val delDir = new java.io.File(tombstoneLogDir(dir))
     val nTomb =
       if (delDir.exists)
         spark.read.parquet(delDir.toString).select("vec_id").distinct().count()
@@ -286,10 +316,17 @@ object RabitqIndex {
     * layout `/root/reference/src/rabitq.rs:128-156`): index partitioned by
     * cluster_id (→ partition pruning on probes), model sidecar tables.
     * A save RESETS the layout to generation zero: any MANIFEST, old
-    * versioned data dirs, and stale tombstone log from a previous
-    * lifecycle are removed (a brand-new index has no history) — data is
-    * written first, so a crash mid-save leaves the previous generation
-    * readable.
+    * versioned data dirs, stale tombstone logs, retirement markers, AND
+    * every lifecycle-protocol leftover from a previous life of the dir
+    * are removed (a brand-new index has no history) — data is written
+    * first, so a crash mid-save leaves the previous generation readable.
+    * The protocol leftovers matter as much as the data dirs: a surviving
+    * `_rebalance_staging/_COMMIT` would be rolled FORWARD by the next
+    * maintenance pass (replacing fresh cluster dirs with stale re-encoded
+    * rows and overwriting the new sidecar), and surviving `_commits`
+    * markers would make a restarted stream that reuses a queryName with
+    * a fresh checkpoint (batchIds restart at 0) silently SKIP batches in
+    * `IdempotentSink` — quiet data loss either way.
     */
   def save(spark: SparkSession, model: RabitqModel, index: DataFrame, dir: String): Unit = {
     import spark.implicits._
@@ -297,8 +334,15 @@ object RabitqIndex {
     new java.io.File(s"$dir/MANIFEST").delete()
     Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty[java.io.File])
       .filter(f => f.isDirectory &&
-        (f.getName.startsWith("index-v") || f.getName == "deletes"))
+        (f.getName.startsWith("index-v") || f.getName == "deletes" ||
+          f.getName.startsWith("deletes-") || f.getName == "_retired" ||
+          f.getName == "_rebalance_staging" || f.getName == "_commits" ||
+          f.getName == "_staging" || f.getName.startsWith(".rebalance-new-")))
       .foreach(org.apache.commons.io.FileUtils.deleteDirectory)
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isFile &&
+        (f.getName == "MANIFEST.tmp" || f.getName == "BUILT_K"))
+      .foreach(_.delete())
     model.rotation.zipWithIndex.map { case (r, i) => (i, r.toSeq) }.toSeq
       .toDF("row_id", "row").coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/rotation")
@@ -566,9 +610,15 @@ object RabitqIndex {
       maxSizeFactor: Double, fitSampleCap: Long): RebalanceReport = {
     import spark.implicits._
     completeRebalanceSwap(dir) // finish a predecessor's crashed swap first
+    // settle crashed uncommitted appends BEFORE reading the layout: a
+    // promoted-but-unmarked batch would otherwise be re-encoded into
+    // consolidated files (losing its prefix names) and then re-appended
+    // whole by the stream's replay — duplicates
+    graft.streaming.IdempotentSink.settleInProgress(dir,
+      Seq(indexDataDir(dir), tombstoneLogDir(dir)))
     val (model, index) = load(spark, dir)
     val dataDir = indexDataDir(dir)
-    val delDir = new java.io.File(s"$dir/deletes")
+    val delDir = new java.io.File(tombstoneLogDir(dir))
     val live =
       if (delDir.exists)
         index.join(spark.read.parquet(delDir.toString).select("vec_id"),
@@ -644,6 +694,17 @@ object RabitqIndex {
     val model2 = model.copy(
       params = model.params.copy(numClusters = centroids2.length),
       centroids = centroids2)
+    // record the cluster count the probe budgets were TUNED against (the
+    // first rebalance of this layout): a query probing a fixed nprobe of
+    // a GROWN centroid set covers a smaller corpus fraction, so the disk
+    // query paths scale their budget by numClusters/BUILT_K (measured at
+    // 1M: recall 0.676 at fixed nprobe=16 after a 256→339 split vs 0.852
+    // pre-skew; the scaled budget recovers it — SCALE probe_scale row).
+    // Cumulative across repeated rebalances because the FIRST value is
+    // kept; save() resets it with the rest of the layout history.
+    val builtK = new java.io.File(s"$dir/BUILT_K")
+    if (!builtK.exists)
+      LayoutCommit.atomicWriteFile(builtK.toPath, k0.toString)
 
     // re-encode the members against the grown centroid set. Metadata
     // columns riding in the layout beyond the index schema (e.g. the
@@ -697,12 +758,8 @@ object RabitqIndex {
     // the marker names the SPLIT clusters (their dirs are replaced
     // wholesale; every other destination merges) and is itself staged +
     // atomically renamed — a torn marker can never misclassify a dir
-    val cTmp = new java.io.File(staging, "_COMMIT.tmp")
-    java.nio.file.Files.write(cTmp.toPath,
-      splitIds.mkString("\n").getBytes("UTF-8"))
-    java.nio.file.Files.move(cTmp.toPath,
-      new java.io.File(staging, "_COMMIT").toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    LayoutCommit.atomicWriteFile(new java.io.File(staging, "_COMMIT").toPath,
+      splitIds.mkString("\n"))
     completeRebalanceSwap(dir)
 
     // after-sizes without re-reading the layout: untouched sizes +
@@ -766,12 +823,12 @@ object RabitqIndex {
             // tgt still holds the OLD rows (the staged dir is only
             // renamed away after the old one is moved aside)
             org.apache.commons.io.FileUtils.deleteDirectory(aside)
-            java.nio.file.Files.move(tgt.toPath, aside.toPath)
+            LayoutCommit.atomicRenameDir(tgt.toPath, aside.toPath)
           }
-          java.nio.file.Files.move(sd.toPath, tgt.toPath)
+          LayoutCommit.atomicRenameDir(sd.toPath, tgt.toPath)
         case None =>
           if (!aside.exists && tgt.exists)
-            java.nio.file.Files.move(tgt.toPath, aside.toPath)
+            LayoutCommit.atomicRenameDir(tgt.toPath, aside.toPath)
       }
     }
     // every other staged destination MERGES its files into the existing
@@ -782,9 +839,8 @@ object RabitqIndex {
         tgt.mkdirs()
         Option(sd.listFiles()).getOrElse(Array.empty[java.io.File])
           .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-          .foreach(f => java.nio.file.Files.move(f.toPath,
-            new java.io.File(tgt, f.getName).toPath,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING))
+          .foreach(f => LayoutCommit.atomicMoveFile(f.toPath,
+            new java.io.File(tgt, f.getName).toPath, replace = true))
         org.apache.commons.io.FileUtils.deleteDirectory(sd)
       }
     }
@@ -794,7 +850,7 @@ object RabitqIndex {
       org.apache.commons.io.FileUtils.copyDirectory(
         new java.io.File(staging, t), tmp)
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$dir/$t"))
-      java.nio.file.Files.move(tmp.toPath, java.nio.file.Paths.get(dir, t))
+      LayoutCommit.atomicRenameDir(tmp.toPath, java.nio.file.Paths.get(dir, t))
     }
     // ORDER MATTERS: delete the staging (and with it the _COMMIT marker
     // that makes retries re-drive the swap) BEFORE the asides — a retry
@@ -816,15 +872,23 @@ object RabitqIndex {
     */
   private[operators] def clusterSizesFromFooters(
       spark: SparkSession, dataDir: String): Option[Array[(Int, Long)]] = {
-    val root = new java.io.File(dataDir)
-    val parts = Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.startsWith("cluster_id="))
+    // list AND address through the Hadoop FileSystem API so the paths
+    // shipped to executor tasks are FULLY QUALIFIED (scheme+authority) —
+    // a driver-local java.io.File listing would ship bare local paths
+    // that only resolve when executors share the driver's filesystem
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val rootPath = new org.apache.hadoop.fs.Path(dataDir)
+    val fs = rootPath.getFileSystem(hconf)
+    if (!(fs.exists(rootPath) && fs.getFileStatus(rootPath).isDirectory))
+      return None
+    val parts = fs.listStatus(rootPath)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cluster_id="))
     if (parts.isEmpty) return None
     val files: Seq[(Int, String)] = parts.toSeq.flatMap { d =>
-      val c = d.getName.stripPrefix("cluster_id=").toInt
-      Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
-        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-        .map(f => (c, f.getAbsolutePath))
+      val c = d.getPath.getName.stripPrefix("cluster_id=").toInt
+      fs.listStatus(d.getPath)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(s => (c, fs.makeQualified(s.getPath).toString))
     }
     if (files.isEmpty) return Some(Array.empty)
     val sizes = spark.sparkContext
@@ -857,82 +921,198 @@ object RabitqIndex {
     * crashed holder must not wedge maintenance forever; the lease only
     * serializes CONCURRENT mutators). READERS never take it: the
     * MANIFEST protocol already gives every reader
-    * old-or-new-never-partial. Continuous-ingest APPENDS don't either —
-    * running maintenance between ingest windows is the documented q117
-    * contract (a rebalance invalidates frozen writer models regardless
-    * of any lock); this lease enforces the intra-window half.
+    * old-or-new-never-partial. Continuous-ingest APPENDS take it only
+    * around their metadata-cheap PROMOTE step
+    * (`streaming.IdempotentSink.appendBatch` — the staged Spark write
+    * stays outside), which makes append-vs-maintenance exclusion
+    * MECHANICAL instead of a scheduling convention; running maintenance
+    * between ingest windows remains the documented q117 contract for
+    * MODEL freshness (a rebalance invalidates frozen writer models
+    * regardless of any lock).
+    *
+    * Crash-safety of the lease itself: the lock body carries a HOLDER
+    * TOKEN. A stale lease (older than `staleMs`) is broken by atomically
+    * RENAMING it aside — of N racing breakers exactly one rename
+    * succeeds, and the subsequent exclusive-create picks exactly one new
+    * holder (no delete/re-acquire TOCTOU where a slow breaker deletes a
+    * fresh holder's lock). Release verifies the token, so a holder whose
+    * lease was broken mid-run (a pass outliving `staleMs`) cannot remove
+    * the new holder's lock on its way out. `waitMs` > 0 polls the
+    * acquire (100ms) before giving up — the appenders' promote uses it
+    * to ride out a maintenance pass instead of failing the batch.
     */
   private[graft] def withLayoutLock[A](
-      dir: String, staleMs: Long = 60L * 60 * 1000)(body: => A): A = {
+      dir: String, staleMs: Long = 60L * 60 * 1000,
+      waitMs: Long = 0L)(body: => A): A = {
     val lock = java.nio.file.Paths.get(dir, "_maintenance.lock")
-    def acquire(): Boolean =
-      try { java.nio.file.Files.createFile(lock); true }
-      catch { case _: java.nio.file.FileAlreadyExistsException => false }
-    if (!acquire()) {
+    val token = java.util.UUID.randomUUID().toString
+    def acquire(): Boolean = LayoutCommit.exclusiveCreate(lock, token)
+    def tryBreakStale(): Unit = {
       // lastModified() == 0 if the holder released between our failed
-      // acquire and here — that reads as stale, and the re-acquire wins
+      // acquire and here — that reads as stale, and the break no-ops
+      // (rename of a vanished lock throws NoSuchFile, swallowed below)
       val heldMs = System.currentTimeMillis() - lock.toFile.lastModified()
-      val stale = heldMs >= staleMs
-      if (stale) lock.toFile.delete()
-      if (!(stale && acquire()))
-        throw new IllegalStateException(
-          s"maintenance already in flight on $dir (_maintenance.lock held " +
-            s"${heldMs / 1000}s; a lease breaks after ${staleMs / 1000}s)")
+      if (heldMs >= staleMs) {
+        val aside = lock.resolveSibling(s"_maintenance.lock.broken-$token")
+        try {
+          LayoutCommit.atomicRenameDir(lock, aside) // exactly one breaker wins
+          java.nio.file.Files.deleteIfExists(aside)
+        } catch { case _: java.nio.file.NoSuchFileException => () }
+      }
     }
-    try body finally java.nio.file.Files.deleteIfExists(lock)
+    val deadline = System.currentTimeMillis() + waitMs
+    var held = acquire()
+    while (!held && System.currentTimeMillis() < deadline) {
+      tryBreakStale()
+      held = acquire()
+      if (!held) Thread.sleep(100)
+    }
+    if (!held) { tryBreakStale(); held = acquire() }
+    if (!held)
+      throw new IllegalStateException(
+        s"maintenance already in flight on $dir (_maintenance.lock held; " +
+          s"a lease breaks after ${staleMs / 1000}s)")
+    try body finally {
+      // release ONLY our own lease: if a breaker replaced it while we ran
+      // (we outlived staleMs), the lock now carries the new holder's token
+      try {
+        if (new String(java.nio.file.Files.readAllBytes(lock), "UTF-8") == token)
+          java.nio.file.Files.deleteIfExists(lock)
+      } catch { case _: java.io.IOException => () }
+    }
   }
 
   /** What [[vacuumIndex]] removed. */
   case class VacuumReport(removed: Seq[String], reclaimedBytes: Long)
 
-  /** Garbage-collect a saved layout: remove what the crash-safe
-    * lifecycle protocols can leave behind — data generations NOT
-    * referenced by the MANIFEST (a compaction that rewrote but never
-    * swapped, or swapped but crashed before cleanup), a dead
-    * `_rebalance_staging`, orphaned `IdempotentSink` batch staging, and
-    * a torn `MANIFEST.tmp`. Never touches the active generation, the
-    * tombstone log (vacuum cannot know from FS state whether a log
-    * predates or postdates the last swap — folding it is compaction's
-    * job, and a stale log anti-joins ids that are already gone, a
-    * no-op), the model sidecars, the `_commits` markers (a restarted
-    * stream needs its retry evidence), or the `_maintenance.lock` lease
-    * (held by the caller — [[withLayoutLock]] breaks stale ones itself).
-    * Mutual exclusion with the other scheduled maintenance ops (a
-    * vacuum mid-compaction would reclaim the generation the swap is
-    * about to reference) is ENFORCED by the lease, not left to the
-    * scheduler. Pure filesystem metadata — no jobs.
+  /** Default retention window for superseded generations and their
+    * folded logs: long enough that no in-flight scan straddles it.
     */
-  def vacuumIndex(dir: String): VacuumReport =
-    withLayoutLock(dir)(vacuumUnlocked(dir))
+  val DefaultRetainMs: Long = 24L * 60 * 60 * 1000
 
-  private[graft] def vacuumUnlocked(dir: String): VacuumReport = {
+  /** Garbage-collect a saved layout: remove what the crash-safe
+    * lifecycle protocols leave behind, split into two classes.
+    *
+    * '''Retention-windowed''' (the Delta VACUUM pattern): a compaction
+    * swap RETIRES the old generation instead of deleting it inline
+    * (`VecsStream.compactSwap` — an in-flight reader that resolved the
+    * old generation pre-swap keeps scanning it to completion), so a
+    * retired generation and its folded tombstone log are reclaimed only
+    * once their `_retired/<gen>` marker is older than `retainMs`. Batch
+    * staging under `_staging` is age-gated the same way (FS state alone
+    * cannot distinguish a crashed batch's staging from a LIVE batch
+    * mid-write — the promote takes the lease, the staging write
+    * deliberately does not).
+    *
+    * '''Immediate debris''' (never reader-visible): an UNRETIRED
+    * non-active generation (a compaction that rewrote but never swapped
+    * — no reader ever resolved it), a dead `_rebalance_staging` (no
+    * `_COMMIT` — pre-point-of-no-return), `.rebalance-old-` asides and
+    * `.rebalance-new-` sidecar temps (stranded only by a crash inside
+    * the swap's final cleanup, after the end state is fully in place;
+    * asides are NOT a reader-visibility mechanism — the swap renames
+    * dirs, so pre-swap paths are gone either way), a torn
+    * `MANIFEST.tmp`, stranded lease-break asides, and `.inprogress`
+    * sentinels whose commit marker exists (the batch committed; the
+    * sentinel just makes every later inspection read as a crashed
+    * attempt).
+    *
+    * Never touches the ACTIVE generation or its log (folding is
+    * compaction's job), the model sidecars, or the `_commits` markers (a
+    * restarted stream needs its replay evidence), or the
+    * `_maintenance.lock` lease (held by the caller — [[withLayoutLock]]
+    * breaks stale ones itself). Mutual exclusion with the other
+    * scheduled maintenance ops is ENFORCED by the lease, not left to
+    * the scheduler. Pure filesystem metadata — no jobs.
+    */
+  def vacuumIndex(dir: String, retainMs: Long = DefaultRetainMs): VacuumReport =
+    withLayoutLock(dir)(vacuumUnlocked(dir, retainMs))
+
+  private[graft] def vacuumUnlocked(
+      dir: String, retainMs: Long = DefaultRetainMs): VacuumReport = {
     // a COMMITTED rebalance swap is recovery state, not debris — roll
     // it forward before reclaiming anything (its staging holds the only
     // copy of the re-encoded rows until the renames land)
     completeRebalanceSwap(dir)
+    val now = System.currentTimeMillis()
     val active = new java.io.File(indexDataDir(dir)).getName
     val root = new java.io.File(dir)
-    // .rebalance-* temp dirs (root-level sidecar tmp, in-dataDir asides)
-    // can only be stranded WITHOUT a _COMMIT by a crash inside the final
-    // cleanup — by then the swap's end state is fully in place
-    val asideDebris = Option(new java.io.File(s"$dir/$active").listFiles())
-      .getOrElse(Array.empty[java.io.File])
+    def kids(f: java.io.File) =
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+    val retiredDir = new java.io.File(s"$dir/_retired")
+    val markers = kids(retiredDir).filter(_.isFile).map(f => f.getName -> f).toMap
+    def expired(gen: String): Boolean =
+      markers.get(gen).exists(m => now - m.lastModified() >= retainMs)
+    val genDirs = kids(root).filter(f => f.isDirectory &&
+      (f.getName == "index" || f.getName.matches("index-v\\d+")))
+    // superseded generations: reclaim (with their folded log + marker)
+    // only past the retention window; unretired non-active generations
+    // are unswapped rewrite debris — no reader ever resolved them
+    val retiredVictims = genDirs.filter(g => g.getName != active &&
+      markers.contains(g.getName) && expired(g.getName))
+    val debrisGens = genDirs.filter(g => g.getName != active &&
+      !markers.contains(g.getName))
+    val logVictims = (retiredVictims ++ debrisGens)
+      .map(g => new java.io.File(logDirOfGen(dir, g.getName))).filter(_.isDirectory)
+    // orphan markers (their generation already reclaimed — e.g. a crash
+    // mid-vacuum between the gen delete and the marker delete): reclaim
+    // the log once expired, then the marker
+    val orphanMarkers = markers.filter { case (gen, _) =>
+      !genDirs.exists(_.getName == gen) && gen != active }
+    val orphanLogVictims = orphanMarkers.keys.filter(expired)
+      .map(g => new java.io.File(logDirOfGen(dir, g))).filter(_.isDirectory)
+    val markerVictims = (retiredVictims.map(_.getName) ++
+      orphanMarkers.keys.filter(expired)).flatMap(markers.get)
+    // age-gated batch staging (live batches never straddle the window)
+    val stagingVictims = kids(new java.io.File(s"$dir/_staging"))
+      .filter(f => f.isDirectory && now - f.lastModified() >= retainMs)
+    val asideDebris = kids(new java.io.File(s"$dir/$active"))
       .filter(f => f.isDirectory && f.getName.startsWith(".rebalance-old-"))
-    val dirVictims = (Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
-      .filter { f =>
-        f.isDirectory && f.getName != active &&
-          (f.getName == "index" || f.getName.startsWith("index-v") ||
-            f.getName == "_rebalance_staging" || f.getName == "_staging" ||
-            f.getName.startsWith(".rebalance-new-"))
-      }) ++ asideDebris
-    val fileVictims = Option(root.listFiles()).getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isFile && f.getName == "MANIFEST.tmp")
+    val dirVictims = retiredVictims ++ debrisGens ++ logVictims ++
+      orphanLogVictims ++ stagingVictims ++ asideDebris ++
+      kids(root).filter(f => f.isDirectory &&
+        (f.getName == "_rebalance_staging" ||
+          f.getName.startsWith(".rebalance-new-")))
+    // committed batches' stranded in-progress sentinels
+    val staleSentinels = kids(new java.io.File(s"$dir/_commits"))
+      .filter(_.isDirectory).flatMap(q => kids(q))
+      .filter(f => f.isFile && f.getName.endsWith(".inprogress") &&
+        new java.io.File(f.getParentFile,
+          f.getName.stripSuffix(".inprogress")).exists)
+    val fileVictims = kids(root).filter(f => f.isFile &&
+      (f.getName == "MANIFEST.tmp" ||
+        f.getName.startsWith("_maintenance.lock.broken-"))) ++
+      kids(retiredDir).filter(f => f.isFile && f.getName.endsWith(".tmp")) ++
+      staleSentinels ++ markerVictims
     val sized = dirVictims.map(v =>
       v.getPath -> org.apache.commons.io.FileUtils.sizeOfDirectory(v)) ++
       fileVictims.map(v => v.getPath -> v.length())
     dirVictims.foreach(org.apache.commons.io.FileUtils.deleteDirectory)
     fileVictims.foreach(_.delete())
     VacuumReport(sized.map(_._1).toIndexedSeq, sized.map(_._2).sum)
+  }
+
+  /** Scale a probe budget tuned against the ORIGINAL cluster count to a
+    * layout whose centroid set has GROWN under [[rebalanceIndex]]:
+    * nprobe covers nprobe/k of the centroid set, so after k0 → k′ the
+    * same budget covers a k0/k′ smaller corpus fraction and recall
+    * drops (measured at 1M: 0.852 → 0.676 at fixed nprobe=16 across a
+    * 256→339 split). nprobe′ = ceil(nprobe · k′/k0), clamped to k′ —
+    * the same statistic [[describeIndex]] reports as `num_clusters`.
+    * k0 rides in the `BUILT_K` sidecar the first rebalance writes; a
+    * never-rebalanced layout (no sidecar) scales by 1. The disk query
+    * paths and the serving tier apply this automatically.
+    */
+  def scaledNprobe(dir: String, numClusters: Int, nprobe: Int): Int =
+    math.min(numClusters,
+      math.ceil(nprobe * probeScale(dir, numClusters)).toInt)
+
+  /** numClusters / BUILT_K — 1.0 for a never-rebalanced layout. */
+  def probeScale(dir: String, numClusters: Int): Double = {
+    val f = new java.io.File(s"$dir/BUILT_K")
+    if (!f.exists) 1.0
+    else numClusters.toDouble /
+      math.max(1, java.nio.file.Files.readString(f.toPath).trim.toInt)
   }
 
   def load(spark: SparkSession, dir: String): (RabitqModel, DataFrame) = {
@@ -962,7 +1142,7 @@ object RabitqIndex {
     */
   def loadLive(spark: SparkSession, dir: String): (RabitqModel, DataFrame) = {
     val (model, index) = load(spark, dir)
-    val delDir = new java.io.File(s"$dir/deletes")
+    val delDir = new java.io.File(tombstoneLogDir(dir))
     val live =
       if (delDir.exists)
         index.join(spark.read.parquet(delDir.toString).select("vec_id"),
@@ -992,7 +1172,7 @@ object RabitqIndex {
                     footerFastPath: Boolean = true): DataFrame = {
     import spark.implicits._
     val (model, index) = load(spark, dir)
-    val delDir = new java.io.File(s"$dir/deletes")
+    val delDir = new java.io.File(tombstoneLogDir(dir))
     // FOOTER fast path: with no tombstone log, every statistic here is a
     // row count per cluster_id= partition — parquet footers carry those
     // exactly, so read ONLY file metadata (one tiny distributed pass,

@@ -273,7 +273,11 @@ object RabitqQuery {
     // loadLive: respect an uncompacted maintainIndex tombstone log —
     // plan-identical to a raw load when no log exists
     val (model, index) = RabitqIndex.loadLive(spark, dir)
-    val widened = widenedProbe(model.params.numClusters, nprobe,
+    // probe-budget scaling composes with selectivity widening: first
+    // rescale the tuned budget to the (possibly rebalance-grown)
+    // centroid count, then widen for the filter's selectivity
+    val scaled = RabitqIndex.scaledNprobe(dir, model.params.numClusters, nprobe)
+    val widened = widenedProbe(model.params.numClusters, scaled,
       selectivity.getOrElse(measuredSelectivity(index, pred)))
     val probed = probedClusterIds(model, queries, widened)
     val pruned = index.filter(col("cluster_id").isin(probed: _*)).filter(pred)
@@ -408,9 +412,12 @@ object RabitqQuery {
     // loadLive: respect an uncompacted maintainIndex tombstone log —
     // plan-identical to a raw load when no log exists
     val (model, index) = RabitqIndex.loadLive(spark, dir)
-    val probed = probedClusterIds(model, queries, nprobe)
+    // a rebalance-grown centroid set shrinks the corpus fraction a fixed
+    // nprobe covers — rescale the tuned budget (no-op pre-rebalance)
+    val scaled = RabitqIndex.scaledNprobe(dir, model.params.numClusters, nprobe)
+    val probed = probedClusterIds(model, queries, scaled)
     val pruned = index.filter(col("cluster_id").isin(probed: _*)).filter(pred)
-    fromProbes(pruned, base, queries, probesDf(spark, model, queries, nprobe), topk, rerank)
+    fromProbes(pruned, base, queries, probesDf(spark, model, queries, scaled), topk, rerank)
   }
 
   /** Per-cluster ball statistics for [[ballPrunedTopK]]: radius = the

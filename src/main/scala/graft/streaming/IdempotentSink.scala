@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
-import graft.operators.RabitqIndex
+import graft.operators.{LayoutCommit, RabitqIndex}
 
 /** Exactly-once parquet APPEND for foreachBatch sinks.
   *
@@ -25,25 +25,47 @@ import graft.operators.RabitqIndex
   *
   * An in-progress sentinel (created before the first write, removed at
   * commit) confines the target-tree sweep to genuine retry-after-crash
-  * attempts — the common path never walks the layout. On an object
-  * store the same protocol runs against a transaction log (the
-  * Delta/Iceberg commit shape) instead of directory listings, with
-  * steps 1–3 unchanged.
+  * attempts — the common path never walks the layout.
+  *
+  * APPEND vs MAINTENANCE is mechanical, not a scheduling convention:
+  * the promote+commit step (metadata-cheap file moves) runs under the
+  * layout's `_maintenance.lock` lease, with the target RE-RESOLVED
+  * inside it — if a compaction swapped the generation while the batch
+  * was staging, the promote simply lands in the new active generation
+  * (the staged rows were never in the old one, so the rewrite neither
+  * carried nor lost them). The expensive staged Spark write stays
+  * OUTSIDE the lease. The converse hole — a batch that PROMOTED but
+  * crashed before its marker, then a compaction folds its rows into
+  * consolidated files (prefix names lost) and the replay re-appends a
+  * second copy — is closed from the maintenance side:
+  * [[settleInProgress]] sweeps promoted-but-unmarked batches out of the
+  * layout before any rewrite reads it (the replay re-stages them in
+  * full, so nothing is lost). Commit primitives are `LayoutCommit`'s —
+  * see its filesystem contract before deploying on an object store.
   */
 object IdempotentSink {
 
-  def appendBatch(df: DataFrame, targetDir: String, commitRoot: String,
+  def appendBatch(df: DataFrame, targetDir: => String, commitRoot: String,
                   queryName: String, batchId: Long,
-                  partitionCols: Seq[String] = Nil): Unit = {
+                  partitionCols: Seq[String] = Nil,
+                  leaseWaitMs: Long = 10L * 60 * 1000,
+                  onStaged: () => Unit = () => ()): Unit = {
     val marker = new java.io.File(s"$commitRoot/_commits/$queryName/$batchId")
-    if (marker.exists) return
+    val inprog = new java.io.File(s"$commitRoot/_commits/$queryName/$batchId.inprogress")
+    if (marker.exists) {
+      // committed on a prior attempt — and a crash between that commit
+      // and its sentinel delete must not strand the sentinel forever
+      // (every later inspection would read the batch as a crashed
+      // attempt, and vacuum deliberately preserves _commits)
+      inprog.delete()
+      return
+    }
     val prefix = s"$queryName-$batchId"
     // in-progress sentinel: created before any write, removed with the
     // commit — its presence on entry means a PRIOR attempt crashed
     // somewhere, so only then pay the target-tree sweep (a partitioned
     // index target can hold thousands of cluster dirs; the common
     // first-attempt path must not walk them every batch)
-    val inprog = new java.io.File(s"$commitRoot/_commits/$queryName/$batchId.inprogress")
     val retry = inprog.exists
     inprog.getParentFile.mkdirs()
     inprog.createNewFile()
@@ -51,11 +73,21 @@ object IdempotentSink {
     val w0 = df.write.mode("overwrite")
     val w = if (partitionCols.nonEmpty) w0.partitionBy(partitionCols: _*) else w0
     w.parquet(staging.toString)
-    if (retry) sweepPrefix(new java.io.File(targetDir), prefix)
-    RabitqIndex.promoteStaged(staging, new java.io.File(targetDir), Some(prefix))
-    org.apache.commons.io.FileUtils.deleteDirectory(staging)
-    marker.createNewFile()
-    inprog.delete()
+    onStaged() // test seam: a maintenance pass fired between stage and promote
+    // promote + commit under the layout lease: serialized against every
+    // maintenance mutator, target re-resolved while nothing can swap it
+    RabitqIndex.withLayoutLock(commitRoot, waitMs = leaseWaitMs) {
+      val target = new java.io.File(targetDir)
+      // the target dir must exist even if every row of every batch was
+      // filtered out — a downstream read of the sink must see an (empty)
+      // directory, not path-not-found
+      target.mkdirs()
+      if (retry) sweepPrefix(target, prefix)
+      RabitqIndex.promoteStaged(staging, target, Some(prefix))
+      org.apache.commons.io.FileUtils.deleteDirectory(staging)
+      LayoutCommit.exclusiveCreate(marker.toPath)
+      inprog.delete()
+    }
     ()
   }
 
@@ -68,5 +100,32 @@ object IdempotentSink {
     kids.filter(_.isDirectory).foreach(sweepPrefix(_, prefix))
     kids.filter(f => f.isFile && f.getName.startsWith(prefix + "-"))
       .foreach(_.delete())
+  }
+
+  /** Maintenance-side half of the append-vs-maintenance closure: sweep
+    * every PROMOTED-BUT-UNCOMMITTED batch (in-progress sentinel present,
+    * no commit marker) out of `targetDirs` before a rewrite reads the
+    * layout. Caller must hold the layout lease — under it, no live
+    * appender can be mid-promote, so a sentinel-without-marker is either
+    * a crashed attempt (its replay re-stages the whole batch) or a live
+    * batch still staging (nothing promoted yet — the sweep finds only
+    * files a CRASHED earlier attempt of it promoted, which that live
+    * attempt re-promotes in full). Either way: swept rows always come
+    * back exactly once, and the rewrite never folds rows a replay would
+    * duplicate.
+    */
+  private[graft] def settleInProgress(commitRoot: String,
+                                      targetDirs: Seq[String]): Unit = {
+    val commits = new java.io.File(s"$commitRoot/_commits")
+    val qs = Option(commits.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(_.isDirectory)
+    for {
+      q <- qs
+      f <- Option(q.listFiles()).getOrElse(Array.empty[java.io.File])
+      if f.isFile && f.getName.endsWith(".inprogress")
+      batchId = f.getName.stripSuffix(".inprogress")
+      if !new java.io.File(q, batchId).exists
+      t <- targetDirs
+    } sweepPrefix(new java.io.File(t), s"${q.getName}-$batchId")
   }
 }

@@ -138,7 +138,8 @@ object VecsStream {
     * arrive as (op, vec_id, embedding) rows; per micro-batch, `add`
     * rows are encoded with the frozen model and appended into the
     * partitioned layout ([[appendToIndex]]'s sink) and `del` ids are
-    * appended to an id-only TOMBSTONE log (`$idxDir/deletes`) — the
+    * appended to the active generation's id-only TOMBSTONE log
+    * (`RabitqIndex.tombstoneLogDir`, resolved per batch) — the
     * append-log shape every LSM/lakehouse delete takes: nothing
     * rewrites at ingest time, reads anti-join the tombstones
     * ([[loadMaintained]]), and a scheduled [[compactIndex]] folds them
@@ -173,7 +174,7 @@ object VecsStream {
           partitionCols = Seq("cluster_id"))
         IdempotentSink.appendBatch(
           batch.filter(col("op") === "del").select("vec_id"),
-          s"$idxDir/deletes", idxDir, s"$queryName-del", batchId)
+          RabitqIndex.tombstoneLogDir(idxDir), idxDir, s"$queryName-del", batchId)
       }
       .trigger(Trigger.AvailableNow())
       .start()
@@ -199,13 +200,15 @@ object VecsStream {
     *     retry idempotent;
     *  2. [[compactSwap]] — an ATOMIC one-line MANIFEST rename pointing
     *     `RabitqIndex.indexDataDir` (every reader: load/loadLive/Serve)
-    *     at the new generation, then cleanup (log + old dir).
+    *     at the new generation; the old generation and its folded log
+    *     are RETIRED, not deleted (reclaimed by vacuum after the
+    *     retention window — in-flight readers keep scanning them).
     *
     * Crash anywhere: before the swap, readers resolve the OLD dir + log
-    * (the partial new generation is invisible); after the swap but
-    * before cleanup, readers resolve the new dir and the stale log
-    * anti-joins ids that are already physically gone — a no-op. Readers
-    * therefore see old-or-new, never partial (spec-asserted).
+    * (the partial new generation is invisible); after the swap, readers
+    * resolve the new dir, whose per-generation log is empty. Readers
+    * therefore see old-or-new, never partial (spec-asserted), and a
+    * reader mid-scan of the old generation is never yanked.
     */
   def compactIndex(spark: SparkSession, idxDir: String): Unit =
     RabitqIndex.withLayoutLock(idxDir)(compactUnlocked(spark, idxDir))
@@ -215,7 +218,15 @@ object VecsStream {
     // compacting a mid-swap layout would rewrite a generation missing
     // the split clusters' rows
     RabitqIndex.completeRebalanceSwap(idxDir)
-    val delDir = new java.io.File(s"$idxDir/deletes")
+    // settle crashed uncommitted appends BEFORE the rewrite reads the
+    // layout: a promoted-but-unmarked batch would be folded into
+    // consolidated files (losing its prefix names) and then re-appended
+    // whole by the stream's replay — duplicates. Swept rows are re-staged
+    // in full by the replay, so nothing is lost. Live batches can't be
+    // mid-promote here (the promote takes the lease we hold).
+    IdempotentSink.settleInProgress(idxDir,
+      Seq(RabitqIndex.indexDataDir(idxDir), RabitqIndex.tombstoneLogDir(idxDir)))
+    val delDir = new java.io.File(RabitqIndex.tombstoneLogDir(idxDir))
     if (!delDir.exists) return
     compactSwap(idxDir, compactRewrite(spark, idxDir))
   }
@@ -242,20 +253,24 @@ object VecsStream {
     nextName
   }
 
-  /** Phase 2 (atomic): point the MANIFEST at the new generation via
-    * write-temp + atomic rename, then clean up the folded log and the
-    * previous generation's dir.
+  /** Phase 2 (atomic): RETIRE the current generation (its `_retired`
+    * marker starts the retention clock), then point the MANIFEST at the
+    * new one via write-temp + atomic rename. NOTHING is deleted inline:
+    * an in-flight reader that resolved the old generation (and its
+    * tombstone log) before the swap keeps scanning intact files to
+    * completion — long scans are the norm at corpus scale, and a swap
+    * that deletes what they hold turns maintenance into reader failures.
+    * `RabitqIndex.vacuumIndex` reclaims the retired generation + folded
+    * log once they outlive the retention window (the Delta VACUUM
+    * pattern). The new generation starts with NO log — the old log
+    * belongs to the old generation and anti-joins ids the rewrite
+    * already dropped.
     */
   private[graft] def compactSwap(idxDir: String, nextName: String): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val oldData = RabitqIndex.indexDataDir(idxDir)
-    val tmp = Paths.get(idxDir, "MANIFEST.tmp")
-    Files.writeString(tmp, nextName)
-    Files.move(tmp, Paths.get(idxDir, "MANIFEST"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    org.apache.commons.io.FileUtils.deleteDirectory(
-      new java.io.File(s"$idxDir/deletes"))
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(oldData))
+    val oldGen = new java.io.File(RabitqIndex.indexDataDir(idxDir)).getName
+    RabitqIndex.markRetired(idxDir, oldGen)
+    graft.operators.LayoutCommit.atomicWriteFile(
+      java.nio.file.Paths.get(idxDir, "MANIFEST"), nextName)
   }
 
   /** What one [[maintenanceLoop]] pass did. */
@@ -277,15 +292,17 @@ object VecsStream {
   def maintenanceLoop(spark: SparkSession, idxDir: String,
                       base: org.apache.spark.sql.DataFrame,
                       debtThreshold: Double = 0.2,
-                      maxSizeFactor: Double = 1.5): MaintenanceReport =
+                      maxSizeFactor: Double = 1.5,
+                      retainMs: Long = RabitqIndex.DefaultRetainMs): MaintenanceReport =
     // ONE lease across the whole pass: the describe→act sequence must
     // not interleave with another scheduler's pass (each acting on the
     // other's stale report), and the loop IS the maintenance window
     RabitqIndex.withLayoutLock(idxDir) {
       // vacuum first: a crashed prior cycle's debris (unreferenced
       // generations, dead staging) must not ride along forever — pure
-      // file metadata, no jobs
-      val vac = RabitqIndex.vacuumUnlocked(idxDir)
+      // file metadata, no jobs; retired generations inside the retention
+      // window survive (in-flight readers may still hold them)
+      val vac = RabitqIndex.vacuumUnlocked(idxDir, retainMs)
       val d = RabitqIndex.describeIndex(spark, idxDir, maxSizeFactor).head()
       val compacted =
         if (d.getAs[Double]("tombstone_debt") >= debtThreshold &&

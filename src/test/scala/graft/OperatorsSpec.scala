@@ -1666,10 +1666,12 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val fromDisk = RabitqQuery.topKFromDisk(spark, idxDir, baseFinal, qs, 4, 10, 4096)
     assert(fromDisk.collect().map(_.toSeq).toSet == resRows,
       "topKFromDisk must apply the tombstone log")
-    // compaction folds the tombstones in and clears the log; the live
-    // set and search results are unchanged
+    // compaction folds the tombstones in and the NEW generation starts
+    // with no log (the folded log is retired with its generation, not
+    // deleted — retention); the live set and search results are unchanged
     graft.streaming.VecsStream.compactIndex(spark, idxDir)
-    assert(!new java.io.File(s"$idxDir/deletes").exists, "log must be cleared")
+    assert(!new java.io.File(RabitqIndex.tombstoneLogDir(idxDir)).exists,
+      "active generation must start with no log")
     val (m3, live2) = graft.streaming.VecsStream.loadMaintained(spark, idxDir)
     assert(live2.select("vec_id").collect().map(_.getLong(0)).toSet == expected)
     val res2 = RabitqQuery.topK(spark, m3, live2, baseFinal, qs, 4, 10, 4096)
@@ -1705,34 +1707,40 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(liveIds() == expected)
     // a RETRY of the rewrite (mode overwrite) is idempotent
     assert(graft.streaming.VecsStream.compactRewrite(spark, idxDir) == "index-v2")
-    // CRASH AFTER THE SWAP, BEFORE CLEANUP: manifest points at v2 but
-    // the log and old dir are still on disk — readers resolve the new
-    // generation; the stale log anti-joins ids that are already
-    // physically gone (a no-op). Still the right answer.
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(idxDir, "MANIFEST"), "index-v2")
+    // CRASH AFTER THE RETIRE MARKER, BEFORE THE MANIFEST MOVE: the old
+    // generation is marked retired but still active — readers resolve it
+    // (with its log); the retry converges to v2 (not v3 — the rewrite
+    // re-runs and the SAME swap lands)
+    RabitqIndex.markRetired(idxDir, "index")
+    assert(RabitqIndex.indexDataDir(idxDir) == s"$idxDir/index")
+    assert(liveIds() == expected)
+    graft.streaming.VecsStream.compactIndex(spark, idxDir)
     assert(RabitqIndex.indexDataDir(idxDir) == s"$idxDir/index-v2")
     assert(liveIds() == expected)
-    // the scheduled RETRY (just run compactIndex again) converges: the
-    // stale log folds into v3, the swap completes, log cleared
+    // RETENTION: the swap deletes NOTHING inline — the old generation and
+    // its folded log stay for in-flight readers; the new generation's
+    // per-generation log is empty
+    assert(new java.io.File(s"$idxDir/index").exists,
+      "old generation must be retained for in-flight readers")
+    assert(new java.io.File(s"$idxDir/deletes").exists,
+      "folded log must be retained with its generation")
+    assert(new java.io.File(s"$idxDir/_retired/index").exists)
+    assert(RabitqIndex.tombstoneLogDir(idxDir) == s"$idxDir/deletes-v2")
+    assert(!new java.io.File(s"$idxDir/deletes-v2").exists)
+    // next maintenance cycle stacks generations: new tombstones land in
+    // the ACTIVE generation's log → v3
+    Seq(20L).toDF("vec_id").write.parquet(RabitqIndex.tombstoneLogDir(idxDir))
     graft.streaming.VecsStream.compactIndex(spark, idxDir)
     assert(RabitqIndex.indexDataDir(idxDir) == s"$idxDir/index-v3")
-    assert(!new java.io.File(s"$idxDir/deletes").exists, "log must be cleared")
-    assert(!new java.io.File(s"$idxDir/index-v2").exists, "old generation cleaned up")
-    assert(liveIds() == expected)
-    // next maintenance cycle stacks generations: new tombstone → v4
-    Seq(20L).toDF("vec_id").write.parquet(s"$idxDir/deletes")
-    graft.streaming.VecsStream.compactIndex(spark, idxDir)
-    assert(RabitqIndex.indexDataDir(idxDir) == s"$idxDir/index-v4")
     assert(liveIds() == expected - 20L)
     // compaction CONSOLIDATES files: ~one part file per cluster in the
     // new generation, regardless of how fragmented appends left the old
     // one (the footer-describe and scan-listing costs are file-count-bound)
-    val v4Files = Option(new java.io.File(s"$idxDir/index-v4").listFiles())
+    val v3Files = Option(new java.io.File(s"$idxDir/index-v3").listFiles())
       .get.filter(_.getName.startsWith("cluster_id="))
       .map(d => d.listFiles().count(_.getName.endsWith(".parquet")))
-    assert(v4Files.nonEmpty && v4Files.forall(_ <= 2),
-      s"compacted generation still fragmented: ${v4Files.mkString(",")}")
+    assert(v3Files.nonEmpty && v3Files.forall(_ <= 2),
+      s"compacted generation still fragmented: ${v3Files.mkString(",")}")
     // search through the multi-generation layout stays exact
     val baseFinal = initial.filter(!col("vec_id").isin((dels + 20L).toSeq: _*))
     val qs = ExactKnn.queriesFromEmbeddings(emb, 5)
@@ -1740,12 +1748,54 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (m2, live2) = RabitqIndex.loadLive(spark, idxDir)
     val res = RabitqQuery.topK(spark, m2, live2, baseFinal, qs, 4, 10, 4096)
     assert(ExactKnn.recall(res, truth, 10).head().getDouble(0) == 1.0)
-    // save() RESETS to generation zero: manifest + versioned dirs gone
+    // save() RESETS to generation zero: manifest, versioned dirs,
+    // retired logs, and retirement markers all gone
     RabitqIndex.save(spark, m2, live2, idxDir)
     assert(RabitqIndex.indexDataDir(idxDir) == s"$idxDir/index")
     assert(!new java.io.File(s"$idxDir/MANIFEST").exists)
-    assert(!new java.io.File(s"$idxDir/index-v4").exists)
+    assert(!new java.io.File(s"$idxDir/index-v3").exists)
+    assert(!new java.io.File(s"$idxDir/deletes").exists)
+    assert(!new java.io.File(s"$idxDir/deletes-v2").exists)
+    assert(!new java.io.File(s"$idxDir/_retired").exists)
     assert(liveIds() == expected - 20L)
+  }
+
+  test("retention window: a reader's DataFrame over the OLD generation " +
+      "survives a compaction swap; vacuum honors retainMs") {
+    import spark.implicits._
+    val idxDir = java.nio.file.Files.createTempDirectory("retain").toString
+    val initial = emb.filter(col("vec_id") < 300)
+    val (model, index0) = RabitqIndex.build(spark, initial, numClusters = 4, seed = 7L)
+    RabitqIndex.save(spark, model, index0, idxDir)
+    Seq(3L, 5L).toDF("vec_id").write.parquet(s"$idxDir/deletes")
+    // an in-flight reader: resolves the OLD generation + log BEFORE the
+    // swap (the plan holds concrete file paths once executed; collect
+    // AFTER the swap must still see intact files — pre-retention, the
+    // swap's inline delete turned exactly this into file-not-found)
+    val preSwap = RabitqIndex.loadLive(spark, idxDir)._2
+    val expected = (0L until 300L).toSet -- Set(3L, 5L)
+    graft.streaming.VecsStream.compactIndex(spark, idxDir)
+    assert(RabitqIndex.indexDataDir(idxDir) == s"$idxDir/index-v2")
+    assert(preSwap.select("vec_id").collect().map(_.getLong(0)).toSet == expected,
+      "pre-swap reader must keep collecting the old generation correctly")
+    // a post-swap reader resolves the new generation — same live set
+    assert(RabitqIndex.loadLive(spark, idxDir)._2
+      .select("vec_id").collect().map(_.getLong(0)).toSet == expected)
+    // vacuum with the default retention: the retired generation SURVIVES
+    val repKeep = RabitqIndex.vacuumIndex(idxDir)
+    assert(new java.io.File(s"$idxDir/index").exists &&
+      new java.io.File(s"$idxDir/deletes").exists,
+      s"retired generation reclaimed inside the retention window: $repKeep")
+    assert(preSwap.select("vec_id").collect().map(_.getLong(0)).toSet == expected)
+    // past the window (retainMs = 0): generation + folded log + marker go
+    val repGc = RabitqIndex.vacuumIndex(idxDir, retainMs = 0L)
+    assert(!new java.io.File(s"$idxDir/index").exists)
+    assert(!new java.io.File(s"$idxDir/deletes").exists)
+    assert(!new java.io.File(s"$idxDir/_retired/index").exists)
+    assert(repGc.removed.exists(_.endsWith("/index")) &&
+      repGc.removed.exists(_.endsWith("/deletes")), repGc.toString)
+    // the active generation is untouched either way
+    assert(RabitqIndex.loadLive(spark, idxDir)._2.count() == expected.size)
   }
 
   test("IdempotentSink.appendBatch: replayed and crashed micro-batches land " +
@@ -1793,6 +1843,86 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.streaming.IdempotentSink.appendBatch(
       Seq(7L).toDF("vec_id"), flat, root, "del", 0L)
     assert(spark.read.parquet(flat).count() == 1)
+    // a replay that finds its COMMIT marker also clears a sentinel a
+    // crash stranded between the marker and the sentinel delete —
+    // otherwise it reads as a crashed attempt forever
+    java.nio.file.Files.createFile(
+      new java.io.File(s"$root/_commits/del/0.inprogress").toPath)
+    graft.streaming.IdempotentSink.appendBatch(
+      Seq(7L).toDF("vec_id"), flat, root, "del", 0L)
+    assert(!new java.io.File(s"$root/_commits/del/0.inprogress").exists,
+      "marker-present replay must clear the stranded sentinel")
+    // an all-empty stream still creates the sink dir — a downstream read
+    // must see an empty directory, not path-not-found
+    val never = s"$root/never"
+    graft.streaming.IdempotentSink.appendBatch(
+      Seq.empty[Long].toDF("vec_id"), never, root, "empty", 0L)
+    assert(new java.io.File(never).isDirectory,
+      "empty micro-batches must still create the target dir")
+  }
+
+  test("append vs maintenance is mechanical: a compaction swap between a " +
+      "batch's staged write and its promote loses nothing — the promote " +
+      "re-resolves the generation under the lease") {
+    import spark.implicits._
+    val idxDir = java.nio.file.Files.createTempDirectory("app_vs_maint").toString
+    val initial = emb.filter(col("vec_id") < 300)
+    val (model, index0) = RabitqIndex.build(spark, initial, numClusters = 4, seed = 7L)
+    RabitqIndex.save(spark, model, index0, idxDir)
+    Seq(3L).toDF("vec_id").write.parquet(s"$idxDir/deletes")
+    val newRows = RabitqIndex.appendVectors(spark, model,
+      emb.filter(col("vec_id") >= 300 && col("vec_id") < 320))
+    // the maintenance pass fires in the window the convention could never
+    // police: after the batch staged its rows, before it promotes them
+    graft.streaming.IdempotentSink.appendBatch(
+      newRows, RabitqIndex.indexDataDir(idxDir), idxDir, "ing", 0L,
+      partitionCols = Seq("cluster_id"),
+      onStaged = () => graft.streaming.VecsStream.compactIndex(spark, idxDir))
+    assert(RabitqIndex.indexDataDir(idxDir) == s"$idxDir/index-v2",
+      "the compaction must have swapped mid-batch")
+    val live = RabitqIndex.loadLive(spark, idxDir)._2
+      .select("vec_id").collect().map(_.getLong(0)).toList
+    val expected = ((0L until 300L).toSet - 3L) ++ (300L until 320L)
+    assert(live.toSet == expected, "the mid-compaction batch lost rows")
+    assert(live.size == expected.size, "the mid-compaction batch duplicated rows")
+    // and the batch's rows physically live in the NEW generation
+    assert(spark.read.parquet(s"$idxDir/index-v2")
+      .filter(col("vec_id") >= 300).count() == 20)
+  }
+
+  test("append vs maintenance, crashed half: a PROMOTED-but-uncommitted " +
+      "batch is settled out of the rewrite, and its replay lands exactly once") {
+    import spark.implicits._
+    val idxDir = java.nio.file.Files.createTempDirectory("settle").toString
+    val initial = emb.filter(col("vec_id") < 300)
+    val (model, index0) = RabitqIndex.build(spark, initial, numClusters = 4, seed = 7L)
+    RabitqIndex.save(spark, model, index0, idxDir)
+    Seq(3L).toDF("vec_id").write.parquet(s"$idxDir/deletes")
+    val newRows = RabitqIndex.appendVectors(spark, model,
+      emb.filter(col("vec_id") >= 300 && col("vec_id") < 320))
+    def put(): Unit = graft.streaming.IdempotentSink.appendBatch(
+      newRows, RabitqIndex.indexDataDir(idxDir), idxDir, "ing", 0L,
+      partitionCols = Seq("cluster_id"))
+    // crash AFTER the promote, BEFORE the marker: rows are in the layout,
+    // the sentinel is stranded, the marker never landed
+    put()
+    assert(new java.io.File(s"$idxDir/_commits/ing/0").delete())
+    java.nio.file.Files.createFile(
+      new java.io.File(s"$idxDir/_commits/ing/0.inprogress").toPath)
+    // the compaction SETTLES the uncommitted batch out of the rewrite —
+    // folding it would consolidate its rows under new file names, and the
+    // replay (which must re-append, its marker is gone) would then land a
+    // second, un-sweepable copy
+    graft.streaming.VecsStream.compactIndex(spark, idxDir)
+    assert(spark.read.parquet(RabitqIndex.indexDataDir(idxDir))
+      .filter(col("vec_id") >= 300).count() == 0,
+      "the rewrite must not fold a batch whose replay will re-append it")
+    put() // the stream's replay
+    val live = RabitqIndex.loadLive(spark, idxDir)._2
+      .select("vec_id").collect().map(_.getLong(0)).toList
+    val expected = ((0L until 300L).toSet - 3L) ++ (300L until 320L)
+    assert(live.toSet == expected && live.size == expected.size,
+      s"replay after settle must land exactly once (got ${live.size} rows)")
   }
 
   test("maintenanceLoop: below thresholds nothing fires; debt alone compacts " +
@@ -1819,8 +1949,11 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val r2 = graft.streaming.VecsStream.maintenanceLoop(spark, dir, emb,
       debtThreshold = 1e-9, maxSizeFactor = 10.0)
     assert(r2.compacted && r2.rebalanced.isEmpty)
-    assert(!new java.io.File(s"$dir/deletes").exists)
     assert(RabitqIndex.indexDataDir(dir) == s"$dir/index-v2")
+    // the new generation has no log; the folded one is retired, not gone
+    assert(!new java.io.File(RabitqIndex.tombstoneLogDir(dir)).exists)
+    assert(new java.io.File(s"$dir/deletes").exists &&
+      new java.io.File(s"$dir/_retired/index").exists)
     val (_, live) = RabitqIndex.loadLive(spark, dir)
     assert(live.filter(col("vec_id") === 1L).count() == 0)
     assert(live.count() == emb.count() - 1)
@@ -1848,11 +1981,16 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val before = RabitqIndex.loadLive(spark, dir)._2
       .select("vec_id").collect().map(_.getLong(0)).toSet
     val rep = RabitqIndex.vacuumIndex(dir)
-    assert(rep.removed.size == 4 && rep.reclaimedBytes > 0, rep.toString)
-    assert(!new java.io.File(s"$dir/index-v2").exists, "unreferenced generation")
+    assert(rep.removed.size == 3 && rep.reclaimedBytes > 0, rep.toString)
+    assert(!new java.io.File(s"$dir/index-v2").exists,
+      "unRETIRED non-active generation is immediate debris")
     assert(!new java.io.File(s"$dir/_rebalance_staging").exists)
-    assert(!new java.io.File(s"$dir/_staging").exists)
     assert(!new java.io.File(s"$dir/MANIFEST.tmp").exists)
+    // batch staging is AGE-GATED (it may belong to a LIVE batch between
+    // its staged write and its lease-guarded promote) — a fresh entry
+    // survives the default window, retainMs = 0 reclaims it
+    assert(new java.io.File(s"$dir/_staging/q-0").exists,
+      "fresh batch staging must survive the retention window")
     // live state intact: active generation, tombstone log, sidecars,
     // commit markers, and the logical live set
     assert(new java.io.File(s"$dir/index").exists)
@@ -1861,13 +1999,22 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val after = RabitqIndex.loadLive(spark, dir)._2
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(after == before && !after.contains(9L))
-    // after a real swap the OLD generation is the unreferenced one
+    val repAged = RabitqIndex.vacuumIndex(dir, retainMs = 0L)
+    assert(!new java.io.File(s"$dir/_staging/q-0").exists,
+      s"aged batch staging must be reclaimed: $repAged")
+    // after a real swap the OLD generation is RETIRED, not debris: it
+    // survives the default window and is reclaimed (with its folded log
+    // and marker) once past retainMs
     graft.streaming.VecsStream.compactIndex(spark, dir)
     assert(RabitqIndex.indexDataDir(dir) == s"$dir/index-v2")
-    // simulate a crashed cleanup by recreating the old dir
-    new java.io.File(s"$dir/index/cluster_id=0").mkdirs()
-    val rep2 = RabitqIndex.vacuumIndex(dir)
-    assert(rep2.removed == Seq(s"$dir/index"))
+    val repRetained = RabitqIndex.vacuumIndex(dir)
+    assert(new java.io.File(s"$dir/index").exists &&
+      new java.io.File(s"$dir/deletes").exists, repRetained.toString)
+    val rep2 = RabitqIndex.vacuumIndex(dir, retainMs = 0L)
+    assert(rep2.removed.contains(s"$dir/index") &&
+      rep2.removed.contains(s"$dir/deletes"), rep2.toString)
+    assert(!new java.io.File(s"$dir/index").exists)
+    assert(!new java.io.File(s"$dir/_retired/index").exists)
     assert(new java.io.File(s"$dir/index-v2").exists)
     assert(RabitqIndex.loadLive(spark, dir)._2.count() == before.size)
   }
@@ -2004,7 +2151,7 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     graft.streaming.VecsStream.compactIndex(spark, dir)
     assert(!lock.exists(), "lease not released after a successful op")
     assert(RabitqIndex.indexDataDir(dir) == s"$dir/index-v2")
-    assert(!new java.io.File(s"$dir/deletes").exists)
+    assert(!new java.io.File(RabitqIndex.tombstoneLogDir(dir)).exists)
     val live = RabitqIndex.loadLive(spark, dir)._2
     assert(live.filter(col("vec_id") === 9L).count() == 0)
     assert(live.count() == initial.count() - 1)
@@ -2013,6 +2160,69 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lock.createNewFile())
     val rep = try RabitqIndex.vacuumUnlocked(dir) finally lock.delete()
     assert(!rep.removed.exists(_.contains("_maintenance.lock")))
+  }
+
+  test("maintenance lease: two RACING breakers of the same stale lock — " +
+      "exactly one proceeds; an outlived holder cannot release the new " +
+      "holder's lease") {
+    val dir = java.nio.file.Files.createTempDirectory("lease_race").toString
+    val lock = new java.io.File(s"$dir/_maintenance.lock")
+    // a stale lock from a crashed holder
+    assert(lock.createNewFile())
+    assert(lock.setLastModified(System.currentTimeMillis() - 2L * 3600 * 1000))
+    // N breakers race: each observes the stale lock, breaks, re-acquires.
+    // The rename-aside break admits exactly ONE (the old delete+create
+    // TOCTOU admitted several — B's late delete removed A's fresh lock)
+    val n = 8
+    val gate = new java.util.concurrent.CyclicBarrier(n)
+    val inBody = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxConcurrent = new java.util.concurrent.atomic.AtomicInteger(0)
+    val proceeded = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (1 to n).map { _ =>
+      new Thread(() => {
+        gate.await()
+        try {
+          RabitqIndex.withLayoutLock(dir) {
+            val c = inBody.incrementAndGet()
+            maxConcurrent.getAndUpdate(m => math.max(m, c))
+            Thread.sleep(200) // hold the body long enough to catch overlap
+            inBody.decrementAndGet()
+            proceeded.incrementAndGet()
+          }
+        } catch { case _: IllegalStateException => () }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    // the invariant is MUTUAL EXCLUSION, not single admission: a late
+    // thread that only attempts after the winner released acquires a
+    // legitimately free lock (serial takeovers are fine). The old
+    // delete/re-acquire TOCTOU failed exactly this: two breakers in the
+    // body CONCURRENTLY (B's slow delete removed A's fresh lock).
+    assert(proceeded.get() >= 1, "no breaker proceeded on a stale lock")
+    assert(maxConcurrent.get() == 1,
+      s"two mutators ran concurrently (max ${maxConcurrent.get()})")
+    assert(!lock.exists(), "winner's lease not released")
+
+    // an OUTLIVED holder (its lease broken mid-run) must not delete the
+    // new holder's lock on exit — the holder-token release check
+    val slowDone = new java.util.concurrent.CountDownLatch(1)
+    val slowEntered = new java.util.concurrent.CountDownLatch(1)
+    val slow = new Thread(() => {
+      RabitqIndex.withLayoutLock(dir, staleMs = 100L) {
+        slowEntered.countDown()
+        slowDone.await() // outlive our own staleMs
+      }
+    })
+    slow.start(); slowEntered.await()
+    Thread.sleep(150) // slow's lease is now stale
+    // a breaker takes over while slow still runs
+    RabitqIndex.withLayoutLock(dir, staleMs = 100L) {
+      assert(lock.exists())
+      slowDone.countDown(); slow.join()
+      assert(lock.exists(),
+        "outlived holder deleted the NEW holder's lease on its way out")
+    }
+    assert(!lock.exists(), "new holder's lease not released")
   }
 
   test("describeIndex: footer-metadata fast path equals the scan path field " +
