@@ -208,11 +208,11 @@ object ScaleSmoke {
         .write.mode("append").partitionBy("cluster_id").parquet(s"$tmp/idx/index")
       val setupSec = (System.nanoTime() - t6) / 1e9
       def recallAt(m: RabitqModel, idx: org.apache.spark.sql.DataFrame,
-                   np: Int = nprobe): (Double, Double) = {
+                   np: Int = nprobe, rr: Int = rerank): (Double, Double) = {
         val p = idx.persist()
         p.count()
         val t = System.nanoTime()
-        val r = RabitqQuery.topK(spark, m, p, base, queries, np, 10, rerank)
+        val r = RabitqQuery.topK(spark, m, p, base, queries, np, 10, rr)
         r.count()
         val sec = (System.nanoTime() - t) / 1e9
         val rec = ExactKnn.recall(r, truth, 10).head().getDouble(0)
@@ -240,18 +240,35 @@ object ScaleSmoke {
         .join(labels.withColumnRenamed("label", "expected"), Seq("vec_id"))
         .filter(col("label") =!= col("expected")).count()
       val (recAfter, secAfter) = recallAt(m1, idx1)
-      // PROBE-BUDGET SCALING (BUILT_K sidecar, written by the rebalance):
-      // a fixed nprobe over the grown centroid set covers a k0/k′ smaller
-      // corpus fraction — the recall headwind measured above. The scaled
-      // budget nprobe·k′/k0 (what the disk paths and the serving tier now
-      // apply automatically) restores the probed fraction; its recall and
-      // cost are the honest post-rebalance operating point.
-      val npScaled = RabitqIndex.scaledNprobe(s"$tmp/idx",
-        m1.params.numClusters, nprobe)
-      val (recScaled, secScaled) = recallAt(m1, idx1, npScaled)
+      // RERANK-BUDGET SCALING (BUILT_K sidecar, written by the rebalance):
+      // the post-split recall loss at a fixed budget is SHORTLIST
+      // DISPLACEMENT, not probe coverage (the sweep below separates the
+      // two), so the shipped adaptation — what the disk paths and the
+      // serving tier apply automatically — scales rerank by k′/k0 at the
+      // same nprobe. Its recall and cost are the honest post-rebalance
+      // operating point.
+      val rrScaled = RabitqIndex.scaledRerank(s"$tmp/idx",
+        m1.params.numClusters, rerank)
+      val (recScaled, secScaled) = recallAt(m1, idx1, nprobe, rrScaled)
+      // opt-in diagnostic grid ("sweep" arg): recall over (nprobe, rerank)
+      // on the REBALANCED layout — separates the probe-coverage headwind
+      // from rerank displacement and from sub-centroid estimate quality
+      if (args.contains("sweep")) {
+        val scale = RabitqIndex.probeScale(s"$tmp/idx", m1.params.numClusters)
+        val npScaled = math.min(m1.params.numClusters,
+          math.ceil(nprobe * scale).toInt)
+        val grid = for {
+          np <- Seq(nprobe, npScaled).distinct
+          rr <- Seq(rerank, rrScaled, 2 * rerank, 3 * rerank, 5 * rerank).distinct
+        } yield {
+          val (rec, sec) = recallAt(m1, idx1, np, rr)
+          s""""np${np}_rr$rr":{"recall":$rec,"sec":$sec}"""
+        }
+        println(s"""{"rebalance_sweep":{${grid.mkString(",")}}}""")
+      }
       println(s"""{"scale_smoke_rebalance":{"n":$n,"k":$k,"nprobe":$nprobe,""" +
-        s""""nprobe_scaled":$npScaled,"recall_at_10_scaled":$recScaled,""" +
-        s""""query_sec_scaled":$secScaled,""" +
+        s""""rerank_scaled":$rrScaled,"recall_at_10_rerank_scaled":$recScaled,""" +
+        s""""query_sec_rerank_scaled":$secScaled,""" +
         s""""label_nulls":$labelNulls,"label_mismatches":$labelMism,""" +
         s""""setup_sec":$setupSec,"clusters_split":${report.split.size},""" +
         s""""k_before":${report.numClustersBefore},"k_after":${report.numClustersAfter},""" +

@@ -190,16 +190,15 @@ object Serve {
         // corpus-size-invariant — the fixed 8 was 50% of the old fixed
         // k=16, and silently shrinking to 8/k would degrade default-recall
         // as corpora grow; explicit "probe" in the request overrides.
-        // An explicit probe was tuned against the ORIGINAL cluster count,
-        // so on a rebalance-grown layout it is rescaled by
+        // On a rebalance-grown layout the RERANK budget is rescaled by
         // numClusters/BUILT_K (engine.probeScale) like the batch disk
-        // paths — otherwise a fixed client budget silently covers a
-        // shrinking corpus fraction after every split.
+        // paths — the measured post-split recall loss is shortlist
+        // displacement, not probe coverage (RabitqIndex.scaledRerank), so
+        // the probe itself is left as requested.
         val k = eng.model.params.numClusters
         val probe = parseInt(body, "probe")
-          .map(p => math.min(k, math.ceil(p * eng.probeScale).toInt))
           .getOrElse(math.max(8, (k + 1) / 2))
-        val rerank = math.max(4 * topK, 64)
+        val rerank = math.ceil(math.max(4 * topK, 64) * eng.probeScale).toInt
         // optional "label": filtered vector search on the serving path —
         // the batch filteredTopK composition (selectivity-aware probe
         // widening + in-scan label skip), reference-style metadata-aware

@@ -76,15 +76,16 @@ final class HotTier private (
     probes.foreach { p =>
       slotOf.get(p.cluster_id).foreach { s =>
         val n = vecIds(s).length
-        val sqrtG = math.sqrt(p.centroid_d2.toDouble)
         var i = 0
         while (i < n) {
           if (label.isEmpty || labels(s)(i) == lbl) {
             val ad = VectorOps.asymDot(codes(s)(i), p.planes)
+            // unbiased estimate, not the lower bound — must stay
+            // byte-identical to fromProbes' shortlist key (see the
+            // truncation-vs-prune note there)
             val rough = cds(s)(i).toDouble + p.centroid_d2.toDouble +
               p.lb.toDouble * factorPpc(s)(i).toDouble +
-              (2.0 * ad.toDouble - p.sum_q.toDouble) * factorIp(s)(i).toDouble * p.delta.toDouble -
-              errorBound(s)(i).toDouble * sqrtG
+              (2.0 * ad.toDouble - p.sum_q.toDouble) * factorIp(s)(i).toDouble * p.delta.toDouble
             cand += ((rough, vecIds(s)(i)))
           }
           i += 1

@@ -694,14 +694,14 @@ object RabitqIndex {
     val model2 = model.copy(
       params = model.params.copy(numClusters = centroids2.length),
       centroids = centroids2)
-    // record the cluster count the probe budgets were TUNED against (the
-    // first rebalance of this layout): a query probing a fixed nprobe of
-    // a GROWN centroid set covers a smaller corpus fraction, so the disk
-    // query paths scale their budget by numClusters/BUILT_K (measured at
-    // 1M: recall 0.676 at fixed nprobe=16 after a 256→339 split vs 0.852
-    // pre-skew; the scaled budget recovers it — SCALE probe_scale row).
-    // Cumulative across repeated rebalances because the FIRST value is
-    // kept; save() resets it with the rest of the layout history.
+    // record the cluster count the query budgets were TUNED against (the
+    // first rebalance of this layout): after a split grows the centroid
+    // set, a fixed rerank budget loses recall to shortlist displacement,
+    // so the disk query paths and the serving tier scale RERANK by
+    // numClusters/BUILT_K ([[scaledRerank]] — the why-rerank-not-nprobe
+    // sweep lives there; SCALE probe_scale row). Cumulative across
+    // repeated rebalances because the FIRST value is kept; save() resets
+    // it with the rest of the layout history.
     val builtK = new java.io.File(s"$dir/BUILT_K")
     if (!builtK.exists)
       LayoutCommit.atomicWriteFile(builtK.toPath, k0.toString)
@@ -931,15 +931,20 @@ object RabitqIndex {
     * regardless of any lock).
     *
     * Crash-safety of the lease itself: the lock body carries a HOLDER
-    * TOKEN. A stale lease (older than `staleMs`) is broken by atomically
-    * RENAMING it aside — of N racing breakers exactly one rename
-    * succeeds, and the subsequent exclusive-create picks exactly one new
-    * holder (no delete/re-acquire TOCTOU where a slow breaker deletes a
-    * fresh holder's lock). Release verifies the token, so a holder whose
-    * lease was broken mid-run (a pass outliving `staleMs`) cannot remove
-    * the new holder's lock on its way out. `waitMs` > 0 polls the
-    * acquire (100ms) before giving up — the appenders' promote uses it
-    * to ride out a maintenance pass instead of failing the batch.
+    * TOKEN. A stale lease (older than `staleMs`) is broken by an
+    * exclusive-create CLAIM keyed to the measured mtime — exactly one
+    * breaker per stale-lock instance is elected, re-confirms the lock is
+    * still that instance, and only then renames it aside; the subsequent
+    * exclusive-create picks exactly one new holder. (Neither the old
+    * delete/re-acquire nor a bare rename-aside is safe: a slow breaker
+    * that measured the stale mtime can delete — or rename away — the
+    * FRESH lock a faster breaker's successor created, vacating the path
+    * for a second concurrent mutator; the racing-breakers spec catches
+    * both.) Release verifies the token, so a holder whose lease was
+    * broken mid-run (a pass outliving `staleMs`) cannot remove the new
+    * holder's lock on its way out. `waitMs` > 0 polls the acquire
+    * (100ms) before giving up — the appenders' promote uses it to ride
+    * out a maintenance pass instead of failing the batch.
     */
   private[graft] def withLayoutLock[A](
       dir: String, staleMs: Long = 60L * 60 * 1000,
@@ -948,17 +953,38 @@ object RabitqIndex {
     val token = java.util.UUID.randomUUID().toString
     def acquire(): Boolean = LayoutCommit.exclusiveCreate(lock, token)
     def tryBreakStale(): Unit = {
-      // lastModified() == 0 if the holder released between our failed
-      // acquire and here — that reads as stale, and the break no-ops
-      // (rename of a vanished lock throws NoSuchFile, swallowed below)
-      val heldMs = System.currentTimeMillis() - lock.toFile.lastModified()
-      if (heldMs >= staleMs) {
-        val aside = lock.resolveSibling(s"_maintenance.lock.broken-$token")
-        try {
-          LayoutCommit.atomicRenameDir(lock, aside) // exactly one breaker wins
-          java.nio.file.Files.deleteIfExists(aside)
-        } catch { case _: java.nio.file.NoSuchFileException => () }
-      }
+      // lastModified() == 0 means the lock vanished (holder released or a
+      // racing breaker won) — nothing to break, just retry the acquire
+      val lm = lock.toFile.lastModified()
+      if (lm == 0L || System.currentTimeMillis() - lm < staleMs) return
+      // ELECT exactly one breaker per stale-lock INSTANCE via an
+      // exclusive-create claim keyed to the measured mtime: a naive
+      // rename-aside race lets a slow breaker (which measured the OLD
+      // stale mtime) rename away the FRESH lock a faster breaker's
+      // successor just created — a second mutator then acquires the
+      // vacated path (caught by the racing-breakers spec). With the
+      // claim, only the winner renames, and only after re-confirming the
+      // lock is still the instance it measured (same mtime — fresh and
+      // stale differ by ≥ staleMs, so the compare is unambiguous).
+      val parent = lock.getParent
+      // GC claims a crashed breaker stranded (the break itself is
+      // microseconds; 10s is generous) — a stranded claim would wedge
+      // breaking of this instance forever
+      Option(parent.toFile.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(f => f.getName.startsWith("_maintenance.lock.break-") &&
+          System.currentTimeMillis() - f.lastModified() > 10000L)
+        .foreach(_.delete())
+      val claim = parent.resolve(s"_maintenance.lock.break-$lm")
+      if (!LayoutCommit.exclusiveCreate(claim, token)) return // not elected
+      try {
+        if (lock.toFile.lastModified() == lm) {
+          val aside = parent.resolve(s"_maintenance.lock.broken-$token")
+          try {
+            LayoutCommit.atomicRenameDir(lock, aside)
+            java.nio.file.Files.deleteIfExists(aside)
+          } catch { case _: java.nio.file.NoSuchFileException => () }
+        }
+      } finally java.nio.file.Files.deleteIfExists(claim)
     }
     val deadline = System.currentTimeMillis() + waitMs
     var held = acquire()
@@ -1081,7 +1107,8 @@ object RabitqIndex {
           f.getName.stripSuffix(".inprogress")).exists)
     val fileVictims = kids(root).filter(f => f.isFile &&
       (f.getName == "MANIFEST.tmp" ||
-        f.getName.startsWith("_maintenance.lock.broken-"))) ++
+        f.getName.startsWith("_maintenance.lock.broken-") ||
+        f.getName.startsWith("_maintenance.lock.break-"))) ++
       kids(retiredDir).filter(f => f.isFile && f.getName.endsWith(".tmp")) ++
       staleSentinels ++ markerVictims
     val sized = dirVictims.map(v =>
@@ -1092,20 +1119,26 @@ object RabitqIndex {
     VacuumReport(sized.map(_._1).toIndexedSeq, sized.map(_._2).sum)
   }
 
-  /** Scale a probe budget tuned against the ORIGINAL cluster count to a
+  /** Scale a RERANK budget tuned against the ORIGINAL cluster count to a
     * layout whose centroid set has GROWN under [[rebalanceIndex]]:
-    * nprobe covers nprobe/k of the centroid set, so after k0 → k′ the
-    * same budget covers a k0/k′ smaller corpus fraction and recall
-    * drops (measured at 1M: 0.852 → 0.676 at fixed nprobe=16 across a
-    * 256→339 split). nprobe′ = ceil(nprobe · k′/k0), clamped to k′ —
-    * the same statistic [[describeIndex]] reports as `num_clusters`.
-    * k0 rides in the `BUILT_K` sidecar the first rebalance writes; a
-    * never-rebalanced layout (no sidecar) scales by 1. The disk query
-    * paths and the serving tier apply this automatically.
+    * rerank′ = ceil(rerank · k′/k0), with k0 from the `BUILT_K` sidecar
+    * the first rebalance writes (a never-rebalanced layout scales by 1).
+    * The disk query paths and the serving tier apply this automatically.
+    *
+    * Why RERANK and not nprobe — measured at 1M across a 256→368 split
+    * (SCALE probe_scale row): the post-rebalance recall loss at a fixed
+    * budget is SHORTLIST DISPLACEMENT, not probe coverage. At rerank
+    * 1000 recall is flat in nprobe (0.916/0.908/0.906 at 16/23/46
+    * probes — the 16 nearest clusters already hold the true neighbors),
+    * while at any fixed rerank MORE probes LOWER recall (0.761→0.664 at
+    * rerank 200) by adding far candidates whose estimate noise displaces
+    * true neighbors from the truncated shortlist. Scaling rerank by
+    * k′/k0 restored the target: 0.761 → 0.816 at rerank 288 (2× → 0.850,
+    * 5× → 0.916; the clean pre-skew baseline at the same budgets is
+    * 0.883), at ~unchanged query cost.
     */
-  def scaledNprobe(dir: String, numClusters: Int, nprobe: Int): Int =
-    math.min(numClusters,
-      math.ceil(nprobe * probeScale(dir, numClusters)).toInt)
+  def scaledRerank(dir: String, numClusters: Int, rerank: Int): Int =
+    math.ceil(rerank * probeScale(dir, numClusters)).toInt
 
   /** numClusters / BUILT_K — 1.0 for a never-rebalanced layout. */
   def probeScale(dir: String, numClusters: Int): Double = {

@@ -106,11 +106,23 @@ object RabitqQuery {
       graft.functions.VectorExpressions.asymDotLut(col("code"), col("lut"))
     else
       graft.functions.VectorExpressions.asymDot(col("code"), col("planes"))
+    // Shortlist key = the UNBIASED distance estimate, NOT the lower bound
+    // (estimate − error_bound·√centroid_d2). The reference uses the lower
+    // bound only as a PRUNE against a dynamically-tightening exact-
+    // distance threshold (`rerank.rs:83-105` — everything that passes
+    // gets an exact distance, so bound optimism costs compute, never
+    // recall, and recall is monotone in nprobe). A fixed-size shortlist
+    // TRUNCATES instead of prunes: ranking the truncation by the bound
+    // systematically favors far-cluster/high-variance candidates (the
+    // −err·√cd2 term grows with centroid distance) and recall DEGRADES
+    // as probes widen — measured at 1M post-rebalance: 0.676@np16 →
+    // 0.509@np92 at rerank 200 under the bound key. The estimate is the
+    // right truncation key; [[heuristicTopK]] keeps the bound where it
+    // really is a prune (the reference's threshold scheme).
     val rough =
       col("cds").cast("double") + col("centroid_d2") +
         col("lb").cast("double") * col("factor_ppc") +
-        (lit(2.0) * ad - col("sum_q")) * col("factor_ip") * col("delta") -
-        col("error_bound").cast("double") * sqrt(col("centroid_d2").cast("double"))
+        (lit(2.0) * ad - col("sum_q")) * col("factor_ip") * col("delta")
 
     val obsId = obsCounter.incrementAndGet()
     val candidates = index
@@ -273,16 +285,17 @@ object RabitqQuery {
     // loadLive: respect an uncompacted maintainIndex tombstone log —
     // plan-identical to a raw load when no log exists
     val (model, index) = RabitqIndex.loadLive(spark, dir)
-    // probe-budget scaling composes with selectivity widening: first
-    // rescale the tuned budget to the (possibly rebalance-grown)
-    // centroid count, then widen for the filter's selectivity
-    val scaled = RabitqIndex.scaledNprobe(dir, model.params.numClusters, nprobe)
-    val widened = widenedProbe(model.params.numClusters, scaled,
+    // budget adaptation for a rebalance-grown layout: the RERANK scales
+    // by k′/k0 (see RabitqIndex.scaledRerank — the measured loss is
+    // shortlist displacement, not coverage); nprobe widens only for the
+    // filter's selectivity, as before
+    val rr = RabitqIndex.scaledRerank(dir, model.params.numClusters, rerank)
+    val widened = widenedProbe(model.params.numClusters, nprobe,
       selectivity.getOrElse(measuredSelectivity(index, pred)))
     val probed = probedClusterIds(model, queries, widened)
     val pruned = index.filter(col("cluster_id").isin(probed: _*)).filter(pred)
     fromProbes(pruned, base, queries, probesDf(spark, model, queries, widened),
-      topk, rerank)
+      topk, rr)
   }
 
   /** Q11 — the reference's HEURISTIC reranker
@@ -412,12 +425,13 @@ object RabitqQuery {
     // loadLive: respect an uncompacted maintainIndex tombstone log —
     // plan-identical to a raw load when no log exists
     val (model, index) = RabitqIndex.loadLive(spark, dir)
-    // a rebalance-grown centroid set shrinks the corpus fraction a fixed
-    // nprobe covers — rescale the tuned budget (no-op pre-rebalance)
-    val scaled = RabitqIndex.scaledNprobe(dir, model.params.numClusters, nprobe)
-    val probed = probedClusterIds(model, queries, scaled)
+    // rebalance-grown layout: scale the RERANK budget by k′/k0 (the
+    // measured post-split loss is shortlist displacement, not probe
+    // coverage — RabitqIndex.scaledRerank); no-op pre-rebalance
+    val rr = RabitqIndex.scaledRerank(dir, model.params.numClusters, rerank)
+    val probed = probedClusterIds(model, queries, nprobe)
     val pruned = index.filter(col("cluster_id").isin(probed: _*)).filter(pred)
-    fromProbes(pruned, base, queries, probesDf(spark, model, queries, scaled), topk, rerank)
+    fromProbes(pruned, base, queries, probesDf(spark, model, queries, nprobe), topk, rr)
   }
 
   /** Per-cluster ball statistics for [[ballPrunedTopK]]: radius = the

@@ -2379,6 +2379,54 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(s"$idxDir/index").count() == emb.count())
   }
 
+  test("rerank-budget scaling: rebalance records BUILT_K once; scaledRerank " +
+      "rescales tuned budgets by the grown cluster count; save() resets it") {
+    import org.apache.spark.sql.functions.element_at
+    // q116's skew construction — a rebalance that really splits
+    val (model, index0) = RabitqIndex.build(spark,
+      emb.filter(element_at(col("embedding"), 1) < 0f), numClusters = 8, seed = 11L)
+    val idxDir = java.nio.file.Files.createTempDirectory("builtk").toString
+    RabitqIndex.save(spark, model, index0, idxDir)
+    // a never-rebalanced layout scales by exactly 1
+    assert(RabitqIndex.scaledRerank(idxDir, 8, 64) == 64)
+    assert(RabitqIndex.probeScale(idxDir, 8) == 1.0)
+    RabitqIndex.appendVectors(spark, model,
+        emb.filter(element_at(col("embedding"), 1) >= 0f))
+      .write.mode("append").partitionBy("cluster_id").parquet(s"$idxDir/index")
+    val rep = RabitqIndex.rebalanceIndex(spark, idxDir, emb, maxSizeFactor = 1.4)
+    assert(rep.split.nonEmpty && rep.numClustersAfter > 8)
+    val k1 = rep.numClustersAfter
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(idxDir, "BUILT_K")).trim == "8")
+    // rerank' = ceil(rerank * k'/k0)
+    assert(RabitqIndex.scaledRerank(idxDir, k1, 64) ==
+      math.ceil(64.0 * k1 / 8).toInt)
+    assert(RabitqIndex.probeScale(idxDir, k1) == k1 / 8.0)
+    // a SECOND rebalance keeps the ORIGINAL tuned k — the scale is
+    // cumulative across splits, not reset to the intermediate count.
+    // Re-skew with offset copies of the upper halfspace (they pile back
+    // into the just-balanced upper clusters).
+    val (m1, i1) = RabitqIndex.load(spark, idxDir)
+    val extra = emb.filter(element_at(col("embedding"), 1) >= 0f)
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+    RabitqIndex.appendVectors(spark, m1, extra)
+      .write.mode("append").partitionBy("cluster_id")
+      .parquet(RabitqIndex.indexDataDir(idxDir))
+    val rep2 = RabitqIndex.rebalanceIndex(spark, idxDir,
+      emb.unionByName(extra), maxSizeFactor = 1.2)
+    assert(rep2.split.nonEmpty, s"second-split construction is vacuous ($rep2)")
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(idxDir, "BUILT_K")).trim == "8",
+      s"second rebalance must not overwrite the tuned k (rep2=$rep2)")
+    // save() resets the sidecar with the rest of the layout history
+    // (reload first: the second rebalance replaced i1's files)
+    val (m3, i3) = RabitqIndex.load(spark, idxDir)
+    RabitqIndex.save(spark, m3, i3.localCheckpoint(true), idxDir)
+    assert(!new java.io.File(s"$idxDir/BUILT_K").exists)
+    assert(RabitqIndex.probeScale(idxDir, k1) == 1.0)
+    assert(RabitqIndex.scaledRerank(idxDir, k1, 64) == 64)
+  }
+
   test("driver contract: SparkEntry.entry returns rows at sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
