@@ -52,15 +52,15 @@ object LayoutCommit {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Atomic file move. `replace = true` atomically replaces an existing
-    * destination (same-batch retry overwriting its own deterministic
-    * name); `replace = false` fails on an existing destination.
+  /** Atomic file move, REPLACING an existing destination (a same-batch
+    * retry overwrites its own deterministic name). Always replace-
+    * semantics: POSIX rename(2) — what ATOMIC_MOVE maps to — replaces
+    * silently regardless, so a fail-if-exists variant could not honor
+    * its contract on the very filesystems this impl targets.
     */
-  def atomicMoveFile(src: Path, dst: Path, replace: Boolean): Unit =
-    if (replace)
-      Files.move(src, dst,
-        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    else Files.move(src, dst, StandardCopyOption.ATOMIC_MOVE)
+  def atomicMoveFile(src: Path, dst: Path): Unit =
+    Files.move(src, dst,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
 
   /** Atomic directory rename; the destination must not exist. Throws
     * `NoSuchFileException` if `src` is already gone — callers use that

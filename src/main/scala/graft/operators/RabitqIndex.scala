@@ -291,7 +291,7 @@ object RabitqIndex {
       files.zipWithIndex.foreach { case (f, i) =>
         val name = rename.fold(f.getName)(p => f"$p-$i%05d.parquet")
         LayoutCommit.atomicMoveFile(f.toPath,
-          new java.io.File(dst, name).toPath, replace = true)
+          new java.io.File(dst, name).toPath)
       }
     }
     walk(staging, target)
@@ -840,7 +840,7 @@ object RabitqIndex {
         Option(sd.listFiles()).getOrElse(Array.empty[java.io.File])
           .filter(f => f.isFile && f.getName.endsWith(".parquet"))
           .foreach(f => LayoutCommit.atomicMoveFile(f.toPath,
-            new java.io.File(tgt, f.getName).toPath, replace = true))
+            new java.io.File(tgt, f.getName).toPath))
         org.apache.commons.io.FileUtils.deleteDirectory(sd)
       }
     }

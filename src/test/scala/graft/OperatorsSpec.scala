@@ -2427,6 +2427,52 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(RabitqIndex.scaledRerank(idxDir, k1, 64) == 64)
   }
 
+  test("LayoutCommit primitives: exclusive-create admits exactly one of N " +
+      "racers; atomic-write publishes old-or-new, never torn") {
+    val dir = java.nio.file.Files.createTempDirectory("layoutcommit")
+    // exclusiveCreate: N concurrent creators, exactly one wins
+    val p = dir.resolve("once")
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val gate = new java.util.concurrent.CyclicBarrier(8)
+    val ts = (1 to 8).map(i => new Thread(() => {
+      gate.await()
+      if (LayoutCommit.exclusiveCreate(p, s"t$i")) wins.incrementAndGet()
+    }))
+    ts.foreach(_.start()); ts.foreach(_.join())
+    assert(wins.get() == 1)
+    // atomicWriteFile: a reader hammering the target during 200 rewrites
+    // only ever observes a complete previous or next value
+    val tgt = dir.resolve("MANIFEST")
+    LayoutCommit.atomicWriteFile(tgt, "gen-0")
+    val bad = new java.util.concurrent.atomic.AtomicInteger(0)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = new Thread(() => {
+      while (!stop.get()) {
+        val s = new String(java.nio.file.Files.readAllBytes(tgt), "UTF-8")
+        if (!s.startsWith("gen-") || s.drop(4).toIntOption.isEmpty)
+          bad.incrementAndGet()
+      }
+    })
+    reader.start()
+    (1 to 200).foreach(i => LayoutCommit.atomicWriteFile(tgt, s"gen-$i"))
+    stop.set(true); reader.join()
+    assert(bad.get() == 0, s"reader observed ${bad.get()} torn manifests")
+    assert(new String(java.nio.file.Files.readAllBytes(tgt), "UTF-8") == "gen-200")
+    // atomicMoveFile atomically replaces an existing destination (the
+    // retry-overwrites-its-own-name contract)
+    val a = dir.resolve("a"); val b = dir.resolve("b")
+    java.nio.file.Files.writeString(a, "A"); java.nio.file.Files.writeString(b, "B")
+    LayoutCommit.atomicMoveFile(a, b)
+    assert(new String(java.nio.file.Files.readAllBytes(b), "UTF-8") == "A")
+    assert(!java.nio.file.Files.exists(a))
+    // atomicRenameDir: losing racer of the same src observes NoSuchFile
+    val src = dir.resolve("d1"); java.nio.file.Files.createDirectory(src)
+    LayoutCommit.atomicRenameDir(src, dir.resolve("d2"))
+    intercept[java.nio.file.NoSuchFileException] {
+      LayoutCommit.atomicRenameDir(src, dir.resolve("d3"))
+    }
+  }
+
   test("driver contract: SparkEntry.entry returns rows at sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
