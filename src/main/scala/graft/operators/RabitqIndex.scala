@@ -257,6 +257,22 @@ object RabitqIndex {
     if (gen == "index") s"$dir/deletes"
     else s"$dir/deletes-${gen.stripPrefix("index-")}"
 
+  /** The active generation's tombstone log — present only if it holds
+    * DATA files. Presence must be judged by data, not by the directory:
+    * the streamed del leg creates its target dir unconditionally (the
+    * all-empty-batches contract), so a maintain stream that never saw a
+    * delete leaves an EMPTY `deletes` dir, and a reader that anti-joined
+    * `spark.read.parquet` over it would throw (no files to infer a
+    * schema from) on a perfectly healthy layout.
+    */
+  private[graft] def tombstoneLogIfAny(dir: String): Option[java.io.File] = {
+    val f = new java.io.File(tombstoneLogDir(dir))
+    val hasData = f.isDirectory && Option(f.listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .exists(x => x.isFile && x.getName.endsWith(".parquet"))
+    if (hasData) Some(f) else None
+  }
+
   /** Mark a generation as RETIRED (superseded by a compaction swap) —
     * the marker's mtime starts the retention clock [[vacuumIndex]]
     * reclaims it on. Written BEFORE the MANIFEST swap so no state exists
@@ -304,11 +320,8 @@ object RabitqIndex {
     */
   def layoutStats(spark: SparkSession, dir: String): (Long, Long) = {
     val nRows = spark.read.parquet(indexDataDir(dir)).count()
-    val delDir = new java.io.File(tombstoneLogDir(dir))
-    val nTomb =
-      if (delDir.exists)
-        spark.read.parquet(delDir.toString).select("vec_id").distinct().count()
-      else 0L
+    val nTomb = tombstoneLogIfAny(dir).fold(0L)(delDir =>
+      spark.read.parquet(delDir.toString).select("vec_id").distinct().count())
     (nRows, nTomb)
   }
 
@@ -618,12 +631,9 @@ object RabitqIndex {
       Seq(indexDataDir(dir), tombstoneLogDir(dir)))
     val (model, index) = load(spark, dir)
     val dataDir = indexDataDir(dir)
-    val delDir = new java.io.File(tombstoneLogDir(dir))
-    val live =
-      if (delDir.exists)
-        index.join(spark.read.parquet(delDir.toString).select("vec_id"),
-          Seq("vec_id"), "left_anti")
-      else index
+    val live = tombstoneLogIfAny(dir).fold(index)(delDir =>
+      index.join(spark.read.parquet(delDir.toString).select("vec_id"),
+        Seq("vec_id"), "left_anti"))
     val sizes = live.groupBy("cluster_id").count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     val total = sizes.values.sum
@@ -1175,12 +1185,9 @@ object RabitqIndex {
     */
   def loadLive(spark: SparkSession, dir: String): (RabitqModel, DataFrame) = {
     val (model, index) = load(spark, dir)
-    val delDir = new java.io.File(tombstoneLogDir(dir))
-    val live =
-      if (delDir.exists)
-        index.join(spark.read.parquet(delDir.toString).select("vec_id"),
-          Seq("vec_id"), "left_anti")
-      else index
+    val live = tombstoneLogIfAny(dir).fold(index)(delDir =>
+      index.join(spark.read.parquet(delDir.toString).select("vec_id"),
+        Seq("vec_id"), "left_anti"))
     (model, live)
   }
 
@@ -1205,7 +1212,7 @@ object RabitqIndex {
                     footerFastPath: Boolean = true): DataFrame = {
     import spark.implicits._
     val (model, index) = load(spark, dir)
-    val delDir = new java.io.File(tombstoneLogDir(dir))
+    val log = tombstoneLogIfAny(dir)
     // FOOTER fast path: with no tombstone log, every statistic here is a
     // row count per cluster_id= partition — parquet footers carry those
     // exactly, so read ONLY file metadata (one tiny distributed pass,
@@ -1213,17 +1220,15 @@ object RabitqIndex {
     // log present the live sizes need the anti-join, so fall back to the
     // slim two-column scan.
     val footerSizes: Option[Array[(Int, Long)]] =
-      if (footerFastPath && !delDir.exists)
+      if (footerFastPath && log.isEmpty)
         clusterSizesFromFooters(spark, indexDataDir(dir))
       else None
     val (nRows, nTomb, sizes) = footerSizes match {
       case Some(fs) => (fs.map(_._2).sum, 0L, fs)
       case None =>
         val nRows = index.count()
-        val tomb =
-          if (delDir.exists)
-            Some(spark.read.parquet(delDir.toString).select("vec_id").distinct())
-          else None
+        val tomb = log.map(delDir =>
+          spark.read.parquet(delDir.toString).select("vec_id").distinct())
         val nTomb = tomb.map(_.count()).getOrElse(0L)
         val live = tomb.map(t => index.join(t, Seq("vec_id"), "left_anti"))
           .getOrElse(index)

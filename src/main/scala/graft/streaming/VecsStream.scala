@@ -172,9 +172,18 @@ object VecsStream {
           RabitqIndex.appendVectors(spark, model, batch.filter(col("op") === "add")),
           RabitqIndex.indexDataDir(idxDir), idxDir, s"$queryName-add", batchId,
           partitionCols = Seq("cluster_id"))
-        IdempotentSink.appendBatch(
-          batch.filter(col("op") === "del").select("vec_id"),
-          RabitqIndex.tombstoneLogDir(idxDir), idxDir, s"$queryName-del", batchId)
+        // skip the del leg entirely on a delete-free batch: the LOG's
+        // existence is a health signal every reader consults, so an
+        // adds-only stream must not manufacture one (0-row part files
+        // would disable the footer describe fast path forever). The skip
+        // is replay-deterministic — a replayed batch re-filters to the
+        // same emptiness. The docs sink's create-dir-unconditionally
+        // contract is the opposite choice for the opposite reason: its
+        // dir is read back with an explicit schema, never used as a flag.
+        val dels = batch.filter(col("op") === "del").select("vec_id")
+        if (!dels.isEmpty)
+          IdempotentSink.appendBatch(dels,
+            RabitqIndex.tombstoneLogDir(idxDir), idxDir, s"$queryName-del", batchId)
       }
       .trigger(Trigger.AvailableNow())
       .start()
@@ -226,8 +235,9 @@ object VecsStream {
     // mid-promote here (the promote takes the lease we hold).
     IdempotentSink.settleInProgress(idxDir,
       Seq(RabitqIndex.indexDataDir(idxDir), RabitqIndex.tombstoneLogDir(idxDir)))
-    val delDir = new java.io.File(RabitqIndex.tombstoneLogDir(idxDir))
-    if (!delDir.exists) return
+    // presence judged by DATA files, not the directory: the streamed del
+    // leg creates its (possibly forever-empty) target dir unconditionally
+    if (RabitqIndex.tombstoneLogIfAny(idxDir).isEmpty) return
     compactSwap(idxDir, compactRewrite(spark, idxDir))
   }
 

@@ -2427,6 +2427,42 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(RabitqIndex.scaledRerank(idxDir, k1, 64) == 64)
   }
 
+  test("a maintain stream that never saw a delete leaves a HEALTHY layout: " +
+      "the empty del-leg dir is not read as a tombstone log") {
+    import spark.implicits._
+    // the LOG's existence is a health signal every reader consults, so
+    // an adds-only stream must not manufacture one — the del leg skips
+    // delete-free batches, and (second line of defense) readers judge
+    // presence by DATA files, not the directory
+    val root = java.nio.file.Files.createTempDirectory("adds_only").toString
+    val idxDir = s"$root/idx"
+    val initial = emb.filter(col("vec_id") < 200)
+    val (model, index0) = RabitqIndex.build(spark, initial, numClusters = 4, seed = 7L)
+    RabitqIndex.save(spark, model, index0, idxDir)
+    emb.filter(col("vec_id") >= 200 && col("vec_id") < 260)
+      .select(lit("add").as("op"), col("vec_id"), col("embedding"))
+      .repartition(1).write.parquet(s"$root/in")
+    graft.streaming.VecsStream.maintainIndex(spark, s"$root/in",
+      idxDir, s"$root/ckpt", model, "adds_only_q")
+    assert(!new java.io.File(s"$idxDir/deletes").exists,
+      "an adds-only stream must not create a tombstone log")
+    val (_, live) = RabitqIndex.loadLive(spark, idxDir)
+    assert(live.count() == 260)
+    val d = RabitqIndex.describeIndex(spark, idxDir).head()
+    assert(d.getAs[Long]("n_tombstones") == 0L && d.getAs[Long]("n_rows") == 260)
+    // second line of defense: a deletes dir with NO data files (e.g. a
+    // crashed promote swept back to nothing) reads as no-log everywhere
+    new java.io.File(s"$idxDir/deletes").mkdirs()
+    assert(RabitqIndex.tombstoneLogIfAny(idxDir).isEmpty)
+    assert(RabitqIndex.loadLive(spark, idxDir)._2.count() == 260)
+    assert(RabitqIndex.layoutStats(spark, idxDir)._2 == 0L)
+    assert(RabitqIndex.describeIndex(spark, idxDir)
+      .head().getAs[Long]("n_tombstones") == 0L)
+    graft.streaming.VecsStream.compactIndex(spark, idxDir) // no-op, no throw
+    assert(RabitqIndex.indexDataDir(idxDir) == s"$idxDir/index",
+      "a log with no data must not trigger a compaction swap")
+  }
+
   test("LayoutCommit primitives: exclusive-create admits exactly one of N " +
       "racers; atomic-write publishes old-or-new, never torn") {
     val dir = java.nio.file.Files.createTempDirectory("layoutcommit")
