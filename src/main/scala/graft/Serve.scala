@@ -29,8 +29,7 @@ object Serve {
     */
   private final case class Engine(model: RabitqModel, index: org.apache.spark.sql.DataFrame,
                                   base: org.apache.spark.sql.DataFrame, hot: HotTier,
-                                  nRows: Long, nTombstones: Long,
-                                  probeScale: Double = 1.0)
+                                  nRows: Long, nTombstones: Long)
 
   // must be set before the HttpServer class initializes: without
   // TCP_NODELAY the response write stalls in the Nagle/delayed-ACK
@@ -129,15 +128,12 @@ object Serve {
     // reference serves read-only (`crates/service`); composing its
     // mutation boxes (README:18) with serving needs exactly this
     // copy-on-swap discipline.
-    // probe-budget scale for a rebalance-grown layout (BUILT_K sidecar):
-    // an EXPLICIT client probe was tuned against the original cluster
-    // count; scale it like the batch disk paths do. The DEFAULT probe
-    // below already tracks the live numClusters, so it needs no scale.
-    def probeScaleOf(d: Option[String], k: Int): Double =
-      d.fold(1.0)(RabitqIndex.probeScale(_, k))
+    // probe-budget scale for a rebalance-grown layout rides in the MODEL
+    // now (RabitqModel.rerankScale, populated by load from the BUILT_K
+    // sidecar) — every engine leg reads it from there, so the serving
+    // tier and the batch paths can never disagree.
     val engineRef = new java.util.concurrent.atomic.AtomicReference(
-      Engine(model, index, base, hot, nRows, nTomb,
-        probeScaleOf(indexDir, model.params.numClusters)))
+      Engine(model, index, base, hot, nRows, nTomb))
     // per-server counter (a JVM-global would bleed across serve instances)
     val queriesServed = new AtomicLong(0)
 
@@ -191,14 +187,17 @@ object Serve {
         // k=16, and silently shrinking to 8/k would degrade default-recall
         // as corpora grow; explicit "probe" in the request overrides.
         // On a rebalance-grown layout the RERANK budget is rescaled by
-        // numClusters/BUILT_K (engine.probeScale) like the batch disk
-        // paths — the measured post-split recall loss is shortlist
-        // displacement, not probe coverage (RabitqIndex.scaledRerank), so
-        // the probe itself is left as requested.
+        // numClusters/BUILT_K (model.rerankScale) like the batch paths —
+        // the measured post-split recall loss is shortlist displacement,
+        // not probe coverage (RabitqIndex.scaledRerank), so the probe
+        // itself is left as requested. The spark leg scales INSIDE
+        // RabitqQuery.topK (the model carries the factor), so only the
+        // hot-tier leg applies it here — both legs see the same budget.
         val k = eng.model.params.numClusters
         val probe = parseInt(body, "probe")
           .getOrElse(math.max(8, (k + 1) / 2))
-        val rerank = math.ceil(math.max(4 * topK, 64) * eng.probeScale).toInt
+        val rerankRaw = math.max(4 * topK, 64)
+        val rerank = math.ceil(rerankRaw * eng.model.rerankScale).toInt
         // optional "label": filtered vector search on the serving path —
         // the batch filteredTopK composition (selectivity-aware probe
         // widening + in-scan label skip), reference-style metadata-aware
@@ -211,13 +210,16 @@ object Serve {
             val res = label match {
               case Some(l) =>
                 // the hot tier's label histogram IS the catalog statistic,
-                // so both engines widen identically → identical results
+                // so both engines widen identically → identical results.
+                // rerankRaw, not rerank: topK scales by model.rerankScale
+                // internally — passing the pre-scaled budget would square
+                // the factor
                 RabitqQuery.filteredTopK(spark, eng.model, eng.index, eng.base,
                   qDf, col("label") === l, nprobe = probe, topk = topK,
-                  rerank = rerank, selectivity = Some(eng.hot.labelSelectivity(l)))
+                  rerank = rerankRaw, selectivity = Some(eng.hot.labelSelectivity(l)))
               case None =>
                 RabitqQuery.topK(spark, eng.model, eng.index, eng.base, qDf,
-                  nprobe = probe, topk = topK, rerank = rerank)
+                  nprobe = probe, topk = topK, rerank = rerankRaw)
             }
             res.orderBy(col("rank")).select("neighbor_id", "dist").collect()
               .map(r => (r.getLong(0), r.getDouble(1)))
@@ -266,8 +268,7 @@ object Serve {
         val n2 = b2.count(); i2.count()
         val (nRows2, nTomb2) = RabitqIndex.layoutStats(spark, idxDir)
         val hot2 = HotTier.fromIndex(spark, m2, i2, b2)
-        val old = engineRef.getAndSet(Engine(m2, i2, b2, hot2, nRows2, nTomb2,
-          probeScaleOf(Some(idxDir), m2.params.numClusters)))
+        val old = engineRef.getAndSet(Engine(m2, i2, b2, hot2, nRows2, nTomb2))
         // release the OLD engine's cache — but Spark keys the cache by
         // analyzed plan, so a reload from the same path would share the
         // entry with the frame just installed; unpersisting that shared

@@ -34,7 +34,10 @@ final class HotTier private (
     codes: Array[Array[Array[Long]]],        // per slot, per vector
     factorIp: Array[Array[Float]],
     factorPpc: Array[Array[Float]],
-    errorBound: Array[Array[Float]],
+    // no error_bound column: the shortlist key is the unbiased estimate
+    // (see query), so the bound is never read on this path — loading it
+    // would be dead driver memory ∝ the hot set. (Re-add only with a
+    // bound-based true-prune scheme, heuristicTopK's shape.)
     cds: Array[Array[Float]],
     baseVecs: java.util.HashMap[java.lang.Long, Array[Float]],
     labels: Array[Array[Long]],              // per slot; null when unlabeled
@@ -111,7 +114,7 @@ object HotTier {
                 base: DataFrame): HotTier = {
     val labeled = index.columns.contains("label")
     val cols = Seq("vec_id", "cluster_id", "code", "factor_ip",
-      "factor_ppc", "error_bound", "cds") ++ (if (labeled) Seq("label") else Nil)
+      "factor_ppc", "cds") ++ (if (labeled) Seq("label") else Nil)
     val rows = index.select(cols.head, cols.tail: _*).collect()
     val byCluster = rows.groupBy(_.getInt(1)).toArray.sortBy(_._1)
     val slotOf = byCluster.map(_._1).zipWithIndex.toMap
@@ -119,10 +122,9 @@ object HotTier {
     val codes = byCluster.map(_._2.map(_.getSeq[Long](2).toArray))
     val fip = byCluster.map(_._2.map(_.getFloat(3)))
     val fppc = byCluster.map(_._2.map(_.getFloat(4)))
-    val err = byCluster.map(_._2.map(_.getFloat(5)))
-    val cds = byCluster.map(_._2.map(_.getFloat(6)))
+    val cds = byCluster.map(_._2.map(_.getFloat(5)))
     val labels: Array[Array[Long]] =
-      if (labeled) byCluster.map(_._2.map(_.getAs[Number](7).longValue)) else null
+      if (labeled) byCluster.map(_._2.map(_.getAs[Number](6).longValue)) else null
     val labelCounts: Map[Long, Long] =
       if (labeled)
         labels.iterator.flatten.foldLeft(Map.empty[Long, Long]) { (m, l) =>
@@ -133,7 +135,7 @@ object HotTier {
     base.select("vec_id", "embedding").collect().foreach { r =>
       baseVecs.put(r.getLong(0), r.getSeq[Float](1).toArray)
     }
-    new HotTier(model, slotOf, vecIds, codes, fip, fppc, err, cds, baseVecs,
+    new HotTier(model, slotOf, vecIds, codes, fip, fppc, cds, baseVecs,
       labels, labelCounts, rows.length.toLong)
   }
 }

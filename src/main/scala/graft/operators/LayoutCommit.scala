@@ -19,19 +19,30 @@ import java.nio.file.{Files, Path, StandardCopyOption, StandardOpenOption}
   *  2. '''atomic create-if-absent''' (exactly one of N concurrent
   *     creators of the same path succeeds).
   *
-  * True on POSIX local filesystems and on HDFS — the environments this
-  * impl targets. '''NOT true on S3/GCS-style object stores''': `s3a://`
-  * rename is copy+delete (readers can observe both or neither name) and
-  * plain PUT has no exclusive-create. Running the lifecycle mutators
-  * against an object store through this impl silently downgrades
-  * "old-or-new-never-partial" to "sometimes torn" — the exact failure
-  * class Delta Lake's `LogStore` exists for. To deploy there, replace
-  * this object's four primitives with a conditional-PUT (If-None-Match)
-  * or commit-service implementation (the Delta/Iceberg commit shape);
-  * every protocol above is already expressed ONLY in these primitives,
-  * so nothing else changes. READ paths (`spark.read.parquet` over the
-  * resolved generation) are object-store-safe as-is — immutable files,
-  * resolved through a MANIFEST that only this seam mutates.
+  * [[PosixCommit]] (the default) provides both via `java.nio.file` —
+  * LOCAL POSIX filesystems (and POSIX-faithful NFS) only. It does NOT
+  * reach HDFS: `Paths.get` on an `hdfs://` URI addresses nothing —
+  * an HDFS deployment must reimplement the four primitives over the
+  * Hadoop `FileSystem` API (whose `rename`/`create(overwrite=false)`
+  * do honor the contract, the way `clusterSizesFromFooters` already
+  * goes through it for reads). '''NOT true on S3/GCS-style object
+  * stores''': `s3a://` rename is copy+delete (readers can observe both
+  * or neither name) and plain PUT has no exclusive-create. Running the
+  * lifecycle mutators against an object store through the POSIX impl
+  * silently downgrades "old-or-new-never-partial" to "sometimes torn"
+  * — the exact failure class Delta Lake's `LogStore` exists for, and
+  * the `LayoutCommitContractSpec` EXECUTES it (the lease admits two
+  * concurrent mutators; a reader mid-publish resolves a vacuumed
+  * generation). To deploy there, swap in [[CondPutCommit]] (the
+  * conditional-PUT / If-None-Match shape — same spec shows the same
+  * schedules surviving under it) or a commit-service implementation
+  * (the Delta/Iceberg commit shape); every protocol above is already
+  * expressed ONLY in these primitives, so nothing else changes. READ
+  * paths (`spark.read.parquet` over the resolved generation) are
+  * object-store-safe as-is — immutable files, resolved through a
+  * MANIFEST that only this seam mutates, and every distributed Spark
+  * write lands in a directory nothing references until a seam
+  * primitive publishes it.
   *
   * Reference analog: the reference's model dir is write-once-immutable
   * (`/root/reference/src/rabitq.rs:128-156`) and its S3 tier only ever
@@ -39,12 +50,42 @@ import java.nio.file.{Files, Path, StandardCopyOption, StandardOpenOption}
   * — it never needed a commit protocol because it never mutates a saved
   * layout; the lifecycle tier here does, hence this seam.
   */
-object LayoutCommit {
+trait CommitOps {
 
-  /** Durably publish `content` at `target`: write a temp sibling, then
-    * atomic rename over the target. A reader never observes a torn or
-    * empty file; a crash leaves either the old content or the new.
+  /** Durably publish `content` at `target`: a reader never observes a
+    * torn or empty file; a crash leaves either the old content or the
+    * new.
     */
+  def atomicWriteFile(target: Path, content: String): Unit
+
+  /** Atomic file move, REPLACING an existing destination (a same-batch
+    * retry overwrites its own deterministic name). Always replace-
+    * semantics: POSIX rename(2) — what ATOMIC_MOVE maps to — replaces
+    * silently regardless, so a fail-if-exists variant could not honor
+    * its contract on the very filesystems the default impl targets.
+    */
+  def atomicMoveFile(src: Path, dst: Path): Unit
+
+  /** Atomic directory rename; the destination must not exist. Throws
+    * `NoSuchFileException` if `src` is already gone — callers use that
+    * to detect losing a rename race (exactly one of N concurrent movers
+    * of the same `src` succeeds).
+    */
+  def atomicRenameDir(src: Path, dst: Path): Unit
+
+  /** Create-if-absent with `content` as the body: returns true iff THIS
+    * call created the file (exactly one of N concurrent callers wins).
+    */
+  def exclusiveCreate(path: Path, content: String = ""): Boolean
+}
+
+/** The POSIX `java.nio.file` implementation — local filesystems (and
+  * POSIX-faithful NFS). See the [[CommitOps]] contract for what it does
+  * NOT cover (HDFS needs the Hadoop FileSystem API; object stores need
+  * [[CondPutCommit]] or a commit service).
+  */
+object PosixCommit extends CommitOps {
+
   def atomicWriteFile(target: Path, content: String): Unit = {
     val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
     Files.writeString(tmp, content)
@@ -52,31 +93,139 @@ object LayoutCommit {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** Atomic file move, REPLACING an existing destination (a same-batch
-    * retry overwrites its own deterministic name). Always replace-
-    * semantics: POSIX rename(2) — what ATOMIC_MOVE maps to — replaces
-    * silently regardless, so a fail-if-exists variant could not honor
-    * its contract on the very filesystems this impl targets.
-    */
   def atomicMoveFile(src: Path, dst: Path): Unit =
     Files.move(src, dst,
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
 
-  /** Atomic directory rename; the destination must not exist. Throws
-    * `NoSuchFileException` if `src` is already gone — callers use that
-    * to detect losing a rename race (exactly one of N concurrent movers
-    * of the same `src` succeeds).
-    */
   def atomicRenameDir(src: Path, dst: Path): Unit =
     Files.move(src, dst)
 
-  /** Create-if-absent with `content` as the body: returns true iff THIS
-    * call created the file (exactly one of N concurrent callers wins).
-    */
   def exclusiveCreate(path: Path, content: String = ""): Boolean =
     try {
       Files.write(path, content.getBytes("UTF-8"),
         StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
       true
     } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+}
+
+/** The CONDITIONAL-PUT implementation — the object-store deployment
+  * shape. Built exclusively from the operations a modern object store
+  * offers (S3 since 2024-11, GCS, ABFS): atomic whole-object PUT (a
+  * reader GETs the old body or the new, never a torn one), PUT
+  * If-None-Match (create-if-absent), GET, DELETE. No rename exists;
+  * "moves" are copy+delete.
+  *
+  * Simulated here over the local filesystem: `putObject` stages to a
+  * uniquely-named temp and renames — that rename is the SIMULATION of
+  * the store's per-object atomic visibility, not a protocol
+  * dependency — and `putIfAbsent` is `CREATE_NEW`, exactly
+  * If-None-Match's semantics. Per-primitive honesty:
+  *
+  *  - [[atomicWriteFile]]: one atomic PUT — full contract.
+  *  - [[exclusiveCreate]]: If-None-Match PUT — full contract.
+  *  - [[atomicMoveFile]]: PUT dst (atomic) then DELETE src. The dst is
+  *    never torn, but a crash in between leaves BOTH names — which the
+  *    protocols already tolerate (deterministic per-retry names +
+  *    `IdempotentSink`'s sweep; staged sources are debris vacuum
+  *    reclaims).
+  *  - [[atomicRenameDir]]: per-file copy then delete — NOT atomic as a
+  *    unit. Sufficient for single FILES routed through it (the lease
+  *    break's rename-aside: the aside PUT is atomic and the lock
+  *    DELETE is atomic — the only reader-visible step is the delete)
+  *    but a DIRECTORY mid-copy is visible half-populated, so the one
+  *    protocol that replaces live directories in place —
+  *    `completeRebalanceSwap` — must NOT run through this impl.
+  *    Deployments on an object store run rebalance through the
+  *    generation-versioned shape instead (rewrite into a fresh
+  *    `index-vN` + MANIFEST publish — compaction's shape, which needs
+  *    only atomic PUT).
+  */
+object CondPutCommit extends CommitOps {
+
+  private val seq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** The store's atomic whole-object PUT (simulated). */
+  private def putObject(key: Path, content: Array[Byte]): Unit = {
+    val tmp = key.resolveSibling(
+      s".condput-${seq.incrementAndGet()}-${key.getFileName}")
+    Files.write(tmp, content)
+    Files.move(tmp, key,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def atomicWriteFile(target: Path, content: String): Unit =
+    putObject(target, content.getBytes("UTF-8"))
+
+  def atomicMoveFile(src: Path, dst: Path): Unit = {
+    putObject(dst, Files.readAllBytes(src))
+    Files.deleteIfExists(src)
+  }
+
+  def atomicRenameDir(src: Path, dst: Path): Unit = {
+    if (Files.isRegularFile(src)) {
+      if (Files.exists(dst))
+        throw new java.nio.file.FileAlreadyExistsException(dst.toString)
+      atomicMoveFile(src, dst)
+    } else if (!Files.exists(src)) {
+      throw new java.nio.file.NoSuchFileException(src.toString)
+    } else {
+      if (Files.exists(dst))
+        throw new java.nio.file.FileAlreadyExistsException(dst.toString)
+      // copy-then-delete, file by file — see the scaladoc: never use on
+      // a live-read directory (the rebalance in-place swap)
+      val walk = Files.walk(src)
+      try {
+        walk.sorted().forEach { p =>
+          val rel = dst.resolve(src.relativize(p).toString)
+          if (Files.isDirectory(p)) Files.createDirectories(rel)
+          else putObject(rel, Files.readAllBytes(p))
+        }
+      } finally walk.close()
+      org.apache.commons.io.FileUtils.deleteDirectory(src.toFile)
+    }
+  }
+
+  def exclusiveCreate(path: Path, content: String = ""): Boolean =
+    try {
+      // If-None-Match PUT: CREATE_NEW is exactly its semantics
+      Files.write(path, content.getBytes("UTF-8"),
+        StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+      true
+    } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+}
+
+/** The seam every protocol calls through. Defaults to [[PosixCommit]];
+  * [[withOps]] swaps the implementation for a scope — the contract spec
+  * runs the REAL protocols under a degraded object-store double (and
+  * under [[CondPutCommit]]) through it, and the kill-point sweep
+  * injects crashes at every primitive call site the same way.
+  */
+object LayoutCommit {
+
+  @volatile private var current: CommitOps = PosixCommit
+
+  def atomicWriteFile(target: Path, content: String): Unit =
+    current.atomicWriteFile(target, content)
+
+  def atomicMoveFile(src: Path, dst: Path): Unit =
+    current.atomicMoveFile(src, dst)
+
+  def atomicRenameDir(src: Path, dst: Path): Unit =
+    current.atomicRenameDir(src, dst)
+
+  def exclusiveCreate(path: Path, content: String = ""): Boolean =
+    current.exclusiveCreate(path, content)
+
+  /** Run `body` with `ops` as the active implementation — a TEST seam
+    * (specs only; suites run sequentially in the forked test JVM, and
+    * the swap is process-global). The synchronization serializes
+    * accidental overlap; threads spawned inside `body` (the lease
+    * hammer) all see `ops` via the volatile read.
+    */
+  private[graft] def withOps[A](ops: CommitOps)(body: => A): A =
+    synchronized {
+      val prev = current
+      current = ops
+      try body finally { current = prev }
+    }
 }

@@ -18,12 +18,22 @@ case class RabitqParams(dim: Int, padDim: Int, numClusters: Int, seed: Long)
   * rotation (padDim×padDim, row-major, orthogonal), ROTATED padded
   * centroids (numClusters × padDim), and the per-dimension dither bias.
   * Everything per-vector lives in the index DataFrame, never on the driver.
+  *
+  * `rerankScale` — numClusters / BUILT_K, the budget adaptation for a
+  * rebalance-grown layout ([[RabitqIndex.scaledRerank]]'s measured
+  * story). Populated by [[RabitqIndex.load]] from the `BUILT_K` sidecar
+  * so EVERY query entry point — memory ([[RabitqQuery.topK]]/
+  * `filteredTopK`), disk, and serving — applies the same scaling; a
+  * freshly built model is 1.0 by construction. Riding in the model
+  * (rather than re-read from the dir per query) also makes the scale a
+  * load-time cost instead of a per-request file read.
   */
 case class RabitqModel(
     params: RabitqParams,
     rotation: Array[Array[Float]],
     centroids: Array[Array[Float]],
-    bias: Array[Float])
+    bias: Array[Float],
+    rerankScale: Double = 1.0)
 
 /** IVF-RaBitQ index build as one Catalyst plan (SURVEY.md §2.2 B1–B12).
   *
@@ -695,7 +705,7 @@ object RabitqIndex {
 
     // stable ids: split cluster c keeps its id for sub(0); the remaining
     // sub-centroids append at fresh ids. Untouched centroids unchanged.
-    val grown = scala.collection.mutable.ArrayBuffer(model.centroids: _*)
+    val grown = scala.collection.mutable.ArrayBuffer.from(model.centroids)
     subCentroids.toSeq.sortBy(_._1).foreach { case (c, subs) =>
       grown(c) = subs(0)
       grown ++= subs.drop(1)
@@ -977,22 +987,38 @@ object RabitqIndex {
       // lock is still the instance it measured (same mtime — fresh and
       // stale differ by ≥ staleMs, so the compare is unambiguous).
       val parent = lock.getParent
-      // GC claims a crashed breaker stranded (the break itself is
-      // microseconds; 10s is generous) — a stranded claim would wedge
-      // breaking of this instance forever
+      // GC claims a crashed breaker stranded. The age must sit WELL
+      // above plausible JVM pause lengths (GC/VM stalls), not just above
+      // the break's own microseconds: reclaiming a LIVE breaker's claim
+      // re-elects a second breaker for the same stale instance, and the
+      // resumed first could then rename away the fresh lock the second's
+      // successor created. A stranded claim only DELAYS breaking (this
+      // instance stays wedged until the GC age passes) — it can never
+      // corrupt — so err long: 5 minutes.
+      val claimGcMs = 5L * 60 * 1000
       Option(parent.toFile.listFiles()).getOrElse(Array.empty[java.io.File])
         .filter(f => f.getName.startsWith("_maintenance.lock.break-") &&
-          System.currentTimeMillis() - f.lastModified() > 10000L)
+          System.currentTimeMillis() - f.lastModified() > claimGcMs)
         .foreach(_.delete())
       val claim = parent.resolve(s"_maintenance.lock.break-$lm")
       if (!LayoutCommit.exclusiveCreate(claim, token)) return // not elected
       try {
         if (lock.toFile.lastModified() == lm) {
-          val aside = parent.resolve(s"_maintenance.lock.broken-$token")
-          try {
-            LayoutCommit.atomicRenameDir(lock, aside)
-            java.nio.file.Files.deleteIfExists(aside)
-          } catch { case _: java.nio.file.NoSuchFileException => () }
+          // belt to the GC age's suspenders: re-verify the claim still
+          // exists AND still carries OUR token immediately before the
+          // rename — a breaker paused past the GC age between election
+          // and here has lost its claim to a newer breaker and must
+          // stand down (renaming now could vacate a fresh lock)
+          val claimIsOurs = try {
+            new String(java.nio.file.Files.readAllBytes(claim), "UTF-8") == token
+          } catch { case _: java.io.IOException => false }
+          if (claimIsOurs) {
+            val aside = parent.resolve(s"_maintenance.lock.broken-$token")
+            try {
+              LayoutCommit.atomicRenameDir(lock, aside)
+              java.nio.file.Files.deleteIfExists(aside)
+            } catch { case _: java.nio.file.NoSuchFileException => () }
+          }
         }
       } finally java.nio.file.Files.deleteIfExists(claim)
     }
@@ -1150,12 +1176,26 @@ object RabitqIndex {
   def scaledRerank(dir: String, numClusters: Int, rerank: Int): Int =
     math.ceil(rerank * probeScale(dir, numClusters)).toInt
 
-  /** numClusters / BUILT_K — 1.0 for a never-rebalanced layout. */
+  /** numClusters / BUILT_K — 1.0 for a never-rebalanced layout. Read
+    * ONCE per [[load]] (the value rides in `RabitqModel.rerankScale`
+    * from there on — never a per-query file read); an unreadable or
+    * corrupt sidecar degrades to 1.0 with a warning instead of throwing
+    * from a query path (the pre-rebalance budget is always a safe,
+    * merely less-recall-accurate, fallback).
+    */
   def probeScale(dir: String, numClusters: Int): Double = {
     val f = new java.io.File(s"$dir/BUILT_K")
     if (!f.exists) 1.0
-    else numClusters.toDouble /
-      math.max(1, java.nio.file.Files.readString(f.toPath).trim.toInt)
+    else
+      try numClusters.toDouble /
+        math.max(1, java.nio.file.Files.readString(f.toPath).trim.toInt)
+      catch {
+        case e @ (_: java.io.IOException | _: NumberFormatException) =>
+          System.err.println(
+            s"[graft] WARN: unreadable BUILT_K sidecar at $dir (${e.getMessage}) " +
+              "— rerank scaling degrades to 1.0 (pre-rebalance budgets)")
+          1.0
+      }
   }
 
   def load(spark: SparkSession, dir: String): (RabitqModel, DataFrame) = {
@@ -1169,7 +1209,8 @@ object RabitqIndex {
     val centroids = spark.read.parquet(s"$dir/centroids")
       .orderBy("cluster_id").collect()
       .map(r => r.getAs[Seq[Float]]("centroid").toArray)
-    (RabitqModel(params, rotation, centroids, bias),
+    (RabitqModel(params, rotation, centroids, bias,
+      rerankScale = probeScale(dir, params.numClusters)),
       spark.read.parquet(indexDataDir(dir)))
   }
 

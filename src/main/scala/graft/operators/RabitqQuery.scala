@@ -198,13 +198,20 @@ object RabitqQuery {
     *
     * @param rerank rough-distance candidates per query to score exactly
     *               (≥ topk). With nprobe = numClusters and rerank ≥ n the
-    *               result is EXACTLY the brute-force answer.
+    *               result is EXACTLY the brute-force answer. On a
+    *               rebalance-grown layout loaded via `RabitqIndex.load`,
+    *               the model carries `rerankScale` = k′/k0 and the
+    *               budget scales by it HERE — the same adaptation the
+    *               disk and serving paths apply, so a caller with a
+    *               pre-split-tuned budget gets the same recall through
+    *               every entry point (a freshly built model scales by 1).
     * Output: (query_id, neighbor_id, dist, rank).
     */
   def topK(spark: SparkSession, model: RabitqModel, index: DataFrame, base: DataFrame,
            queries: DataFrame, nprobe: Int, topk: Int, rerank: Int,
            largeBatch: Boolean = false, fastscan: Boolean = false): DataFrame = {
-    fromProbes(index, base, queries, probesDf(spark, model, queries, nprobe), topk, rerank,
+    val rr = math.ceil(rerank * model.rerankScale).toInt
+    fromProbes(index, base, queries, probesDf(spark, model, queries, nprobe), topk, rr,
       largeBatch, fastscan)
   }
 
@@ -286,10 +293,10 @@ object RabitqQuery {
     // plan-identical to a raw load when no log exists
     val (model, index) = RabitqIndex.loadLive(spark, dir)
     // budget adaptation for a rebalance-grown layout: the RERANK scales
-    // by k′/k0 (see RabitqIndex.scaledRerank — the measured loss is
-    // shortlist displacement, not coverage); nprobe widens only for the
-    // filter's selectivity, as before
-    val rr = RabitqIndex.scaledRerank(dir, model.params.numClusters, rerank)
+    // by k′/k0 (model.rerankScale, populated at load from BUILT_K — the
+    // measured loss is shortlist displacement, not coverage); nprobe
+    // widens only for the filter's selectivity, as before
+    val rr = math.ceil(rerank * model.rerankScale).toInt
     val widened = widenedProbe(model.params.numClusters, nprobe,
       selectivity.getOrElse(measuredSelectivity(index, pred)))
     val probed = probedClusterIds(model, queries, widened)
@@ -425,10 +432,11 @@ object RabitqQuery {
     // loadLive: respect an uncompacted maintainIndex tombstone log —
     // plan-identical to a raw load when no log exists
     val (model, index) = RabitqIndex.loadLive(spark, dir)
-    // rebalance-grown layout: scale the RERANK budget by k′/k0 (the
-    // measured post-split loss is shortlist displacement, not probe
-    // coverage — RabitqIndex.scaledRerank); no-op pre-rebalance
-    val rr = RabitqIndex.scaledRerank(dir, model.params.numClusters, rerank)
+    // rebalance-grown layout: scale the RERANK budget by k′/k0
+    // (model.rerankScale, populated at load from BUILT_K — the measured
+    // post-split loss is shortlist displacement, not probe coverage);
+    // no-op pre-rebalance
+    val rr = math.ceil(rerank * model.rerankScale).toInt
     val probed = probedClusterIds(model, queries, nprobe)
     val pruned = index.filter(col("cluster_id").isin(probed: _*)).filter(pred)
     fromProbes(pruned, base, queries, probesDf(spark, model, queries, nprobe), topk, rr)

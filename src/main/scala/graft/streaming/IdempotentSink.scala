@@ -45,11 +45,16 @@ import graft.operators.{LayoutCommit, RabitqIndex}
   */
 object IdempotentSink {
 
+  /** @return true iff THIS call ran the staged write and committed the
+    *         batch; false when a prior attempt's marker made it a no-op
+    *         (callers that observe metrics on `df` branch on this — an
+    *         `Observation` on a plan that never ran blocks forever).
+    */
   def appendBatch(df: DataFrame, targetDir: => String, commitRoot: String,
                   queryName: String, batchId: Long,
                   partitionCols: Seq[String] = Nil,
                   leaseWaitMs: Long = 10L * 60 * 1000,
-                  onStaged: () => Unit = () => ()): Unit = {
+                  onStaged: () => Unit = () => ()): Boolean = {
     val marker = new java.io.File(s"$commitRoot/_commits/$queryName/$batchId")
     val inprog = new java.io.File(s"$commitRoot/_commits/$queryName/$batchId.inprogress")
     if (marker.exists) {
@@ -58,7 +63,7 @@ object IdempotentSink {
       // (every later inspection would read the batch as a crashed
       // attempt, and vacuum deliberately preserves _commits)
       inprog.delete()
-      return
+      return false
     }
     val prefix = s"$queryName-$batchId"
     // in-progress sentinel: created before any write, removed with the
@@ -88,7 +93,7 @@ object IdempotentSink {
       LayoutCommit.exclusiveCreate(marker.toPath)
       inprog.delete()
     }
-    ()
+    true
   }
 
   /** Remove every `$prefix-*` data file a crashed earlier attempt of the

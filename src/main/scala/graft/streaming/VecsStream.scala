@@ -122,6 +122,7 @@ object VecsStream {
           RabitqIndex.appendVectors(spark, model, batch),
           RabitqIndex.indexDataDir(idxDir), idxDir, queryName, batchId,
           partitionCols = Seq("cluster_id"))
+        ()
       }
       .trigger(Trigger.AvailableNow())
       .start()
@@ -168,22 +169,39 @@ object VecsStream {
       // after a crash between the add-commit and the del-commit redoes
       // only the uncommitted leg
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        IdempotentSink.appendBatch(
-          RabitqIndex.appendVectors(spark, model, batch.filter(col("op") === "add")),
-          RabitqIndex.indexDataDir(idxDir), idxDir, s"$queryName-add", batchId,
-          partitionCols = Seq("cluster_id"))
         // skip the del leg entirely on a delete-free batch: the LOG's
         // existence is a health signal every reader consults, so an
         // adds-only stream must not manufacture one (0-row part files
         // would disable the footer describe fast path forever). The skip
-        // is replay-deterministic — a replayed batch re-filters to the
+        // is replay-deterministic — a replayed batch re-counts to the
         // same emptiness. The docs sink's create-dir-unconditionally
         // contract is the opposite choice for the opposite reason: its
         // dir is read back with an explicit schema, never used as a flag.
-        val dels = batch.filter(col("op") === "del").select("vec_id")
-        if (!dels.isEmpty)
-          IdempotentSink.appendBatch(dels,
+        //
+        // The del count rides as an OBSERVED metric on the add leg's
+        // staged write (the observe node sits below the op filter, so it
+        // sees the whole batch) — ZERO extra jobs per micro-batch where
+        // a standalone dels.isEmpty probe cost one. Observation.get
+        // blocks until the observed plan's action completes, so it is
+        // only consulted when appendBatch actually ran the write; on the
+        // rare marker-replay no-op (crash between the add-commit and the
+        // del-commit) the plan never executes and the del count falls
+        // back to its own probe.
+        val obs = new org.apache.spark.sql.Observation(
+          s"$queryName-ops-$batchId-${java.util.UUID.randomUUID()}")
+        val observed = batch.observe(obs,
+          count(when(col("op") === "del", lit(1))).as("n_dels"))
+        val wrote = IdempotentSink.appendBatch(
+          RabitqIndex.appendVectors(spark, model, observed.filter(col("op") === "add")),
+          RabitqIndex.indexDataDir(idxDir), idxDir, s"$queryName-add", batchId,
+          partitionCols = Seq("cluster_id"))
+        val nDels =
+          if (wrote) obs.get("n_dels").asInstanceOf[Long]
+          else batch.filter(col("op") === "del").limit(1).count()
+        if (nDels > 0L)
+          IdempotentSink.appendBatch(batch.filter(col("op") === "del").select("vec_id"),
             RabitqIndex.tombstoneLogDir(idxDir), idxDir, s"$queryName-del", batchId)
+        ()
       }
       .trigger(Trigger.AvailableNow())
       .start()
