@@ -1,0 +1,260 @@
+package graft
+
+import java.nio.file.{Files, Path, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.operators._
+
+/** EXECUTES the `CommitOps` filesystem contract instead of asserting it
+  * in prose: the real lifecycle protocols run under a test double with
+  * object-store-degraded semantics (no atomic rename, no exclusive
+  * create) and demonstrably TEAR — proving the contract doc is
+  * load-bearing — then the SAME schedules run under [[CondPutCommit]]
+  * (the conditional-PUT / If-None-Match deployment shape) and hold.
+  */
+class LifecycleContractSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft_wh").toString)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  val sf = "/root/testdata/sf0.001"
+  private def emb: DataFrame = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  /** The NAIVE object-store double — the semantics a plain S3/GCS
+    * connector actually provides, applied to the same local paths the
+    * protocols use:
+    *
+    *  - no atomic rename: an overwrite-publish is delete-then-upload
+    *    (the destination is MISSING for the duration of the upload) and
+    *    a move is copy-then-delete (both names visible in the window);
+    *  - no exclusive create: plain PUT, last writer wins, every caller
+    *    "succeeds".
+    *
+    * `hook(tag, path)` fires inside each visibility window so a spec
+    * can deterministically interleave a real reader there.
+    */
+  final class NaiveObjectStoreOps(
+      hook: (String, Path) => Unit = (_, _) => ()) extends CommitOps {
+
+    def atomicWriteFile(target: Path, content: String): Unit = {
+      Files.deleteIfExists(target)
+      hook("write-gap", target)
+      Files.writeString(target, content)
+    }
+
+    def atomicMoveFile(src: Path, dst: Path): Unit = {
+      Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING)
+      hook("move-window", dst)
+      Files.deleteIfExists(src)
+    }
+
+    def atomicRenameDir(src: Path, dst: Path): Unit = {
+      if (!Files.exists(src))
+        throw new java.nio.file.NoSuchFileException(src.toString)
+      if (Files.isRegularFile(src)) { atomicMoveFile(src, dst); return }
+      val walk = Files.walk(src)
+      try {
+        walk.sorted().forEach { p =>
+          val rel = dst.resolve(src.relativize(p).toString)
+          if (Files.isDirectory(p)) Files.createDirectories(rel)
+          else {
+            Files.copy(p, rel, StandardCopyOption.REPLACE_EXISTING)
+            hook("dir-file", rel)
+          }
+        }
+      } finally walk.close()
+      org.apache.commons.io.FileUtils.deleteDirectory(src.toFile)
+    }
+
+    def exclusiveCreate(path: Path, content: String = ""): Boolean = {
+      Files.writeString(path, content) // plain PUT: everyone "wins"
+      true
+    }
+  }
+
+  /** N mutators racing for the lease; returns (maxConcurrent, completed). */
+  private def leaseHammer(dir: String, n: Int): (Int, Int) = {
+    val inside = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxInside = new java.util.concurrent.atomic.AtomicInteger(0)
+    val completed = new java.util.concurrent.atomic.AtomicInteger(0)
+    val gate = new java.util.concurrent.CyclicBarrier(n)
+    val threads = (1 to n).map { _ =>
+      new Thread(() => {
+        gate.await()
+        try {
+          RabitqIndex.withLayoutLock(dir, waitMs = 20000L) {
+            val now = inside.incrementAndGet()
+            maxInside.updateAndGet(m => math.max(m, now))
+            Thread.sleep(150)
+            inside.decrementAndGet()
+            completed.incrementAndGet()
+          }
+        } catch { case _: IllegalStateException => () }
+        ()
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    (maxInside.get(), completed.get())
+  }
+
+  // ------------------------------------------------------------------
+  test("TEAR (executed): last-writer-wins create admits CONCURRENT " +
+      "maintenance mutators through the real lease protocol") {
+    val dir = Files.createTempDirectory("naive_lease").toString
+    val (maxConc, completed) =
+      LayoutCommit.withOps(new NaiveObjectStoreOps()) {
+        leaseHammer(dir, 4)
+      }
+    // every acquirer's PUT "succeeded", so mutual exclusion is GONE —
+    // this is the torn state the CommitOps scaladoc warns an object-store
+    // deployment of the POSIX impl silently reaches
+    assert(completed == 4)
+    assert(maxConc > 1,
+      s"the naive double should have admitted concurrent mutators " +
+        s"(saw max $maxConc) — if this fires, the README warning is " +
+        "no longer load-bearing")
+  }
+
+  test("SURVIVE (executed): the SAME lease schedule under the " +
+      "conditional-PUT impl keeps mutators mutually exclusive") {
+    val dir = Files.createTempDirectory("condput_lease").toString
+    val (maxConc, completed) =
+      LayoutCommit.withOps(CondPutCommit) {
+        leaseHammer(dir, 4)
+      }
+    assert(maxConc == 1,
+      s"conditional-PUT exclusive create must admit one holder at a time " +
+        s"(saw max $maxConc)")
+    assert(completed == 4,
+      s"serial admission should let every waiter through ($completed/4)")
+  }
+
+  /** Shared fixture for the MANIFEST-publish schedules: a layout whose
+    * base generation has been compacted away and vacuumed (retain 0),
+    * so the active generation is `index-v2` resolved through the
+    * MANIFEST, with a fresh tombstone ready for the next cycle. This is
+    * exactly the state where a torn MANIFEST is CATASTROPHIC: the
+    * no-manifest fallback (`$dir/index`) points at a reclaimed path.
+    */
+  private def vacuumedV2Layout(): String = {
+    import spark.implicits._
+    val idxDir = Files.createTempDirectory("publish").toString
+    val initial = emb.filter(col("vec_id") < 200)
+    val (model, index0) = RabitqIndex.build(spark, initial, numClusters = 4, seed = 7L)
+    RabitqIndex.save(spark, model, index0, idxDir)
+    Seq(3L).toDF("vec_id").write.parquet(s"$idxDir/deletes")
+    graft.streaming.VecsStream.compactIndex(spark, idxDir) // → index-v2
+    RabitqIndex.vacuumIndex(idxDir, retainMs = 0L)         // reclaims `index`
+    assert(RabitqIndex.indexDataDir(idxDir) == s"$idxDir/index-v2")
+    assert(!new java.io.File(s"$idxDir/index").exists)
+    Seq(5L).toDF("vec_id").write.parquet(RabitqIndex.tombstoneLogDir(idxDir))
+    idxDir
+  }
+
+  test("TEAR (executed): a reader racing the real compactSwap MANIFEST " +
+      "publish under the naive double resolves a RECLAIMED generation") {
+    val idxDir = vacuumedV2Layout()
+    @volatile var midPublish: Option[String] = None
+    LayoutCommit.withOps(new NaiveObjectStoreOps((tag, p) => {
+      if (tag == "write-gap" && p.getFileName.toString == "MANIFEST" &&
+          midPublish.isEmpty)
+        // a REAL reader resolving the layout inside the publish window
+        midPublish = Some(RabitqIndex.indexDataDir(idxDir))
+    })) {
+      graft.streaming.VecsStream.compactIndex(spark, idxDir) // v2 → v3
+    }
+    assert(midPublish.contains(s"$idxDir/index"),
+      s"mid-publish the MANIFEST was missing, so the reader fell back to " +
+        s"the base generation (saw $midPublish)")
+    assert(!new java.io.File(midPublish.get).exists,
+      "— which vacuum reclaimed long ago: old was index-v2, new is " +
+        "index-v3, and the reader resolved NEITHER. That is the torn " +
+        "read the CommitOps contract forbids, executed.")
+  }
+
+  test("SURVIVE (executed): the SAME compaction schedule under the " +
+      "conditional-PUT impl gives every racing reader old-or-new, " +
+      "never a torn resolution") {
+    val idxDir = vacuumedV2Layout()
+    val bad = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val nReads = new java.util.concurrent.atomic.AtomicInteger(0)
+    @volatile var stop = false
+    val reader = new Thread(() => {
+      while (!stop) {
+        val r = RabitqIndex.indexDataDir(idxDir)
+        nReads.incrementAndGet()
+        if (!(r == s"$idxDir/index-v2" || r == s"$idxDir/index-v3") ||
+            !new java.io.File(r).isDirectory)
+          bad.add(r)
+      }
+    })
+    reader.start()
+    try LayoutCommit.withOps(CondPutCommit) {
+      graft.streaming.VecsStream.compactIndex(spark, idxDir) // v2 → v3
+    } finally { stop = true; reader.join() }
+    assert(nReads.get() > 0)
+    assert(bad.isEmpty,
+      s"readers racing a conditional-PUT publish saw torn resolutions: " +
+        s"${bad.toArray.take(5).mkString(", ")}")
+    assert(RabitqIndex.indexDataDir(idxDir) == s"$idxDir/index-v3")
+  }
+
+  test("SURVIVE (executed): a full append → delete → compact → vacuum → " +
+      "query lifecycle runs end-to-end on the conditional-PUT impl") {
+    import spark.implicits._
+    val idxDir = Files.createTempDirectory("condput_life").toString
+    val out = LayoutCommit.withOps(CondPutCommit) {
+      val initial = emb.filter(col("vec_id") < 150)
+      val (model, index0) = RabitqIndex.build(spark, initial, numClusters = 4, seed = 7L)
+      RabitqIndex.save(spark, model, index0, idxDir)
+      // two exactly-once appends through the real sink (staged write +
+      // lease-guarded promote + commit marker — all through the seam)
+      graft.streaming.IdempotentSink.appendBatch(
+        RabitqIndex.appendVectors(spark, model,
+          emb.filter(col("vec_id") >= 150 && col("vec_id") < 180)),
+        RabitqIndex.indexDataDir(idxDir), idxDir, "cp_life", 0L,
+        partitionCols = Seq("cluster_id"))
+      graft.streaming.IdempotentSink.appendBatch(
+        RabitqIndex.appendVectors(spark, model,
+          emb.filter(col("vec_id") >= 180 && col("vec_id") < 200)),
+        RabitqIndex.indexDataDir(idxDir), idxDir, "cp_life", 1L,
+        partitionCols = Seq("cluster_id"))
+      // a replay of batch 1 must still be a no-op under this impl
+      graft.streaming.IdempotentSink.appendBatch(
+        RabitqIndex.appendVectors(spark, model,
+          emb.filter(col("vec_id") >= 180 && col("vec_id") < 200)),
+        RabitqIndex.indexDataDir(idxDir), idxDir, "cp_life", 1L,
+        partitionCols = Seq("cluster_id"))
+      // tombstones + compaction (MANIFEST publish) + retention vacuum
+      graft.streaming.IdempotentSink.appendBatch(
+        Seq(7L, 155L).toDF("vec_id"),
+        RabitqIndex.tombstoneLogDir(idxDir), idxDir, "cp_life-del", 2L)
+      graft.streaming.VecsStream.compactIndex(spark, idxDir)
+      RabitqIndex.vacuumIndex(idxDir, retainMs = 0L)
+      RabitqIndex.loadLive(spark, idxDir)
+    }
+    val (m2, live) = out
+    val expected = (0L until 200L).toSet -- Set(7L, 155L)
+    assert(live.select("vec_id").collect().map(_.getLong(0)).toSet == expected,
+      "live set after the conditional-PUT lifecycle")
+    val baseFinal = emb.filter(col("vec_id") < 200 && !col("vec_id").isin(7L, 155L))
+    val qs = ExactKnn.queriesFromEmbeddings(emb, 5)
+    val truth = ExactKnn.l2TopK(baseFinal, qs, 10)
+    val res = RabitqQuery.topK(spark, m2, live, baseFinal, qs, 4, 10, 4096)
+    assert(ExactKnn.recall(res, truth, 10).head().getDouble(0) == 1.0,
+      "full-probe search through the conditional-PUT-maintained layout " +
+        "must equal brute force")
+  }
+}

@@ -2427,6 +2427,89 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(RabitqIndex.scaledRerank(idxDir, k1, 64) == 64)
   }
 
+  test("rerank scaling reaches the MEMORY query path: a rebalanced-then-" +
+      "reloaded index queried via topK at the pre-split budget matches the " +
+      "disk path row-for-row; a corrupt BUILT_K degrades to scale 1.0") {
+    import org.apache.spark.sql.functions.element_at
+    val (model, index0) = RabitqIndex.build(spark,
+      emb.filter(element_at(col("embedding"), 1) < 0f), numClusters = 8, seed = 11L)
+    val idxDir = java.nio.file.Files.createTempDirectory("builtk_mem").toString
+    RabitqIndex.save(spark, model, index0, idxDir)
+    RabitqIndex.appendVectors(spark, model,
+        emb.filter(element_at(col("embedding"), 1) >= 0f))
+      .write.mode("append").partitionBy("cluster_id").parquet(s"$idxDir/index")
+    val rep = RabitqIndex.rebalanceIndex(spark, idxDir, emb, maxSizeFactor = 1.4)
+    assert(rep.split.nonEmpty && rep.numClustersAfter > 8,
+      s"rebalance construction is vacuous ($rep)")
+    // load() carries the adaptation in the model — the memory entry
+    // points can no longer miss it (pre-fix: disk auto-scaled, memory
+    // silently ate the measured shortlist-displacement recall loss)
+    val (m2, live) = RabitqIndex.loadLive(spark, idxDir)
+    assert(m2.rerankScale == rep.numClustersAfter / 8.0)
+    val qs = ExactKnn.queriesFromEmbeddings(emb, 5)
+    val mem = RabitqQuery.topK(spark, m2, live, emb, qs,
+      nprobe = 4, topk = 10, rerank = 64)
+    val dsk = RabitqQuery.topKFromDisk(spark, idxDir, emb, qs,
+      nprobe = 4, topk = 10, rerank = 64)
+    assert(mem.collect().map(_.toSeq).toSet == dsk.collect().map(_.toSeq).toSet,
+      "memory and disk paths must apply the SAME scaled budget")
+    // a corrupt sidecar must degrade to the pre-rebalance budget with a
+    // warning, never throw from a query path
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(idxDir, "BUILT_K"), "not-a-number")
+    val (m3, _) = RabitqIndex.load(spark, idxDir)
+    assert(m3.rerankScale == 1.0)
+    assert(RabitqQuery.topKFromDisk(spark, idxDir, emb, qs, 4, 10, 64)
+      .count() > 0)
+  }
+
+  test("maintainIndex adds-only micro-batch runs ONE Spark job: the del " +
+      "count rides as an observed metric on the add leg's staged write " +
+      "instead of a standalone emptiness probe") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val initial = emb.filter(col("vec_id") < 100)
+    val (model, index0) = RabitqIndex.build(spark, initial, numClusters = 4, seed = 11L)
+    val idxDir = java.nio.file.Files.createTempDirectory("maint_jobs").toString
+    RabitqIndex.save(spark, model, index0, idxDir)
+    val srcDir = java.nio.file.Files.createTempDirectory("maint_jobs_ops").toString
+    emb.filter(col("vec_id") >= 100 && col("vec_id") < 130)
+      .select(lit("add").as("op"), col("vec_id"), col("embedding"))
+      .coalesce(1).write.parquet(s"$srcDir/in")
+    Thread.sleep(1100) // distinct mtimes → two single-file micro-batches
+    emb.filter(col("vec_id") >= 130 && col("vec_id") < 160)
+      .select(lit("add").as("op"), col("vec_id"), col("embedding"))
+      .coalesce(1).write.mode("append").parquet(s"$srcDir/in")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      graft.streaming.VecsStream.maintainIndex(spark, s"$srcDir/in", idxDir,
+        s"$srcDir/ckpt", model, "maint_jobs_spec", maxFilesPerTrigger = Some(1))
+      // listener delivery is async — poll until the count is stable
+      var last = -1; var stable = 0
+      val deadline = System.currentTimeMillis() + 15000
+      while (stable < 5 && System.currentTimeMillis() < deadline) {
+        val now = jobs.get()
+        if (now == last) stable += 1 else { stable = 0; last = now }
+        Thread.sleep(100)
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs.get() == 2,
+      s"two adds-only micro-batches must run exactly one job each " +
+        s"(the staged write) — saw ${jobs.get()}")
+    // and the stream still must not have manufactured a del log
+    assert(RabitqIndex.tombstoneLogIfAny(idxDir).isEmpty)
+    val (_, live) = graft.streaming.VecsStream.loadMaintained(spark, idxDir)
+    assert(live.select("vec_id").collect().map(_.getLong(0)).toSet ==
+      (0L until 160L).toSet)
+  }
+
   test("a maintain stream that never saw a delete leaves a HEALTHY layout: " +
       "the empty del-leg dir is not read as a tombstone log") {
     import spark.implicits._
