@@ -27,9 +27,14 @@ object ServeBench {
     // "filtered": every request carries "label": 7 — the label-filtered
     // serving path (selectivity-aware widening + in-scan skip); needs a
     // corpus with a label column (the testdata layout, not gen:).
+    // "spark": every request carries "engine":"spark" — the distributed
+    // plan per request instead of the hot tier (the path that scales
+    // past driver RAM); this is the leg the per-request model-broadcast
+    // memoization exists for.
     val mode = if (args.length > 3) args(3) else ""
     val mutate = mode == "mutate"
     val filtered = mode == "filtered"
+    val sparkEngine = mode == "spark"
 
     // point-query serving tier: single-row query batches make AQE's
     // per-stage re-planning and wide shuffles pure overhead — a static
@@ -85,8 +90,10 @@ object ServeBench {
         .filter(col("vec_id") < 16).orderBy(col("vec_id"))
         .select("embedding").collect().map(_.getSeq[Float](0))
       val labelField = if (filtered) """, "label": 7""" else ""
+      val engineField = if (sparkEngine) """, "engine": "spark"""" else ""
       val bodies = vecs.map(v =>
-        s"""{"query": ${v.mkString("[", ",", "]")}, "top_k": 10, "probe": 8$labelField}""")
+        s"""{"query": ${v.mkString("[", ",", "]")}, "top_k": 10, "probe": 8""" +
+          s"$labelField$engineField}")
 
       val client = HttpClient.newHttpClient()
       def fire(i: Int): Long = {
@@ -184,7 +191,8 @@ object ServeBench {
       val sorted = latencies.toArray(new Array[java.lang.Long](0)).map(_.toLong).sorted
       def pct(p: Double): Double = sorted((p * (sorted.length - 1)).round.toInt) / 1e6
       val mutTag = if (mutate) s""","reloads":${reloads.get()}"""
-        else if (filtered) ""","mode":"filtered"""" else ""
+        else if (filtered) ""","mode":"filtered""""
+        else if (sparkEngine) ""","mode":"spark"""" else ""
       val failTag = Option(churnError.get())
         .map(e => s""","churn_failed":"${Serve.jsonEscape(
           s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")}"""")

