@@ -209,10 +209,15 @@ object ScaleSmoke {
       val setupSec = (System.nanoTime() - t6) / 1e9
       def recallAt(m: RabitqModel, idx: org.apache.spark.sql.DataFrame,
                    np: Int = nprobe, rr: Int = rerank): (Double, Double) = {
+        // measure the EXPLICIT budget: topK auto-scales rerank by the
+        // loaded model's rerankScale since r18 (the shipped adaptation —
+        // its operating point is the rrScaled row), so neutralize the
+        // factor here or every grid point would be silently rescaled
+        val mRaw = m.copy(rerankScale = 1.0)
         val p = idx.persist()
         p.count()
         val t = System.nanoTime()
-        val r = RabitqQuery.topK(spark, m, p, base, queries, np, 10, rr)
+        val r = RabitqQuery.topK(spark, mRaw, p, base, queries, np, 10, rr)
         r.count()
         val sec = (System.nanoTime() - t) / 1e9
         val rec = ExactKnn.recall(r, truth, 10).head().getDouble(0)
@@ -265,6 +270,23 @@ object ScaleSmoke {
           s""""np${np}_rr$rr":{"recall":$rec,"sec":$sec}"""
         }
         println(s"""{"rebalance_sweep":{${grid.mkString(",")}}}""")
+      }
+      // opt-in FRONTIER stage ("frontier" arg): the recall-vs-cost curve
+      // of the rerank budget on the rebalanced layout at the tuned
+      // nprobe — the measurement that decides whether the default
+      // scale policy (k′/k0) sits at the knee or below it. Points span
+      // the shipped operating point (rrScaled) up to ~2× it, plus the
+      // pre-split budget for reference.
+      if (args.contains("frontier")) {
+        val pts = (Seq(rerank, rrScaled) ++
+          Seq(1.25, 1.5, 1.75, 2.0).map(f => math.ceil(rrScaled * f).toInt))
+          .distinct.sorted
+        val rows = pts.map { rr =>
+          val (rec, sec) = recallAt(m1, idx1, nprobe, rr)
+          s""""rr$rr":{"recall":$rec,"sec":$sec}"""
+        }
+        println(s"""{"rebalance_frontier":{"nprobe":$nprobe,"rr_scaled":$rrScaled,""" +
+          s""""recall_pre_rebalance_at_rr$rerank":$recBefore,${rows.mkString(",")}}}""")
       }
       println(s"""{"scale_smoke_rebalance":{"n":$n,"k":$k,"nprobe":$nprobe,""" +
         s""""rerank_scaled":$rrScaled,"recall_at_10_rerank_scaled":$recScaled,""" +

@@ -19,8 +19,8 @@ case class RabitqParams(dim: Int, padDim: Int, numClusters: Int, seed: Long)
   * centroids (numClusters × padDim), and the per-dimension dither bias.
   * Everything per-vector lives in the index DataFrame, never on the driver.
   *
-  * `rerankScale` — numClusters / BUILT_K, the budget adaptation for a
-  * rebalance-grown layout ([[RabitqIndex.scaledRerank]]'s measured
+  * `rerankScale` — (numClusters / BUILT_K)², the budget adaptation for
+  * a rebalance-grown layout ([[RabitqIndex.scaledRerank]]'s measured
   * story). Populated by [[RabitqIndex.load]] from the `BUILT_K` sidecar
   * so EVERY query entry point — memory ([[RabitqQuery.topK]]/
   * `filteredTopK`), disk, and serving — applies the same scaling; a
@@ -1157,9 +1157,10 @@ object RabitqIndex {
 
   /** Scale a RERANK budget tuned against the ORIGINAL cluster count to a
     * layout whose centroid set has GROWN under [[rebalanceIndex]]:
-    * rerank′ = ceil(rerank · k′/k0), with k0 from the `BUILT_K` sidecar
-    * the first rebalance writes (a never-rebalanced layout scales by 1).
-    * The disk query paths and the serving tier apply this automatically.
+    * rerank′ = ceil(rerank · (k′/k0)²), with k0 from the `BUILT_K`
+    * sidecar the first rebalance writes (a never-rebalanced layout
+    * scales by 1). Every query entry point applies this automatically
+    * (the factor rides in `RabitqModel.rerankScale` from [[load]]).
     *
     * Why RERANK and not nprobe — measured at 1M across a 256→368 split
     * (SCALE probe_scale row): the post-rebalance recall loss at a fixed
@@ -1168,13 +1169,22 @@ object RabitqIndex {
     * probes — the 16 nearest clusters already hold the true neighbors),
     * while at any fixed rerank MORE probes LOWER recall (0.761→0.664 at
     * rerank 200) by adding far candidates whose estimate noise displaces
-    * true neighbors from the truncated shortlist. Scaling rerank by
-    * k′/k0 restored the target: 0.761 → 0.816 at rerank 288 (2× → 0.850,
-    * 5× → 0.916; the clean pre-skew baseline at the same budgets is
-    * 0.883), at ~unchanged query cost.
+    * true neighbors from the truncated shortlist.
+    *
+    * Why QUADRATIC — the SCALE_r18 frontier row (1M, 256→368, np16):
+    * the linear k′/k0 point (rr288) recovers only 0.816 of the 0.883
+    * pre-skew recall, while query cost is probe-scan-dominated and
+    * nearly FLAT in rerank — 0.841 @ rr360, 0.864 @ rr432 (= the
+    * quadratic point, +5% query_sec), 0.878 @ rr504, 0.889 @ rr576
+    * (+21%). (k′/k0)² lands within 0.02 of parity at single-digit cost
+    * and stays a closed form that is exactly 1 for an unsplit layout;
+    * callers wanting full parity pass ~2.5× the tuned budget (the
+    * frontier is in SCALE_r18.json).
     */
-  def scaledRerank(dir: String, numClusters: Int, rerank: Int): Int =
-    math.ceil(rerank * probeScale(dir, numClusters)).toInt
+  def scaledRerank(dir: String, numClusters: Int, rerank: Int): Int = {
+    val s = probeScale(dir, numClusters)
+    math.ceil(rerank * s * s).toInt
+  }
 
   /** numClusters / BUILT_K — 1.0 for a never-rebalanced layout. Read
     * ONCE per [[load]] (the value rides in `RabitqModel.rerankScale`
@@ -1209,8 +1219,9 @@ object RabitqIndex {
     val centroids = spark.read.parquet(s"$dir/centroids")
       .orderBy("cluster_id").collect()
       .map(r => r.getAs[Seq[Float]]("centroid").toArray)
-    (RabitqModel(params, rotation, centroids, bias,
-      rerankScale = probeScale(dir, params.numClusters)),
+    // quadratic in the cluster growth — see scaledRerank's frontier note
+    val ps = probeScale(dir, params.numClusters)
+    (RabitqModel(params, rotation, centroids, bias, rerankScale = ps * ps),
       spark.read.parquet(indexDataDir(dir)))
   }
 

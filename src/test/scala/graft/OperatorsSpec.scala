@@ -2398,9 +2398,11 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val k1 = rep.numClustersAfter
     assert(java.nio.file.Files.readString(
       java.nio.file.Paths.get(idxDir, "BUILT_K")).trim == "8")
-    // rerank' = ceil(rerank * k'/k0)
+    // rerank' = ceil(rerank * (k'/k0)²) — quadratic, the SCALE_r18
+    // frontier's knee (linear k'/k0 undershoots pre-skew parity while
+    // rerank is nearly free next to the probe scan)
     assert(RabitqIndex.scaledRerank(idxDir, k1, 64) ==
-      math.ceil(64.0 * k1 / 8).toInt)
+      math.ceil(64.0 * (k1 / 8.0) * (k1 / 8.0)).toInt)
     assert(RabitqIndex.probeScale(idxDir, k1) == k1 / 8.0)
     // a SECOND rebalance keeps the ORIGINAL tuned k — the scale is
     // cumulative across splits, not reset to the intermediate count.
@@ -2445,7 +2447,8 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // points can no longer miss it (pre-fix: disk auto-scaled, memory
     // silently ate the measured shortlist-displacement recall loss)
     val (m2, live) = RabitqIndex.loadLive(spark, idxDir)
-    assert(m2.rerankScale == rep.numClustersAfter / 8.0)
+    assert(m2.rerankScale ==
+      (rep.numClustersAfter / 8.0) * (rep.numClustersAfter / 8.0))
     val qs = ExactKnn.queriesFromEmbeddings(emb, 5)
     val mem = RabitqQuery.topK(spark, m2, live, emb, qs,
       nprobe = 4, topk = 10, rerank = 64)
