@@ -26,10 +26,13 @@ import graft.operators._
   * point; this sweeps them all, twice (two schedule orders), for
   * ≥ 50 green schedules.
   *
-  * Honesty note: an injected exception unwinds through `finally`
-  * blocks a real crash would skip — so the LEASE is released on the
-  * way out here. Stale-lease breaking (the crash mode this sweep
-  * therefore does not reach) has its own racing-breakers specs.
+  * An injected exception unwinds through `finally` blocks a real crash
+  * would skip — so the LEASE would be released on the way out here
+  * where a real crash leaves it held. The sweep compensates by
+  * re-manufacturing the dead holder's lock (2h-old mtime, foreign
+  * token) after every injected crash, so EVERY schedule's recovery
+  * also exercises the stale-lease break path on top of its own
+  * roll-forward/settle/replay work.
   */
 class KillSweepSpec extends AnyFunSuite with BeforeAndAfterAll {
 
@@ -187,6 +190,16 @@ class KillSweepSpec extends AnyFunSuite with BeforeAndAfterAll {
           catch { case _: InjectedCrash => true }
         assert(crashed, s"order=$order killAt=$killAt: expected a crash " +
           s"(schedule made ${ops.calls.get()} primitive calls)")
+        // a REAL crash leaves the lease held by the dead process (the
+        // injected exception released it through the finally) — put the
+        // dead holder's lock back, 2h stale, so the replay's first
+        // mutator must go through the claim-elected stale-break path
+        val lock = new java.io.File(dir, "_maintenance.lock")
+        if (!lock.exists) {
+          java.nio.file.Files.writeString(lock.toPath, "dead-holder-token")
+          assert(lock.setLastModified(
+            System.currentTimeMillis() - 2L * 60 * 60 * 1000))
+        }
         // recovery = the replay, under healthy primitives
         schedule(dir, order)
         assertIntact(dir, s"order=$order killAt=$killAt",
