@@ -2059,6 +2059,59 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    "q123_condput_lifecycle" -> ((s, dir) => {
+      // OBJECT-STORE DEPLOYMENT SHAPE, driver-gated: the full
+      // append → replay → delete → compact → vacuum lifecycle with
+      // every commit primitive routed through CondPutCommit — the
+      // conditional-PUT (If-None-Match create + atomic whole-object
+      // PUT, no rename) implementation the LayoutCommit contract names
+      // as the object-store deployment path. The same schedules that
+      // TEAR under a naive object-store double (LifecycleContractSpec:
+      // last-writer-wins create admits concurrent mutators; a reader
+      // racing the MANIFEST publish resolves a vacuumed generation)
+      // must run to the exact brute-force row set here: a non-exclusive
+      // batch marker double-appends the replay, a torn MANIFEST publish
+      // loses the generation, a mis-swept staging loses the batch — all
+      // flip the full-probe + full-rerank oracle. Construction: build
+      // on vec_id % 4 ≠ 0, append the % 4 = 0 holdout (batch 0, then a
+      // verbatim REPLAY of batch 0 that must no-op via the If-None-Match
+      // marker), tombstone vec_id % 9 = 2, compact (folds the log,
+      // publishes index-v2 via atomic PUT), vacuum at retain 0 (reclaims
+      // the base generation) — live set = ALL ∖ (% 9 = 2).
+      val emb = T(s, dir, "embeddings")
+      val tmp = graft.TempDirs.create("graft_q123_")
+      val (m2, live) = graft.operators.LayoutCommit.withOps(
+          graft.operators.CondPutCommit) {
+        val (model, index0) = RabitqIndex.build(s,
+          emb.filter(col("vec_id") % 4 =!= 0), NumClusters, Seed)
+        RabitqIndex.save(s, model, index0, s"$tmp/idx")
+        def appendHoldout(): Unit = {
+          graft.streaming.IdempotentSink.appendBatch(
+            RabitqIndex.appendVectors(s, model,
+              emb.filter(col("vec_id") % 4 === 0)),
+            RabitqIndex.indexDataDir(s"$tmp/idx"), s"$tmp/idx", "q123", 0L,
+            partitionCols = Seq("cluster_id"))
+          ()
+        }
+        appendHoldout()
+        appendHoldout() // replay: the conditional-PUT marker must no-op it
+        graft.streaming.IdempotentSink.appendBatch(
+          emb.filter(col("vec_id") % 9 === 2).select("vec_id"),
+          RabitqIndex.tombstoneLogDir(s"$tmp/idx"), s"$tmp/idx", "q123-del", 1L)
+        graft.streaming.VecsStream.compactIndex(s, s"$tmp/idx")
+        require(RabitqIndex.indexDataDir(s"$tmp/idx") == s"$tmp/idx/index-v2",
+          "gate is vacuous: the conditional-PUT MANIFEST publish did not swap")
+        RabitqIndex.vacuumIndex(s"$tmp/idx", retainMs = 0L)
+        require(!new java.io.File(s"$tmp/idx/index").exists,
+          "vacuum under CondPutCommit failed to reclaim the retired generation")
+        RabitqIndex.loadLive(s, s"$tmp/idx")
+      }
+      val baseFinal = emb.filter(col("vec_id") % 9 =!= 2)
+      RabitqQuery.topK(s, m2, live, baseFinal, annQueries(s, dir),
+        nprobe = m2.params.numClusters, topk = 10, rerank = fullRerank(s, dir))
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "q120_maintenance_loop" -> ((s, dir) => {
       // SELF-SCHEDULED MAINTENANCE (VecsStream.maintenanceLoop) — the
       // ops loop the q119 health report exists for, driven end-to-end:
@@ -2771,6 +2824,16 @@ object SparkEntry {
       "q122_append_vs_compact" ->
         """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 10),
           |b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS be FROM embeddings WHERE vec_id % 5 = 0 OR vec_id % 7 <> 3),
+          |d AS (SELECT q.query_id, b.vec_id AS neighbor_id,
+          |        row_number() OVER (PARTITION BY q.query_id ORDER BY list_distance(q.qe, b.be), b.vec_id) AS rank
+          |      FROM q CROSS JOIN b)
+          |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM d WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+      // q123: the conditional-PUT lifecycle is exactly-once end to end
+      // (replayed batch no-ops, log folds once, generation swap is an
+      // atomic PUT), so the live set is ALL ∖ (vec_id % 9 = 2)
+      "q123_condput_lifecycle" ->
+        """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 10),
+          |b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS be FROM embeddings WHERE vec_id % 9 <> 2),
           |d AS (SELECT q.query_id, b.vec_id AS neighbor_id,
           |        row_number() OVER (PARTITION BY q.query_id ORDER BY list_distance(q.qe, b.be), b.vec_id) AS rank
           |      FROM q CROSS JOIN b)
