@@ -211,6 +211,46 @@ class LifecycleContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(RabitqIndex.indexDataDir(idxDir) == s"$idxDir/index-v3")
   }
 
+  test("SURVIVE (executed): the SAME lifecycle runs end-to-end on the " +
+      "Hadoop FileSystem impl (the HDFS deployment shape, over file:)") {
+    import spark.implicits._
+    val ops = new HadoopFsCommit(new org.apache.hadoop.conf.Configuration())
+    // exclusive-create semantics through the Hadoop API (sequential —
+    // local RawLocalFileSystem simulates the NameNode's exclusivity
+    // with check-then-create, so concurrency is HDFS's guarantee, not
+    // the local simulation's; see the impl scaladoc)
+    val probe = Files.createTempDirectory("hdfs_excl").resolve("lock")
+    assert(ops.exclusiveCreate(probe, "a"))
+    assert(!ops.exclusiveCreate(probe, "b"))
+    assert(new String(Files.readAllBytes(probe), "UTF-8") == "a")
+    val idxDir = Files.createTempDirectory("hadoop_life").toString
+    val (m2, live) = LayoutCommit.withOps(ops) {
+      val initial = emb.filter(col("vec_id") < 150)
+      val (model, index0) = RabitqIndex.build(spark, initial, numClusters = 4, seed = 7L)
+      RabitqIndex.save(spark, model, index0, idxDir)
+      graft.streaming.IdempotentSink.appendBatch(
+        RabitqIndex.appendVectors(spark, model,
+          emb.filter(col("vec_id") >= 150 && col("vec_id") < 200)),
+        RabitqIndex.indexDataDir(idxDir), idxDir, "hd_life", 0L,
+        partitionCols = Seq("cluster_id"))
+      graft.streaming.IdempotentSink.appendBatch(
+        Seq(9L, 160L).toDF("vec_id"),
+        RabitqIndex.tombstoneLogDir(idxDir), idxDir, "hd_life-del", 1L)
+      graft.streaming.VecsStream.compactIndex(spark, idxDir)
+      RabitqIndex.vacuumIndex(idxDir, retainMs = 0L)
+      RabitqIndex.loadLive(spark, idxDir)
+    }
+    val expected = (0L until 200L).toSet -- Set(9L, 160L)
+    assert(live.select("vec_id").collect().map(_.getLong(0)).toSet == expected)
+    val baseFinal = emb.filter(col("vec_id") < 200 && !col("vec_id").isin(9L, 160L))
+    val qs = ExactKnn.queriesFromEmbeddings(emb, 5)
+    val truth = ExactKnn.l2TopK(baseFinal, qs, 10)
+    val res = RabitqQuery.topK(spark, m2, live, baseFinal, qs, 4, 10, 4096)
+    assert(ExactKnn.recall(res, truth, 10).head().getDouble(0) == 1.0,
+      "full-probe search through the Hadoop-FS-maintained layout must " +
+        "equal brute force")
+  }
+
   test("SURVIVE (executed): a full append → delete → compact → vacuum → " +
       "query lifecycle runs end-to-end on the conditional-PUT impl") {
     import spark.implicits._
