@@ -299,6 +299,51 @@ object ScaleSmoke {
         s""""rebalance_sec":$rebalSec,""" +
         s""""recall_at_10_before":$recBefore,"recall_at_10_after":$recAfter,""" +
         s""""query_sec_before":$secBefore,"query_sec_after":$secAfter}}""")
+      // opt-in OBJECT-STORE-SHAPE leg ("condput" arg): an identically
+      // skewed layout rebalanced through CondPutCommit — the generation-
+      // versioned swap (whole next generation built unreferenced, grown
+      // model riding inside it, ONE atomic MANIFEST publish). The honest
+      // cost vs the in-place swap is the untouched-cluster carry (per-
+      // file copy ∝ corpus bytes — the server-side-CopyObject analog),
+      // measured here at scale alongside the layout-integrity and
+      // recall invariants the in-place leg enforces.
+      if (args.contains("condput")) {
+        val tmp2 = TempDirs.create("graft_rebal_condput_")
+        RabitqIndex.save(spark, bModel,
+          bIndex.join(labels, Seq("vec_id")), s"$tmp2/idx")
+        RabitqIndex.appendVectors(spark, bModel,
+            base.filter(col("vec_id") % 100L >= 50L))
+          .join(labels, Seq("vec_id"))
+          .write.mode("append").partitionBy("cluster_id").parquet(s"$tmp2/idx/index")
+        val t8 = System.nanoTime()
+        val report2 = graft.operators.LayoutCommit.withOps(
+            graft.operators.CondPutCommit) {
+          RabitqIndex.rebalanceIndex(spark, s"$tmp2/idx", base,
+            maxSizeFactor = 1.5)
+        }
+        val rebalSec2 = (System.nanoTime() - t8) / 1e9
+        require(RabitqIndex.indexDataDir(s"$tmp2/idx") == s"$tmp2/idx/index-v2",
+          "condput rebalance did not publish a new generation")
+        val genBytes = org.apache.commons.io.FileUtils.sizeOfDirectory(
+          new java.io.File(s"$tmp2/idx/index-v2"))
+        val (mC, idxC) = RabitqIndex.load(spark, s"$tmp2/idx")
+        require(mC.params.numClusters == report2.numClustersAfter,
+          "load() did not resolve the generation-local grown model")
+        val nIdxC = idxC.count()
+        val nDupC = idxC.groupBy("vec_id").count().filter(col("count") > 1).count()
+        require(nIdxC == n && nDupC == 0,
+          s"condput-rebalanced layout corrupt: rows=$nIdxC (want $n), dup vec_ids=$nDupC")
+        val rrScaledC = RabitqIndex.scaledRerank(s"$tmp2/idx",
+          mC.params.numClusters, rerank)
+        val (recCond, secCond) = recallAt(mC, idxC, nprobe, rrScaledC)
+        println(s"""{"scale_smoke_rebalance_condput":{"n":$n,"k":$k,""" +
+          s""""k_after":${report2.numClustersAfter},""" +
+          s""""moved_rows":${report2.movedRows},""" +
+          s""""rebalance_sec":$rebalSec2,"rebalance_sec_inplace":$rebalSec,""" +
+          s""""generation_bytes":$genBytes,""" +
+          s""""rerank_scaled":$rrScaledC,"recall_at_10_rerank_scaled":$recCond,""" +
+          s""""query_sec_rerank_scaled":$secCond}}""")
+      }
     }
     // opt-in MAINTENANCE stage ("maintain" arg): the tombstone half of
     // the lifecycle at scale. Save the index, tombstone 5% of ids into

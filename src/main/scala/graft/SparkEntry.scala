@@ -2060,35 +2060,45 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rank"))
     }),
     "q123_condput_lifecycle" -> ((s, dir) => {
-      // OBJECT-STORE DEPLOYMENT SHAPE, driver-gated: the full
-      // append → replay → delete → compact → vacuum lifecycle with
-      // every commit primitive routed through CondPutCommit — the
-      // conditional-PUT (If-None-Match create + atomic whole-object
-      // PUT, no rename) implementation the LayoutCommit contract names
-      // as the object-store deployment path. The same schedules that
-      // TEAR under a naive object-store double (LifecycleContractSpec:
-      // last-writer-wins create admits concurrent mutators; a reader
-      // racing the MANIFEST publish resolves a vacuumed generation)
-      // must run to the exact brute-force row set here: a non-exclusive
-      // batch marker double-appends the replay, a torn MANIFEST publish
-      // loses the generation, a mis-swept staging loses the batch — all
-      // flip the full-probe + full-rerank oracle. Construction: build
-      // on vec_id % 4 ≠ 0, append the % 4 = 0 holdout (batch 0, then a
-      // verbatim REPLAY of batch 0 that must no-op via the If-None-Match
-      // marker), tombstone vec_id % 9 = 2, compact (folds the log,
-      // publishes index-v2 via atomic PUT), vacuum at retain 0 (reclaims
-      // the base generation) — live set = ALL ∖ (% 9 = 2).
+      // OBJECT-STORE DEPLOYMENT SHAPE, driver-gated: the FULL
+      // append → replay → delete → rebalance → compact → vacuum
+      // lifecycle with every commit primitive routed through
+      // CondPutCommit — the conditional-PUT (If-None-Match create +
+      // atomic whole-object PUT, no rename) implementation the
+      // LayoutCommit contract names as the object-store deployment
+      // path. The same schedules that TEAR under a naive object-store
+      // double (LifecycleContractSpec: last-writer-wins create admits
+      // concurrent mutators; a reader racing the MANIFEST publish
+      // resolves a vacuumed generation; the in-place rebalance swap
+      // half-populates a cluster) must run to the exact brute-force row
+      // set here: a non-exclusive batch marker double-appends the
+      // replay, a torn MANIFEST publish loses the generation, a
+      // mis-swept staging loses the batch, a mis-carried tombstone log
+      // resurrects deletes, a dropped generation-local model sidecar
+      // decodes against pre-split centroids — all flip the full-probe +
+      // full-rerank oracle. Construction (the q120 skew recipe so the
+      // rebalance REALLY splits): build on the lower halfspace, append
+      // the upper half (batch 0 — it piles into the boundary clusters —
+      // then a verbatim REPLAY of batch 0 that must no-op via the
+      // If-None-Match marker), tombstone vec_id % 9 = 2, REBALANCE
+      // (CondPutCommit declares no atomic dir rename, so this takes the
+      // generation-versioned shape: index-v2 with the grown model
+      // riding inside it and the uncompacted log carried, published by
+      // one atomic MANIFEST PUT), compact (folds the carried log into
+      // index-v3 AND carries the generation-local sidecars forward),
+      // vacuum at retain 0 (reclaims both retired generations) — live
+      // set = ALL ∖ (% 9 = 2).
       val emb = T(s, dir, "embeddings")
       val tmp = graft.TempDirs.create("graft_q123_")
+      val lower = element_at(col("embedding"), 1) < 0f
       val (m2, live) = graft.operators.LayoutCommit.withOps(
           graft.operators.CondPutCommit) {
         val (model, index0) = RabitqIndex.build(s,
-          emb.filter(col("vec_id") % 4 =!= 0), NumClusters, Seed)
+          emb.filter(lower), NumClusters, Seed)
         RabitqIndex.save(s, model, index0, s"$tmp/idx")
         def appendHoldout(): Unit = {
           graft.streaming.IdempotentSink.appendBatch(
-            RabitqIndex.appendVectors(s, model,
-              emb.filter(col("vec_id") % 4 === 0)),
+            RabitqIndex.appendVectors(s, model, emb.filter(!lower)),
             RabitqIndex.indexDataDir(s"$tmp/idx"), s"$tmp/idx", "q123", 0L,
             partitionCols = Seq("cluster_id"))
           ()
@@ -2098,14 +2108,22 @@ object SparkEntry {
         graft.streaming.IdempotentSink.appendBatch(
           emb.filter(col("vec_id") % 9 === 2).select("vec_id"),
           RabitqIndex.tombstoneLogDir(s"$tmp/idx"), s"$tmp/idx", "q123-del", 1L)
-        graft.streaming.VecsStream.compactIndex(s, s"$tmp/idx")
+        val rep = RabitqIndex.rebalanceIndex(s, s"$tmp/idx", emb)
+        require(rep.numClustersAfter > rep.numClustersBefore,
+          "gate is vacuous: the skewed layout did not split")
         require(RabitqIndex.indexDataDir(s"$tmp/idx") == s"$tmp/idx/index-v2",
+          "gate is vacuous: the generation-versioned rebalance did not publish")
+        graft.streaming.VecsStream.compactIndex(s, s"$tmp/idx")
+        require(RabitqIndex.indexDataDir(s"$tmp/idx") == s"$tmp/idx/index-v3",
           "gate is vacuous: the conditional-PUT MANIFEST publish did not swap")
         RabitqIndex.vacuumIndex(s"$tmp/idx", retainMs = 0L)
-        require(!new java.io.File(s"$tmp/idx/index").exists,
-          "vacuum under CondPutCommit failed to reclaim the retired generation")
+        require(!new java.io.File(s"$tmp/idx/index").exists &&
+            !new java.io.File(s"$tmp/idx/index-v2").exists,
+          "vacuum under CondPutCommit failed to reclaim the retired generations")
         RabitqIndex.loadLive(s, s"$tmp/idx")
       }
+      require(m2.params.numClusters > NumClusters,
+        "load() did not resolve the generation-local (grown) model sidecars")
       val baseFinal = emb.filter(col("vec_id") % 9 =!= 2)
       RabitqQuery.topK(s, m2, live, baseFinal, annQueries(s, dir),
         nprobe = m2.params.numClusters, topk = 10, rerank = fullRerank(s, dir))

@@ -77,6 +77,21 @@ trait CommitOps {
     * call created the file (exactly one of N concurrent callers wins).
     */
   def exclusiveCreate(path: Path, content: String = ""): Boolean
+
+  /** Does [[atomicRenameDir]] move a DIRECTORY atomically as a unit?
+    * True for POSIX rename(2) and the HDFS NameNode; false for object
+    * stores, where a "directory rename" is per-object copy+delete and a
+    * racing reader sees it half-populated. The one protocol that
+    * replaces live-read directories in place — the rebalance swap
+    * (`RabitqIndex.completeRebalanceSwap`) — consults this DECLARED
+    * capability and, when absent, takes the generation-versioned shape
+    * instead (rewrite into a fresh `index-vN` + atomic MANIFEST
+    * publish — compaction's shape, which needs only atomic PUT). A
+    * plain s3a connector effectively claims this capability it does not
+    * have; the contract spec's naive double deliberately repeats that
+    * lie to demonstrate the tear.
+    */
+  def renamesDirAtomically: Boolean = true
 }
 
 /** The POSIX `java.nio.file` implementation — local filesystems (and
@@ -132,13 +147,14 @@ object PosixCommit extends CommitOps {
   *    unit. Sufficient for single FILES routed through it (the lease
   *    break's rename-aside: the aside PUT is atomic and the lock
   *    DELETE is atomic — the only reader-visible step is the delete)
-  *    but a DIRECTORY mid-copy is visible half-populated, so the one
-  *    protocol that replaces live directories in place —
-  *    `completeRebalanceSwap` — must NOT run through this impl.
-  *    Deployments on an object store run rebalance through the
-  *    generation-versioned shape instead (rewrite into a fresh
-  *    `index-vN` + MANIFEST publish — compaction's shape, which needs
-  *    only atomic PUT).
+  *    but a DIRECTORY mid-copy is visible half-populated, so this impl
+  *    DECLARES `renamesDirAtomically = false` and the one protocol
+  *    that replaces live directories in place — the rebalance swap —
+  *    consults the flag and takes the generation-versioned shape
+  *    instead (`RabitqIndex.rebalanceGenerationSwap`: rewrite into a
+  *    fresh `index-vN` + atomic MANIFEST publish — compaction's shape,
+  *    which needs only atomic PUT; gated end-to-end by q123 and the
+  *    contract spec).
   */
 object CondPutCommit extends CommitOps {
 
@@ -192,6 +208,10 @@ object CondPutCommit extends CommitOps {
         StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
       true
     } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+
+  // object stores have no rename at all — declare it, so the rebalance
+  // swap takes the generation-versioned shape (see the class scaladoc)
+  override def renamesDirAtomically: Boolean = false
 }
 
 /** The Hadoop `FileSystem`/`FileContext` implementation — the HDFS
@@ -286,6 +306,8 @@ object LayoutCommit {
 
   def exclusiveCreate(path: Path, content: String = ""): Boolean =
     current.exclusiveCreate(path, content)
+
+  def renamesDirAtomically: Boolean = current.renamesDirAtomically
 
   /** Run `body` with `ops` as the active implementation — a TEST seam
     * (specs only; suites run sequentially in the forked test JVM, and

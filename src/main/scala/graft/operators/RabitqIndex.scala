@@ -640,7 +640,6 @@ object RabitqIndex {
     graft.streaming.IdempotentSink.settleInProgress(dir,
       Seq(indexDataDir(dir), tombstoneLogDir(dir)))
     val (model, index) = load(spark, dir)
-    val dataDir = indexDataDir(dir)
     val live = tombstoneLogIfAny(dir).fold(index)(delDir =>
       index.join(spark.read.parquet(delDir.toString).select("vec_id"),
         Seq("vec_id"), "left_anti"))
@@ -744,43 +743,57 @@ object RabitqIndex {
         live.filter(col("cluster_id").isin(splitIds.map(Int.box): _*))
           .select("vec_id", extraCols.toIndexedSeq: _*),
         Seq("vec_id"))
-    // stage EVERYTHING the swap needs DURABLY before touching the live
-    // layout: the re-encoded rows (distributed parquet write, IO ∝
-    // skew) AND the new model sidecar (centroids + params change,
-    // rotation/bias don't) — recovery must be able to finish the swap
-    // with file operations alone, no SparkSession. Then a _COMMIT
-    // marker makes the swap the point of no return: before it, a crash
-    // rolls BACK (vacuum reclaims the staging as debris, the live
-    // layout was never touched); after it, the swap rolls FORWARD
-    // ([[completeRebalanceSwap]] — idempotent atomic directory renames,
-    // re-driven by the next maintenance pass if this process dies
-    // mid-swap). No state ever exists where re-encoded rows are lost.
-    val staging = new java.io.File(s"$dir/_rebalance_staging")
-    org.apache.commons.io.FileUtils.deleteDirectory(staging) // pre-commit debris
-    // hash-partition on the destination cluster before the partitioned
-    // write (the compactRewrite consolidation): ~one part file per
-    // destination instead of O(tasks × destinations) fragments riding
-    // in the layout until the next compaction
-    reencWide.repartition(model2.params.numClusters, col("cluster_id"))
-      .write.mode("overwrite").partitionBy("cluster_id")
-      .parquet(s"$staging/index")
-    val reenc = spark.read.parquet(s"$staging/index")
-    val movedRows = reenc.count()
-    val reencSizes = reenc.groupBy("cluster_id").count().collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    centroids2.zipWithIndex.map { case (cen, i) => (i, cen.toSeq) }.toSeq
-      .toDF("cluster_id", "centroid").coalesce(1)
-      .write.mode("overwrite").parquet(s"$staging/centroids")
-    Seq((model2.params.dim, model2.params.padDim, model2.params.numClusters,
-         model2.params.seed, model2.bias.toSeq))
-      .toDF("dim", "pad_dim", "num_clusters", "seed", "bias").coalesce(1)
-      .write.mode("overwrite").parquet(s"$staging/params")
-    // the marker names the SPLIT clusters (their dirs are replaced
-    // wholesale; every other destination merges) and is itself staged +
-    // atomically renamed — a torn marker can never misclassify a dir
-    LayoutCommit.atomicWriteFile(new java.io.File(staging, "_COMMIT").toPath,
-      splitIds.mkString("\n"))
-    completeRebalanceSwap(dir)
+    val (movedRows, reencSizes) =
+      if (LayoutCommit.renamesDirAtomically) {
+        // IN-PLACE swap (IO ∝ skew — only split partition dirs move).
+        // Stage EVERYTHING the swap needs DURABLY before touching the
+        // live layout: the re-encoded rows (distributed parquet write,
+        // IO ∝ skew) AND the new model sidecar (centroids + params
+        // change, rotation/bias don't) — recovery must be able to finish
+        // the swap with file operations alone, no SparkSession. Then a
+        // _COMMIT marker makes the swap the point of no return: before
+        // it, a crash rolls BACK (vacuum reclaims the staging as debris,
+        // the live layout was never touched); after it, the swap rolls
+        // FORWARD ([[completeRebalanceSwap]] — idempotent atomic
+        // directory renames, re-driven by the next maintenance pass if
+        // this process dies mid-swap). No state ever exists where
+        // re-encoded rows are lost.
+        val staging = new java.io.File(s"$dir/_rebalance_staging")
+        org.apache.commons.io.FileUtils.deleteDirectory(staging) // pre-commit debris
+        // hash-partition on the destination cluster before the partitioned
+        // write (the compactRewrite consolidation): ~one part file per
+        // destination instead of O(tasks × destinations) fragments riding
+        // in the layout until the next compaction
+        reencWide.repartition(model2.params.numClusters, col("cluster_id"))
+          .write.mode("overwrite").partitionBy("cluster_id")
+          .parquet(s"$staging/index")
+        val reenc = spark.read.parquet(s"$staging/index")
+        val moved = reenc.count()
+        val sizes2 = reenc.groupBy("cluster_id").count().collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap
+        centroids2.zipWithIndex.map { case (cen, i) => (i, cen.toSeq) }.toSeq
+          .toDF("cluster_id", "centroid").coalesce(1)
+          .write.mode("overwrite").parquet(s"$staging/centroids")
+        Seq((model2.params.dim, model2.params.padDim, model2.params.numClusters,
+             model2.params.seed, model2.bias.toSeq))
+          .toDF("dim", "pad_dim", "num_clusters", "seed", "bias").coalesce(1)
+          .write.mode("overwrite").parquet(s"$staging/params")
+        // the marker names the SPLIT clusters (their dirs are replaced
+        // wholesale; every other destination merges) and is itself staged +
+        // atomically renamed — a torn marker can never misclassify a dir
+        LayoutCommit.atomicWriteFile(new java.io.File(staging, "_COMMIT").toPath,
+          splitIds.mkString("\n"))
+        completeRebalanceSwap(dir)
+        (moved, sizes2)
+      } else {
+        // the active CommitOps has NO atomic directory rename (an object
+        // store) — replacing live partition dirs in place would expose
+        // half-populated clusters to racing readers (the contract spec
+        // executes exactly that tear), so take compaction's generation-
+        // versioned shape instead: everything lands in an unreferenced
+        // `index-vN`, one atomic MANIFEST PUT publishes it
+        rebalanceGenerationSwap(spark, dir, model2, reencWide, splitIds)
+      }
 
     // after-sizes without re-reading the layout: untouched sizes +
     // re-encoded destinations
@@ -788,6 +801,95 @@ object RabitqIndex {
       reencSizes.map { case (c, n) => c -> ((sizes -- splitIds).getOrElse(c, 0L) + n) }
     RebalanceReport(k0, centroids2.length, splitK, movedRows,
       maxBefore, if (after.isEmpty) 0L else after.values.max)
+  }
+
+  /** The OBJECT-STORE rebalance swap — taken when the active
+    * [[CommitOps]] declares no atomic directory rename (`CondPutCommit`;
+    * a store where a "dir rename" is per-object copy+delete that racing
+    * readers see half-populated). Compaction's generation-versioned
+    * shape: build the ENTIRE next generation unreferenced, publish with
+    * ONE atomic MANIFEST PUT, retire the old generation into the
+    * retention window. Nothing reader-visible mutates in place.
+    *
+    *  1. Re-encoded split members: distributed parquet write straight
+    *     into `index-v{N+1}` (IO ∝ skew; `overwrite` makes a retry
+    *     idempotent, and a crashed attempt's partial generation is
+    *     unreferenced debris vacuum reclaims).
+    *  2. Untouched clusters: their immutable part files are carried by
+    *     per-file COPY — on a real object store a server-side
+    *     CopyObject, bytes never transiting the compute; the old
+    *     generation stays intact for its retention-window readers.
+    *     This is the shape's honest cost vs the in-place swap (copy ∝
+    *     corpus instead of rename ∝ skew) — the price of atomicity on
+    *     a store with no rename; a metadata-indirection MANIFEST (the
+    *     Iceberg shape) would get back to ∝ skew and is noted in the
+    *     README as the step beyond. Plain `Files.copy`, not a seam
+    *     primitive: nothing references the next generation until the
+    *     publish below, so this is staging, exactly like the Spark
+    *     write.
+    *  3. The uncompacted tombstone log is carried the same way — logs
+    *     are per generation, and the carried untouched rows still
+    *     include tombstoned members (the re-encode dropped them only
+    *     for split clusters); the anti-join is idempotent, so split
+    *     members' ids matching nothing is harmless.
+    *  4. The GROWN model rides INSIDE the generation (`_centroids` /
+    *     `_params` — underscore dirs are invisible to the data scan):
+    *     the layout-root sidecar pair cannot be replaced atomically
+    *     without a directory rename, so the MANIFEST PUT flips data and
+    *     model TOGETHER. [[load]] prefers generation-local sidecars;
+    *     `VecsStream.compactRewrite` carries them into every later
+    *     generation.
+    *  5. Publish: [[markRetired]] (the retention clock) + one atomic
+    *     MANIFEST PUT — `VecsStream.compactSwap`'s exact sequence.
+    *
+    * Crash anywhere before 5: readers keep resolving the old
+    * generation; the partial next generation is unreferenced debris.
+    * Crash after: done — a replayed rebalance finds balanced sizes and
+    * no-ops. Gated end-to-end by q123 and the contract spec's
+    * generation-rebalance leg; swept by the kill sweep's CondPut order.
+    */
+  private[graft] def rebalanceGenerationSwap(
+      spark: SparkSession, dir: String, model2: RabitqModel,
+      reencWide: DataFrame, splitIds: Seq[Int]): (Long, Map[Int, Long]) = {
+    import spark.implicits._
+    val curDir = new java.io.File(indexDataDir(dir))
+    val curName = curDir.getName
+    val curV = if (curName == "index") 1 else curName.stripPrefix("index-v").toInt
+    val nextName = s"index-v${curV + 1}"
+    val nextDir = new java.io.File(s"$dir/$nextName")
+    reencWide.repartition(model2.params.numClusters, col("cluster_id"))
+      .write.mode("overwrite").partitionBy("cluster_id")
+      .parquet(nextDir.getPath)
+    val reenc = spark.read.parquet(nextDir.getPath)
+    val movedRows = reenc.count()
+    val reencSizes = reenc.groupBy("cluster_id").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val splitSet = splitIds.toSet
+    def copyParquetFiles(src: java.io.File, tgt: java.io.File): Unit = {
+      tgt.mkdirs()
+      Option(src.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .foreach(f => java.nio.file.Files.copy(f.toPath,
+          new java.io.File(tgt, f.getName).toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING))
+    }
+    Option(curDir.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("cluster_id=") &&
+        !splitSet.contains(f.getName.stripPrefix("cluster_id=").toInt))
+      .foreach(cd => copyParquetFiles(cd, new java.io.File(nextDir, cd.getName)))
+    tombstoneLogIfAny(dir).foreach(logDir =>
+      copyParquetFiles(logDir, new java.io.File(logDirOfGen(dir, nextName))))
+    model2.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cluster_id", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(s"$nextDir/_centroids")
+    Seq((model2.params.dim, model2.params.padDim, model2.params.numClusters,
+         model2.params.seed, model2.bias.toSeq))
+      .toDF("dim", "pad_dim", "num_clusters", "seed", "bias").coalesce(1)
+      .write.mode("overwrite").parquet(s"$nextDir/_params")
+    markRetired(dir, curName)
+    LayoutCommit.atomicWriteFile(
+      java.nio.file.Paths.get(dir, "MANIFEST"), nextName)
+    (movedRows, reencSizes)
   }
 
   /** Finish a COMMITTED rebalance swap — idempotent, file operations
@@ -871,6 +973,21 @@ object RabitqIndex {
         new java.io.File(staging, t), tmp)
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$dir/$t"))
       LayoutCommit.atomicRenameDir(tmp.toPath, java.nio.file.Paths.get(dir, t))
+      // a generation-LOCAL sidecar (left by an earlier generation-
+      // versioned rebalance of this layout on an object-store deployment)
+      // SHADOWS the root pair just installed in [[modelSidecarDir]] —
+      // refresh it with the same staged copy, the same dance (idempotent
+      // under crash-retry: the staged source survives until the staging
+      // delete below)
+      val genLocal = new java.io.File(dataDir, s"_$t")
+      if (genLocal.isDirectory) {
+        val gtmp = new java.io.File(dataDir, s".rebalance-new-$t")
+        org.apache.commons.io.FileUtils.deleteDirectory(gtmp)
+        org.apache.commons.io.FileUtils.copyDirectory(
+          new java.io.File(staging, t), gtmp)
+        org.apache.commons.io.FileUtils.deleteDirectory(genLocal)
+        LayoutCommit.atomicRenameDir(gtmp.toPath, genLocal.toPath)
+      }
     }
     // ORDER MATTERS: delete the staging (and with it the _COMMIT marker
     // that makes retries re-drive the swap) BEFORE the asides — a retry
@@ -1129,7 +1246,8 @@ object RabitqIndex {
     val stagingVictims = kids(new java.io.File(s"$dir/_staging"))
       .filter(f => f.isDirectory && now - f.lastModified() >= retainMs)
     val asideDebris = kids(new java.io.File(s"$dir/$active"))
-      .filter(f => f.isDirectory && f.getName.startsWith(".rebalance-old-"))
+      .filter(f => f.isDirectory && (f.getName.startsWith(".rebalance-old-") ||
+        f.getName.startsWith(".rebalance-new-")))
     val dirVictims = retiredVictims ++ debrisGens ++ logVictims ++
       orphanLogVictims ++ stagingVictims ++ asideDebris ++
       kids(root).filter(f => f.isDirectory &&
@@ -1208,15 +1326,28 @@ object RabitqIndex {
       }
   }
 
+  /** Resolve a model sidecar table: a generation-LOCAL `_<table>` dir
+    * inside the active generation (written by [[rebalanceGenerationSwap]]
+    * on object-store deployments, carried forward by every compaction)
+    * SHADOWS the layout-root dir [[save]] writes — the root pair cannot
+    * be replaced atomically without a directory rename, so there the
+    * model travels with the generation and the MANIFEST PUT flips data
+    * and model together.
+    */
+  private[graft] def modelSidecarDir(dir: String, table: String): String = {
+    val genLocal = new java.io.File(indexDataDir(dir), s"_$table")
+    if (genLocal.isDirectory) genLocal.getPath else s"$dir/$table"
+  }
+
   def load(spark: SparkSession, dir: String): (RabitqModel, DataFrame) = {
-    val p = spark.read.parquet(s"$dir/params").head()
+    val p = spark.read.parquet(modelSidecarDir(dir, "params")).head()
     val params = RabitqParams(p.getAs[Int]("dim"), p.getAs[Int]("pad_dim"),
       p.getAs[Int]("num_clusters"), p.getAs[Long]("seed"))
     val bias = p.getAs[Seq[Float]]("bias").toArray
     val rotation = spark.read.parquet(s"$dir/rotation")
       .orderBy("row_id").collect()
       .map(r => r.getAs[Seq[Float]]("row").toArray)
-    val centroids = spark.read.parquet(s"$dir/centroids")
+    val centroids = spark.read.parquet(modelSidecarDir(dir, "centroids"))
       .orderBy("cluster_id").collect()
       .map(r => r.getAs[Seq[Float]]("centroid").toArray)
     // quadratic in the cluster growth — see scaledRerank's frontier note

@@ -278,6 +278,25 @@ object VecsStream {
     live.repartition(m.params.numClusters, col("cluster_id"))
       .write.mode("overwrite").partitionBy("cluster_id")
       .parquet(s"$idxDir/$nextName")
+    // carry generation-LOCAL model sidecars: a generation-versioned
+    // rebalance (the object-store shape, RabitqIndex.
+    // rebalanceGenerationSwap) puts the grown model INSIDE its
+    // generation so the MANIFEST PUT flips data and model together —
+    // every later generation must keep carrying it, or readers of the
+    // compacted generation would fall back to the STALE layout-root
+    // pair (pre-split centroids against post-split cluster ids)
+    for (t <- Seq("centroids", "params")) {
+      val src = new java.io.File(s"$idxDir/$cur/_$t")
+      if (src.isDirectory) {
+        val tgt = new java.io.File(s"$idxDir/$nextName/_$t")
+        tgt.mkdirs()
+        Option(src.listFiles()).getOrElse(Array.empty[java.io.File])
+          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+          .foreach(f => java.nio.file.Files.copy(f.toPath,
+            new java.io.File(tgt, f.getName).toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING))
+      }
+    }
     nextName
   }
 

@@ -14,7 +14,11 @@ import graft.operators._
   * schedule (enumeration at the `LayoutCommit` seam — the complete
   * version of a randomized sweep: every interleaving of "crash between
   * primitive k and k+1" is covered, and intra-primitive atomicity is
-  * exactly what the filesystem contract guarantees). Recovery is THE
+  * exactly what the filesystem contract guarantees), under BOTH
+  * deployment shapes: `PosixCommit` (the in-place rebalance swap,
+  * `_COMMIT` + roll-forward renames) and `CondPutCommit` (the
+  * object-store generation-versioned swap — unreferenced `index-vN`
+  * built, one atomic MANIFEST publish). Recovery is THE
   * REPLAY: the schedule re-runs from the top, the way a restarted
   * stream replays its batches — commit markers must no-op completed
   * steps, roll-forward/settle must finish crashed ones — and the layout
@@ -73,6 +77,9 @@ class KillSweepSpec extends AnyFunSuite with BeforeAndAfterAll {
     def exclusiveCreate(p: Path, c: String = ""): Boolean = {
       tick("exclusiveCreate", p); inner.exclusiveCreate(p, c)
     }
+    // the wrapped impl's declared capability must pass through, or the
+    // sweep would run the POSIX in-place rebalance shape over CondPut
+    override def renamesDirAtomically: Boolean = inner.renamesDirAtomically
   }
 
   // ---- fixture: skewed corpus so the rebalance step really splits ----
@@ -171,25 +178,34 @@ class KillSweepSpec extends AnyFunSuite with BeforeAndAfterAll {
       "two full lifecycle schedules recovers to an intact layout on replay " +
       "(>= 50 schedules)") {
     var totalSchedules = 0
-    for (order <- Seq(0, 1)) {
+    // both schedule orders × both deployment shapes: PosixCommit drives
+    // the in-place rebalance swap (_COMMIT + roll-forward renames),
+    // CondPutCommit drives the generation-versioned one (unreferenced
+    // index-vN + atomic MANIFEST publish) — every commit-primitive call
+    // of BOTH shapes gets a crash injected before it
+    for (order <- Seq(0, 1); impl <- Seq(
+        "posix" -> (PosixCommit: CommitOps),
+        "condput" -> (CondPutCommit: CommitOps))) {
+      val (implTag, inner) = impl
       // pass 1: count the primitive calls of this schedule order
-      val counter = new CrashingOps(PosixCommit, killAt = 0)
+      val counter = new CrashingOps(inner, killAt = 0)
       val base = freshCopy()
       LayoutCommit.withOps(counter)(schedule(base, order))
-      assertIntact(base, s"order=$order no-crash", checkRecall = true)
+      assertIntact(base, s"$implTag order=$order no-crash", checkRecall = true)
       val n = counter.calls.get()
-      assert(n >= 20, s"schedule order=$order only touched $n primitives " +
-        "— the sweep would be vacuous; did a protocol stop using the seam?")
+      assert(n >= 20, s"schedule $implTag order=$order only touched $n " +
+        "primitives — the sweep would be vacuous; did a protocol stop " +
+        "using the seam?")
       totalSchedules += 1
       // pass 2: enumerate every kill point
       for (killAt <- 1 to n) {
         val dir = freshCopy()
-        val ops = new CrashingOps(PosixCommit, killAt)
+        val ops = new CrashingOps(inner, killAt)
         val crashed =
           try { LayoutCommit.withOps(ops)(schedule(dir, order)); false }
           catch { case _: InjectedCrash => true }
-        assert(crashed, s"order=$order killAt=$killAt: expected a crash " +
-          s"(schedule made ${ops.calls.get()} primitive calls)")
+        assert(crashed, s"$implTag order=$order killAt=$killAt: expected " +
+          s"a crash (schedule made ${ops.calls.get()} primitive calls)")
         // a REAL crash leaves the lease held by the dead process (the
         // injected exception released it through the finally) — put the
         // dead holder's lock back, 2h stale, so the replay's first
@@ -200,9 +216,9 @@ class KillSweepSpec extends AnyFunSuite with BeforeAndAfterAll {
           assert(lock.setLastModified(
             System.currentTimeMillis() - 2L * 60 * 60 * 1000))
         }
-        // recovery = the replay, under healthy primitives
-        schedule(dir, order)
-        assertIntact(dir, s"order=$order killAt=$killAt",
+        // recovery = the replay, under the same (healthy) deployment shape
+        LayoutCommit.withOps(inner)(schedule(dir, order))
+        assertIntact(dir, s"$implTag order=$order killAt=$killAt",
           checkRecall = killAt % 7 == 0)
         totalSchedules += 1
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))

@@ -251,6 +251,118 @@ class LifecycleContractSpec extends AnyFunSuite with BeforeAndAfterAll {
         "equal brute force")
   }
 
+  test("TEAR (executed): a reader racing the REAL in-place rebalance " +
+      "swap under the naive double sees a HALF-POPULATED cluster — " +
+      "present directory, rows silently missing") {
+    import spark.implicits._
+    // a layout plus a committed rebalance staging whose split cluster
+    // holds TWO staged part files — the naive double's dir "rename" is
+    // per-file copy, so between the two copies the destination EXISTS
+    // with half its rows. (Under POSIX the same protocol gives a racing
+    // reader only old-complete, absent, or new-complete — absence is
+    // LOUD; a present-but-partial cluster answers queries wrong
+    // silently. This is why CommitOps.renamesDirAtomically exists.)
+    val idxDir = Files.createTempDirectory("naive_reb").toString
+    val (model, index0) = RabitqIndex.build(spark,
+      emb.filter(col("vec_id") < 300), numClusters = 4, seed = 7L)
+    RabitqIndex.save(spark, model, index0, idxDir)
+    val splitId = index0.groupBy("cluster_id").count()
+      .orderBy(desc("count")).head().getInt(0)
+    val staging = new java.io.File(s"$idxDir/_rebalance_staging")
+    spark.read.parquet(s"$idxDir/index")
+      .filter(col("cluster_id") === splitId)
+      .repartition(2) // → two part files in the staged split dir
+      .write.partitionBy("cluster_id").parquet(s"$staging/index")
+    for (t <- Seq("centroids", "params"))
+      org.apache.commons.io.FileUtils.copyDirectory(
+        new java.io.File(s"$idxDir/$t"), new java.io.File(staging, t))
+    Files.writeString(new java.io.File(staging, "_COMMIT").toPath,
+      splitId.toString)
+    val tgt = new java.io.File(s"$idxDir/index/cluster_id=$splitId")
+    val midCounts = scala.collection.mutable.ArrayBuffer.empty[Long]
+    LayoutCommit.withOps(new NaiveObjectStoreOps((tag, p) => {
+      // fires after EACH per-file copy of the staged→live dir "rename"
+      // (.crc shadows copy first in sort order — count only once a DATA
+      // file landed, the way a real scan lists)
+      if (tag == "dir-file" && p.getParent != null &&
+          p.getParent.toString == tgt.getPath &&
+          p.getFileName.toString.endsWith(".parquet"))
+        midCounts += spark.read.parquet(tgt.getPath).count()
+    })) {
+      RabitqIndex.completeRebalanceSwap(idxDir)
+    }
+    val fin = spark.read.parquet(tgt.getPath).count()
+    assert(fin > 0)
+    assert(midCounts.exists(c => c > 0 && c < fin),
+      s"expected a mid-copy reader to see a partial cluster " +
+        s"(saw $midCounts of $fin) — if this fires, the naive double " +
+        "no longer tears the in-place swap and the capability flag is " +
+        "not load-bearing")
+  }
+
+  test("SURVIVE (executed): the rebalance under the conditional-PUT impl " +
+      "takes the generation-versioned shape — atomic MANIFEST publish, " +
+      "model riding in the generation, tombstone log carried") {
+    import spark.implicits._
+    val idxDir = Files.createTempDirectory("condput_reb").toString
+    // skew: model fit on the lower halfspace, layout holding EVERYTHING —
+    // the upper half piles into the boundary clusters (the q120 recipe)
+    val lowerHalf = emb.filter(element_at(col("embedding"), 1) < 0f)
+    val (model, _) = RabitqIndex.build(spark, lowerHalf, numClusters = 4, seed = 7L)
+    RabitqIndex.save(spark, model,
+      RabitqIndex.appendVectors(spark, model, emb), idxDir)
+    val delId = emb.select(min("vec_id")).head().getLong(0)
+    val (m2, live) = LayoutCommit.withOps(CondPutCommit) {
+      // an uncompacted tombstone the generation swap must CARRY
+      graft.streaming.IdempotentSink.appendBatch(
+        Seq(delId).toDF("vec_id"),
+        RabitqIndex.tombstoneLogDir(idxDir), idxDir, "cp_reb-del", 0L)
+      val rep = RabitqIndex.rebalanceIndex(spark, idxDir, emb,
+        maxSizeFactor = 1.4)
+      assert(rep.numClustersAfter > rep.numClustersBefore,
+        s"gate is vacuous: the skewed layout did not split " +
+          s"(${rep.numClustersBefore} → ${rep.numClustersAfter})")
+      // published as a NEW generation; the old one retired, not mutated
+      assert(RabitqIndex.indexDataDir(idxDir) == s"$idxDir/index-v2")
+      assert(new java.io.File(s"$idxDir/index").isDirectory,
+        "the old generation must stay intact for retention-window readers")
+      assert(new java.io.File(s"$idxDir/_retired/index").isFile)
+      // the GROWN model rides inside the generation; the layout-root
+      // pair still holds the pre-split model (nothing reader-visible
+      // was replaced in place)
+      assert(new java.io.File(s"$idxDir/index-v2/_centroids").isDirectory)
+      val rootK = spark.read.parquet(s"$idxDir/centroids").count()
+      assert(rootK == rep.numClustersBefore.toLong)
+      RabitqIndex.loadLive(spark, idxDir)
+    }
+    assert(m2.params.numClusters > 4,
+      "load() must resolve the generation-local (grown) model sidecars")
+    assert(live.filter(col("vec_id") === delId).isEmpty,
+      "the carried tombstone log must keep masking the deleted id")
+    // exactness through the swapped layout
+    val baseFinal = emb.filter(col("vec_id") =!= delId)
+    val qs = ExactKnn.queriesFromEmbeddings(emb, 5)
+    val truth = ExactKnn.l2TopK(baseFinal, qs, 10)
+    val res = RabitqQuery.topK(spark, m2, live, baseFinal, qs,
+      m2.params.numClusters, 10, 100000)
+    assert(ExactKnn.recall(res, truth, 10).head().getDouble(0) == 1.0,
+      "full-probe search through the generation-rebalanced layout must " +
+        "equal brute force")
+    // a later compaction must CARRY the generation-local model forward
+    // (else readers of index-v3 would fall back to the stale root pair)
+    val m3 = LayoutCommit.withOps(CondPutCommit) {
+      graft.streaming.VecsStream.compactIndex(spark, idxDir) // folds the log
+      assert(RabitqIndex.indexDataDir(idxDir) == s"$idxDir/index-v3")
+      RabitqIndex.vacuumIndex(idxDir, retainMs = 0L)
+      assert(!new java.io.File(s"$idxDir/index").exists)
+      assert(!new java.io.File(s"$idxDir/index-v2").exists)
+      RabitqIndex.load(spark, idxDir)._1
+    }
+    assert(m3.params.numClusters == m2.params.numClusters,
+      "compaction must carry the generation-local model sidecars into " +
+        "the next generation")
+  }
+
   test("SURVIVE (executed): a full append → delete → compact → vacuum → " +
       "query lifecycle runs end-to-end on the conditional-PUT impl") {
     import spark.implicits._
