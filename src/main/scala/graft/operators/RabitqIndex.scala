@@ -275,8 +275,16 @@ object RabitqIndex {
     * `spark.read.parquet` over it would throw (no files to infer a
     * schema from) on a perfectly healthy layout.
     */
-  private[graft] def tombstoneLogIfAny(dir: String): Option[java.io.File] = {
-    val f = new java.io.File(tombstoneLogDir(dir))
+  private[graft] def tombstoneLogIfAny(dir: String): Option[java.io.File] =
+    tombstoneLogOfGenIfAny(dir,
+      new java.io.File(indexDataDir(dir)).getName)
+
+  /** [[tombstoneLogIfAny]] against an already-resolved generation — for
+    * callers holding a single MANIFEST resolution ([[loadLive]]).
+    */
+  private[graft] def tombstoneLogOfGenIfAny(
+      dir: String, gen: String): Option[java.io.File] = {
+    val f = new java.io.File(logDirOfGen(dir, gen))
     val hasData = f.isDirectory && Option(f.listFiles())
       .getOrElse(Array.empty[java.io.File])
       .exists(x => x.isFile && x.getName.endsWith(".parquet"))
@@ -329,9 +337,13 @@ object RabitqIndex {
     * count is a parquet-metadata aggregate.
     */
   def layoutStats(spark: SparkSession, dir: String): (Long, Long) = {
-    val nRows = spark.read.parquet(indexDataDir(dir)).count()
-    val nTomb = tombstoneLogIfAny(dir).fold(0L)(delDir =>
-      spark.read.parquet(delDir.toString).select("vec_id").distinct().count())
+    // single generation resolution (the load() discipline): the counted
+    // rows and the counted log must belong to the same generation
+    val gen = indexDataDir(dir)
+    val nRows = spark.read.parquet(gen).count()
+    val nTomb = tombstoneLogOfGenIfAny(dir, new java.io.File(gen).getName)
+      .fold(0L)(delDir =>
+        spark.read.parquet(delDir.toString).select("vec_id").distinct().count())
     (nRows, nTomb)
   }
 
@@ -864,20 +876,8 @@ object RabitqIndex {
     val movedRows = reenc.count()
     val reencSizes = reenc.groupBy("cluster_id").count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val splitSet = splitIds.toSet
-    def copyParquetFiles(src: java.io.File, tgt: java.io.File): Unit = {
-      tgt.mkdirs()
-      Option(src.listFiles()).getOrElse(Array.empty[java.io.File])
-        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-        .foreach(f => java.nio.file.Files.copy(f.toPath,
-          new java.io.File(tgt, f.getName).toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING))
-    }
-    Option(curDir.listFiles()).getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.startsWith("cluster_id=") &&
-        !splitSet.contains(f.getName.stripPrefix("cluster_id=").toInt))
-      .foreach(cd => copyParquetFiles(cd, new java.io.File(nextDir, cd.getName)))
-    tombstoneLogIfAny(dir).foreach(logDir =>
+    carryUntouchedClusters(curDir, nextDir, splitIds.toSet)
+    tombstoneLogOfGenIfAny(dir, curName).foreach(logDir =>
       copyParquetFiles(logDir, new java.io.File(logDirOfGen(dir, nextName))))
     model2.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cluster_id", "centroid").coalesce(1)
@@ -886,10 +886,56 @@ object RabitqIndex {
          model2.params.seed, model2.bias.toSeq))
       .toDF("dim", "pad_dim", "num_clusters", "seed", "bias").coalesce(1)
       .write.mode("overwrite").parquet(s"$nextDir/_params")
+    publishGeneration(dir, curName, nextName)
+    (movedRows, reencSizes)
+  }
+
+  /** Copy a directory's parquet data files into `tgt` (flat), replacing
+    * on retry, IN PARALLEL — the carry of immutable part files into a
+    * not-yet-referenced generation. Staging, not a commit primitive:
+    * nothing resolves the destination until the MANIFEST publish, and on
+    * a real object store each copy is a server-side CopyObject (the
+    * parallelism maps to concurrent copy requests; a sequential driver
+    * loop would make the carry wall-clock ∝ file count with zero
+    * concurrency).
+    */
+  private[graft] def copyParquetFiles(src: java.io.File,
+                                      tgt: java.io.File): Unit = {
+    val files = Option(src.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    if (files.isEmpty) return
+    tgt.mkdirs()
+    java.util.Arrays.stream(files).parallel().forEach { f =>
+      java.nio.file.Files.copy(f.toPath,
+        new java.io.File(tgt, f.getName).toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
+  }
+
+  /** Carry every non-split cluster partition dir of `srcGen` into
+    * `dstGen` by file copy — the untouched-corpus half of a generation-
+    * versioned rebalance (shared by the live swap and the crashed-swap
+    * roll-forward conversion).
+    */
+  private def carryUntouchedClusters(srcGen: java.io.File, dstGen: java.io.File,
+                                     splitIds: Set[Int]): Unit =
+    Option(srcGen.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("cluster_id=") &&
+        !splitIds.contains(f.getName.stripPrefix("cluster_id=").toInt))
+      .foreach(cd => copyParquetFiles(cd, new java.io.File(dstGen, cd.getName)))
+
+  /** Atomically publish a fully-built generation: retire `curName` (the
+    * retention clock starts) and point the MANIFEST at `nextName` — the
+    * ONE reader-visible step of every generation swap, shared by
+    * compaction (`VecsStream.compactSwap`) and the object-store
+    * rebalance so the two publishes can never diverge.
+    */
+  private[graft] def publishGeneration(dir: String, curName: String,
+                                       nextName: String): Unit = {
     markRetired(dir, curName)
     LayoutCommit.atomicWriteFile(
       java.nio.file.Paths.get(dir, "MANIFEST"), nextName)
-    (movedRows, reencSizes)
   }
 
   /** Finish a COMMITTED rebalance swap — idempotent, file operations
@@ -922,6 +968,19 @@ object RabitqIndex {
     if (!commitF.exists) return
     val splitIds = java.nio.file.Files.readAllLines(commitF.toPath)
       .toArray(Array.empty[String]).filter(_.nonEmpty).map(_.toInt).toSet
+    if (!LayoutCommit.renamesDirAtomically) {
+      // a committed IN-PLACE staging being rolled forward under a
+      // commit impl with no atomic dir rename (a deployment migrated to
+      // the object-store shape with a crashed swap in tow): driving the
+      // renames below through per-file copy+delete would expose racing
+      // readers to half-populated LIVE cluster dirs — the exact tear
+      // the capability flag exists to prevent. The staging holds
+      // everything the swap needs, so CONVERT it to the generation-
+      // versioned publish instead — file operations only, idempotent,
+      // and the layout the readers resolve never mutates in place.
+      completeRebalanceSwapAsGeneration(dir, splitIds, staging)
+      return
+    }
     val dataDir = new java.io.File(indexDataDir(dir))
     val stagedIdx = new java.io.File(staging, "index")
     val stagedDirs = Option(stagedIdx.listFiles())
@@ -998,6 +1057,44 @@ object RabitqIndex {
     Option(dataDir.listFiles()).getOrElse(Array.empty[java.io.File])
       .filter(f => f.isDirectory && f.getName.startsWith(".rebalance-old-"))
       .foreach(org.apache.commons.io.FileUtils.deleteDirectory)
+  }
+
+  /** [[completeRebalanceSwap]]'s object-store conversion: finish a
+    * committed in-place staging as a GENERATION publish — the whole
+    * next generation built unreferenced from the staged rows plus the
+    * carried untouched clusters/log, the staged sidecars riding inside
+    * it, then the shared [[publishGeneration]] atomic PUT. Idempotent
+    * at every crash point: before the publish, the partial generation
+    * is unreferenced (rebuilt from scratch on retry — the staging and
+    * its `_COMMIT` survive until after the publish); a retry AFTER the
+    * publish re-derives the conversion against the NEW active
+    * generation, where the staged files land under their own
+    * (replace-on-retry) names and split dirs are rebuilt from the same
+    * staged content — a duplicate-free no-op generation. Exercised by
+    * the contract spec's migration leg.
+    */
+  private def completeRebalanceSwapAsGeneration(
+      dir: String, splitIds: Set[Int], staging: java.io.File): Unit = {
+    val curGen = new java.io.File(indexDataDir(dir))
+    val curName = curGen.getName
+    val curV = if (curName == "index") 1 else curName.stripPrefix("index-v").toInt
+    val nextName = s"index-v${curV + 1}"
+    val nextDir = new java.io.File(s"$dir/$nextName")
+    // a previous crashed attempt's partial generation was never
+    // referenced — rebuild it from scratch
+    org.apache.commons.io.FileUtils.deleteDirectory(nextDir)
+    val stagedIdx = new java.io.File(staging, "index")
+    Option(stagedIdx.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("cluster_id="))
+      .foreach(sd => copyParquetFiles(sd, new java.io.File(nextDir, sd.getName)))
+    carryUntouchedClusters(curGen, nextDir, splitIds)
+    tombstoneLogOfGenIfAny(dir, curName).foreach(logDir =>
+      copyParquetFiles(logDir, new java.io.File(logDirOfGen(dir, nextName))))
+    for (t <- Seq("centroids", "params"))
+      copyParquetFiles(new java.io.File(staging, t),
+        new java.io.File(nextDir, s"_$t"))
+    publishGeneration(dir, curName, nextName)
+    org.apache.commons.io.FileUtils.deleteDirectory(staging)
   }
 
   /** Per-cluster row counts from parquet FOOTER metadata only — no data
@@ -1326,34 +1423,46 @@ object RabitqIndex {
       }
   }
 
-  /** Resolve a model sidecar table: a generation-LOCAL `_<table>` dir
-    * inside the active generation (written by [[rebalanceGenerationSwap]]
-    * on object-store deployments, carried forward by every compaction)
-    * SHADOWS the layout-root dir [[save]] writes — the root pair cannot
-    * be replaced atomically without a directory rename, so there the
-    * model travels with the generation and the MANIFEST PUT flips data
-    * and model together.
+  /** Resolve a model sidecar table against an ALREADY-RESOLVED
+    * generation dir: a generation-LOCAL `_<table>` dir (written by
+    * [[rebalanceGenerationSwap]] on object-store deployments, carried
+    * forward by every compaction) SHADOWS the layout-root dir [[save]]
+    * writes — the root pair cannot be replaced atomically without a
+    * directory rename, so there the model travels with the generation
+    * and the MANIFEST PUT flips data and model together. Callers must
+    * resolve the generation ONCE and derive every path from it (the
+    * [[load]] discipline): re-reading the MANIFEST per table would let
+    * a concurrent publish hand back a TORN model/data pair — exactly
+    * the tear the generation-local shape exists to prevent.
     */
-  private[graft] def modelSidecarDir(dir: String, table: String): String = {
-    val genLocal = new java.io.File(indexDataDir(dir), s"_$table")
+  private[graft] def modelSidecarDir(dir: String, genDir: String,
+                                     table: String): String = {
+    val genLocal = new java.io.File(genDir, s"_$table")
     if (genLocal.isDirectory) genLocal.getPath else s"$dir/$table"
   }
 
-  def load(spark: SparkSession, dir: String): (RabitqModel, DataFrame) = {
-    val p = spark.read.parquet(modelSidecarDir(dir, "params")).head()
+  def load(spark: SparkSession, dir: String): (RabitqModel, DataFrame) =
+    // ONE generation resolution per load — model sidecars and the data
+    // scan must come from the SAME generation even when a concurrent
+    // maintenance pass publishes a new one mid-call
+    loadOfGen(spark, dir, indexDataDir(dir))
+
+  private def loadOfGen(spark: SparkSession, dir: String,
+                        gen: String): (RabitqModel, DataFrame) = {
+    val p = spark.read.parquet(modelSidecarDir(dir, gen, "params")).head()
     val params = RabitqParams(p.getAs[Int]("dim"), p.getAs[Int]("pad_dim"),
       p.getAs[Int]("num_clusters"), p.getAs[Long]("seed"))
     val bias = p.getAs[Seq[Float]]("bias").toArray
     val rotation = spark.read.parquet(s"$dir/rotation")
       .orderBy("row_id").collect()
       .map(r => r.getAs[Seq[Float]]("row").toArray)
-    val centroids = spark.read.parquet(modelSidecarDir(dir, "centroids"))
+    val centroids = spark.read.parquet(modelSidecarDir(dir, gen, "centroids"))
       .orderBy("cluster_id").collect()
       .map(r => r.getAs[Seq[Float]]("centroid").toArray)
     // quadratic in the cluster growth — see scaledRerank's frontier note
     val ps = probeScale(dir, params.numClusters)
     (RabitqModel(params, rotation, centroids, bias, rerankScale = ps * ps),
-      spark.read.parquet(indexDataDir(dir)))
+      spark.read.parquet(gen))
   }
 
   /** [[load]] with the maintained-layout READ CONTRACT applied: if the
@@ -1367,10 +1476,15 @@ object RabitqIndex {
     * layout state.
     */
   def loadLive(spark: SparkSession, dir: String): (RabitqModel, DataFrame) = {
-    val (model, index) = load(spark, dir)
-    val live = tombstoneLogIfAny(dir).fold(index)(delDir =>
-      index.join(spark.read.parquet(delDir.toString).select("vec_id"),
-        Seq("vec_id"), "left_anti"))
+    // same single-resolution discipline as load: the tombstone log is
+    // PER GENERATION, so it must be the log of the generation the data
+    // scan resolved, not a re-read of a possibly-republished MANIFEST
+    val gen = indexDataDir(dir)
+    val (model, index) = loadOfGen(spark, dir, gen)
+    val live = tombstoneLogOfGenIfAny(dir, new java.io.File(gen).getName)
+      .fold(index)(delDir =>
+        index.join(spark.read.parquet(delDir.toString).select("vec_id"),
+          Seq("vec_id"), "left_anti"))
     (model, live)
   }
 
@@ -1394,8 +1508,11 @@ object RabitqIndex {
                     maxSizeFactor: Double = 1.5,
                     footerFastPath: Boolean = true): DataFrame = {
     import spark.implicits._
-    val (model, index) = load(spark, dir)
-    val log = tombstoneLogIfAny(dir)
+    // single generation resolution (the load() discipline): model, data
+    // scan, log, and footer listing all from ONE MANIFEST read
+    val gen = indexDataDir(dir)
+    val (model, index) = loadOfGen(spark, dir, gen)
+    val log = tombstoneLogOfGenIfAny(dir, new java.io.File(gen).getName)
     // FOOTER fast path: with no tombstone log, every statistic here is a
     // row count per cluster_id= partition — parquet footers carry those
     // exactly, so read ONLY file metadata (one tiny distributed pass,
@@ -1404,7 +1521,7 @@ object RabitqIndex {
     // slim two-column scan.
     val footerSizes: Option[Array[(Int, Long)]] =
       if (footerFastPath && log.isEmpty)
-        clusterSizesFromFooters(spark, indexDataDir(dir))
+        clusterSizesFromFooters(spark, gen)
       else None
     val (nRows, nTomb, sizes) = footerSizes match {
       case Some(fs) => (fs.map(_._2).sum, 0L, fs)

@@ -285,18 +285,9 @@ object VecsStream {
     // every later generation must keep carrying it, or readers of the
     // compacted generation would fall back to the STALE layout-root
     // pair (pre-split centroids against post-split cluster ids)
-    for (t <- Seq("centroids", "params")) {
-      val src = new java.io.File(s"$idxDir/$cur/_$t")
-      if (src.isDirectory) {
-        val tgt = new java.io.File(s"$idxDir/$nextName/_$t")
-        tgt.mkdirs()
-        Option(src.listFiles()).getOrElse(Array.empty[java.io.File])
-          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-          .foreach(f => java.nio.file.Files.copy(f.toPath,
-            new java.io.File(tgt, f.getName).toPath,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING))
-      }
-    }
+    for (t <- Seq("centroids", "params"))
+      RabitqIndex.copyParquetFiles(new java.io.File(s"$idxDir/$cur/_$t"),
+        new java.io.File(s"$idxDir/$nextName/_$t"))
     nextName
   }
 
@@ -313,12 +304,9 @@ object VecsStream {
     * belongs to the old generation and anti-joins ids the rewrite
     * already dropped.
     */
-  private[graft] def compactSwap(idxDir: String, nextName: String): Unit = {
-    val oldGen = new java.io.File(RabitqIndex.indexDataDir(idxDir)).getName
-    RabitqIndex.markRetired(idxDir, oldGen)
-    graft.operators.LayoutCommit.atomicWriteFile(
-      java.nio.file.Paths.get(idxDir, "MANIFEST"), nextName)
-  }
+  private[graft] def compactSwap(idxDir: String, nextName: String): Unit =
+    RabitqIndex.publishGeneration(idxDir,
+      new java.io.File(RabitqIndex.indexDataDir(idxDir)).getName, nextName)
 
   /** What one [[maintenanceLoop]] pass did. */
   case class MaintenanceReport(

@@ -363,6 +363,49 @@ class LifecycleContractSpec extends AnyFunSuite with BeforeAndAfterAll {
         "the next generation")
   }
 
+  test("SURVIVE (executed): a committed in-place staging rolled forward " +
+      "under the conditional-PUT impl CONVERTS to a generation publish " +
+      "instead of tearing live cluster dirs") {
+    // the migration case: a POSIX-deployed rebalance crashed after its
+    // point of no return (_COMMIT written, renames not driven), and the
+    // layout is next opened under the object-store impl. Driving the
+    // in-place renames through per-file copy+delete would expose racing
+    // readers to half-populated LIVE dirs (the TEAR test above), so
+    // completeRebalanceSwap consults the declared capability and
+    // finishes the swap as a generation publish instead.
+    val idxDir = Files.createTempDirectory("condput_rollfwd").toString
+    val (model, index0) = RabitqIndex.build(spark,
+      emb.filter(col("vec_id") < 300), numClusters = 4, seed = 7L)
+    RabitqIndex.save(spark, model, index0, idxDir)
+    val splitId = index0.groupBy("cluster_id").count()
+      .orderBy(desc("count")).head().getInt(0)
+    val staging = new java.io.File(s"$idxDir/_rebalance_staging")
+    spark.read.parquet(s"$idxDir/index")
+      .filter(col("cluster_id") === splitId)
+      .write.partitionBy("cluster_id").parquet(s"$staging/index")
+    for (t <- Seq("centroids", "params"))
+      org.apache.commons.io.FileUtils.copyDirectory(
+        new java.io.File(s"$idxDir/$t"), new java.io.File(staging, t))
+    Files.writeString(new java.io.File(staging, "_COMMIT").toPath,
+      splitId.toString)
+    val expectedIds = index0.select("vec_id").collect().map(_.getLong(0)).toSet
+    val (m2, live) = LayoutCommit.withOps(CondPutCommit) {
+      // the first maintenance entry point rolls the swap forward
+      RabitqIndex.vacuumIndex(idxDir) // default retention — old gen kept
+      RabitqIndex.loadLive(spark, idxDir)
+    }
+    assert(RabitqIndex.indexDataDir(idxDir) == s"$idxDir/index-v2",
+      "the roll-forward must publish a generation, not rename in place")
+    assert(new java.io.File(s"$idxDir/index").isDirectory,
+      "the old generation must stay intact for retention-window readers")
+    assert(!new java.io.File(s"$idxDir/_rebalance_staging").exists)
+    assert(m2.params.numClusters == 4)
+    val ids = live.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids == expectedIds, "the conversion lost or invented rows")
+    assert(live.groupBy("vec_id").count().filter(col("count") > 1).isEmpty,
+      "the conversion duplicated rows")
+  }
+
   test("SURVIVE (executed): a full append → delete → compact → vacuum → " +
       "query lifecycle runs end-to-end on the conditional-PUT impl") {
     import spark.implicits._
