@@ -301,12 +301,14 @@ object ScaleSmoke {
         s""""query_sec_before":$secBefore,"query_sec_after":$secAfter}}""")
       // opt-in OBJECT-STORE-SHAPE leg ("condput" arg): an identically
       // skewed layout rebalanced through CondPutCommit — the generation-
-      // versioned swap (whole next generation built unreferenced, grown
-      // model riding inside it, ONE atomic MANIFEST publish). The honest
-      // cost vs the in-place swap is the untouched-cluster carry (per-
-      // file copy ∝ corpus bytes — the server-side-CopyObject analog),
-      // measured here at scale alongside the layout-integrity and
-      // recall invariants the in-place leg enforces.
+      // versioned swap (next generation built unreferenced, grown model
+      // riding inside it, ONE atomic MANIFEST publish). Since round 19
+      // the untouched-cluster carry is BY REFERENCE (the `_CARRY`
+      // listing — the Iceberg-manifest shape), so the generation's
+      // physical bytes must be ∝ SKEW, not ∝ corpus: this leg measures
+      // written vs carried bytes and emits the r18 copy-shape
+      // counterfactual (carried_bytes = exactly what per-file copy
+      // used to move) next to them — the ∝ corpus → ∝ skew drop.
       if (args.contains("condput")) {
         val tmp2 = TempDirs.create("graft_rebal_condput_")
         RabitqIndex.save(spark, bModel,
@@ -326,6 +328,21 @@ object ScaleSmoke {
           "condput rebalance did not publish a new generation")
         val genBytes = org.apache.commons.io.FileUtils.sizeOfDirectory(
           new java.io.File(s"$tmp2/idx/index-v2"))
+        // the carry: listing lines, not copies — count what was carried
+        // by reference (the copy-shape counterfactual) and verify none
+        // of it exists physically in the new generation
+        val carry = RabitqIndex.readCarry(s"$tmp2/idx", "index-v2")
+        val carriedBytes = carry.map(e =>
+          new java.io.File(s"$tmp2/idx/$e").length()).sum
+        val carryNames = carry.map(_.split('/').last).toSet
+        val copiedCarried = Option(
+          new java.io.File(s"$tmp2/idx/index-v2").listFiles())
+          .getOrElse(Array.empty[java.io.File]).filter(_.isDirectory)
+          .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty[java.io.File]))
+          .count(f => carryNames.contains(f.getName))
+        require(copiedCarried == 0,
+          s"$copiedCarried carried files were physically copied into the " +
+            "new generation — the carry must be metadata-only")
         val (mC, idxC) = RabitqIndex.load(spark, s"$tmp2/idx")
         require(mC.params.numClusters == report2.numClustersAfter,
           "load() did not resolve the generation-local grown model")
@@ -340,7 +357,11 @@ object ScaleSmoke {
           s""""k_after":${report2.numClustersAfter},""" +
           s""""moved_rows":${report2.movedRows},""" +
           s""""rebalance_sec":$rebalSec2,"rebalance_sec_inplace":$rebalSec,""" +
-          s""""generation_bytes":$genBytes,""" +
+          s""""generation_written_bytes":$genBytes,""" +
+          s""""carried_by_reference_files":${carry.size},""" +
+          s""""carried_by_reference_bytes":$carriedBytes,""" +
+          s""""r18_copy_shape_counterfactual_bytes":${genBytes + carriedBytes},""" +
+          s""""written_frac_of_copy_shape":${genBytes.toDouble / math.max(1L, genBytes + carriedBytes)},""" +
           s""""rerank_scaled":$rrScaledC,"recall_at_10_rerank_scaled":$recCond,""" +
           s""""query_sec_rerank_scaled":$secCond}}""")
       }

@@ -2130,6 +2130,62 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    "q124_generation_manifest" -> ((s, dir) => {
+      // FILE-REFERENCE GENERATION MANIFEST, driver-gated: the
+      // object-store rebalance carries every untouched cluster BY
+      // REFERENCE — the published generation's `_CARRY` listing names
+      // the immutable source files in place (the Iceberg-manifest
+      // shape; IO ∝ skew) instead of per-file copy (∝ corpus, the
+      // ≤ r18 shape) — and vacuum REFCOUNTS listed files across
+      // retained generations instead of retiring whole directories.
+      // Construction: q116's skew recipe (model fit on the lower
+      // halfspace, everything appended through the frozen model) under
+      // CondPutCommit; rebalance publishes index-v2 whose untouched
+      // clusters are listing lines. require()s: a real split; a
+      // non-empty listing with ZERO listed files physically copied
+      // into the new generation; a retain-0 vacuum that reclaims the
+      // retired generation's unreferenced files while every listed
+      // file survives (file-level refcount). Gate: full probe + full
+      // rerank THROUGH the listing-resolved generation (own ∪ carried
+      // branches, partition pruning intact) ≡ brute-force kNN — a
+      // dropped carry line, a torn union, a double-listed file, or a
+      // vacuum that reclaimed a referenced file all flip the row set.
+      val emb = T(s, dir, "embeddings")
+      val tmp = graft.TempDirs.create("graft_q124_")
+      val (model, index0) = RabitqIndex.build(s,
+        emb.filter(element_at(col("embedding"), 1) < 0f), NumClusters, Seed)
+      RabitqIndex.save(s, model, index0, s"$tmp/idx")
+      RabitqIndex.appendVectors(s, model,
+          emb.filter(element_at(col("embedding"), 1) >= 0f))
+        .write.mode("append").partitionBy("cluster_id").parquet(s"$tmp/idx/index")
+      val (m2, live) = graft.operators.LayoutCommit.withOps(
+          graft.operators.CondPutCommit) {
+        val report = RabitqIndex.rebalanceIndex(s, s"$tmp/idx", emb,
+          maxSizeFactor = 1.4)
+        require(report.split.nonEmpty,
+          s"manifest gate is vacuous: no cluster split ($report)")
+        val carry = RabitqIndex.readCarry(s"$tmp/idx", "index-v2")
+        require(carry.nonEmpty,
+          "manifest gate is vacuous: nothing was carried by reference")
+        val carryNames = carry.map(_.split('/').last).toSet
+        val copied = Option(new java.io.File(s"$tmp/idx/index-v2").listFiles())
+          .getOrElse(Array.empty[java.io.File]).filter(_.isDirectory)
+          .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty[java.io.File]))
+          .count(f => carryNames.contains(f.getName))
+        require(copied == 0,
+          s"$copied carried files were physically copied — the carry " +
+            "must be metadata-only")
+        RabitqIndex.vacuumIndex(s"$tmp/idx", retainMs = 0L)
+        carry.foreach(e => require(new java.io.File(s"$tmp/idx/$e").isFile,
+          s"refcounted vacuum reclaimed a file the active listing " +
+            s"references: $e"))
+        RabitqIndex.loadLive(s, s"$tmp/idx")
+      }
+      RabitqQuery.topK(s, m2, live, emb, annQueries(s, dir),
+        nprobe = m2.params.numClusters, topk = 10, rerank = fullRerank(s, dir))
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "q120_maintenance_loop" -> ((s, dir) => {
       // SELF-SCHEDULED MAINTENANCE (VecsStream.maintenanceLoop) — the
       // ops loop the q119 health report exists for, driven end-to-end:
@@ -2856,6 +2912,11 @@ object SparkEntry {
           |        row_number() OVER (PARTITION BY q.query_id ORDER BY list_distance(q.qe, b.be), b.vec_id) AS rank
           |      FROM q CROSS JOIN b)
           |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM d WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+      // q124: the carry is metadata-only and the rebalance is
+      // layout-pure over the full vector set (no deletes in this gate),
+      // so the oracle is q23's exact kNN verbatim — any torn or
+      // double-resolved carry flips the row set
+      "q124_generation_manifest" -> knnSql,
       "q108_quality_model" -> qualityModelOracle,
       "q109_dsir_resample" -> dsirOracle,
       // q110: word counts → char split → weighted adjacent pairs, the

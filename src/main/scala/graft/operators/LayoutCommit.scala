@@ -1,6 +1,6 @@
 package graft.operators
 
-import java.nio.file.{Files, Path, StandardCopyOption, StandardOpenOption}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
 
 /** The FOUR commit primitives every crash-safety protocol in the saved
   * index lifecycle is built from — the compaction MANIFEST swap
@@ -8,6 +8,14 @@ import java.nio.file.{Files, Path, StandardCopyOption, StandardOpenOption}
   * roll-forward renames (`RabitqIndex.completeRebalanceSwap`), the
   * maintenance lease (`RabitqIndex.withLayoutLock`), and the
   * exactly-once streamed append (`streaming.IdempotentSink`).
+  *
+  * Paths are plain STRINGS: `java.nio.file.Path` cannot carry an
+  * `hdfs://host/…` URI, so a Path-typed seam would make the Hadoop
+  * implementation unreachable from real deployments. The non-atomic
+  * probe/list/delete surface is the sibling seam [[LayoutFs]]; between
+  * the two, every filesystem touch of the lifecycle helpers is
+  * deployment-swappable, and `grep LayoutCommit\.` still enumerates
+  * exactly the commit points.
   *
   * ==== FILESYSTEM CONTRACT (read this before deploying) ====
   *
@@ -20,25 +28,23 @@ import java.nio.file.{Files, Path, StandardCopyOption, StandardOpenOption}
   *     creators of the same path succeeds).
   *
   * [[PosixCommit]] (the default) provides both via `java.nio.file` —
-  * LOCAL POSIX filesystems (and POSIX-faithful NFS) only. It does NOT
-  * reach HDFS: `Paths.get` on an `hdfs://` URI addresses nothing —
-  * an HDFS deployment must reimplement the four primitives over the
-  * Hadoop `FileSystem` API (whose `rename`/`create(overwrite=false)`
-  * do honor the contract, the way `clusterSizesFromFooters` already
-  * goes through it for reads). '''NOT true on S3/GCS-style object
-  * stores''': `s3a://` rename is copy+delete (readers can observe both
-  * or neither name) and plain PUT has no exclusive-create. Running the
-  * lifecycle mutators against an object store through the POSIX impl
-  * silently downgrades "old-or-new-never-partial" to "sometimes torn"
-  * — the exact failure class Delta Lake's `LogStore` exists for, and
-  * the `LayoutCommitContractSpec` EXECUTES it (the lease admits two
-  * concurrent mutators; a reader mid-publish resolves a vacuumed
-  * generation). To deploy there, swap in [[CondPutCommit]] (the
-  * conditional-PUT / If-None-Match shape — same spec shows the same
-  * schedules surviving under it) or a commit-service implementation
-  * (the Delta/Iceberg commit shape); every protocol above is already
-  * expressed ONLY in these primitives, so nothing else changes. READ
-  * paths (`spark.read.parquet` over the resolved generation) are
+  * LOCAL POSIX filesystems (and POSIX-faithful NFS) only. An HDFS
+  * deployment swaps in [[HadoopFsCommit]] (+ [[HadoopFs]] for the probe
+  * seam): HDFS `rename`/`create(overwrite=false)` honor the contract at
+  * the NameNode. '''NOT true on S3/GCS-style object stores''': `s3a://`
+  * rename is copy+delete (readers can observe both or neither name) and
+  * plain PUT has no exclusive-create. Running the lifecycle mutators
+  * against an object store through the POSIX impl silently downgrades
+  * "old-or-new-never-partial" to "sometimes torn" — the exact failure
+  * class Delta Lake's `LogStore` exists for, and the
+  * `LifecycleContractSpec` EXECUTES it (the lease admits two concurrent
+  * mutators; a reader mid-publish resolves a vacuumed generation). To
+  * deploy there, swap in [[CondPutCommit]] (the conditional-PUT /
+  * If-None-Match shape — same spec shows the same schedules surviving
+  * under it) or a commit-service implementation (the Delta/Iceberg
+  * commit shape); every protocol above is already expressed ONLY in
+  * these primitives, so nothing else changes. READ paths
+  * (`spark.read.parquet` over the resolved generation) are
   * object-store-safe as-is — immutable files, resolved through a
   * MANIFEST that only this seam mutates, and every distributed Spark
   * write lands in a directory nothing references until a seam
@@ -56,7 +62,7 @@ trait CommitOps {
     * torn or empty file; a crash leaves either the old content or the
     * new.
     */
-  def atomicWriteFile(target: Path, content: String): Unit
+  def atomicWriteFile(target: String, content: String): Unit
 
   /** Atomic file move, REPLACING an existing destination (a same-batch
     * retry overwrites its own deterministic name). Always replace-
@@ -64,19 +70,19 @@ trait CommitOps {
     * silently regardless, so a fail-if-exists variant could not honor
     * its contract on the very filesystems the default impl targets.
     */
-  def atomicMoveFile(src: Path, dst: Path): Unit
+  def atomicMoveFile(src: String, dst: String): Unit
 
   /** Atomic directory rename; the destination must not exist. Throws
     * `NoSuchFileException` if `src` is already gone — callers use that
     * to detect losing a rename race (exactly one of N concurrent movers
     * of the same `src` succeeds).
     */
-  def atomicRenameDir(src: Path, dst: Path): Unit
+  def atomicRenameDir(src: String, dst: String): Unit
 
   /** Create-if-absent with `content` as the body: returns true iff THIS
     * call created the file (exactly one of N concurrent callers wins).
     */
-  def exclusiveCreate(path: Path, content: String = ""): Boolean
+  def exclusiveCreate(path: String, content: String = ""): Boolean
 
   /** Does [[atomicRenameDir]] move a DIRECTORY atomically as a unit?
     * True for POSIX rename(2) and the HDFS NameNode; false for object
@@ -86,38 +92,42 @@ trait CommitOps {
     * (`RabitqIndex.completeRebalanceSwap`) — consults this DECLARED
     * capability and, when absent, takes the generation-versioned shape
     * instead (rewrite into a fresh `index-vN` + atomic MANIFEST
-    * publish — compaction's shape, which needs only atomic PUT). A
-    * plain s3a connector effectively claims this capability it does not
-    * have; the contract spec's naive double deliberately repeats that
-    * lie to demonstrate the tear.
+    * publish with untouched clusters carried by reference in the
+    * `_CARRY` listing — needs only atomic PUT). A plain s3a connector
+    * effectively claims this capability it does not have; the contract
+    * spec's naive double deliberately repeats that lie to demonstrate
+    * the tear.
     */
   def renamesDirAtomically: Boolean = true
 }
 
 /** The POSIX `java.nio.file` implementation — local filesystems (and
   * POSIX-faithful NFS). See the [[CommitOps]] contract for what it does
-  * NOT cover (HDFS needs the Hadoop FileSystem API; object stores need
+  * NOT cover (HDFS needs [[HadoopFsCommit]]; object stores need
   * [[CondPutCommit]] or a commit service).
   */
 object PosixCommit extends CommitOps {
 
-  def atomicWriteFile(target: Path, content: String): Unit = {
-    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp")
+  private def p(s: String): Path = Paths.get(s)
+
+  def atomicWriteFile(target: String, content: String): Unit = {
+    val t = p(target)
+    val tmp = t.resolveSibling(t.getFileName.toString + ".tmp")
     Files.writeString(tmp, content)
-    Files.move(tmp, target,
+    Files.move(tmp, t,
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
-  def atomicMoveFile(src: Path, dst: Path): Unit =
-    Files.move(src, dst,
+  def atomicMoveFile(src: String, dst: String): Unit =
+    Files.move(p(src), p(dst),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
 
-  def atomicRenameDir(src: Path, dst: Path): Unit =
-    Files.move(src, dst)
+  def atomicRenameDir(src: String, dst: String): Unit =
+    Files.move(p(src), p(dst))
 
-  def exclusiveCreate(path: Path, content: String = ""): Boolean =
+  def exclusiveCreate(path: String, content: String = ""): Boolean =
     try {
-      Files.write(path, content.getBytes("UTF-8"),
+      Files.write(p(path), content.getBytes("UTF-8"),
         StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
       true
     } catch { case _: java.nio.file.FileAlreadyExistsException => false }
@@ -152,13 +162,15 @@ object PosixCommit extends CommitOps {
   *    that replaces live directories in place — the rebalance swap —
   *    consults the flag and takes the generation-versioned shape
   *    instead (`RabitqIndex.rebalanceGenerationSwap`: rewrite into a
-  *    fresh `index-vN` + atomic MANIFEST publish — compaction's shape,
-  *    which needs only atomic PUT; gated end-to-end by q123 and the
-  *    contract spec).
+  *    fresh `index-vN`, untouched clusters carried BY REFERENCE in the
+  *    `_CARRY` listing, one atomic MANIFEST publish; gated end-to-end
+  *    by q123/q124 and the contract spec).
   */
 object CondPutCommit extends CommitOps {
 
   private val seq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private def p(s: String): Path = Paths.get(s)
 
   /** The store's atomic whole-object PUT (simulated). */
   private def putObject(key: Path, content: Array[Byte]): Unit = {
@@ -169,42 +181,43 @@ object CondPutCommit extends CommitOps {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
-  def atomicWriteFile(target: Path, content: String): Unit =
-    putObject(target, content.getBytes("UTF-8"))
+  def atomicWriteFile(target: String, content: String): Unit =
+    putObject(p(target), content.getBytes("UTF-8"))
 
-  def atomicMoveFile(src: Path, dst: Path): Unit = {
-    putObject(dst, Files.readAllBytes(src))
-    Files.deleteIfExists(src)
+  def atomicMoveFile(src: String, dst: String): Unit = {
+    putObject(p(dst), Files.readAllBytes(p(src)))
+    Files.deleteIfExists(p(src))
   }
 
-  def atomicRenameDir(src: Path, dst: Path): Unit = {
-    if (Files.isRegularFile(src)) {
-      if (Files.exists(dst))
-        throw new java.nio.file.FileAlreadyExistsException(dst.toString)
+  def atomicRenameDir(src: String, dst: String): Unit = {
+    val (s, d) = (p(src), p(dst))
+    if (Files.isRegularFile(s)) {
+      if (Files.exists(d))
+        throw new java.nio.file.FileAlreadyExistsException(dst)
       atomicMoveFile(src, dst)
-    } else if (!Files.exists(src)) {
-      throw new java.nio.file.NoSuchFileException(src.toString)
+    } else if (!Files.exists(s)) {
+      throw new java.nio.file.NoSuchFileException(src)
     } else {
-      if (Files.exists(dst))
-        throw new java.nio.file.FileAlreadyExistsException(dst.toString)
+      if (Files.exists(d))
+        throw new java.nio.file.FileAlreadyExistsException(dst)
       // copy-then-delete, file by file — see the scaladoc: never use on
       // a live-read directory (the rebalance in-place swap)
-      val walk = Files.walk(src)
+      val walk = Files.walk(s)
       try {
-        walk.sorted().forEach { p =>
-          val rel = dst.resolve(src.relativize(p).toString)
-          if (Files.isDirectory(p)) Files.createDirectories(rel)
-          else putObject(rel, Files.readAllBytes(p))
+        walk.sorted().forEach { x =>
+          val rel = d.resolve(s.relativize(x).toString)
+          if (Files.isDirectory(x)) Files.createDirectories(rel)
+          else putObject(rel, Files.readAllBytes(x))
         }
       } finally walk.close()
-      org.apache.commons.io.FileUtils.deleteDirectory(src.toFile)
+      org.apache.commons.io.FileUtils.deleteDirectory(s.toFile)
     }
   }
 
-  def exclusiveCreate(path: Path, content: String = ""): Boolean =
+  def exclusiveCreate(path: String, content: String = ""): Boolean =
     try {
       // If-None-Match PUT: CREATE_NEW is exactly its semantics
-      Files.write(path, content.getBytes("UTF-8"),
+      Files.write(p(path), content.getBytes("UTF-8"),
         StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
       true
     } catch { case _: java.nio.file.FileAlreadyExistsException => false }
@@ -215,9 +228,8 @@ object CondPutCommit extends CommitOps {
 }
 
 /** The Hadoop `FileSystem`/`FileContext` implementation — the HDFS
-  * deployment shape the [[PosixCommit]] scaladoc points at. The four
-  * primitives map onto exactly the operations HDFS makes atomic at the
-  * NameNode:
+  * deployment shape. The four primitives map onto exactly the
+  * operations HDFS makes atomic at the NameNode:
   *
   *  - `FileContext.rename(…, Options.Rename.OVERWRITE)` — an atomic
   *    metadata operation on HDFS (HDFS-6262 semantics): readers see
@@ -225,32 +237,27 @@ object CondPutCommit extends CommitOps {
   *  - `FileSystem.create(path, overwrite = false)` — exclusive create
   *    at the NameNode (exactly one of N concurrent creators wins).
   *
-  * `java.nio.file.Path` at the seam is carried as a STRING into
-  * `org.apache.hadoop.fs.Path`, so over `file:` this impl is testable
-  * in-suite (the lifecycle leg in `LifecycleContractSpec`); pointing
-  * `fs.defaultFS` at a cluster addresses HDFS with the same code. Two
-  * honesty notes: (1) on the LOCAL filesystem Hadoop implements
-  * rename-overwrite as delete+rename and create-no-overwrite as
-  * check-then-create — the atomicity is HDFS's property, not the
-  * local simulation's, so the in-suite leg validates PLUMBING and
-  * protocol round-trips, while the atomicity claims are the
-  * documented NameNode semantics (the same division of labor as
-  * [[PosixCommit]] relying on rename(2)); (2) a full HDFS deployment
-  * also needs the layout's READERS addressed through Hadoop paths —
-  * the parquet scans and footer listing already are (Spark /
-  * `clusterSizesFromFooters`), the `java.io.File` existence probes in
-  * the lifecycle helpers are not, and porting those is mechanical
-  * once this seam is in place.
+  * String paths feed `org.apache.hadoop.fs.Path` directly, so over
+  * `file:`-less local paths this impl is testable in-suite (the FULL
+  * lifecycle leg in `LifecycleContractSpec`, paired with [[HadoopFs]]
+  * on the probe seam) and pointing `fs.defaultFS` at a cluster
+  * addresses HDFS with the same code. Honesty note: on the LOCAL
+  * filesystem Hadoop implements rename-overwrite as delete+rename and
+  * create-no-overwrite as check-then-create — the atomicity is HDFS's
+  * property, not the local simulation's, so the in-suite leg validates
+  * PLUMBING and protocol round-trips, while the atomicity claims are
+  * the documented NameNode semantics (the same division of labor as
+  * [[PosixCommit]] relying on rename(2)).
   */
 final class HadoopFsCommit(conf: org.apache.hadoop.conf.Configuration)
     extends CommitOps {
   import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path => HPath}
 
-  private def hp(p: Path): HPath = new HPath(p.toString)
+  private def hp(p: String): HPath = new HPath(p)
   private def fc: FileContext = FileContext.getFileContext(conf)
   private def fs(p: HPath): FileSystem = p.getFileSystem(conf)
 
-  def atomicWriteFile(target: Path, content: String): Unit = {
+  def atomicWriteFile(target: String, content: String): Unit = {
     val t = hp(target)
     val tmp = new HPath(t.getParent,
       s".${t.getName}.${java.util.UUID.randomUUID()}.tmp")
@@ -259,19 +266,19 @@ final class HadoopFsCommit(conf: org.apache.hadoop.conf.Configuration)
     fc.rename(tmp, t, Options.Rename.OVERWRITE)
   }
 
-  def atomicMoveFile(src: Path, dst: Path): Unit =
+  def atomicMoveFile(src: String, dst: String): Unit =
     fc.rename(hp(src), hp(dst), Options.Rename.OVERWRITE)
 
-  def atomicRenameDir(src: Path, dst: Path): Unit =
+  def atomicRenameDir(src: String, dst: String): Unit =
     try fc.rename(hp(src), hp(dst), Options.Rename.NONE)
     catch {
       case _: java.io.FileNotFoundException =>
-        throw new java.nio.file.NoSuchFileException(src.toString)
+        throw new java.nio.file.NoSuchFileException(src)
       case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
-        throw new java.nio.file.FileAlreadyExistsException(dst.toString)
+        throw new java.nio.file.FileAlreadyExistsException(dst)
     }
 
-  def exclusiveCreate(path: Path, content: String = ""): Boolean =
+  def exclusiveCreate(path: String, content: String = ""): Boolean =
     try {
       val out = fs(hp(path)).create(hp(path), false)
       try out.write(content.getBytes("UTF-8")) finally out.close()
@@ -295,16 +302,16 @@ object LayoutCommit {
 
   @volatile private var current: CommitOps = PosixCommit
 
-  def atomicWriteFile(target: Path, content: String): Unit =
+  def atomicWriteFile(target: String, content: String): Unit =
     current.atomicWriteFile(target, content)
 
-  def atomicMoveFile(src: Path, dst: Path): Unit =
+  def atomicMoveFile(src: String, dst: String): Unit =
     current.atomicMoveFile(src, dst)
 
-  def atomicRenameDir(src: Path, dst: Path): Unit =
+  def atomicRenameDir(src: String, dst: String): Unit =
     current.atomicRenameDir(src, dst)
 
-  def exclusiveCreate(path: Path, content: String = ""): Boolean =
+  def exclusiveCreate(path: String, content: String = ""): Boolean =
     current.exclusiveCreate(path, content)
 
   def renamesDirAtomically: Boolean = current.renamesDirAtomically

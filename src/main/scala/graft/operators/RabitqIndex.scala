@@ -33,7 +33,20 @@ case class RabitqModel(
     rotation: Array[Array[Float]],
     centroids: Array[Array[Float]],
     bias: Array[Float],
-    rerankScale: Double = 1.0)
+    rerankScale: Double = 1.0) {
+
+  /** Per-caller override of the rebalance-grown rerank adaptation for
+    * the in-memory query paths (`RabitqQuery.topK` reads the factor
+    * from the model it is handed; the disk paths take it as a call
+    * parameter). Operating points measured on the SCALE_r18 1M
+    * frontier (256→368 split, np16): 1.0 → pre-split budget, recall
+    * 0.761; k′/k0 → 0.816; the default (k′/k0)² → 0.856 at ~flat cost
+    * (query time is probe-scan-dominated); ~2.5× → 0.878, vs 0.883
+    * pre-skew parity. See `RabitqIndex.scaledRerank` for the full
+    * frontier rationale.
+    */
+  def withRerankScale(s: Double): RabitqModel = copy(rerankScale = s)
+}
 
 /** IVF-RaBitQ index build as one Catalyst plan (SURVEY.md §2.2 B1–B12).
   *
@@ -243,9 +256,8 @@ object RabitqIndex {
     * a partial layout (readers keep the old generation until the swap).
     */
   def indexDataDir(dir: String): String = {
-    val mf = new java.io.File(s"$dir/MANIFEST")
-    if (mf.exists)
-      s"$dir/${java.nio.file.Files.readString(mf.toPath).trim}"
+    val mf = s"$dir/MANIFEST"
+    if (LayoutFs.isFile(mf)) s"$dir/${LayoutFs.readString(mf).trim}"
     else s"$dir/index"
   }
 
@@ -261,7 +273,7 @@ object RabitqIndex {
     * data dir resolves through the MANIFEST.
     */
   def tombstoneLogDir(dir: String): String = logDirOfGen(dir,
-    new java.io.File(indexDataDir(dir)).getName)
+    LayoutFs.baseName(indexDataDir(dir)))
 
   private[graft] def logDirOfGen(dir: String, gen: String): String =
     if (gen == "index") s"$dir/deletes"
@@ -275,20 +287,100 @@ object RabitqIndex {
     * `spark.read.parquet` over it would throw (no files to infer a
     * schema from) on a perfectly healthy layout.
     */
-  private[graft] def tombstoneLogIfAny(dir: String): Option[java.io.File] =
-    tombstoneLogOfGenIfAny(dir,
-      new java.io.File(indexDataDir(dir)).getName)
+  private[graft] def tombstoneLogIfAny(dir: String): Option[String] =
+    tombstoneLogOfGenIfAny(dir, LayoutFs.baseName(indexDataDir(dir)))
 
   /** [[tombstoneLogIfAny]] against an already-resolved generation — for
     * callers holding a single MANIFEST resolution ([[loadLive]]).
     */
   private[graft] def tombstoneLogOfGenIfAny(
-      dir: String, gen: String): Option[java.io.File] = {
-    val f = new java.io.File(logDirOfGen(dir, gen))
-    val hasData = f.isDirectory && Option(f.listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .exists(x => x.isFile && x.getName.endsWith(".parquet"))
-    if (hasData) Some(f) else None
+      dir: String, gen: String): Option[String] = {
+    val p = logDirOfGen(dir, gen)
+    val hasData = LayoutFs.list(p)
+      .exists(x => !x.isDir && x.name.endsWith(".parquet"))
+    if (hasData) Some(p) else None
+  }
+
+  /** File-reference CARRY listing of a generation — the metadata-
+    * indirection (Iceberg-manifest) shape: `_CARRY` inside a generation
+    * dir lists layout-root-relative parquet data files that BELONG to
+    * the generation but physically live in an OLDER generation's
+    * directory. Written by the generation-versioned rebalance swap so
+    * UNTOUCHED clusters are carried as metadata (one listing line per
+    * immutable file — IO ∝ skew) instead of per-file copy (∝ corpus);
+    * readers resolve the listing ([[scanOfGen]]), and [[vacuumUnlocked]]
+    * refcounts listed files across retained generations instead of
+    * retiring at directory granularity. The listing is FLAT, never a
+    * chain: a swap that inherits carried entries rewrites the survivors
+    * into its own listing, so resolution is one file read. Absent — a
+    * fresh [[save]], every compaction rewrite, the in-place POSIX
+    * rebalance — the generation is self-contained and the scan is the
+    * plain directory read, plan-identical to the pre-listing engine.
+    * Underscore name = invisible to Spark's file listing, exactly like
+    * the `_centroids`/`_params` generation-local sidecars. Reference
+    * analog: the reference's S3 tier only ever GETs immutable objects
+    * (`/root/reference/crates/disk/src/cache.rs:24-52`) — this keeps
+    * layout MUTATION metadata-sized on the same store.
+    */
+  private[graft] def readCarry(dir: String, gen: String): Seq[String] = {
+    val f = s"$dir/$gen/_CARRY"
+    if (!LayoutFs.isFile(f)) Nil
+    else LayoutFs.readString(f).split('\n')
+      .map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  private[graft] def clusterOfCarryEntry(e: String): Int =
+    e.split('/').find(_.startsWith("cluster_id="))
+      .getOrElse(throw new IllegalArgumentException(
+        s"carry entry without a cluster_id= segment: $e"))
+      .stripPrefix("cluster_id=").toInt
+
+  /** Build the listing a generation swap publishes: every data file of
+    * the current generation's NON-split clusters — its own files by
+    * root-relative path plus its inherited carry entries, flattened.
+    * Pure directory metadata; no data bytes move.
+    */
+  private[graft] def buildCarryListing(dir: String, curName: String,
+                                       splitIds: Set[Int]): Seq[String] = {
+    val own = LayoutFs.list(s"$dir/$curName")
+      .filter(f => f.isDir && f.name.startsWith("cluster_id=") &&
+        !splitIds.contains(f.name.stripPrefix("cluster_id=").toInt))
+      .sortBy(_.name)
+      .flatMap(cd => LayoutFs.list(cd.path)
+        .filter(f => !f.isDir && f.name.endsWith(".parquet"))
+        .sortBy(_.name)
+        .map(f => s"$curName/${cd.name}/${f.name}"))
+    val inherited = readCarry(dir, curName)
+      .filterNot(e => splitIds.contains(clusterOfCarryEntry(e)))
+    own ++ inherited
+  }
+
+  /** The data scan of an already-resolved generation: its own directory
+    * unioned with any files its `_CARRY` listing carries by reference.
+    * Carried files are grouped by SOURCE generation and read with
+    * `basePath` pointing at that generation dir, so `cluster_id`
+    * partition inference — and partition PRUNING of probe filters —
+    * works on the carried branches exactly as on the own branch; the
+    * listing bounds the file index (no directory walk of retired
+    * generations). Carry-free generations return the plain directory
+    * read — the identical plan every existing pruning gate asserts.
+    */
+  private[graft] def scanOfGen(spark: SparkSession, dir: String,
+                               gen: String): DataFrame = {
+    val genName = LayoutFs.baseName(gen)
+    val carry = readCarry(dir, genName)
+    if (carry.isEmpty) return spark.read.parquet(gen)
+    val ownHasData = LayoutFs.list(gen)
+      .filter(f => f.isDir && f.name.startsWith("cluster_id="))
+      .exists(cd => LayoutFs.list(cd.path)
+        .exists(f => !f.isDir && f.name.endsWith(".parquet")))
+    val own = if (ownHasData) Seq(spark.read.parquet(gen)) else Nil
+    val carried = carry.groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1)
+      .map { case (srcGen, entries) =>
+        spark.read.option("basePath", s"$dir/$srcGen")
+          .parquet(entries.map(e => s"$dir/$e"): _*)
+      }
+    (own ++ carried).reduce(_.unionByName(_))
   }
 
   /** Mark a generation as RETIRED (superseded by a compaction swap) —
@@ -298,9 +390,9 @@ object RabitqIndex {
     * rewrite debris.
     */
   private[graft] def markRetired(dir: String, gen: String): Unit = {
-    val f = new java.io.File(s"$dir/_retired/$gen")
-    f.getParentFile.mkdirs()
-    LayoutCommit.atomicWriteFile(f.toPath, System.currentTimeMillis().toString)
+    LayoutFs.mkdirs(s"$dir/_retired")
+    LayoutCommit.atomicWriteFile(s"$dir/_retired/$gen",
+      System.currentTimeMillis().toString)
   }
 
   /** Move staged parquet data files into a (possibly partitioned) layout
@@ -313,19 +405,18 @@ object RabitqIndex {
     * metadata-only on a real filesystem — the staged bytes are written
     * exactly once.
     */
-  private[graft] def promoteStaged(staging: java.io.File, target: java.io.File,
+  private[graft] def promoteStaged(staging: String, target: String,
                                    rename: Option[String]): Unit = {
-    def walk(src: java.io.File, dst: java.io.File): Unit = {
-      val kids = Option(src.listFiles()).getOrElse(Array.empty[java.io.File])
-      kids.filter(d => d.isDirectory && !d.getName.startsWith("_"))
-        .foreach(d => walk(d, new java.io.File(dst, d.getName)))
-      val files = kids.filter(f => f.isFile && f.getName.endsWith(".parquet"))
-        .sortBy(_.getName)
-      if (files.nonEmpty) dst.mkdirs()
+    def walk(src: String, dst: String): Unit = {
+      val kids = LayoutFs.list(src)
+      kids.filter(d => d.isDir && !d.name.startsWith("_"))
+        .foreach(d => walk(d.path, s"$dst/${d.name}"))
+      val files = kids.filter(f => !f.isDir && f.name.endsWith(".parquet"))
+        .sortBy(_.name)
+      if (files.nonEmpty) LayoutFs.mkdirs(dst)
       files.zipWithIndex.foreach { case (f, i) =>
-        val name = rename.fold(f.getName)(p => f"$p-$i%05d.parquet")
-        LayoutCommit.atomicMoveFile(f.toPath,
-          new java.io.File(dst, name).toPath)
+        val name = rename.fold(f.name)(p => f"$p-$i%05d.parquet")
+        LayoutCommit.atomicMoveFile(f.path, s"$dst/$name")
       }
     }
     walk(staging, target)
@@ -340,10 +431,10 @@ object RabitqIndex {
     // single generation resolution (the load() discipline): the counted
     // rows and the counted log must belong to the same generation
     val gen = indexDataDir(dir)
-    val nRows = spark.read.parquet(gen).count()
-    val nTomb = tombstoneLogOfGenIfAny(dir, new java.io.File(gen).getName)
+    val nRows = scanOfGen(spark, dir, gen).count()
+    val nTomb = tombstoneLogOfGenIfAny(dir, LayoutFs.baseName(gen))
       .fold(0L)(delDir =>
-        spark.read.parquet(delDir.toString).select("vec_id").distinct().count())
+        spark.read.parquet(delDir).select("vec_id").distinct().count())
     (nRows, nTomb)
   }
 
@@ -366,18 +457,18 @@ object RabitqIndex {
   def save(spark: SparkSession, model: RabitqModel, index: DataFrame, dir: String): Unit = {
     import spark.implicits._
     index.write.mode("overwrite").partitionBy("cluster_id").parquet(s"$dir/index")
-    new java.io.File(s"$dir/MANIFEST").delete()
-    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory &&
-        (f.getName.startsWith("index-v") || f.getName == "deletes" ||
-          f.getName.startsWith("deletes-") || f.getName == "_retired" ||
-          f.getName == "_rebalance_staging" || f.getName == "_commits" ||
-          f.getName == "_staging" || f.getName.startsWith(".rebalance-new-")))
-      .foreach(org.apache.commons.io.FileUtils.deleteDirectory)
-    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isFile &&
-        (f.getName == "MANIFEST.tmp" || f.getName == "BUILT_K"))
-      .foreach(_.delete())
+    LayoutFs.delete(s"$dir/MANIFEST")
+    LayoutFs.list(dir)
+      .filter(f => f.isDir &&
+        (f.name.startsWith("index-v") || f.name == "deletes" ||
+          f.name.startsWith("deletes-") || f.name == "_retired" ||
+          f.name == "_rebalance_staging" || f.name == "_commits" ||
+          f.name == "_staging" || f.name.startsWith(".rebalance-new-")))
+      .foreach(f => LayoutFs.deleteRecursively(f.path))
+    LayoutFs.list(dir)
+      .filter(f => !f.isDir &&
+        (f.name == "MANIFEST.tmp" || f.name == "BUILT_K"))
+      .foreach(f => LayoutFs.delete(f.path))
     model.rotation.zipWithIndex.map { case (r, i) => (i, r.toSeq) }.toSeq
       .toDF("row_id", "row").coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/rotation")
@@ -473,12 +564,13 @@ object RabitqIndex {
         s""""num_clusters":${model.params.numClusters},"seed":${model.params.seed},""" +
         s""""rotation":${mat(model.rotation)},"centroids":${mat(model.centroids)},""" +
         s""""bias":${arr(model.bias)}}"""
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json)
+    // through the seams: an atomic publish readable on any deployment fs
+    LayoutCommit.atomicWriteFile(path, json)
   }
 
   def loadModelJson(path: String): RabitqModel = {
     // dependency-free parser for the fixed shape written above
-    val s = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+    val s = LayoutFs.readString(path)
     def long(key: String): Long = {
       val m = java.util.regex.Pattern.compile("\"" + key + "\":(-?\\d+)").matcher(s)
       require(m.find(), s"missing $key"); m.group(1).toLong
@@ -532,6 +624,9 @@ object RabitqIndex {
                             base: DataFrame, dir: String): Unit = {
     import spark.implicits._
     import graft.sources.Fvecs
+    // local java.io by design: the fvecs family is the reference's
+    // LOCAL-disk format and this exporter is reference parity, not a
+    // lifecycle path (see the size-bound note above)
     new java.io.File(dir).mkdirs()
 
     Fvecs.writeFvecs(
@@ -653,7 +748,7 @@ object RabitqIndex {
       Seq(indexDataDir(dir), tombstoneLogDir(dir)))
     val (model, index) = load(spark, dir)
     val live = tombstoneLogIfAny(dir).fold(index)(delDir =>
-      index.join(spark.read.parquet(delDir.toString).select("vec_id"),
+      index.join(spark.read.parquet(delDir).select("vec_id"),
         Seq("vec_id"), "left_anti"))
     val sizes = live.groupBy("cluster_id").count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
@@ -733,9 +828,8 @@ object RabitqIndex {
     // sweep lives there; SCALE probe_scale row). Cumulative across
     // repeated rebalances because the FIRST value is kept; save() resets
     // it with the rest of the layout history.
-    val builtK = new java.io.File(s"$dir/BUILT_K")
-    if (!builtK.exists)
-      LayoutCommit.atomicWriteFile(builtK.toPath, k0.toString)
+    if (!LayoutFs.exists(s"$dir/BUILT_K"))
+      LayoutCommit.atomicWriteFile(s"$dir/BUILT_K", k0.toString)
 
     // re-encode the members against the grown centroid set. Metadata
     // columns riding in the layout beyond the index schema (e.g. the
@@ -755,8 +849,15 @@ object RabitqIndex {
         live.filter(col("cluster_id").isin(splitIds.map(Int.box): _*))
           .select("vec_id", extraCols.toIndexedSeq: _*),
         Seq("vec_id"))
+    // The in-place swap is legal only when (a) the commit impl really
+    // renames directories atomically AND (b) the active generation is
+    // SELF-CONTAINED: a generation assembled by a carry listing cannot
+    // be mutated in place — replacing a split cluster's own dir leaves
+    // its carried files still listed, resurrecting pre-split rows.
+    val activeSelfContained =
+      readCarry(dir, LayoutFs.baseName(indexDataDir(dir))).isEmpty
     val (movedRows, reencSizes) =
-      if (LayoutCommit.renamesDirAtomically) {
+      if (LayoutCommit.renamesDirAtomically && activeSelfContained) {
         // IN-PLACE swap (IO ∝ skew — only split partition dirs move).
         // Stage EVERYTHING the swap needs DURABLY before touching the
         // live layout: the re-encoded rows (distributed parquet write,
@@ -770,8 +871,8 @@ object RabitqIndex {
         // directory renames, re-driven by the next maintenance pass if
         // this process dies mid-swap). No state ever exists where
         // re-encoded rows are lost.
-        val staging = new java.io.File(s"$dir/_rebalance_staging")
-        org.apache.commons.io.FileUtils.deleteDirectory(staging) // pre-commit debris
+        val staging = s"$dir/_rebalance_staging"
+        LayoutFs.deleteRecursively(staging) // pre-commit debris
         // hash-partition on the destination cluster before the partitioned
         // write (the compactRewrite consolidation): ~one part file per
         // destination instead of O(tasks × destinations) fragments riding
@@ -793,7 +894,7 @@ object RabitqIndex {
         // the marker names the SPLIT clusters (their dirs are replaced
         // wholesale; every other destination merges) and is itself staged +
         // atomically renamed — a torn marker can never misclassify a dir
-        LayoutCommit.atomicWriteFile(new java.io.File(staging, "_COMMIT").toPath,
+        LayoutCommit.atomicWriteFile(s"$staging/_COMMIT",
           splitIds.mkString("\n"))
         completeRebalanceSwap(dir)
         (moved, sizes2)
@@ -827,18 +928,18 @@ object RabitqIndex {
     *     into `index-v{N+1}` (IO ∝ skew; `overwrite` makes a retry
     *     idempotent, and a crashed attempt's partial generation is
     *     unreferenced debris vacuum reclaims).
-    *  2. Untouched clusters: their immutable part files are carried by
-    *     per-file COPY — on a real object store a server-side
-    *     CopyObject, bytes never transiting the compute; the old
-    *     generation stays intact for its retention-window readers.
-    *     This is the shape's honest cost vs the in-place swap (copy ∝
-    *     corpus instead of rename ∝ skew) — the price of atomicity on
-    *     a store with no rename; a metadata-indirection MANIFEST (the
-    *     Iceberg shape) would get back to ∝ skew and is noted in the
-    *     README as the step beyond. Plain `Files.copy`, not a seam
-    *     primitive: nothing references the next generation until the
-    *     publish below, so this is staging, exactly like the Spark
-    *     write.
+    *  2. Untouched clusters: carried BY REFERENCE — the new
+    *     generation's `_CARRY` listing ([[readCarry]]) names their
+    *     immutable part files where they already live, one metadata
+    *     line per file, written with one atomic PUT before the publish.
+    *     NOTHING corpus-proportional moves: the swap's IO is the
+    *     re-encoded split members (∝ skew) plus the listing bytes.
+    *     (Rounds ≤18 carried by per-file copy — server-side CopyObject,
+    *     but still IO and request volume ∝ CORPUS per rebalance; the
+    *     listing is the Iceberg-manifest shape that gets back to
+    *     ∝ skew, and the carry-∝-skew spec pins it.) The old generation
+    *     stays intact both for its retention-window readers AND as the
+    *     physical home of the carried files; vacuum refcounts them.
     *  3. The uncompacted tombstone log is carried the same way — logs
     *     are per generation, and the carried untouched rows still
     *     include tombstoned members (the re-encode dropped them only
@@ -864,21 +965,24 @@ object RabitqIndex {
       spark: SparkSession, dir: String, model2: RabitqModel,
       reencWide: DataFrame, splitIds: Seq[Int]): (Long, Map[Int, Long]) = {
     import spark.implicits._
-    val curDir = new java.io.File(indexDataDir(dir))
-    val curName = curDir.getName
+    val curName = LayoutFs.baseName(indexDataDir(dir))
     val curV = if (curName == "index") 1 else curName.stripPrefix("index-v").toInt
     val nextName = s"index-v${curV + 1}"
-    val nextDir = new java.io.File(s"$dir/$nextName")
+    val nextDir = s"$dir/$nextName"
     reencWide.repartition(model2.params.numClusters, col("cluster_id"))
       .write.mode("overwrite").partitionBy("cluster_id")
-      .parquet(nextDir.getPath)
-    val reenc = spark.read.parquet(nextDir.getPath)
+      .parquet(nextDir)
+    val reenc = spark.read.parquet(nextDir)
     val movedRows = reenc.count()
     val reencSizes = reenc.groupBy("cluster_id").count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    carryUntouchedClusters(curDir, nextDir, splitIds.toSet)
+    // untouched clusters: by reference (one listing line per file — the
+    // seam primitive makes the write a kill-sweep point and, deployed,
+    // one atomic PUT); the tombstone log by copy (delete-volume-sized)
+    LayoutCommit.atomicWriteFile(s"$nextDir/_CARRY",
+      buildCarryListing(dir, curName, splitIds.toSet).mkString("\n"))
     tombstoneLogOfGenIfAny(dir, curName).foreach(logDir =>
-      copyParquetFiles(logDir, new java.io.File(logDirOfGen(dir, nextName))))
+      copyParquetFiles(logDir, logDirOfGen(dir, nextName)))
     model2.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("cluster_id", "centroid").coalesce(1)
       .write.mode("overwrite").parquet(s"$nextDir/_centroids")
@@ -891,39 +995,34 @@ object RabitqIndex {
   }
 
   /** Copy a directory's parquet data files into `tgt` (flat), replacing
-    * on retry, IN PARALLEL — the carry of immutable part files into a
-    * not-yet-referenced generation. Staging, not a commit primitive:
-    * nothing resolves the destination until the MANIFEST publish, and on
-    * a real object store each copy is a server-side CopyObject (the
-    * parallelism maps to concurrent copy requests; a sequential driver
-    * loop would make the carry wall-clock ∝ file count with zero
-    * concurrency).
+    * on retry, in parallel — used only for DELETE-VOLUME- and
+    * MODEL-sized payloads (tombstone-log carry, sidecar tables, staged
+    * split dirs of a roll-forward conversion); the corpus-sized
+    * untouched-cluster carry rides in the `_CARRY` listing instead
+    * ([[buildCarryListing]]) and never copies. Staging, not a commit
+    * primitive: nothing resolves the destination until the MANIFEST
+    * publish, and on a real object store each copy is a server-side
+    * CopyObject. A DEDICATED bounded pool, not the JVM-global common
+    * ForkJoinPool — blocking file IO on the common pool from the Spark
+    * driver can stall every other parallel-stream user in the JVM.
     */
-  private[graft] def copyParquetFiles(src: java.io.File,
-                                      tgt: java.io.File): Unit = {
-    val files = Option(src.listFiles()).getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+  private[graft] def copyParquetFiles(src: String, tgt: String): Unit = {
+    val files = LayoutFs.list(src)
+      .filter(f => !f.isDir && f.name.endsWith(".parquet"))
     if (files.isEmpty) return
-    tgt.mkdirs()
-    java.util.Arrays.stream(files).parallel().forEach { f =>
-      java.nio.file.Files.copy(f.toPath,
-        new java.io.File(tgt, f.getName).toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      ()
-    }
+    LayoutFs.mkdirs(tgt)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, files.length))
+    try {
+      val tasks = files.map { f =>
+        new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = LayoutFs.copyFile(f.path, s"$tgt/${f.name}")
+        }
+      }
+      pool.invokeAll(java.util.Arrays.asList(tasks: _*))
+        .forEach(_.get()) // surface the first copy failure
+    } finally pool.shutdown()
   }
-
-  /** Carry every non-split cluster partition dir of `srcGen` into
-    * `dstGen` by file copy — the untouched-corpus half of a generation-
-    * versioned rebalance (shared by the live swap and the crashed-swap
-    * roll-forward conversion).
-    */
-  private def carryUntouchedClusters(srcGen: java.io.File, dstGen: java.io.File,
-                                     splitIds: Set[Int]): Unit =
-    Option(srcGen.listFiles()).getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.startsWith("cluster_id=") &&
-        !splitIds.contains(f.getName.stripPrefix("cluster_id=").toInt))
-      .foreach(cd => copyParquetFiles(cd, new java.io.File(dstGen, cd.getName)))
 
   /** Atomically publish a fully-built generation: retire `curName` (the
     * retention clock starts) and point the MANIFEST at `nextName` — the
@@ -934,8 +1033,7 @@ object RabitqIndex {
   private[graft] def publishGeneration(dir: String, curName: String,
                                        nextName: String): Unit = {
     markRetired(dir, curName)
-    LayoutCommit.atomicWriteFile(
-      java.nio.file.Paths.get(dir, "MANIFEST"), nextName)
+    LayoutCommit.atomicWriteFile(s"$dir/MANIFEST", nextName)
   }
 
   /** Finish a COMMITTED rebalance swap — idempotent, file operations
@@ -963,30 +1061,31 @@ object RabitqIndex {
     * never resurrections.
     */
   private[graft] def completeRebalanceSwap(dir: String): Unit = {
-    val staging = new java.io.File(s"$dir/_rebalance_staging")
-    val commitF = new java.io.File(staging, "_COMMIT")
-    if (!commitF.exists) return
-    val splitIds = java.nio.file.Files.readAllLines(commitF.toPath)
-      .toArray(Array.empty[String]).filter(_.nonEmpty).map(_.toInt).toSet
-    if (!LayoutCommit.renamesDirAtomically) {
-      // a committed IN-PLACE staging being rolled forward under a
-      // commit impl with no atomic dir rename (a deployment migrated to
-      // the object-store shape with a crashed swap in tow): driving the
-      // renames below through per-file copy+delete would expose racing
-      // readers to half-populated LIVE cluster dirs — the exact tear
-      // the capability flag exists to prevent. The staging holds
-      // everything the swap needs, so CONVERT it to the generation-
-      // versioned publish instead — file operations only, idempotent,
-      // and the layout the readers resolve never mutates in place.
+    val staging = s"$dir/_rebalance_staging"
+    val commitF = s"$staging/_COMMIT"
+    if (!LayoutFs.exists(commitF)) return
+    val splitIds = LayoutFs.readString(commitF).split('\n')
+      .map(_.trim).filter(_.nonEmpty).map(_.toInt).toSet
+    if (!LayoutCommit.renamesDirAtomically ||
+        readCarry(dir, LayoutFs.baseName(indexDataDir(dir))).nonEmpty) {
+      // a committed IN-PLACE staging being rolled forward either under
+      // a commit impl with no atomic dir rename (a deployment migrated
+      // to the object-store shape with a crashed swap in tow) or onto
+      // an active generation assembled by a CARRY listing (whose
+      // clusters cannot be replaced by dir rename — the listed files
+      // would resurface): driving the renames below would expose racing
+      // readers to half-populated LIVE cluster dirs or resurrect
+      // carried rows. The staging holds everything the swap needs, so
+      // CONVERT it to the generation-versioned publish instead — file
+      // operations only, idempotent, and the layout the readers resolve
+      // never mutates in place.
       completeRebalanceSwapAsGeneration(dir, splitIds, staging)
       return
     }
-    val dataDir = new java.io.File(indexDataDir(dir))
-    val stagedIdx = new java.io.File(staging, "index")
-    val stagedDirs = Option(stagedIdx.listFiles())
-      .getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.startsWith("cluster_id="))
-      .map(f => f.getName -> f).toMap
+    val dataDir = indexDataDir(dir)
+    val stagedDirs = LayoutFs.list(s"$staging/index")
+      .filter(f => f.isDir && f.name.startsWith("cluster_id="))
+      .map(f => f.name -> f.path).toMap
     // every SPLIT cluster's old dir must go — all its rows were
     // re-encoded, wherever they landed. A split cluster can receive
     // ZERO staged rows (every member re-assigned to a sibling sub or a
@@ -996,56 +1095,59 @@ object RabitqIndex {
     // moving freshly-swapped rows aside).
     splitIds.foreach { cid =>
       val name = s"cluster_id=$cid"
-      val tgt = new java.io.File(dataDir, name)
-      val aside = new java.io.File(dataDir, s".rebalance-old-$name")
+      val tgt = s"$dataDir/$name"
+      val aside = s"$dataDir/.rebalance-old-$name"
       stagedDirs.get(name) match {
         case Some(sd) =>
-          if (tgt.exists) {
+          if (LayoutFs.exists(tgt)) {
             // tgt still holds the OLD rows (the staged dir is only
             // renamed away after the old one is moved aside)
-            org.apache.commons.io.FileUtils.deleteDirectory(aside)
-            LayoutCommit.atomicRenameDir(tgt.toPath, aside.toPath)
+            LayoutFs.deleteRecursively(aside)
+            LayoutCommit.atomicRenameDir(tgt, aside)
           }
-          LayoutCommit.atomicRenameDir(sd.toPath, tgt.toPath)
+          LayoutCommit.atomicRenameDir(sd, tgt)
         case None =>
-          if (!aside.exists && tgt.exists)
-            LayoutCommit.atomicRenameDir(tgt.toPath, aside.toPath)
+          if (!LayoutFs.exists(aside) && LayoutFs.exists(tgt))
+            LayoutCommit.atomicRenameDir(tgt, aside)
       }
     }
     // every other staged destination MERGES its files into the existing
     // dir (idempotent: moves of globally-unique part names)
     stagedDirs.foreach { case (name, sd) =>
       if (!splitIds.contains(name.stripPrefix("cluster_id=").toInt)) {
-        val tgt = new java.io.File(dataDir, name)
-        tgt.mkdirs()
-        Option(sd.listFiles()).getOrElse(Array.empty[java.io.File])
-          .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-          .foreach(f => LayoutCommit.atomicMoveFile(f.toPath,
-            new java.io.File(tgt, f.getName).toPath))
-        org.apache.commons.io.FileUtils.deleteDirectory(sd)
+        val tgt = s"$dataDir/$name"
+        LayoutFs.mkdirs(tgt)
+        LayoutFs.list(sd)
+          .filter(f => !f.isDir && f.name.endsWith(".parquet"))
+          .foreach(f => LayoutCommit.atomicMoveFile(f.path, s"$tgt/${f.name}"))
+        LayoutFs.deleteRecursively(sd)
       }
     }
     for (t <- Seq("centroids", "params")) {
-      val tmp = new java.io.File(s"$dir/.rebalance-new-$t")
-      org.apache.commons.io.FileUtils.deleteDirectory(tmp)
-      org.apache.commons.io.FileUtils.copyDirectory(
-        new java.io.File(staging, t), tmp)
-      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$dir/$t"))
-      LayoutCommit.atomicRenameDir(tmp.toPath, java.nio.file.Paths.get(dir, t))
+      val tmp = s"$dir/.rebalance-new-$t"
+      LayoutFs.deleteRecursively(tmp)
+      LayoutFs.copyDirectory(s"$staging/$t", tmp)
+      LayoutFs.deleteRecursively(s"$dir/$t")
+      LayoutCommit.atomicRenameDir(tmp, s"$dir/$t")
       // a generation-LOCAL sidecar (left by an earlier generation-
       // versioned rebalance of this layout on an object-store deployment)
       // SHADOWS the root pair just installed in [[modelSidecarDir]] —
       // refresh it with the same staged copy, the same dance (idempotent
       // under crash-retry: the staged source survives until the staging
       // delete below)
-      val genLocal = new java.io.File(dataDir, s"_$t")
-      if (genLocal.isDirectory) {
-        val gtmp = new java.io.File(dataDir, s".rebalance-new-$t")
-        org.apache.commons.io.FileUtils.deleteDirectory(gtmp)
-        org.apache.commons.io.FileUtils.copyDirectory(
-          new java.io.File(staging, t), gtmp)
-        org.apache.commons.io.FileUtils.deleteDirectory(genLocal)
-        LayoutCommit.atomicRenameDir(gtmp.toPath, genLocal.toPath)
+      // keyed on EITHER the sidecar or its tmp: a crash between the
+      // deleteDirectory(genLocal) and the rename below would otherwise
+      // make the retry SKIP recreating it — the generation would end
+      // with a mixed gen-local/root pair (old params against new
+      // centroids). The tmp's presence is the evidence of exactly that
+      // half-refresh, so it re-drives the dance instead.
+      val genLocal = s"$dataDir/_$t"
+      val gtmp = s"$dataDir/.rebalance-new-$t"
+      if (LayoutFs.isDirectory(genLocal) || LayoutFs.isDirectory(gtmp)) {
+        LayoutFs.deleteRecursively(gtmp)
+        LayoutFs.copyDirectory(s"$staging/$t", gtmp)
+        LayoutFs.deleteRecursively(genLocal)
+        LayoutCommit.atomicRenameDir(gtmp, genLocal)
       }
     }
     // ORDER MATTERS: delete the staging (and with it the _COMMIT marker
@@ -1053,48 +1155,70 @@ object RabitqIndex {
     // that found no _COMMIT must never re-interpret swapped-in dirs,
     // and asides stranded by a crash right here are reclaimed by
     // vacuum's debris sweep (no _COMMIT → debris)
-    org.apache.commons.io.FileUtils.deleteDirectory(staging)
-    Option(dataDir.listFiles()).getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.startsWith(".rebalance-old-"))
-      .foreach(org.apache.commons.io.FileUtils.deleteDirectory)
+    LayoutFs.deleteRecursively(staging)
+    LayoutFs.list(dataDir)
+      .filter(f => f.isDir && f.name.startsWith(".rebalance-old-"))
+      .foreach(f => LayoutFs.deleteRecursively(f.path))
   }
 
   /** [[completeRebalanceSwap]]'s object-store conversion: finish a
-    * committed in-place staging as a GENERATION publish — the whole
-    * next generation built unreferenced from the staged rows plus the
-    * carried untouched clusters/log, the staged sidecars riding inside
-    * it, then the shared [[publishGeneration]] atomic PUT. Idempotent
-    * at every crash point: before the publish, the partial generation
-    * is unreferenced (rebuilt from scratch on retry — the staging and
-    * its `_COMMIT` survive until after the publish); a retry AFTER the
-    * publish re-derives the conversion against the NEW active
-    * generation, where the staged files land under their own
-    * (replace-on-retry) names and split dirs are rebuilt from the same
-    * staged content — a duplicate-free no-op generation. Exercised by
-    * the contract spec's migration leg.
+    * committed in-place staging as a GENERATION publish — the next
+    * generation built unreferenced from the staged rows, the untouched
+    * clusters carried BY REFERENCE in its `_CARRY` listing, the log and
+    * the staged sidecars riding inside it, then the shared
+    * [[publishGeneration]] atomic PUT. Idempotent at every crash point:
+    * BEFORE the publish, the partial generation is unreferenced
+    * (rebuilt from scratch on retry — the staging and its `_COMMIT`
+    * survive until after the publish); the publish is preceded by a
+    * `_PUBLISHED-<gen>` marker inside the staging, so a retry AFTER the
+    * publish recognizes the conversion as COMPLETE (the MANIFEST — or
+    * the retirement history — already shows the recorded generation)
+    * and only deletes the staging. Without the marker, a crash in the
+    * publish→cleanup window would make the retry re-run the conversion
+    * AGAINST the freshly published generation: split-cluster dirs
+    * rebuilt from the stale staged content would silently drop any
+    * batch an appender committed into a split-id cluster in the
+    * interim, and every such retry would mint a pointless extra
+    * generation. Exercised by the contract spec's migration leg and the
+    * kill sweep (the marker write is a seam primitive — a crash point).
     */
   private def completeRebalanceSwapAsGeneration(
-      dir: String, splitIds: Set[Int], staging: java.io.File): Unit = {
-    val curGen = new java.io.File(indexDataDir(dir))
-    val curName = curGen.getName
+      dir: String, splitIds: Set[Int], staging: String): Unit = {
+    val published = LayoutFs.list(staging)
+      .find(f => !f.isDir && f.name.startsWith("_PUBLISHED-"))
+    published.foreach { p =>
+      val recorded = p.name.stripPrefix("_PUBLISHED-")
+      val active = LayoutFs.baseName(indexDataDir(dir))
+      if (active == recorded ||
+          LayoutFs.isFile(s"$dir/_retired/$recorded")) {
+        // the recorded generation was published (it is active, or was
+        // and has since been superseded): finishing = cleanup only
+        LayoutFs.deleteRecursively(staging)
+        return
+      }
+      // recorded but never published (crash between marker and publish):
+      // fall through and re-drive against the CURRENT active generation
+      LayoutFs.delete(p.path)
+    }
+    val curName = LayoutFs.baseName(indexDataDir(dir))
     val curV = if (curName == "index") 1 else curName.stripPrefix("index-v").toInt
     val nextName = s"index-v${curV + 1}"
-    val nextDir = new java.io.File(s"$dir/$nextName")
+    val nextDir = s"$dir/$nextName"
     // a previous crashed attempt's partial generation was never
     // referenced — rebuild it from scratch
-    org.apache.commons.io.FileUtils.deleteDirectory(nextDir)
-    val stagedIdx = new java.io.File(staging, "index")
-    Option(stagedIdx.listFiles()).getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isDirectory && f.getName.startsWith("cluster_id="))
-      .foreach(sd => copyParquetFiles(sd, new java.io.File(nextDir, sd.getName)))
-    carryUntouchedClusters(curGen, nextDir, splitIds)
+    LayoutFs.deleteRecursively(nextDir)
+    LayoutFs.list(s"$staging/index")
+      .filter(f => f.isDir && f.name.startsWith("cluster_id="))
+      .foreach(sd => copyParquetFiles(sd.path, s"$nextDir/${sd.name}"))
+    LayoutCommit.atomicWriteFile(s"$nextDir/_CARRY",
+      buildCarryListing(dir, curName, splitIds).mkString("\n"))
     tombstoneLogOfGenIfAny(dir, curName).foreach(logDir =>
-      copyParquetFiles(logDir, new java.io.File(logDirOfGen(dir, nextName))))
+      copyParquetFiles(logDir, logDirOfGen(dir, nextName)))
     for (t <- Seq("centroids", "params"))
-      copyParquetFiles(new java.io.File(staging, t),
-        new java.io.File(nextDir, s"_$t"))
+      copyParquetFiles(s"$staging/$t", s"$nextDir/_$t")
+    LayoutCommit.atomicWriteFile(s"$staging/_PUBLISHED-$nextName", nextName)
     publishGeneration(dir, curName, nextName)
-    org.apache.commons.io.FileUtils.deleteDirectory(staging)
+    LayoutFs.deleteRecursively(staging)
   }
 
   /** Per-cluster row counts from parquet FOOTER metadata only — no data
@@ -1105,7 +1229,8 @@ object RabitqIndex {
     * back to the scan).
     */
   private[operators] def clusterSizesFromFooters(
-      spark: SparkSession, dataDir: String): Option[Array[(Int, Long)]] = {
+      spark: SparkSession, dir: String,
+      dataDir: String): Option[Array[(Int, Long)]] = {
     // list AND address through the Hadoop FileSystem API so the paths
     // shipped to executor tasks are FULLY QUALIFIED (scheme+authority) —
     // a driver-local java.io.File listing would ship bare local paths
@@ -1115,15 +1240,21 @@ object RabitqIndex {
     val fs = rootPath.getFileSystem(hconf)
     if (!(fs.exists(rootPath) && fs.getFileStatus(rootPath).isDirectory))
       return None
+    // files carried BY REFERENCE into this generation count exactly like
+    // its own: the listing names them directly (no directory walk of the
+    // source generations — the resolution is metadata-bounded)
+    val carried: Seq[(Int, String)] =
+      readCarry(dir, rootPath.getName).map(e => (clusterOfCarryEntry(e),
+        fs.makeQualified(new org.apache.hadoop.fs.Path(s"$dir/$e")).toString))
     val parts = fs.listStatus(rootPath)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("cluster_id="))
-    if (parts.isEmpty) return None
+    if (parts.isEmpty && carried.isEmpty) return None
     val files: Seq[(Int, String)] = parts.toSeq.flatMap { d =>
       val c = d.getPath.getName.stripPrefix("cluster_id=").toInt
       fs.listStatus(d.getPath)
         .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
         .map(s => (c, fs.makeQualified(s.getPath).toString))
-    }
+    } ++ carried
     if (files.isEmpty) return Some(Array.empty)
     val sizes = spark.sparkContext
       .parallelize(files, math.max(1, math.min(64, files.length)))
@@ -1183,13 +1314,13 @@ object RabitqIndex {
   private[graft] def withLayoutLock[A](
       dir: String, staleMs: Long = 60L * 60 * 1000,
       waitMs: Long = 0L)(body: => A): A = {
-    val lock = java.nio.file.Paths.get(dir, "_maintenance.lock")
+    val lock = s"$dir/_maintenance.lock"
     val token = java.util.UUID.randomUUID().toString
     def acquire(): Boolean = LayoutCommit.exclusiveCreate(lock, token)
     def tryBreakStale(): Unit = {
       // lastModified() == 0 means the lock vanished (holder released or a
       // racing breaker won) — nothing to break, just retry the acquire
-      val lm = lock.toFile.lastModified()
+      val lm = LayoutFs.lastModified(lock)
       if (lm == 0L || System.currentTimeMillis() - lm < staleMs) return
       // ELECT exactly one breaker per stale-lock INSTANCE via an
       // exclusive-create claim keyed to the measured mtime: a naive
@@ -1200,7 +1331,6 @@ object RabitqIndex {
       // claim, only the winner renames, and only after re-confirming the
       // lock is still the instance it measured (same mtime — fresh and
       // stale differ by ≥ staleMs, so the compare is unambiguous).
-      val parent = lock.getParent
       // GC claims a crashed breaker stranded. The age must sit WELL
       // above plausible JVM pause lengths (GC/VM stalls), not just above
       // the break's own microseconds: reclaiming a LIVE breaker's claim
@@ -1210,31 +1340,31 @@ object RabitqIndex {
       // instance stays wedged until the GC age passes) — it can never
       // corrupt — so err long: 5 minutes.
       val claimGcMs = 5L * 60 * 1000
-      Option(parent.toFile.listFiles()).getOrElse(Array.empty[java.io.File])
-        .filter(f => f.getName.startsWith("_maintenance.lock.break-") &&
-          System.currentTimeMillis() - f.lastModified() > claimGcMs)
-        .foreach(_.delete())
-      val claim = parent.resolve(s"_maintenance.lock.break-$lm")
+      LayoutFs.list(dir)
+        .filter(f => f.name.startsWith("_maintenance.lock.break-") &&
+          System.currentTimeMillis() - f.mtime > claimGcMs)
+        .foreach(f => LayoutFs.delete(f.path))
+      val claim = s"$dir/_maintenance.lock.break-$lm"
       if (!LayoutCommit.exclusiveCreate(claim, token)) return // not elected
       try {
-        if (lock.toFile.lastModified() == lm) {
+        if (LayoutFs.lastModified(lock) == lm) {
           // belt to the GC age's suspenders: re-verify the claim still
           // exists AND still carries OUR token immediately before the
           // rename — a breaker paused past the GC age between election
           // and here has lost its claim to a newer breaker and must
           // stand down (renaming now could vacate a fresh lock)
           val claimIsOurs = try {
-            new String(java.nio.file.Files.readAllBytes(claim), "UTF-8") == token
+            LayoutFs.readString(claim) == token
           } catch { case _: java.io.IOException => false }
           if (claimIsOurs) {
-            val aside = parent.resolve(s"_maintenance.lock.broken-$token")
+            val aside = s"$dir/_maintenance.lock.broken-$token"
             try {
               LayoutCommit.atomicRenameDir(lock, aside)
-              java.nio.file.Files.deleteIfExists(aside)
+              LayoutFs.delete(aside)
             } catch { case _: java.nio.file.NoSuchFileException => () }
           }
         }
-      } finally java.nio.file.Files.deleteIfExists(claim)
+      } finally LayoutFs.delete(claim)
     }
     val deadline = System.currentTimeMillis() + waitMs
     var held = acquire()
@@ -1252,8 +1382,7 @@ object RabitqIndex {
       // release ONLY our own lease: if a breaker replaced it while we ran
       // (we outlived staleMs), the lock now carries the new holder's token
       try {
-        if (new String(java.nio.file.Files.readAllBytes(lock), "UTF-8") == token)
-          java.nio.file.Files.deleteIfExists(lock)
+        if (LayoutFs.readString(lock) == token) LayoutFs.delete(lock)
       } catch { case _: java.io.IOException => () }
     }
   }
@@ -1311,63 +1440,109 @@ object RabitqIndex {
     // copy of the re-encoded rows until the renames land)
     completeRebalanceSwap(dir)
     val now = System.currentTimeMillis()
-    val active = new java.io.File(indexDataDir(dir)).getName
-    val root = new java.io.File(dir)
-    def kids(f: java.io.File) =
-      Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
-    val retiredDir = new java.io.File(s"$dir/_retired")
-    val markers = kids(retiredDir).filter(_.isFile).map(f => f.getName -> f).toMap
+    val active = LayoutFs.baseName(indexDataDir(dir))
+    val markers = LayoutFs.list(s"$dir/_retired")
+      .filter(!_.isDir).map(f => f.name -> f).toMap
     def expired(gen: String): Boolean =
-      markers.get(gen).exists(m => now - m.lastModified() >= retainMs)
-    val genDirs = kids(root).filter(f => f.isDirectory &&
-      (f.getName == "index" || f.getName.matches("index-v\\d+")))
+      markers.get(gen).exists(m => now - m.mtime >= retainMs)
+    val genDirs = LayoutFs.list(dir).filter(f => f.isDir &&
+      (f.name == "index" || f.name.matches("index-v\\d+")))
+    // REFCOUNT across generations (the carry-listing shape): a file a
+    // RETAINED generation's `_CARRY` still references — the active one,
+    // or a retired one inside its retention window (its in-flight
+    // readers resolved that listing) — physically lives in an OLDER
+    // generation dir and must survive that dir's retirement. File-level
+    // refcount replaces dir-granularity reclamation: an expired retired
+    // generation keeps exactly its referenced files (reclaimed the pass
+    // after a compaction rewrites them into a self-contained
+    // generation); everything else in it goes now.
+    val retainedGens: Seq[String] = active +: genDirs.map(_.name)
+      .filter(g => g != active && markers.contains(g) && !expired(g))
+    val referenced: Set[String] =
+      retainedGens.flatMap(g => readCarry(dir, g)).toSet
+    def referencedUnder(gen: String): Boolean =
+      referenced.exists(_.startsWith(gen + "/"))
     // superseded generations: reclaim (with their folded log + marker)
     // only past the retention window; unretired non-active generations
-    // are unswapped rewrite debris — no reader ever resolved them
-    val retiredVictims = genDirs.filter(g => g.getName != active &&
-      markers.contains(g.getName) && expired(g.getName))
-    val debrisGens = genDirs.filter(g => g.getName != active &&
-      !markers.contains(g.getName))
-    val logVictims = (retiredVictims ++ debrisGens)
-      .map(g => new java.io.File(logDirOfGen(dir, g.getName))).filter(_.isDirectory)
+    // are unswapped rewrite debris — no reader ever resolved them (and
+    // no listing can reference a never-published generation's files,
+    // but guard anyway)
+    val retiredExpired = genDirs.filter(g => g.name != active &&
+      markers.contains(g.name) && expired(g.name))
+    val (partialKeep, retiredVictims) =
+      retiredExpired.partition(g => referencedUnder(g.name))
+    val debrisGens = genDirs.filter(g => g.name != active &&
+      !markers.contains(g.name) && !referencedUnder(g.name))
+    // expired retired generations lose their LOG either way: readers of
+    // that generation-as-a-generation are gone past the window, and any
+    // successor carried the log by copy at swap time
+    val logVictims = (retiredExpired ++ debrisGens)
+      .map(g => logDirOfGen(dir, g.name)).filter(LayoutFs.isDirectory)
     // orphan markers (their generation already reclaimed — e.g. a crash
     // mid-vacuum between the gen delete and the marker delete): reclaim
     // the log once expired, then the marker
     val orphanMarkers = markers.filter { case (gen, _) =>
-      !genDirs.exists(_.getName == gen) && gen != active }
-    val orphanLogVictims = orphanMarkers.keys.filter(expired)
-      .map(g => new java.io.File(logDirOfGen(dir, g))).filter(_.isDirectory)
-    val markerVictims = (retiredVictims.map(_.getName) ++
-      orphanMarkers.keys.filter(expired)).flatMap(markers.get)
+      !genDirs.exists(_.name == gen) && gen != active }
+    val orphanLogVictims = orphanMarkers.keys.filter(expired).toSeq
+      .map(g => logDirOfGen(dir, g)).filter(LayoutFs.isDirectory)
+    val markerVictims = (retiredVictims.map(_.name) ++
+      orphanMarkers.keys.filter(expired)).toSeq.distinct
+      .flatMap(g => markers.get(g).map(_.path))
     // age-gated batch staging (live batches never straddle the window)
-    val stagingVictims = kids(new java.io.File(s"$dir/_staging"))
-      .filter(f => f.isDirectory && now - f.lastModified() >= retainMs)
-    val asideDebris = kids(new java.io.File(s"$dir/$active"))
-      .filter(f => f.isDirectory && (f.getName.startsWith(".rebalance-old-") ||
-        f.getName.startsWith(".rebalance-new-")))
-    val dirVictims = retiredVictims ++ debrisGens ++ logVictims ++
-      orphanLogVictims ++ stagingVictims ++ asideDebris ++
-      kids(root).filter(f => f.isDirectory &&
-        (f.getName == "_rebalance_staging" ||
-          f.getName.startsWith(".rebalance-new-")))
+    val stagingVictims = LayoutFs.list(s"$dir/_staging")
+      .filter(f => f.isDir && now - f.mtime >= retainMs).map(_.path)
+    val asideDebris = LayoutFs.list(s"$dir/$active")
+      .filter(f => f.isDir && (f.name.startsWith(".rebalance-old-") ||
+        f.name.startsWith(".rebalance-new-"))).map(_.path)
+    val dirVictims = retiredVictims.map(_.path) ++ debrisGens.map(_.path) ++
+      logVictims ++ orphanLogVictims ++ stagingVictims ++ asideDebris ++
+      LayoutFs.list(dir).filter(f => f.isDir &&
+        (f.name == "_rebalance_staging" ||
+          f.name.startsWith(".rebalance-new-"))).map(_.path)
     // committed batches' stranded in-progress sentinels
-    val staleSentinels = kids(new java.io.File(s"$dir/_commits"))
-      .filter(_.isDirectory).flatMap(q => kids(q))
-      .filter(f => f.isFile && f.getName.endsWith(".inprogress") &&
-        new java.io.File(f.getParentFile,
-          f.getName.stripSuffix(".inprogress")).exists)
-    val fileVictims = kids(root).filter(f => f.isFile &&
-      (f.getName == "MANIFEST.tmp" ||
-        f.getName.startsWith("_maintenance.lock.broken-") ||
-        f.getName.startsWith("_maintenance.lock.break-"))) ++
-      kids(retiredDir).filter(f => f.isFile && f.getName.endsWith(".tmp")) ++
+    val staleSentinels = LayoutFs.list(s"$dir/_commits")
+      .filter(_.isDir).flatMap(q => LayoutFs.list(q.path))
+      .filter(f => !f.isDir && f.name.endsWith(".inprogress") &&
+        LayoutFs.exists(f.path.stripSuffix(".inprogress")))
+      .map(_.path)
+    val fileVictims = LayoutFs.list(dir).filter(f => !f.isDir &&
+      (f.name == "MANIFEST.tmp" ||
+        f.name.startsWith("_maintenance.lock.broken-") ||
+        f.name.startsWith("_maintenance.lock.break-"))).map(_.path) ++
+      LayoutFs.list(s"$dir/_retired")
+        .filter(f => !f.isDir && f.name.endsWith(".tmp")).map(_.path) ++
       staleSentinels ++ markerVictims
-    val sized = dirVictims.map(v =>
-      v.getPath -> org.apache.commons.io.FileUtils.sizeOfDirectory(v)) ++
-      fileVictims.map(v => v.getPath -> v.length())
-    dirVictims.foreach(org.apache.commons.io.FileUtils.deleteDirectory)
-    fileVictims.foreach(_.delete())
-    VacuumReport(sized.map(_._1).toIndexedSeq, sized.map(_._2).sum)
+    val sized = dirVictims.map(v => v -> LayoutFs.sizeOfDirectory(v)) ++
+      fileVictims.map(v => v -> LayoutFs.length(v))
+    dirVictims.foreach(LayoutFs.deleteRecursively)
+    fileVictims.foreach(LayoutFs.delete)
+    // PARTIAL reclaim of expired retired generations that still back a
+    // retained listing: every file NOT referenced goes now (stale split
+    // clusters, sidecars, the generation's own `_CARRY` — it stopped
+    // being load-bearing when its last in-window reader left; the
+    // retained successors' listings reference the survivors DIRECTLY,
+    // flattened at swap time). The `_retired` marker stays so later
+    // passes revisit the dir and finish it once a compaction drops the
+    // last reference.
+    val rootPrefix = if (dir.endsWith("/")) dir else dir + "/"
+    val partialSized = partialKeep.map { g =>
+      var bytes = 0L; var n = 0
+      def walk(f: String): Boolean = { // true ⇒ subtree now empty
+        var empty = true
+        LayoutFs.list(f).foreach { k =>
+          if (k.isDir) { if (walk(k.path)) LayoutFs.delete(k.path) else empty = false }
+          else if (referenced.contains(k.path.stripPrefix(rootPrefix)))
+            empty = false
+          else { bytes += k.length; n += 1; LayoutFs.delete(k.path) }
+        }
+        empty
+      }
+      walk(g.path)
+      s"${g.path} (partial: $n unreferenced files — " +
+        "carry-listed survivors retained)" -> bytes
+    }
+    VacuumReport((sized ++ partialSized).map(_._1).toIndexedSeq,
+      (sized ++ partialSized).map(_._2).sum)
   }
 
   /** Scale a RERANK budget tuned against the ORIGINAL cluster count to a
@@ -1409,11 +1584,11 @@ object RabitqIndex {
     * merely less-recall-accurate, fallback).
     */
   def probeScale(dir: String, numClusters: Int): Double = {
-    val f = new java.io.File(s"$dir/BUILT_K")
-    if (!f.exists) 1.0
+    val f = s"$dir/BUILT_K"
+    if (!LayoutFs.exists(f)) 1.0
     else
       try numClusters.toDouble /
-        math.max(1, java.nio.file.Files.readString(f.toPath).trim.toInt)
+        math.max(1, LayoutFs.readString(f).trim.toInt)
       catch {
         case e @ (_: java.io.IOException | _: NumberFormatException) =>
           System.err.println(
@@ -1437,8 +1612,8 @@ object RabitqIndex {
     */
   private[graft] def modelSidecarDir(dir: String, genDir: String,
                                      table: String): String = {
-    val genLocal = new java.io.File(genDir, s"_$table")
-    if (genLocal.isDirectory) genLocal.getPath else s"$dir/$table"
+    val genLocal = s"$genDir/_$table"
+    if (LayoutFs.isDirectory(genLocal)) genLocal else s"$dir/$table"
   }
 
   def load(spark: SparkSession, dir: String): (RabitqModel, DataFrame) =
@@ -1462,7 +1637,7 @@ object RabitqIndex {
     // quadratic in the cluster growth — see scaledRerank's frontier note
     val ps = probeScale(dir, params.numClusters)
     (RabitqModel(params, rotation, centroids, bias, rerankScale = ps * ps),
-      spark.read.parquet(gen))
+      scanOfGen(spark, dir, gen))
   }
 
   /** [[load]] with the maintained-layout READ CONTRACT applied: if the
@@ -1481,9 +1656,9 @@ object RabitqIndex {
     // scan resolved, not a re-read of a possibly-republished MANIFEST
     val gen = indexDataDir(dir)
     val (model, index) = loadOfGen(spark, dir, gen)
-    val live = tombstoneLogOfGenIfAny(dir, new java.io.File(gen).getName)
+    val live = tombstoneLogOfGenIfAny(dir, LayoutFs.baseName(gen))
       .fold(index)(delDir =>
-        index.join(spark.read.parquet(delDir.toString).select("vec_id"),
+        index.join(spark.read.parquet(delDir).select("vec_id"),
           Seq("vec_id"), "left_anti"))
     (model, live)
   }
@@ -1512,7 +1687,7 @@ object RabitqIndex {
     // scan, log, and footer listing all from ONE MANIFEST read
     val gen = indexDataDir(dir)
     val (model, index) = loadOfGen(spark, dir, gen)
-    val log = tombstoneLogOfGenIfAny(dir, new java.io.File(gen).getName)
+    val log = tombstoneLogOfGenIfAny(dir, LayoutFs.baseName(gen))
     // FOOTER fast path: with no tombstone log, every statistic here is a
     // row count per cluster_id= partition — parquet footers carry those
     // exactly, so read ONLY file metadata (one tiny distributed pass,
@@ -1521,14 +1696,14 @@ object RabitqIndex {
     // slim two-column scan.
     val footerSizes: Option[Array[(Int, Long)]] =
       if (footerFastPath && log.isEmpty)
-        clusterSizesFromFooters(spark, gen)
+        clusterSizesFromFooters(spark, dir, gen)
       else None
     val (nRows, nTomb, sizes) = footerSizes match {
       case Some(fs) => (fs.map(_._2).sum, 0L, fs)
       case None =>
         val nRows = index.count()
         val tomb = log.map(delDir =>
-          spark.read.parquet(delDir.toString).select("vec_id").distinct())
+          spark.read.parquet(delDir).select("vec_id").distinct())
         val nTomb = tomb.map(_.count()).getOrElse(0L)
         val live = tomb.map(t => index.join(t, Seq("vec_id"), "left_anti"))
           .getOrElse(index)

@@ -309,15 +309,18 @@ object RabitqQuery {
   def filteredTopKFromDisk(spark: SparkSession, dir: String, base: DataFrame,
                            queries: DataFrame, pred: org.apache.spark.sql.Column,
                            nprobe: Int, topk: Int, rerank: Int,
-                           selectivity: Option[Double] = None): DataFrame = {
+                           selectivity: Option[Double] = None,
+                           rerankScale: Option[Double] = None): DataFrame = {
     // loadLive: respect an uncompacted maintainIndex tombstone log —
     // plan-identical to a raw load when no log exists
     val (model, index) = RabitqIndex.loadLive(spark, dir)
     // budget adaptation for a rebalance-grown layout: the RERANK scales
-    // by k′/k0 (model.rerankScale, populated at load from BUILT_K — the
-    // measured loss is shortlist displacement, not coverage); nprobe
-    // widens only for the filter's selectivity, as before
-    val rr = math.ceil(rerank * model.rerankScale).toInt
+    // by (k′/k0)² (model.rerankScale, populated at load from BUILT_K —
+    // the measured loss is shortlist displacement, not coverage), or by
+    // the caller's per-call override (operating points documented at
+    // [[topKFromDisk]]); nprobe widens only for the filter's
+    // selectivity, as before
+    val rr = math.ceil(rerank * rerankScale.getOrElse(model.rerankScale)).toInt
     val widened = widenedProbe(model.params.numClusters, nprobe,
       selectivity.getOrElse(measuredSelectivity(index, pred)))
     val probed = probedClusterIds(model, queries, widened)
@@ -447,17 +450,29 @@ object RabitqQuery {
     *             rerank scores only shortlisted ids, but exactness
     *             gates compare against filtered brute force).
     */
+  /** @param rerankScale per-call override of the rebalance-grown budget
+    *             adaptation the loaded model carries (the default —
+    *             None — uses `model.rerankScale` = (k′/k0)², the
+    *             measured frontier knee). Operating points from the
+    *             SCALE_r18 1M frontier (256→368 split, np16): 1.0 →
+    *             pre-split budget, recall 0.761; (k′/k0) → 0.816;
+    *             (k′/k0)² → 0.856 at ~flat cost; ~2.5× → 0.878 (full
+    *             pre-skew parity 0.883). Query cost is probe-scan-
+    *             dominated and nearly flat in rerank, so paying more
+    *             here is cheap — see `RabitqIndex.scaledRerank`.
+    */
   def topKFromDisk(spark: SparkSession, dir: String, base: DataFrame,
                    queries: DataFrame, nprobe: Int, topk: Int, rerank: Int,
-                   pred: org.apache.spark.sql.Column = lit(true)): DataFrame = {
+                   pred: org.apache.spark.sql.Column = lit(true),
+                   rerankScale: Option[Double] = None): DataFrame = {
     // loadLive: respect an uncompacted maintainIndex tombstone log —
     // plan-identical to a raw load when no log exists
     val (model, index) = RabitqIndex.loadLive(spark, dir)
-    // rebalance-grown layout: scale the RERANK budget by k′/k0
+    // rebalance-grown layout: scale the RERANK budget by (k′/k0)²
     // (model.rerankScale, populated at load from BUILT_K — the measured
     // post-split loss is shortlist displacement, not probe coverage);
-    // no-op pre-rebalance
-    val rr = math.ceil(rerank * model.rerankScale).toInt
+    // no-op pre-rebalance; per-call override above
+    val rr = math.ceil(rerank * rerankScale.getOrElse(model.rerankScale)).toInt
     val probed = probedClusterIds(model, queries, nprobe)
     val pruned = index.filter(col("cluster_id").isin(probed: _*)).filter(pred)
     fromProbes(pruned, base, queries, probesDf(spark, model, queries, nprobe), topk, rr)

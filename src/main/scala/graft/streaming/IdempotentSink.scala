@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
-import graft.operators.{LayoutCommit, RabitqIndex}
+import graft.operators.{LayoutCommit, LayoutFs, RabitqIndex}
 
 /** Exactly-once parquet APPEND for foreachBatch sinks.
   *
@@ -55,14 +55,14 @@ object IdempotentSink {
                   partitionCols: Seq[String] = Nil,
                   leaseWaitMs: Long = 10L * 60 * 1000,
                   onStaged: () => Unit = () => ()): Boolean = {
-    val marker = new java.io.File(s"$commitRoot/_commits/$queryName/$batchId")
-    val inprog = new java.io.File(s"$commitRoot/_commits/$queryName/$batchId.inprogress")
-    if (marker.exists) {
+    val marker = s"$commitRoot/_commits/$queryName/$batchId"
+    val inprog = s"$commitRoot/_commits/$queryName/$batchId.inprogress"
+    if (LayoutFs.exists(marker)) {
       // committed on a prior attempt — and a crash between that commit
       // and its sentinel delete must not strand the sentinel forever
       // (every later inspection would read the batch as a crashed
       // attempt, and vacuum deliberately preserves _commits)
-      inprog.delete()
+      LayoutFs.delete(inprog)
       return false
     }
     val prefix = s"$queryName-$batchId"
@@ -71,27 +71,27 @@ object IdempotentSink {
     // somewhere, so only then pay the target-tree sweep (a partitioned
     // index target can hold thousands of cluster dirs; the common
     // first-attempt path must not walk them every batch)
-    val retry = inprog.exists
-    inprog.getParentFile.mkdirs()
-    inprog.createNewFile()
-    val staging = new java.io.File(s"$commitRoot/_staging/$prefix")
+    val retry = LayoutFs.exists(inprog)
+    LayoutFs.mkdirs(s"$commitRoot/_commits/$queryName")
+    LayoutCommit.exclusiveCreate(inprog)
+    val staging = s"$commitRoot/_staging/$prefix"
     val w0 = df.write.mode("overwrite")
     val w = if (partitionCols.nonEmpty) w0.partitionBy(partitionCols: _*) else w0
-    w.parquet(staging.toString)
+    w.parquet(staging)
     onStaged() // test seam: a maintenance pass fired between stage and promote
     // promote + commit under the layout lease: serialized against every
     // maintenance mutator, target re-resolved while nothing can swap it
     RabitqIndex.withLayoutLock(commitRoot, waitMs = leaseWaitMs) {
-      val target = new java.io.File(targetDir)
+      val target = targetDir
       // the target dir must exist even if every row of every batch was
       // filtered out — a downstream read of the sink must see an (empty)
       // directory, not path-not-found
-      target.mkdirs()
+      LayoutFs.mkdirs(target)
       if (retry) sweepPrefix(target, prefix)
       RabitqIndex.promoteStaged(staging, target, Some(prefix))
-      org.apache.commons.io.FileUtils.deleteDirectory(staging)
-      LayoutCommit.exclusiveCreate(marker.toPath)
-      inprog.delete()
+      LayoutFs.deleteRecursively(staging)
+      LayoutCommit.exclusiveCreate(marker)
+      LayoutFs.delete(inprog)
     }
     true
   }
@@ -100,11 +100,11 @@ object IdempotentSink {
     * SAME batch may have left anywhere in the target tree (attempts can
     * differ in file count, so name-overwrite alone is not enough).
     */
-  private def sweepPrefix(dir: java.io.File, prefix: String): Unit = {
-    val kids = Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
-    kids.filter(_.isDirectory).foreach(sweepPrefix(_, prefix))
-    kids.filter(f => f.isFile && f.getName.startsWith(prefix + "-"))
-      .foreach(_.delete())
+  private def sweepPrefix(dir: String, prefix: String): Unit = {
+    val kids = LayoutFs.list(dir)
+    kids.filter(_.isDir).foreach(k => sweepPrefix(k.path, prefix))
+    kids.filter(f => !f.isDir && f.name.startsWith(prefix + "-"))
+      .foreach(f => LayoutFs.delete(f.path))
   }
 
   /** Maintenance-side half of the append-vs-maintenance closure: sweep
@@ -121,16 +121,14 @@ object IdempotentSink {
     */
   private[graft] def settleInProgress(commitRoot: String,
                                       targetDirs: Seq[String]): Unit = {
-    val commits = new java.io.File(s"$commitRoot/_commits")
-    val qs = Option(commits.listFiles()).getOrElse(Array.empty[java.io.File])
-      .filter(_.isDirectory)
+    val qs = LayoutFs.list(s"$commitRoot/_commits").filter(_.isDir)
     for {
       q <- qs
-      f <- Option(q.listFiles()).getOrElse(Array.empty[java.io.File])
-      if f.isFile && f.getName.endsWith(".inprogress")
-      batchId = f.getName.stripSuffix(".inprogress")
-      if !new java.io.File(q, batchId).exists
+      f <- LayoutFs.list(q.path)
+      if !f.isDir && f.name.endsWith(".inprogress")
+      batchId = f.name.stripSuffix(".inprogress")
+      if !LayoutFs.exists(s"${q.path}/$batchId")
       t <- targetDirs
-    } sweepPrefix(new java.io.File(t), s"${q.getName}-$batchId")
+    } sweepPrefix(t, s"${q.name}-$batchId")
   }
 }

@@ -55,8 +55,11 @@ object VecsStream {
     // reuse-exchange keeps the broadcast across micro-batches
     val hist = history
       .select(col("embedding").as("he"), cluster.as("hcluster"))
-    val f = new java.io.File(path)
-    val (dir, glob) = if (f.isFile) (f.getParent, f.getName) else (path, "*")
+    val (dir, glob) =
+      if (graft.operators.LayoutFs.isFile(path))
+        (path.substring(0, path.lastIndexOf('/')),
+          graft.operators.LayoutFs.baseName(path))
+      else (path, "*")
     val reader0 = spark.readStream
       .schema(vecsSchema)
       .option("pathGlobFilter", glob)
@@ -101,8 +104,11 @@ object VecsStream {
   def appendToIndex(spark: SparkSession, path: String, idxDir: String,
                     ckptDir: String, model: RabitqModel, queryName: String,
                     maxFilesPerTrigger: Option[Int] = None): Unit = {
-    val f = new java.io.File(path)
-    val (dir, glob) = if (f.isFile) (f.getParent, f.getName) else (path, "*")
+    val (dir, glob) =
+      if (graft.operators.LayoutFs.isFile(path))
+        (path.substring(0, path.lastIndexOf('/')),
+          graft.operators.LayoutFs.baseName(path))
+      else (path, "*")
     val reader0 = spark.readStream
       .schema(vecsSchema)
       .option("pathGlobFilter", glob)
@@ -154,8 +160,11 @@ object VecsStream {
   def maintainIndex(spark: SparkSession, path: String, idxDir: String,
                     ckptDir: String, model: RabitqModel, queryName: String,
                     maxFilesPerTrigger: Option[Int] = None): Unit = {
-    val f = new java.io.File(path)
-    val (dir, glob) = if (f.isFile) (f.getParent, f.getName) else (path, "*")
+    val (dir, glob) =
+      if (graft.operators.LayoutFs.isFile(path))
+        (path.substring(0, path.lastIndexOf('/')),
+          graft.operators.LayoutFs.baseName(path))
+      else (path, "*")
     val reader0 = spark.readStream
       .schema(opsSchema)
       .option("pathGlobFilter", glob)
@@ -264,7 +273,7 @@ object VecsStream {
     * generation's readers resolve is touched.
     */
   private[graft] def compactRewrite(spark: SparkSession, idxDir: String): String = {
-    val cur = new java.io.File(RabitqIndex.indexDataDir(idxDir)).getName
+    val cur = graft.operators.LayoutFs.baseName(RabitqIndex.indexDataDir(idxDir))
     val curV = if (cur == "index") 1 else cur.stripPrefix("index-v").toInt
     val nextName = s"index-v${curV + 1}"
     val (m, live) = loadMaintained(spark, idxDir)
@@ -286,8 +295,7 @@ object VecsStream {
     // compacted generation would fall back to the STALE layout-root
     // pair (pre-split centroids against post-split cluster ids)
     for (t <- Seq("centroids", "params"))
-      RabitqIndex.copyParquetFiles(new java.io.File(s"$idxDir/$cur/_$t"),
-        new java.io.File(s"$idxDir/$nextName/_$t"))
+      RabitqIndex.copyParquetFiles(s"$idxDir/$cur/_$t", s"$idxDir/$nextName/_$t")
     nextName
   }
 
@@ -306,7 +314,7 @@ object VecsStream {
     */
   private[graft] def compactSwap(idxDir: String, nextName: String): Unit =
     RabitqIndex.publishGeneration(idxDir,
-      new java.io.File(RabitqIndex.indexDataDir(idxDir)).getName, nextName)
+      graft.operators.LayoutFs.baseName(RabitqIndex.indexDataDir(idxDir)), nextName)
 
   /** What one [[maintenanceLoop]] pass did. */
   case class MaintenanceReport(

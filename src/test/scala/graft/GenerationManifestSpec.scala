@@ -1,0 +1,342 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import graft.operators._
+
+/** The file-reference generation MANIFEST (`_CARRY` listing — the
+  * Iceberg-manifest shape) executed end to end:
+  *
+  *  1. CARRY ∝ SKEW — a generation-versioned rebalance of a
+  *     mostly-untouched layout physically writes only the re-encoded
+  *     split members; every untouched cluster's immutable files are
+  *     carried as listing lines, byte-for-byte identical to the source
+  *     generation's, with NOTHING corpus-proportional copied.
+  *  2. REFCOUNTED VACUUM — an expired retired generation keeps exactly
+  *     the files a retained listing still references (file-level
+  *     refcount replacing dir-granularity retirement) and is finished
+  *     off the pass after a compaction rewrites them away.
+  *  3. CONCURRENT-READER HAMMER — M readers continuously resolve and
+  *     scan the layout while publish/retire/vacuum cycles churn
+  *     generations under `CondPutCommit`; every read must be a complete
+  *     generation (no duplicates, the untouched core always whole, no
+  *     invented rows, no resurrections of settled tombstones).
+  *  4. RERANK-SCALE OVERRIDE — the per-call `rerankScale` on the disk
+  *     entry points demonstrably replaces the loaded model's default
+  *     (the operating-point frontier is documented at the API).
+  */
+class GenerationManifestSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft_wh").toString)
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  val sf = "/root/testdata/sf0.001"
+  private def emb: DataFrame = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  /** (root-relative path → byte size) of every parquet data file under
+    * the generation's own cluster dirs.
+    */
+  private def ownDataFiles(dir: String, gen: String): Map[String, Long] = {
+    val g = new java.io.File(s"$dir/$gen")
+    Option(g.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("cluster_id="))
+      .flatMap(cd => Option(cd.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .map(f => s"$gen/${cd.getName}/${f.getName}" -> f.length()))
+      .toMap
+  }
+
+  /** Skewed saved layout: model fit on the lower halfspace, layout
+    * holding everything — the upper half piles into boundary clusters
+    * (the q120 recipe), so a rebalance really splits while most
+    * clusters stay untouched.
+    */
+  private def skewedLayout(): (String, RabitqModel) = {
+    val idxDir = java.nio.file.Files.createTempDirectory("carry_skew").toString
+    val lowerHalf = emb.filter(element_at(col("embedding"), 1) < 0f)
+    val (model, _) = RabitqIndex.build(spark, lowerHalf, numClusters = 8, seed = 7L)
+    RabitqIndex.save(spark, model,
+      RabitqIndex.appendVectors(spark, model, emb), idxDir)
+    (idxDir, model)
+  }
+
+  test("carry ∝ skew: the generation-versioned rebalance carries every " +
+      "untouched cluster BY REFERENCE — zero untouched bytes copied, " +
+      "listing = exactly the source generation's untouched files") {
+    val (idxDir, _) = skewedLayout()
+    val beforeFiles = ownDataFiles(idxDir, "index")
+    val liveBefore = RabitqIndex.loadLive(spark, idxDir)._2
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val (rep, m2, live) = LayoutCommit.withOps(CondPutCommit) {
+      val rep = RabitqIndex.rebalanceIndex(spark, idxDir, emb, maxSizeFactor = 1.4)
+      val (m2, live) = RabitqIndex.loadLive(spark, idxDir)
+      (rep, m2, live)
+    }
+    assert(rep.numClustersAfter > rep.numClustersBefore,
+      "gate is vacuous: the skewed layout did not split")
+    assert(RabitqIndex.indexDataDir(idxDir) == s"$idxDir/index-v2")
+    val splitIds = rep.split.keySet
+    assert(splitIds.nonEmpty && splitIds.size < rep.numClustersBefore,
+      "gate is vacuous: need both split and untouched clusters")
+    val untouchedFiles = beforeFiles.filter { case (p, _) =>
+      !splitIds.contains(RabitqIndex.clusterOfCarryEntry(p)) }
+    assert(untouchedFiles.nonEmpty)
+
+    // 1. the listing is EXACTLY the untouched files, in place, unmoved
+    val carry = RabitqIndex.readCarry(idxDir, "index-v2").toSet
+    assert(carry == untouchedFiles.keySet,
+      s"carry listing must reference exactly the untouched files " +
+        s"(missing=${(untouchedFiles.keySet -- carry).take(3)}, " +
+        s"extra=${(carry -- untouchedFiles.keySet).take(3)})")
+    carry.foreach { e =>
+      assert(new java.io.File(s"$idxDir/$e").isFile,
+        s"carried file vanished from its source generation: $e")
+    }
+
+    // 2. nothing corpus-proportional was copied: no carried file exists
+    // physically under index-v2, and the rows physically written there
+    // are EXACTLY the split members (∝ skew) — at fixture scale parquet
+    // per-file overhead swamps byte ratios, so the ∝-skew BYTES are
+    // measured in the scale smoke; structure is pinned here
+    val v2Files = ownDataFiles(idxDir, "index-v2")
+    val carriedNames = carry.map(_.split('/').last)
+    assert(v2Files.keySet.forall(p => !carriedNames.contains(p.split('/').last)),
+      "an untouched file was physically copied into the new generation")
+    val splitMemberRows = spark.read.parquet(s"$idxDir/index")
+      .filter(col("cluster_id").isin(splitIds.toSeq.map(Int.box): _*)).count()
+    val v2OwnRows = spark.read.parquet(s"$idxDir/index-v2").count()
+    assert(v2OwnRows == splitMemberRows,
+      s"the new generation physically holds $v2OwnRows rows — expected " +
+        s"exactly the $splitMemberRows split members (∝ skew), nothing more")
+    assert(splitMemberRows < liveBefore.size,
+      "gate is vacuous: the whole corpus was in the split clusters")
+
+    // 3. the reader resolves the listing: identical live set, brute-force
+    // exactness at full probe through the carried generation
+    val ids = live.select("vec_id").collect().map(_.getLong(0))
+    assert(ids.length == ids.distinct.length, "union scan duplicated rows")
+    assert(ids.toSet == liveBefore, "rebalance changed the live row set")
+    val qs = ExactKnn.queriesFromEmbeddings(emb, 5)
+    val truth = ExactKnn.l2TopK(emb, qs, 10)
+    val res = RabitqQuery.topK(spark, m2, live, emb, qs,
+      m2.params.numClusters, 10, 100000)
+    assert(ExactKnn.recall(res, truth, 10).head().getDouble(0) == 1.0,
+      "full-probe search through the carry-listed generation must equal " +
+        "brute force")
+
+    // 4. the footer fast path counts carried files like its own
+    val d = RabitqIndex.describeIndex(spark, idxDir).head()
+    assert(d.getAs[Long]("n_rows") == liveBefore.size.toLong,
+      "describeIndex footer fast path must count carried files")
+
+    // 5. partition PRUNING survives the carry: a cluster_id filter must
+    // land in PartitionFilters on EVERY branch of the union (own scan
+    // and each per-source-generation carried scan) — the disk query
+    // path's static prune depends on it
+    val carriedCluster = carry.map(RabitqIndex.clusterOfCarryEntry).head
+    val plan = live.filter(col("cluster_id") === carriedCluster)
+      .queryExecution.executedPlan.toString
+    val scans = "PartitionFilters: \\[[^\\]]*cluster_id".r
+      .findAllIn(plan).size
+    assert(scans >= 2,
+      s"expected the cluster_id filter in PartitionFilters of both the " +
+        s"own and the carried scan branches (found $scans):\n" +
+        plan.take(2000))
+  }
+
+  test("refcounted vacuum: an expired retired generation keeps exactly " +
+      "the files a retained listing references, and is finished off " +
+      "once a compaction drops the last reference") {
+    import spark.implicits._
+    val (idxDir, _) = skewedLayout()
+    val beforeFiles = ownDataFiles(idxDir, "index")
+    LayoutCommit.withOps(CondPutCommit) {
+      val rep = RabitqIndex.rebalanceIndex(spark, idxDir, emb, maxSizeFactor = 1.4)
+      val splitIds = rep.split.keySet
+      val carry = RabitqIndex.readCarry(idxDir, "index-v2").toSet
+      // vacuum at retain 0: `index` is retired AND expired, but its
+      // carried files back the active listing — partial reclaim
+      val report = RabitqIndex.vacuumIndex(idxDir, retainMs = 0L)
+      assert(report.removed.exists(_.contains("partial")),
+        s"expected a partial reclaim of the referenced generation, got " +
+          s"${report.removed.mkString("; ")}")
+      carry.foreach { e =>
+        assert(new java.io.File(s"$idxDir/$e").isFile,
+          s"vacuum reclaimed a file the active listing references: $e")
+      }
+      val staleSplit = beforeFiles.keySet.filter(p =>
+        splitIds.contains(RabitqIndex.clusterOfCarryEntry(p)))
+      staleSplit.foreach { e =>
+        assert(!new java.io.File(s"$idxDir/$e").exists,
+          s"vacuum kept an unreferenced stale split file: $e")
+      }
+      assert(new java.io.File(s"$idxDir/_retired/index").isFile,
+        "the partially reclaimed generation must stay marked for later passes")
+      // the reader is untouched by the partial reclaim
+      val (m2, live) = RabitqIndex.loadLive(spark, idxDir)
+      val ids = live.select("vec_id").collect().map(_.getLong(0))
+      assert(ids.length == ids.distinct.length)
+      assert(ids.toSet == emb.select("vec_id").collect().map(_.getLong(0)).toSet)
+
+      // a compaction rewrites the carried rows into a self-contained
+      // generation; the next vacuum finishes both predecessors
+      val delId = ids.min
+      graft.streaming.IdempotentSink.appendBatch(
+        Seq(delId).toDF("vec_id"),
+        RabitqIndex.tombstoneLogDir(idxDir), idxDir, "cv-del", 0L)
+      graft.streaming.VecsStream.compactIndex(spark, idxDir)
+      assert(RabitqIndex.indexDataDir(idxDir) == s"$idxDir/index-v3")
+      assert(RabitqIndex.readCarry(idxDir, "index-v3").isEmpty,
+        "compaction must produce a self-contained generation")
+      RabitqIndex.vacuumIndex(idxDir, retainMs = 0L)
+      assert(!new java.io.File(s"$idxDir/index").exists,
+        "with the last reference gone, the generation must be reclaimed")
+      assert(!new java.io.File(s"$idxDir/index-v2").exists)
+      assert(!new java.io.File(s"$idxDir/_retired/index").exists)
+      val (_, live3) = RabitqIndex.loadLive(spark, idxDir)
+      assert(live3.select("vec_id").collect().map(_.getLong(0)).toSet ==
+        ids.toSet - delId)
+      ()
+    }
+  }
+
+  test("concurrent-reader hammer: M readers resolving and scanning " +
+      "across N publish/retire/vacuum cycles under CondPutCommit always " +
+      "see a complete generation — never torn, duplicated, or resurrected") {
+    import spark.implicits._
+    val idxDir = java.nio.file.Files.createTempDirectory("hammer").toString
+    val lowerHalf = emb.filter(element_at(col("embedding"), 1) < 0f)
+    val (model, _) = RabitqIndex.build(spark, lowerHalf, numClusters = 8, seed = 7L)
+    val s0 = emb.filter(col("vec_id") < 300)
+    RabitqIndex.save(spark, model,
+      RabitqIndex.appendVectors(spark, model, s0), idxDir)
+    val s0Ids = s0.select("vec_id").collect().map(_.getLong(0)).toSet
+    val allIds = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+
+    // three cycles: append a slice, tombstone two ids, compact (a
+    // generation publish), rebalance on the last cycle (a carry-listed
+    // publish), vacuum with a retention window longer than the test (an
+    // in-flight reader must never lose the generation it resolved)
+    val batches = Seq(
+      emb.filter(col("vec_id") >= 300 && col("vec_id") < 400),
+      emb.filter(col("vec_id") >= 400 && col("vec_id") < 500),
+      emb.filter(col("vec_id") >= 500))
+    val dels = Seq(Seq(3L, 310L), Seq(7L, 410L), Seq(11L, 510L))
+    // the STABLE CORE: initial rows never deleted — a torn generation
+    // resolve (half-populated carry, lost untouched cluster) drops some
+    // of these; every complete generation contains all of them
+    val stableCore = s0Ids -- dels.flatten.toSet
+    @volatile var settledDels: Set[Long] = Set.empty // cycles fully done
+    @volatile var mutatorDone = false
+    @volatile var mutatorErr: Option[Throwable] = None
+    val readerErrs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val nReads = new java.util.concurrent.atomic.AtomicInteger(0)
+
+    LayoutCommit.withOps(CondPutCommit) {
+      val readers = (1 to 3).map { rid =>
+        new Thread(() => {
+          try {
+            while (!mutatorDone) {
+              val snapshot = settledDels // BEFORE the resolve
+              val (_, live) = RabitqIndex.loadLive(spark, idxDir)
+              val ids = live.select("vec_id").collect().map(_.getLong(0))
+              nReads.incrementAndGet()
+              if (ids.length != ids.distinct.length)
+                readerErrs.add(s"r$rid: duplicated vec_ids in one read")
+              val set = ids.toSet
+              if (!stableCore.subsetOf(set))
+                readerErrs.add(s"r$rid: torn generation — stable core " +
+                  s"missing ${(stableCore -- set).take(5)}")
+              if (!set.subsetOf(allIds))
+                readerErrs.add(s"r$rid: invented rows ${(set -- allIds).take(5)}")
+              val res = set.intersect(snapshot)
+              if (res.nonEmpty)
+                readerErrs.add(s"r$rid: resurrected settled tombstones " +
+                  s"${res.take(5)}")
+            }
+          } catch {
+            case t: Throwable => readerErrs.add(s"r$rid: ${t.getMessage}")
+          }
+        }, s"hammer-reader-$rid")
+      }
+      readers.foreach(_.start())
+      try {
+        batches.zip(dels).zipWithIndex.foreach { case ((b, d), i) =>
+          graft.streaming.IdempotentSink.appendBatch(
+            RabitqIndex.appendVectors(spark, model, b),
+            RabitqIndex.indexDataDir(idxDir), idxDir, "hm", i.toLong,
+            partitionCols = Seq("cluster_id"))
+          graft.streaming.IdempotentSink.appendBatch(
+            d.toDF("vec_id"),
+            RabitqIndex.tombstoneLogDir(idxDir), idxDir, "hm-del", i.toLong)
+          graft.streaming.VecsStream.compactIndex(spark, idxDir)
+          if (i == batches.length - 1)
+            RabitqIndex.rebalanceIndex(spark, idxDir, emb, maxSizeFactor = 1.4)
+          RabitqIndex.vacuumIndex(idxDir, retainMs = 10L * 60 * 1000)
+          settledDels = settledDels ++ d
+        }
+      } catch { case t: Throwable => mutatorErr = Some(t) }
+      finally mutatorDone = true
+      readers.foreach(_.join(120000))
+    }
+    mutatorErr.foreach(t => fail(s"mutator failed: $t"))
+    assert(nReads.get() >= 10,
+      s"hammer is vacuous: only ${nReads.get()} reads completed")
+    assert(readerErrs.isEmpty,
+      s"${readerErrs.size} torn reads:\n  " +
+        readerErrs.toArray.take(8).mkString("\n  "))
+    // final state sanity: every row exactly once, all dels terminal
+    val (_, fin) = RabitqIndex.loadLive(spark, idxDir)
+    val finIds = fin.select("vec_id").collect().map(_.getLong(0))
+    assert(finIds.length == finIds.distinct.length)
+    assert(finIds.toSet == allIds -- dels.flatten.toSet)
+    info(s"hammer: ${nReads.get()} clean concurrent reads across 3 " +
+      "publish/retire/vacuum cycles + 1 carry-listed rebalance")
+  }
+
+  test("per-call rerankScale override: the disk entry point's override " +
+      "replaces the loaded model's grown-layout default") {
+    val (idxDir, _) = skewedLayout()
+    LayoutCommit.withOps(CondPutCommit) {
+      RabitqIndex.rebalanceIndex(spark, idxDir, emb, maxSizeFactor = 1.4)
+      ()
+    }
+    val (m2, live) = RabitqIndex.loadLive(spark, idxDir)
+    assert(m2.rerankScale > 1.0,
+      "gate is vacuous: the rebalance did not grow the layout")
+    val qs = ExactKnn.queriesFromEmbeddings(emb, 5)
+    // override 1.0 ≡ the in-memory path with the model's scale reset —
+    // row-for-row, proving the override reaches the executed budget
+    val disk = RabitqQuery.topKFromDisk(spark, idxDir, emb, qs,
+      nprobe = 4, topk = 5, rerank = 12, rerankScale = Some(1.0))
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val mem = RabitqQuery.topK(spark, m2.withRerankScale(1.0), live, emb, qs,
+      nprobe = 4, topk = 5, rerank = 12)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(disk == mem, "the override did not flow to the executed rerank")
+    // and the default really differs at this budget (the grown layout
+    // scales 12 → ceil(12·scale²) — a larger shortlist changes ranks on
+    // a skewed layout; equality here would mean the default is dead)
+    val diskDefault = RabitqQuery.topKFromDisk(spark, idxDir, emb, qs,
+      nprobe = 4, topk = 5, rerank = 12)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(diskDefault != disk,
+      "expected the scaled default to differ from the 1.0 override at a " +
+        "tight budget — the model default appears to be ignored")
+  }
+}

@@ -1,6 +1,5 @@
 package graft
 
-import java.nio.file.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -62,19 +61,19 @@ class KillSweepSpec extends AnyFunSuite with BeforeAndAfterAll {
     */
   final class CrashingOps(inner: CommitOps, killAt: Int) extends CommitOps {
     val calls = new java.util.concurrent.atomic.AtomicInteger(0)
-    private def tick(op: String, p: Path): Unit =
+    private def tick(op: String, p: String): Unit =
       if (calls.incrementAndGet() == killAt)
         throw new InjectedCrash(s"injected crash before primitive #$killAt ($op $p)")
-    def atomicWriteFile(t: Path, c: String): Unit = {
+    def atomicWriteFile(t: String, c: String): Unit = {
       tick("atomicWriteFile", t); inner.atomicWriteFile(t, c)
     }
-    def atomicMoveFile(s: Path, d: Path): Unit = {
+    def atomicMoveFile(s: String, d: String): Unit = {
       tick("atomicMoveFile", d); inner.atomicMoveFile(s, d)
     }
-    def atomicRenameDir(s: Path, d: Path): Unit = {
+    def atomicRenameDir(s: String, d: String): Unit = {
       tick("atomicRenameDir", d); inner.atomicRenameDir(s, d)
     }
-    def exclusiveCreate(p: Path, c: String = ""): Boolean = {
+    def exclusiveCreate(p: String, c: String = ""): Boolean = {
       tick("exclusiveCreate", p); inner.exclusiveCreate(p, c)
     }
     // the wrapped impl's declared capability must pass through, or the

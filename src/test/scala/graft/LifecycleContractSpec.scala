@@ -48,22 +48,28 @@ class LifecycleContractSpec extends AnyFunSuite with BeforeAndAfterAll {
   final class NaiveObjectStoreOps(
       hook: (String, Path) => Unit = (_, _) => ()) extends CommitOps {
 
-    def atomicWriteFile(target: Path, content: String): Unit = {
-      Files.deleteIfExists(target)
-      hook("write-gap", target)
-      Files.writeString(target, content)
+    def atomicWriteFile(target: String, content: String): Unit = {
+      val t = java.nio.file.Paths.get(target)
+      Files.deleteIfExists(t)
+      hook("write-gap", t)
+      Files.writeString(t, content)
+      ()
     }
 
-    def atomicMoveFile(src: Path, dst: Path): Unit = {
-      Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING)
-      hook("move-window", dst)
-      Files.deleteIfExists(src)
+    def atomicMoveFile(src: String, dst: String): Unit = {
+      val (s, d) = (java.nio.file.Paths.get(src), java.nio.file.Paths.get(dst))
+      Files.copy(s, d, StandardCopyOption.REPLACE_EXISTING)
+      hook("move-window", d)
+      Files.deleteIfExists(s)
+      ()
     }
 
-    def atomicRenameDir(src: Path, dst: Path): Unit = {
+    def atomicRenameDir(srcS: String, dstS: String): Unit = {
+      val src = java.nio.file.Paths.get(srcS)
+      val dst = java.nio.file.Paths.get(dstS)
       if (!Files.exists(src))
-        throw new java.nio.file.NoSuchFileException(src.toString)
-      if (Files.isRegularFile(src)) { atomicMoveFile(src, dst); return }
+        throw new java.nio.file.NoSuchFileException(srcS)
+      if (Files.isRegularFile(src)) { atomicMoveFile(srcS, dstS); return }
       val walk = Files.walk(src)
       try {
         walk.sorted().forEach { p =>
@@ -78,8 +84,8 @@ class LifecycleContractSpec extends AnyFunSuite with BeforeAndAfterAll {
       org.apache.commons.io.FileUtils.deleteDirectory(src.toFile)
     }
 
-    def exclusiveCreate(path: Path, content: String = ""): Boolean = {
-      Files.writeString(path, content) // plain PUT: everyone "wins"
+    def exclusiveCreate(path: String, content: String = ""): Boolean = {
+      Files.writeString(java.nio.file.Paths.get(path), content) // plain PUT: everyone "wins"
       true
     }
   }
@@ -220,8 +226,8 @@ class LifecycleContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     // with check-then-create, so concurrency is HDFS's guarantee, not
     // the local simulation's; see the impl scaladoc)
     val probe = Files.createTempDirectory("hdfs_excl").resolve("lock")
-    assert(ops.exclusiveCreate(probe, "a"))
-    assert(!ops.exclusiveCreate(probe, "b"))
+    assert(ops.exclusiveCreate(probe.toString, "a"))
+    assert(!ops.exclusiveCreate(probe.toString, "b"))
     assert(new String(Files.readAllBytes(probe), "UTF-8") == "a")
     val idxDir = Files.createTempDirectory("hadoop_life").toString
     val (m2, live) = LayoutCommit.withOps(ops) {
@@ -249,6 +255,92 @@ class LifecycleContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ExactKnn.recall(res, truth, 10).head().getDouble(0) == 1.0,
       "full-probe search through the Hadoop-FS-maintained layout must " +
         "equal brute force")
+  }
+
+  test("SURVIVE (executed): the FULL lifecycle — append → delete → " +
+      "compact → REBALANCE → vacuum → query — runs with every probe and " +
+      "primitive routed through the Hadoop API (HadoopFs + HadoopFsCommit)") {
+    import spark.implicits._
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val idxDir = Files.createTempDirectory("hadoop_full").toString
+    // BOTH seams swapped: CommitOps → HadoopFsCommit (the four atomic
+    // primitives) AND LayoutFs → HadoopFs (every existence probe,
+    // listing, marker read, debris delete). A `java.io.File` probe
+    // hiding anywhere on the lifecycle paths would still pass over
+    // file: — the grep gate below is the companion that proves there
+    // isn't one; this leg proves the Hadoop plumbing ROUND-TRIPS the
+    // full protocol including the in-place rebalance swap.
+    val (m2, live) = LayoutFs.withFs(new HadoopFs(conf)) {
+      LayoutCommit.withOps(new HadoopFsCommit(conf)) {
+        // skew recipe so the rebalance really splits
+        val lowerHalf = emb.filter(element_at(col("embedding"), 1) < 0f)
+        val (model, _) = RabitqIndex.build(spark, lowerHalf, numClusters = 8, seed = 7L)
+        RabitqIndex.save(spark, model,
+          RabitqIndex.appendVectors(spark, model,
+            emb.filter(col("vec_id") < 400)), idxDir)
+        graft.streaming.IdempotentSink.appendBatch(
+          RabitqIndex.appendVectors(spark, model,
+            emb.filter(col("vec_id") >= 400)),
+          RabitqIndex.indexDataDir(idxDir), idxDir, "hd_full", 0L,
+          partitionCols = Seq("cluster_id"))
+        graft.streaming.IdempotentSink.appendBatch(
+          Seq(9L, 410L).toDF("vec_id"),
+          RabitqIndex.tombstoneLogDir(idxDir), idxDir, "hd_full-del", 1L)
+        graft.streaming.VecsStream.compactIndex(spark, idxDir)
+        assert(RabitqIndex.indexDataDir(idxDir) == s"$idxDir/index-v2")
+        val rep = RabitqIndex.rebalanceIndex(spark, idxDir,
+          emb.filter(!col("vec_id").isin(9L, 410L)), maxSizeFactor = 1.4)
+        assert(rep.numClustersAfter > rep.numClustersBefore,
+          s"gate is vacuous: the skewed layout did not split ($rep)")
+        RabitqIndex.vacuumIndex(idxDir, retainMs = 0L)
+        RabitqIndex.loadLive(spark, idxDir)
+      }
+    }
+    val expected = emb.select("vec_id").collect().map(_.getLong(0)).toSet -- Set(9L, 410L)
+    assert(live.select("vec_id").collect().map(_.getLong(0)).toSet == expected,
+      "live set after the Hadoop-addressed lifecycle")
+    val baseFinal = emb.filter(!col("vec_id").isin(9L, 410L))
+    val qs = ExactKnn.queriesFromEmbeddings(emb, 5)
+    val truth = ExactKnn.l2TopK(baseFinal, qs, 10)
+    val res = RabitqQuery.topK(spark, m2, live, baseFinal, qs,
+      m2.params.numClusters, 10, 100000)
+    assert(ExactKnn.recall(res, truth, 10).head().getDouble(0) == 1.0,
+      "full-probe search through the Hadoop-addressed lifecycle must " +
+        "equal brute force")
+  }
+
+  test("grep gate: zero java.io.File on the lifecycle mutate/resolve " +
+      "paths — every filesystem touch goes through LayoutFs/LayoutCommit") {
+    // the companion to the Hadoop leg above: over file: a stray
+    // java.io.File probe would still pass functionally, so the gate is
+    // textual. Comment lines are excluded; RabitqIndex's sole allowed
+    // use is the reference-parity fvecs exporter (local by design,
+    // marked in-source).
+    def offenders(path: String, allowed: Int): Seq[String] = {
+      val lines = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(path)).toArray(Array.empty[String])
+      // (?![A-Za-z]): java.io.FileNotFoundException is an exception
+      // TYPE, not a filesystem touch
+      val re = java.util.regex.Pattern.compile("java\\.io\\.File(?![A-Za-z])")
+      val hits = lines.zipWithIndex.filter { case (l, _) =>
+        val t = l.trim
+        re.matcher(l).find() &&
+          !t.startsWith("//") && !t.startsWith("*") && !t.startsWith("/**")
+      }
+      assert(hits.length <= allowed,
+        s"$path: ${hits.length} java.io.File uses on lifecycle paths " +
+          s"(allowed $allowed):\n  " +
+          hits.map { case (l, i) => s"${i + 1}: ${l.trim}" }.mkString("\n  "))
+      hits.map(_._1).toSeq
+    }
+    offenders("src/main/scala/graft/streaming/IdempotentSink.scala", 0)
+    offenders("src/main/scala/graft/streaming/VecsStream.scala", 0)
+    offenders("src/main/scala/graft/operators/LayoutCommit.scala", 0)
+    val allowedRabitq =
+      offenders("src/main/scala/graft/operators/RabitqIndex.scala", 1)
+    allowedRabitq.foreach(l => assert(l.contains("mkdirs"),
+      s"the one allowed RabitqIndex use must be the fvecs exporter's " +
+        s"local mkdirs, found: $l"))
   }
 
   test("TEAR (executed): a reader racing the REAL in-place rebalance " +

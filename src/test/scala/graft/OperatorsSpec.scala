@@ -2558,14 +2558,14 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val gate = new java.util.concurrent.CyclicBarrier(8)
     val ts = (1 to 8).map(i => new Thread(() => {
       gate.await()
-      if (LayoutCommit.exclusiveCreate(p, s"t$i")) wins.incrementAndGet()
+      if (LayoutCommit.exclusiveCreate(p.toString, s"t$i")) wins.incrementAndGet()
     }))
     ts.foreach(_.start()); ts.foreach(_.join())
     assert(wins.get() == 1)
     // atomicWriteFile: a reader hammering the target during 200 rewrites
     // only ever observes a complete previous or next value
     val tgt = dir.resolve("MANIFEST")
-    LayoutCommit.atomicWriteFile(tgt, "gen-0")
+    LayoutCommit.atomicWriteFile(tgt.toString, "gen-0")
     val bad = new java.util.concurrent.atomic.AtomicInteger(0)
     val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
     val reader = new Thread(() => {
@@ -2576,7 +2576,7 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     })
     reader.start()
-    (1 to 200).foreach(i => LayoutCommit.atomicWriteFile(tgt, s"gen-$i"))
+    (1 to 200).foreach(i => LayoutCommit.atomicWriteFile(tgt.toString, s"gen-$i"))
     stop.set(true); reader.join()
     assert(bad.get() == 0, s"reader observed ${bad.get()} torn manifests")
     assert(new String(java.nio.file.Files.readAllBytes(tgt), "UTF-8") == "gen-200")
@@ -2584,14 +2584,14 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // retry-overwrites-its-own-name contract)
     val a = dir.resolve("a"); val b = dir.resolve("b")
     java.nio.file.Files.writeString(a, "A"); java.nio.file.Files.writeString(b, "B")
-    LayoutCommit.atomicMoveFile(a, b)
+    LayoutCommit.atomicMoveFile(a.toString, b.toString)
     assert(new String(java.nio.file.Files.readAllBytes(b), "UTF-8") == "A")
     assert(!java.nio.file.Files.exists(a))
     // atomicRenameDir: losing racer of the same src observes NoSuchFile
     val src = dir.resolve("d1"); java.nio.file.Files.createDirectory(src)
-    LayoutCommit.atomicRenameDir(src, dir.resolve("d2"))
+    LayoutCommit.atomicRenameDir(src.toString, dir.resolve("d2").toString)
     intercept[java.nio.file.NoSuchFileException] {
-      LayoutCommit.atomicRenameDir(src, dir.resolve("d3"))
+      LayoutCommit.atomicRenameDir(src.toString, dir.resolve("d3").toString)
     }
   }
 
