@@ -190,6 +190,28 @@ class GenerationManifestSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(ids.length == ids.distinct.length)
       assert(ids.toSet == emb.select("vec_id").collect().map(_.getLong(0)).toSet)
 
+      // appends land in the carry-listed generation's OWN cluster dirs
+      // and union with the carried files — the live-generation contract
+      // survives the manifest shape (writers re-load post-rebalance,
+      // the q117 contract: the grown model from the generation-local
+      // sidecars)
+      val extra = emb.limit(50)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      graft.streaming.IdempotentSink.appendBatch(
+        RabitqIndex.appendVectors(spark, m2, extra),
+        RabitqIndex.indexDataDir(idxDir), idxDir, "cv-add", 0L,
+        partitionCols = Seq("cluster_id"))
+      val (_, liveApp) = RabitqIndex.loadLive(spark, idxDir)
+      val appIds = liveApp.select("vec_id").collect().map(_.getLong(0))
+      assert(appIds.length == appIds.distinct.length,
+        "append into a carry-listed generation duplicated rows")
+      assert(appIds.toSet == ids.toSet ++ extra.select("vec_id")
+        .collect().map(_.getLong(0)),
+        "append into a carry-listed generation lost or invented rows")
+      assert(RabitqIndex.describeIndex(spark, idxDir).head()
+        .getAs[Long]("n_rows") == appIds.length.toLong,
+        "footer fast path must count own appends beside carried files")
+
       // a compaction rewrites the carried rows into a self-contained
       // generation; the next vacuum finishes both predecessors
       val delId = ids.min
@@ -207,7 +229,7 @@ class GenerationManifestSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(!new java.io.File(s"$idxDir/_retired/index").exists)
       val (_, live3) = RabitqIndex.loadLive(spark, idxDir)
       assert(live3.select("vec_id").collect().map(_.getLong(0)).toSet ==
-        ids.toSet - delId)
+        appIds.toSet - delId)
       ()
     }
   }
