@@ -328,6 +328,63 @@ class GenerationManifestSpec extends AnyFunSuite with BeforeAndAfterAll {
       "publish/retire/vacuum cycles + 1 carry-listed rebalance")
   }
 
+  test("chained generations: a SECOND rebalance on a carry-listed " +
+      "layout takes the generation shape even under POSIX (the in-place " +
+      "guard) and flattens inherited entries across two source generations") {
+    import spark.implicits._
+    val (idxDir, _) = skewedLayout()
+    LayoutCommit.withOps(CondPutCommit) {
+      val rep1 = RabitqIndex.rebalanceIndex(spark, idxDir, emb, maxSizeFactor = 1.4)
+      assert(rep1.numClustersAfter > rep1.numClustersBefore)
+      ()
+    }
+    assert(RabitqIndex.indexDataDir(idxDir) == s"$idxDir/index-v2")
+    // back under the DEFAULT PosixCommit: renamesDirAtomically is true,
+    // but the active generation is assembled by a carry listing — an
+    // in-place swap would replace a split cluster's own dir while its
+    // carried files stay listed (resurrection), so the guard must route
+    // to the generation shape regardless of the capability
+    val (m1, _) = RabitqIndex.load(spark, idxDir) // writers reload (q117)
+    assert(m1.params.numClusters > 8)
+    // re-skew: a second pile of upper-halfspace vectors (fresh ids) into
+    // the sub-clusters the first split created
+    val extra = emb.filter(element_at(col("embedding"), 1) >= 0f)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    graft.streaming.IdempotentSink.appendBatch(
+      RabitqIndex.appendVectors(spark, m1, extra),
+      RabitqIndex.indexDataDir(idxDir), idxDir, "cg", 0L,
+      partitionCols = Seq("cluster_id"))
+    val base2 = emb.select("vec_id", "embedding").unionByName(extra)
+    val rep2 = RabitqIndex.rebalanceIndex(spark, idxDir, base2,
+      maxSizeFactor = 1.4)
+    assert(rep2.numClustersAfter > rep2.numClustersBefore,
+      s"gate is vacuous: the re-skewed layout did not split again ($rep2)")
+    assert(RabitqIndex.indexDataDir(idxDir) == s"$idxDir/index-v3",
+      "the guard must publish a generation, never swap a carry-listed " +
+        "layout in place")
+    assert(!new java.io.File(s"$idxDir/_rebalance_staging").exists)
+    val carry3 = RabitqIndex.readCarry(idxDir, "index-v3")
+    val srcGens = carry3.map(_.takeWhile(_ != '/')).toSet
+    assert(srcGens.size >= 2,
+      s"expected the flattened listing to reference BOTH source " +
+        s"generations (got $srcGens) — chained carries must not collapse")
+    carry3.foreach(e => assert(new java.io.File(s"$idxDir/$e").isFile,
+      s"flattened carry entry vanished: $e"))
+    // correctness through the 3-branch union (own v3 + carried v2 +
+    // carried index): every row exactly once, full probe ≡ brute force
+    val (m3, live3) = RabitqIndex.loadLive(spark, idxDir)
+    val ids = live3.select("vec_id").collect().map(_.getLong(0))
+    assert(ids.length == ids.distinct.length, "chained union duplicated rows")
+    assert(ids.toSet == base2.select("vec_id").collect().map(_.getLong(0)).toSet)
+    val qs = ExactKnn.queriesFromEmbeddings(emb, 5)
+    val truth = ExactKnn.l2TopK(base2, qs, 10)
+    val res = RabitqQuery.topK(spark, m3, live3, base2, qs,
+      m3.params.numClusters, 10, 1000000)
+    assert(ExactKnn.recall(res, truth, 10).head().getDouble(0) == 1.0,
+      "full-probe search through chained carry generations must equal " +
+        "brute force")
+  }
+
   test("per-call rerankScale override: the disk entry point's override " +
       "replaces the loaded model's grown-layout default") {
     val (idxDir, _) = skewedLayout()
