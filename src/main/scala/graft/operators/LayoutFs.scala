@@ -112,27 +112,28 @@ object PosixFs extends LayoutFs {
   */
 final class HadoopFs(conf: org.apache.hadoop.conf.Configuration)
     extends LayoutFs {
-  import org.apache.hadoop.fs.{FileUtil, Path => HPath}
+  import org.apache.hadoop.fs.{FileStatus, FileUtil, Path => HPath}
 
   private def hp(p: String) = new HPath(p)
   private def fs(p: HPath) = p.getFileSystem(conf)
 
-  def exists(path: String): Boolean = fs(hp(path)).exists(hp(path))
-
-  def isFile(path: String): Boolean = {
-    val p = hp(path); val f = fs(p)
-    f.exists(p) && f.getFileStatus(p).isFile
+  // ONE NameNode round-trip per probe (getFileStatus + catch), not the
+  // exists+getFileStatus double — indexDataDir probes the MANIFEST on
+  // every resolve, the hottest metadata path in the engine
+  private def status(path: String): Option[FileStatus] = {
+    val p = hp(path)
+    try Some(fs(p).getFileStatus(p))
+    catch { case _: java.io.FileNotFoundException => None }
   }
 
-  def isDirectory(path: String): Boolean = {
-    val p = hp(path); val f = fs(p)
-    f.exists(p) && f.getFileStatus(p).isDirectory
-  }
+  def exists(path: String): Boolean = status(path).isDefined
+  def isFile(path: String): Boolean = status(path).exists(_.isFile)
+  def isDirectory(path: String): Boolean = status(path).exists(_.isDirectory)
 
   def list(path: String): Seq[FsEntry] = {
-    val p = hp(path); val f = fs(p)
-    if (!f.exists(p) || !f.getFileStatus(p).isDirectory) Nil
-    else f.listStatus(p).toSeq.map(s => FsEntry(
+    val p = hp(path)
+    if (!status(path).exists(_.isDirectory)) Nil
+    else fs(p).listStatus(p).toSeq.map(s => FsEntry(
       s.getPath.toUri.getPath match {
         // keep scheme-less local paths scheme-less so string-math
         // callers compose ($path/$name) consistently with the input
@@ -149,15 +150,10 @@ final class HadoopFs(conf: org.apache.hadoop.conf.Configuration)
     finally in.close()
   }
 
-  def lastModified(path: String): Long = {
-    val p = hp(path); val f = fs(p)
-    if (f.exists(p)) f.getFileStatus(p).getModificationTime else 0L
-  }
+  def lastModified(path: String): Long =
+    status(path).fold(0L)(_.getModificationTime)
 
-  def length(path: String): Long = {
-    val p = hp(path); val f = fs(p)
-    if (f.exists(p)) f.getFileStatus(p).getLen else 0L
-  }
+  def length(path: String): Long = status(path).fold(0L)(_.getLen)
 
   def mkdirs(path: String): Unit = { fs(hp(path)).mkdirs(hp(path)); () }
 
@@ -170,11 +166,8 @@ final class HadoopFs(conf: org.apache.hadoop.conf.Configuration)
     ()
   }
 
-  def sizeOfDirectory(path: String): Long = {
-    val p = hp(path); val f = fs(p)
-    if (!f.exists(p)) 0L
-    else f.getContentSummary(p).getLength
-  }
+  def sizeOfDirectory(path: String): Long =
+    status(path).fold(0L)(_ => fs(hp(path)).getContentSummary(hp(path)).getLength)
 
   def copyFile(src: String, dst: String): Unit = {
     val s = hp(src); val d = hp(dst)
@@ -182,7 +175,16 @@ final class HadoopFs(conf: org.apache.hadoop.conf.Configuration)
     ()
   }
 
-  def copyDirectory(src: String, dst: String): Unit = copyFile(src, dst)
+  // MERGE contents into dst (PosixFs's commons-io contract) — a bare
+  // FileUtil.copy onto an existing directory would NEST src under it,
+  // and the two seam impls must not disagree on a retried sidecar copy
+  def copyDirectory(src: String, dst: String): Unit = {
+    mkdirs(dst)
+    list(src).foreach { e =>
+      if (e.isDir) copyDirectory(e.path, s"$dst/${e.name}")
+      else copyFile(e.path, s"$dst/${e.name}")
+    }
+  }
 }
 
 /** The seam the lifecycle helpers call through — [[PosixFs]] by

@@ -1524,20 +1524,28 @@ object RabitqIndex {
     // flattened at swap time). The `_retired` marker stays so later
     // passes revisit the dir and finish it once a compaction drops the
     // last reference.
-    val rootPrefix = if (dir.endsWith("/")) dir else dir + "/"
     val partialSized = partialKeep.map { g =>
       var bytes = 0L; var n = 0
-      def walk(f: String): Boolean = { // true ⇒ subtree now empty
+      // file identity is judged by the CONSTRUCTED root-relative path
+      // (gen/cluster_id=N/file), the exact form the `_CARRY` entries
+      // use — never by stripping a prefix off the listing's returned
+      // path, whose qualification (scheme/authority) the filesystem
+      // impl is free to canonicalize differently from the caller's dir
+      // string (on HDFS that mismatch would read every carried file as
+      // unreferenced and delete live data)
+      def walk(f: String, rel: String): Boolean = { // true ⇒ subtree empty
         var empty = true
         LayoutFs.list(f).foreach { k =>
-          if (k.isDir) { if (walk(k.path)) LayoutFs.delete(k.path) else empty = false }
-          else if (referenced.contains(k.path.stripPrefix(rootPrefix)))
+          if (k.isDir) {
+            if (walk(k.path, s"$rel/${k.name}")) LayoutFs.delete(k.path)
+            else empty = false
+          } else if (referenced.contains(s"$rel/${k.name}"))
             empty = false
           else { bytes += k.length; n += 1; LayoutFs.delete(k.path) }
         }
         empty
       }
-      walk(g.path)
+      walk(g.path, g.name)
       s"${g.path} (partial: $n unreferenced files — " +
         "carry-listed survivors retained)" -> bytes
     }

@@ -221,7 +221,7 @@ object RabitqQuery {
     *               (≥ topk). With nprobe = numClusters and rerank ≥ n the
     *               result is EXACTLY the brute-force answer. On a
     *               rebalance-grown layout loaded via `RabitqIndex.load`,
-    *               the model carries `rerankScale` = k′/k0 and the
+    *               the model carries `rerankScale` = (k′/k0)² and the
     *               budget scales by it HERE — the same adaptation the
     *               disk and serving paths apply, so a caller with a
     *               pre-split-tuned budget gets the same recall through

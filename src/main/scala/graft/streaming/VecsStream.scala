@@ -33,6 +33,19 @@ import graft.operators.{Curation, RabitqIndex, RabitqModel}
   */
 object VecsStream {
 
+  /** A single-FILE input path streams as (parent dir, name glob); a
+    * directory streams whole. String path math (no `java.io.File` — the
+    * input may be any Hadoop filesystem), preserving the parent-of-root
+    * ("/x" → "/") and bare-relative-name ("x" → ".") edge cases.
+    */
+  private def splitFileGlob(path: String): (String, String) =
+    if (graft.operators.LayoutFs.isFile(path)) {
+      val i = path.lastIndexOf('/')
+      val dir =
+        if (i < 0) "." else if (i == 0) "/" else path.substring(0, i)
+      (dir, path.substring(i + 1))
+    } else (path, "*")
+
   val vecsSchema: StructType = StructType(Seq(
     StructField("vec_id", LongType),
     StructField("embedding", ArrayType(FloatType))))
@@ -55,11 +68,7 @@ object VecsStream {
     // reuse-exchange keeps the broadcast across micro-batches
     val hist = history
       .select(col("embedding").as("he"), cluster.as("hcluster"))
-    val (dir, glob) =
-      if (graft.operators.LayoutFs.isFile(path))
-        (path.substring(0, path.lastIndexOf('/')),
-          graft.operators.LayoutFs.baseName(path))
-      else (path, "*")
+    val (dir, glob) = splitFileGlob(path)
     val reader0 = spark.readStream
       .schema(vecsSchema)
       .option("pathGlobFilter", glob)
@@ -104,11 +113,7 @@ object VecsStream {
   def appendToIndex(spark: SparkSession, path: String, idxDir: String,
                     ckptDir: String, model: RabitqModel, queryName: String,
                     maxFilesPerTrigger: Option[Int] = None): Unit = {
-    val (dir, glob) =
-      if (graft.operators.LayoutFs.isFile(path))
-        (path.substring(0, path.lastIndexOf('/')),
-          graft.operators.LayoutFs.baseName(path))
-      else (path, "*")
+    val (dir, glob) = splitFileGlob(path)
     val reader0 = spark.readStream
       .schema(vecsSchema)
       .option("pathGlobFilter", glob)
@@ -160,11 +165,7 @@ object VecsStream {
   def maintainIndex(spark: SparkSession, path: String, idxDir: String,
                     ckptDir: String, model: RabitqModel, queryName: String,
                     maxFilesPerTrigger: Option[Int] = None): Unit = {
-    val (dir, glob) =
-      if (graft.operators.LayoutFs.isFile(path))
-        (path.substring(0, path.lastIndexOf('/')),
-          graft.operators.LayoutFs.baseName(path))
-      else (path, "*")
+    val (dir, glob) = splitFileGlob(path)
     val reader0 = spark.readStream
       .schema(opsSchema)
       .option("pathGlobFilter", glob)
