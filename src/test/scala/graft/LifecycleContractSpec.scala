@@ -498,6 +498,68 @@ class LifecycleContractSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the conversion duplicated rows")
   }
 
+  test("SURVIVE (executed): a batch appended between a crashed " +
+      "rebalance's _COMMIT and its roll-forward is NOT dropped by the " +
+      "swap — the appender's promote rolls the swap forward first " +
+      "(both deployment shapes)") {
+    // the post-stale-break race: a POSIX rebalance staged its rows,
+    // wrote _COMMIT, and crashed before the renames; the lease is
+    // eventually broken and an APPENDER wins the race to the layout
+    // before any maintenance pass. Its batch can land in a SPLIT
+    // cluster's dir — which the roll-forward replaces WHOLESALE from
+    // the staged content — and the batch's commit marker would make
+    // the stream's replay a no-op: silent data loss unless the
+    // promote itself finishes the swap first, the way every
+    // maintenance entry point does.
+    for ((tag, ops) <- Seq("posix" -> (PosixCommit: CommitOps),
+        "condput" -> (CondPutCommit: CommitOps))) {
+      val idxDir = Files.createTempDirectory(s"midswap_append_$tag").toString
+      val (model, index0) = RabitqIndex.build(spark,
+        emb.filter(col("vec_id") < 300), numClusters = 4, seed = 7L)
+      RabitqIndex.save(spark, model, index0, idxDir)
+      val splitId = index0.groupBy("cluster_id").count()
+        .orderBy(desc("count")).head().getInt(0)
+      val memberIds = index0.filter(col("cluster_id") === splitId)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      // committed in-place staging, renames never driven (the crash)
+      val staging = new java.io.File(s"$idxDir/_rebalance_staging")
+      spark.read.parquet(s"$idxDir/index")
+        .filter(col("cluster_id") === splitId)
+        .write.partitionBy("cluster_id").parquet(s"$staging/index")
+      for (t <- Seq("centroids", "params"))
+        org.apache.commons.io.FileUtils.copyDirectory(
+          new java.io.File(s"$idxDir/$t"), new java.io.File(staging, t))
+      Files.writeString(new java.io.File(staging, "_COMMIT").toPath,
+        splitId.toString)
+      // the racing batch: fresh ids whose vectors ASSIGN to the split
+      // cluster (same embeddings, new ids)
+      val extra = emb.filter(col("vec_id").isin(
+          memberIds.take(20).toSeq.map(Long.box): _*))
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val extraIds = extra.select("vec_id").collect().map(_.getLong(0)).toSet
+      val enc = RabitqIndex.appendVectors(spark, model, extra)
+      assert(enc.filter(col("cluster_id") === splitId).count() > 0,
+        "gate is vacuous: the racing batch missed the split cluster")
+      LayoutCommit.withOps(ops) {
+        graft.streaming.IdempotentSink.appendBatch(enc,
+          RabitqIndex.indexDataDir(idxDir), idxDir, s"mid_$tag", 0L,
+          partitionCols = Seq("cluster_id"))
+        // the maintenance pass that would have driven the drop
+        RabitqIndex.vacuumIndex(idxDir)
+        ()
+      }
+      val (_, live) = RabitqIndex.loadLive(spark, idxDir)
+      val ids = live.select("vec_id").collect().map(_.getLong(0))
+      assert(ids.length == ids.distinct.length, s"$tag: duplicated rows")
+      assert(extraIds.subsetOf(ids.toSet),
+        s"$tag: the roll-forward dropped the appended batch " +
+          s"(missing ${(extraIds -- ids.toSet).take(5)}) — the promote " +
+          "must finish a committed swap before landing rows")
+      assert(index0.select("vec_id").collect().map(_.getLong(0)).toSet
+        .subsetOf(ids.toSet), s"$tag: original rows lost")
+    }
+  }
+
   test("SURVIVE (executed): a full append → delete → compact → vacuum → " +
       "query lifecycle runs end-to-end on the conditional-PUT impl") {
     import spark.implicits._
