@@ -54,6 +54,13 @@ trait LayoutFs {
   /** Recursive byte size (0 when missing) — vacuum's report accounting. */
   def sizeOfDirectory(path: String): Long
 
+  /** Stamp a file's modification time — replay-order control for file
+    * streams (FileStreamSource orders by mtime; see `AsofStream`'s
+    * tie-break note). Best-effort: a store that ignores it degrades to
+    * the filesystem's own granularity.
+    */
+  def setLastModified(path: String, ms: Long): Unit
+
   /** Copy one file, replacing the destination — STAGING only (both the
     * callers copy into not-yet-referenced paths; the reader-visible
     * publish is always a [[CommitOps]] primitive).
@@ -84,6 +91,9 @@ object PosixFs extends LayoutFs {
     java.nio.file.Files.readString(f(path).toPath)
 
   def lastModified(path: String): Long = f(path).lastModified()
+  def setLastModified(path: String, ms: Long): Unit = {
+    f(path).setLastModified(ms); ()
+  }
   def length(path: String): Long = f(path).length()
   def mkdirs(path: String): Unit = { f(path).mkdirs(); () }
   def delete(path: String): Boolean = f(path).delete()
@@ -153,6 +163,9 @@ final class HadoopFs(conf: org.apache.hadoop.conf.Configuration)
   def lastModified(path: String): Long =
     status(path).fold(0L)(_.getModificationTime)
 
+  def setLastModified(path: String, ms: Long): Unit =
+    fs(hp(path)).setTimes(hp(path), ms, -1)
+
   def length(path: String): Long = status(path).fold(0L)(_.getLen)
 
   def mkdirs(path: String): Unit = { fs(hp(path)).mkdirs(hp(path)); () }
@@ -201,6 +214,8 @@ object LayoutFs {
   def list(path: String): Seq[FsEntry] = current.list(path)
   def readString(path: String): String = current.readString(path)
   def lastModified(path: String): Long = current.lastModified(path)
+  def setLastModified(path: String, ms: Long): Unit =
+    current.setLastModified(path, ms)
   def length(path: String): Long = current.length(path)
   def mkdirs(path: String): Unit = current.mkdirs(path)
   def delete(path: String): Boolean = current.delete(path)

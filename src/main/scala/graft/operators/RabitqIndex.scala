@@ -1184,23 +1184,49 @@ object RabitqIndex {
     */
   private def completeRebalanceSwapAsGeneration(
       dir: String, splitIds: Set[Int], staging: String): Unit = {
-    val published = LayoutFs.list(staging)
-      .find(f => !f.isDir && f.name.startsWith("_PUBLISHED-"))
-    published.foreach { p =>
+    // marker names are matched EXACTLY (and every match evaluated, not
+    // the first list entry): a crashed atomicWriteFile leaves sibling
+    // tmp debris ALSO prefixed `_PUBLISHED-` (`<name>.tmp` /
+    // `<name>.tmp.<seq>`), and a prefix-first pick could read a garbage
+    // generation name from the tmp, miss the REAL marker next to it,
+    // and re-drive an already-published conversion — minting a spurious
+    // generation from stale staged content
+    val markerName = "_PUBLISHED-index(-v\\d+)?".r
+    val entries = LayoutFs.list(staging).filter(!_.isDir)
+    val published = entries.filter(f => markerName.pattern
+      .matcher(f.name).matches())
+    val activeNow = LayoutFs.baseName(indexDataDir(dir))
+    if (published.exists { p =>
       val recorded = p.name.stripPrefix("_PUBLISHED-")
-      val active = LayoutFs.baseName(indexDataDir(dir))
-      if (active == recorded ||
-          LayoutFs.isFile(s"$dir/_retired/$recorded")) {
-        // the recorded generation was published (it is active, or was
-        // and has since been superseded): finishing = cleanup only
-        LayoutFs.deleteRecursively(staging)
-        return
-      }
-      // recorded but never published (crash between marker and publish):
-      // fall through and re-drive against the CURRENT active generation
-      LayoutFs.delete(p.path)
+      activeNow == recorded || LayoutFs.isFile(s"$dir/_retired/$recorded")
+    }) {
+      // a recorded generation was published (it is active, or was and
+      // has since been superseded): finishing = cleanup only
+      LayoutFs.deleteRecursively(staging)
+      return
     }
+    // recorded but never published (crash between marker and publish):
+    // drop the stale markers — and any tmp debris a crashed marker
+    // write stranded — and re-drive against the CURRENT active
+    // generation
+    entries.filter(_.name.startsWith("_PUBLISHED-"))
+      .foreach(f => LayoutFs.delete(f.path))
     val curName = LayoutFs.baseName(indexDataDir(dir))
+    // settle crashed promoted-but-UNMARKED appends against the SOURCE
+    // generation BEFORE building the carry listing: such a batch's
+    // files physically live in curName's dirs, and carrying them BY
+    // REFERENCE would put them beyond the reach of the replay's sweep
+    // (settle/sweep only walk the new generation's own dirs) — the
+    // replay re-promotes the batch and the union scan serves every row
+    // twice, permanently. The pre-carry shape was safe by accident (the
+    // conversion physically copied untouched files where sweepPrefix
+    // found them); the listing shape must settle first. Inductively the
+    // INHERITED carry entries are clean: every conversion settles
+    // before listing, so an unmarked batch's files never enter one.
+    // All callers hold the layout lease (completeRebalanceSwap's
+    // contract), so no live appender is mid-promote.
+    graft.streaming.IdempotentSink.settleInProgress(dir,
+      Seq(s"$dir/$curName", logDirOfGen(dir, curName)))
     val curV = if (curName == "index") 1 else curName.stripPrefix("index-v").toInt
     val nextName = s"index-v${curV + 1}"
     val nextDir = s"$dir/$nextName"

@@ -236,13 +236,16 @@ object AsofStream {
       // earlier one (whose rows would be dropped as late, silently diverging
       // from the batch join). Stamp each chunk's files with strictly
       // increasing mtimes so replay order never depends on fs granularity.
-      val inDirFile = new java.io.File(inDir.stripPrefix("file:"))
+      val inDirNorm = inDir.stripPrefix("file:")
       val stamped = scala.collection.mutable.Set.empty[String]
       val mtime0 = System.currentTimeMillis() - (effChunks + 2L) * 60000L
       def stampNewFiles(stampMs: Long): Unit =
-        Option(inDirFile.listFiles).getOrElse(Array.empty[java.io.File])
-          .filter(f => f.isFile && !stamped.contains(f.getName))
-          .foreach { f => f.setLastModified(stampMs); stamped += f.getName }
+        graft.operators.LayoutFs.list(inDirNorm)
+          .filter(e => !e.isDir && !stamped.contains(e.name))
+          .foreach { e =>
+            graft.operators.LayoutFs.setLastModified(e.path, stampMs)
+            stamped += e.name
+          }
       (0 until effChunks).foreach { i =>
         val chunk = if (effChunks == 1) tagged  // no boundaries — skip the filter
           else tagged.filter(col("ts_us") > lo(i) && col("ts_us") <= hi(i))

@@ -31,8 +31,11 @@ object DocsStream {
     * memory sink) and return the distinct-fingerprint frame.
     */
   def distinctFingerprints(spark: SparkSession, path: String, queryName: String): DataFrame = {
-    val f = new java.io.File(path)
-    val (dir, glob) = if (f.isFile) (f.getParent, f.getName) else (path, "*")
+    val (dir, glob) =
+      if (graft.operators.LayoutFs.isFile(path))
+        (path.substring(0, path.lastIndexOf('/')),
+          graft.operators.LayoutFs.baseName(path))
+      else (path, "*")
     val q = spark.readStream
       .schema(docsSchema)
       .option("pathGlobFilter", glob)
@@ -79,8 +82,11 @@ object DocsStream {
                       bloom: Option[Option[Column]] = None,
                       maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     import graft.operators.Dedup
-    val f = new java.io.File(path)
-    val (dir, glob) = if (f.isFile) (f.getParent, f.getName) else (path, "*")
+    val (dir, glob) =
+      if (graft.operators.LayoutFs.isFile(path))
+        (path.substring(0, path.lastIndexOf('/')),
+          graft.operators.LayoutFs.baseName(path))
+      else (path, "*")
     val reader0 = spark.readStream
       .schema(docsSchema)
       .option("pathGlobFilter", glob)

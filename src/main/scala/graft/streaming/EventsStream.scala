@@ -64,9 +64,11 @@ object EventsStream {
     * directory, so stream the parent dir with a glob filter on the name.
     */
   def windowedCountsStream(spark: SparkSession, path: String, minutes: Int): DataFrame = {
-    val f = new java.io.File(path)
     val (dir, glob) =
-      if (f.isFile) (f.getParent, f.getName) else (path, "*")
+      if (graft.operators.LayoutFs.isFile(path))
+        (path.substring(0, path.lastIndexOf('/')),
+          graft.operators.LayoutFs.baseName(path))
+      else (path, "*")
     val raw = spark.readStream
       .schema(eventsSchema(tsReadType(spark, path)))
       .option("pathGlobFilter", glob)

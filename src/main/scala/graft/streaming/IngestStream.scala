@@ -90,10 +90,13 @@ object IngestStream {
       .select(col("embedding").as("he"), cluster.as("hcluster")).persist()
     histAssigned.count()
     val outDir = s"$workDir/out"
-    new java.io.File(outDir).mkdirs()
+    graft.operators.LayoutFs.mkdirs(outDir)
 
-    val f = new java.io.File(path)
-    val (dir, glob) = if (f.isFile) (f.getParent, f.getName) else (path, "*")
+    val (dir, glob) =
+      if (graft.operators.LayoutFs.isFile(path))
+        (path.substring(0, path.lastIndexOf('/')),
+          graft.operators.LayoutFs.baseName(path))
+      else (path, "*")
     val reader0 = spark.readStream.schema(docsSchema)
       .option("pathGlobFilter", glob)
     val reader = maxFilesPerTrigger.fold(reader0)(m =>

@@ -30,8 +30,11 @@ object SessionStream {
     import spark.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
 
-    val f = new java.io.File(path)
-    val (dir, glob) = if (f.isFile) (f.getParent, f.getName) else (path, "*")
+    val (dir, glob) =
+      if (graft.operators.LayoutFs.isFile(path))
+        (path.substring(0, path.lastIndexOf('/')),
+          graft.operators.LayoutFs.baseName(path))
+      else (path, "*")
 
     val reader0 = spark.readStream
       .schema(EventsStream.eventsSchema(EventsStream.tsReadType(spark, path)))

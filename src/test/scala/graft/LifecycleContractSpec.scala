@@ -316,9 +316,25 @@ class LifecycleContractSpec extends AnyFunSuite with BeforeAndAfterAll {
     // textual. Comment lines are excluded; RabitqIndex's sole allowed
     // use is the reference-parity fvecs exporter (local by design,
     // marked in-source).
-    def offenders(path: String, allowed: Int): Seq[String] = {
-      val lines = java.nio.file.Files.readAllLines(
-        java.nio.file.Paths.get(path)).toArray(Array.empty[String])
+    // resolve the source root from a stable anchor instead of assuming
+    // the test JVM's CWD is the repo root (forked runners and IDEs can
+    // run elsewhere — a CWD-relative read would throw, or a runner
+    // swallowing it would silently skip the gate)
+    val repoRoot = {
+      val cwd = java.nio.file.Paths.get(
+        sys.props.getOrElse("user.dir", ".")).toAbsolutePath
+      Iterator.iterate(cwd)(_.getParent).takeWhile(_ != null)
+        .find(p => java.nio.file.Files.exists(p.resolve("build.sbt")))
+        .getOrElse(fail(s"grep gate cannot locate the repo root (no " +
+          s"build.sbt on or above $cwd) — refusing to silently skip"))
+    }
+    def offenders(rel: String, allowed: Int): Seq[String] = {
+      val path = repoRoot.resolve(rel)
+      assert(java.nio.file.Files.isRegularFile(path),
+        s"grep gate target missing: $path — the gate must fail loud, " +
+          "not skip")
+      val lines = java.nio.file.Files.readAllLines(path)
+        .toArray(Array.empty[String])
       // (?![A-Za-z]): java.io.FileNotFoundException is an exception
       // TYPE, not a filesystem touch
       val re = java.util.regex.Pattern.compile("java\\.io\\.File(?![A-Za-z])")
@@ -333,8 +349,22 @@ class LifecycleContractSpec extends AnyFunSuite with BeforeAndAfterAll {
           hits.map { case (l, i) => s"${i + 1}: ${l.trim}" }.mkString("\n  "))
       hits.map(_._1).toSeq
     }
-    offenders("src/main/scala/graft/streaming/IdempotentSink.scala", 0)
-    offenders("src/main/scala/graft/streaming/VecsStream.scala", 0)
+    // the ENTIRE streaming package, not a named-file subset: the r19
+    // review found a stray probe (`UpsertStream`) exactly one file
+    // outside the old list — enumerate the directory so a new harness
+    // file is in scope the day it lands
+    val streamingDir = repoRoot.resolve("src/main/scala/graft/streaming")
+    val streamingFiles = {
+      import scala.jdk.CollectionConverters._
+      val st = java.nio.file.Files.list(streamingDir)
+      try st.iterator().asScala.toList
+        .filter(_.toString.endsWith(".scala")).map(_.getFileName.toString)
+      finally st.close()
+    }
+    assert(streamingFiles.length >= 8,
+      s"streaming package enumeration looks broken: $streamingFiles")
+    streamingFiles.foreach(f =>
+      offenders(s"src/main/scala/graft/streaming/$f", 0))
     offenders("src/main/scala/graft/operators/LayoutCommit.scala", 0)
     val allowedRabitq =
       offenders("src/main/scala/graft/operators/RabitqIndex.scala", 1)
@@ -557,6 +587,88 @@ class LifecycleContractSpec extends AnyFunSuite with BeforeAndAfterAll {
           "must finish a committed swap before landing rows")
       assert(index0.select("vec_id").collect().map(_.getLong(0)).toSet
         .subsetOf(ids.toSet), s"$tag: original rows lost")
+    }
+  }
+
+  test("SURVIVE (executed): a batch PROMOTED but crashed before its " +
+      "commit marker is settled out of the SOURCE generation before " +
+      "the roll-forward builds its carry listing — the replay lands " +
+      "exactly once (no carried-by-reference duplicates)") {
+    // the mirror image of the append-drop race above. Reachable via a
+    // ZOMBIE rebalance: R settles and stages under the lease, the lease
+    // is deemed stale mid-staging and broken, appender A promotes into
+    // the still-active source generation and crashes before its commit
+    // marker, zombie R writes _COMMIT and dies. The next maintenance
+    // pass (vacuum — which never settles) rolls the swap forward as a
+    // generation publish; A's unmarked files sit in UNTOUCHED clusters,
+    // so the conversion would carry them BY REFERENCE into the new
+    // generation's _CARRY listing — where the replay's sweep (which
+    // only walks the new generation's own dirs) cannot reach them —
+    // and the re-promoted copy would be served alongside the carried
+    // one: silent permanent duplicates. The conversion must settle
+    // unmarked appends against the SOURCE generation first.
+    val idxDir = Files.createTempDirectory("unmarked_carry").toString
+    LayoutCommit.withOps(CondPutCommit) {
+      val (model, index0) = RabitqIndex.build(spark,
+        emb.filter(col("vec_id") < 300), numClusters = 4, seed = 7L)
+      RabitqIndex.save(spark, model, index0, idxDir)
+      val sizes = index0.groupBy("cluster_id").count()
+        .orderBy(desc("count")).collect()
+      val splitId = sizes.head.getInt(0)
+      val quietId = sizes.last.getInt(0) // an UNTOUCHED cluster
+      assert(splitId != quietId)
+      // zombie R's staging: read BEFORE the racing promote (faithful to
+      // the timeline — R staged from the pre-append layout)
+      val staging = new java.io.File(s"$idxDir/_rebalance_staging")
+      spark.read.parquet(s"$idxDir/index")
+        .filter(col("cluster_id") === splitId)
+        .write.partitionBy("cluster_id").parquet(s"$staging/index")
+      for (t <- Seq("centroids", "params"))
+        org.apache.commons.io.FileUtils.copyDirectory(
+          new java.io.File(s"$idxDir/$t"), new java.io.File(staging, t))
+      // the racing batch: fresh ids that ASSIGN to the untouched
+      // cluster, so its files are exactly what the listing would carry
+      val quietMembers = index0.filter(col("cluster_id") === quietId)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val extra = emb.filter(col("vec_id").isin(
+          quietMembers.take(15).toSeq.map(Long.box): _*))
+        .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding"))
+      val enc = RabitqIndex.appendVectors(spark, model, extra)
+      assert(enc.filter(col("cluster_id") === quietId).count() > 0,
+        "gate is vacuous: the racing batch missed the untouched cluster")
+      val extraIds = extra.select("vec_id").collect().map(_.getLong(0)).toSet
+      // promote-then-crash: everything appendBatch does EXCEPT the
+      // commit marker — the stranded in-progress sentinel is the
+      // crash's evidence the settle keys on
+      LayoutFs.mkdirs(s"$idxDir/_commits/unmk")
+      LayoutCommit.exclusiveCreate(s"$idxDir/_commits/unmk/0.inprogress")
+      val stg = s"$idxDir/_staging/unmk-0"
+      enc.write.mode("overwrite").partitionBy("cluster_id").parquet(stg)
+      RabitqIndex.promoteStaged(stg, RabitqIndex.indexDataDir(idxDir),
+        Some("unmk-0"))
+      LayoutFs.deleteRecursively(stg)
+      // zombie R's point of no return, written AFTER the promote
+      Files.writeString(new java.io.File(staging, "_COMMIT").toPath,
+        splitId.toString)
+      // the maintenance pass that drives the conversion (never settles
+      // on its own)
+      RabitqIndex.vacuumIndex(idxDir)
+      assert(RabitqIndex.indexDataDir(idxDir) == s"$idxDir/index-v2",
+        "the roll-forward must have published a generation")
+      // the stream's replay of the unmarked batch
+      graft.streaming.IdempotentSink.appendBatch(enc,
+        RabitqIndex.indexDataDir(idxDir), idxDir, "unmk", 0L,
+        partitionCols = Seq("cluster_id"))
+      val (_, live) = RabitqIndex.loadLive(spark, idxDir)
+      val ids = live.select("vec_id").collect().map(_.getLong(0))
+      assert(ids.length == ids.distinct.length,
+        "the carried-by-reference unmarked batch was served twice — " +
+          "the conversion must settle unmarked appends against the " +
+          "source generation before building its carry listing")
+      assert(extraIds.subsetOf(ids.toSet), "the replayed batch was lost")
+      assert(index0.select("vec_id").collect().map(_.getLong(0)).toSet
+        .subsetOf(ids.toSet), "original rows lost")
+      ()
     }
   }
 
