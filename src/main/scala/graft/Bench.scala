@@ -41,18 +41,32 @@ object Bench {
         System.err.println(s"[bench] UNKNOWN QUERY NAMES (ignored): ${unknown.mkString(",")}")
     }
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
-    def once(): Map[String, Double] = selected.map { case (name, fn) =>
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    def loadavg: Double = osBean.getSystemLoadAverage
+    def timeOne(name: String): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case t: Throwable =>
+      try { selected(name)(spark, sfDir).count() } catch { case t: Throwable =>
         System.err.println(s"[bench] QUERY FAILED $name: $t"); -1L
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
+    def once(): Map[String, Double] =
+      selected.keys.map(n => n -> timeOne(n)).toMap
     // pass 1 = cold (codegen compile, JIT, first scans) — the primary,
     // round-comparable metric. The warm number is the PER-QUERY MEDIAN of
     // 3 further passes: single warm passes drifted ±14% round-over-round
     // with no code change (machine noise), which made rounds incomparable
-    val results = once()
+    // per-query 1-min loadavg BEFORE each cold run: two straight rounds
+    // (r18 q49, r19 q107) the official artifact carried a single-query
+    // host-contention outlier that had to be adjudicated by committed
+    // same-code pairs — the artifact now records the contention evidence
+    // itself
+    val loadStart = loadavg
+    val loadCold = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val results = selected.keys.map { n =>
+      loadCold(n) = loadavg
+      n -> timeOne(n)
+    }.toMap
     val warmRuns = sys.env.get("SPARK_GRAFT_WARM_RUNS").flatMap(_.toIntOption)
       .filter(_ >= 1).getOrElse(3)
     val warmPasses = (1 to warmRuns).map { _ =>
@@ -70,6 +84,24 @@ object Bench {
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
     val warm = selected.keys.map(n => n -> median(warmPasses.map(_(n)))).toMap
+    // SELF-ADJUDICATION: a cold time more than 3× the same-run warm
+    // median (and above a 2 s floor — sub-second queries jitter past 3×
+    // on codegen compile alone) is host contention, not a plan property.
+    // Re-run each outlier once and record BOTH numbers: a rerun back in
+    // the warm band proves the cold sample was noise; a rerun that stays
+    // high is a real regression the pair discipline then confirms.
+    val rerunned = selected.keys.toSeq
+      .filter(n => warm(n) > 0 && results(n) > 3 * warm(n) && results(n) > 2.0)
+      .map { n =>
+        System.gc(); Thread.sleep(200)
+        val t = timeOne(n)
+        System.err.println(String.format(java.util.Locale.ROOT,
+          "[bench] RERUN %s: cold %.3f vs warm %.3f -> rerun %.3f (load %.2f)",
+          n, Double.box(results(n)), Double.box(warm(n)), Double.box(t),
+          Double.box(loadavg)))
+        n -> t
+      }.toMap
+    val loadEnd = loadavg
     // Locale.ROOT: the f-interpolator uses the default locale, which on a
     // comma-decimal host would render 1,234 and corrupt the JSON
     def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -87,11 +119,16 @@ object Bench {
     // construction, and the shape the driver contract's own example
     // uses); full names + warm passes go to $SPARK_GRAFT_BENCH_OUT.
     val shortKeyed = results.map { case (k, v) => k.takeWhile(_ != '_') -> v }
+    val rerunShort = rerunned.map { case (k, v) => k.takeWhile(_ != '_') -> v }
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
-      s""""queries":${js(shortKeyed)},"total_warm":${fmt(totalWarm)},"sf":$sfNum}"""
+      s""""queries":${js(shortKeyed)},"total_warm":${fmt(totalWarm)},""" +
+      s""""reruns":${js(rerunShort)},"load":[${fmt(loadStart)},${fmt(loadEnd)}],"sf":$sfNum}"""
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},""" +
       s""""total_warm":$totalWarm,"queries_warm":${js(warm)},"warm_runs":$warmRuns,""" +
-      s""""warm_passes":[${warmPasses.map(js).mkString(",")}],"sf":$sfNum,"sf_dir":"$sfDir"}"""
+      s""""warm_passes":[${warmPasses.map(js).mkString(",")}],""" +
+      s""""reruns":${js(rerunned)},"load_cold":${js(loadCold.toMap)},""" +
+      s""""load_start":${fmt(loadStart)},"load_end":${fmt(loadEnd)},""" +
+      s""""sf":$sfNum,"sf_dir":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       full.getBytes(java.nio.charset.StandardCharsets.UTF_8))
