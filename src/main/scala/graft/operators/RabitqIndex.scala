@@ -324,9 +324,148 @@ object RabitqIndex {
     */
   private[graft] def readCarry(dir: String, gen: String): Seq[String] = {
     val f = s"$dir/$gen/_CARRY"
+    if (LayoutFs.isFile(f))
+      LayoutFs.readString(f).split('\n')
+        .map(_.trim).filter(_.nonEmpty).toSeq
+    else readCarryShards(dir, gen).flatMap(s => readShardEntries(dir, gen, s))
+  }
+
+  /** Batch prefixes of PROMOTED-BUT-UNCOMMITTED appends (in-progress
+    * sentinel present, commit marker absent — a crashed attempt, or a
+    * live batch mid-promote on another worker). Their files may be
+    * SWEPT and re-promoted by the replay at any moment
+    * (`IdempotentSink.sweepPrefix`), so READERS exclude them from every
+    * scan: read-committed visibility for appends, and — the part that
+    * bites — no vanishing-file task failures while a crashed append is
+    * being recovered under a racing reader (found by the crash×race
+    * hammer: a reader that listed the file pre-sweep hard-fails reading
+    * it post-sweep). Metadata-sized: one `_commits` listing per
+    * resolve, empty on the no-crash path.
+    */
+  private[graft] def inProgressPrefixes(dir: String): Seq[String] =
+    LayoutFs.list(s"$dir/_commits").filter(_.isDir).flatMap { q =>
+      LayoutFs.list(q.path)
+        .filter(f => !f.isDir && f.name.endsWith(".inprogress"))
+        .map(_.name.stripSuffix(".inprogress"))
+        .filter(b => !LayoutFs.exists(s"$dir/_commits/${q.name}/$b"))
+        .map(b => s"${q.name}-$b")
+    }
+
+  private def excludedByInProgress(name: String,
+                                   inprog: Seq[String]): Boolean =
+    inprog.exists(p => name.startsWith(p + "-"))
+
+  /** Does the generation carry ANY files by reference? Metadata-probe
+    * only — the self-contained-vs-carry-listed decision points must not
+    * read a corpus-file-count listing just to test emptiness.
+    */
+  private[graft] def hasCarry(dir: String, gen: String): Boolean =
+    (LayoutFs.isFile(s"$dir/$gen/_CARRY") &&
+      LayoutFs.length(s"$dir/$gen/_CARRY") > 0) ||
+      LayoutFs.isFile(s"$dir/$gen/_CARRY_LIST")
+
+  /** Target entries per carry-manifest SHARD — the point past which
+    * [[writeCarryListing]] switches from the flat single `_CARRY` file
+    * to the sharded manifest-list shape (`_CARRY_LIST` + `_carry/`).
+    * At 100 TB (~10⁵–10⁶ data files) a flat listing is a ~50 MB object
+    * rebuilt whole per swap and re-read whole per resolution; sharding
+    * bounds every metadata object and lets probe-pruned readers touch
+    * only the shards covering their probed clusters
+    * ([[readCarryForClusters]]) — Iceberg's manifest-list shape, and
+    * the metadata analog of the reference's block-granular ranged GET
+    * (`/root/reference/crates/disk/src/cache.rs:105-113`: touch only
+    * what you probe). Volatile test seam: specs lower it to exercise
+    * the sharded shape at spec scale.
+    */
+  @volatile private[graft] var carryShardTarget: Int = 4096
+
+  /** One line of `_CARRY_LIST`: a shard's cluster-id range, file name
+    * (inside `_carry/`), and entry count.
+    */
+  private[graft] final case class CarryShard(
+      lo: Int, hi: Int, name: String, count: Int)
+
+  private[graft] def readCarryShards(dir: String, gen: String): Seq[CarryShard] = {
+    val f = s"$dir/$gen/_CARRY_LIST"
     if (!LayoutFs.isFile(f)) Nil
     else LayoutFs.readString(f).split('\n')
+      .map(_.trim).filter(_.nonEmpty).toSeq.map { l =>
+        val p = l.split('\t')
+        CarryShard(p(0).toInt, p(1).toInt, p(2), p(3).toInt)
+      }
+  }
+
+  private def readShardEntries(dir: String, gen: String,
+                               s: CarryShard): Seq[String] =
+    LayoutFs.readString(s"$dir/$gen/_carry/${s.name}").split('\n')
       .map(_.trim).filter(_.nonEmpty).toSeq
+
+  /** Carry entries restricted to `clusters`, reading ONLY the manifest
+    * shards whose cluster-id ranges overlap them — the lazy resolution
+    * of the probe-pruned disk query path. On the flat shape this is a
+    * filter of the one listing file (same bytes as before); on the
+    * sharded shape the bytes read are ∝ probed shards, not ∝ corpus
+    * file count. Shard ranges can cover more clusters than requested,
+    * so entries are filtered exactly either way.
+    */
+  private[graft] def readCarryForClusters(dir: String, gen: String,
+                                          clusters: Set[Int]): Seq[String] = {
+    val all =
+      if (LayoutFs.isFile(s"$dir/$gen/_CARRY")) readCarry(dir, gen)
+      else readCarryShards(dir, gen)
+        .filter(s => clusters.exists(c => c >= s.lo && c <= s.hi))
+        .flatMap(s => readShardEntries(dir, gen, s))
+    all.filter(e => clusters.contains(clusterOfCarryEntry(e)))
+  }
+
+  /** Publish a generation's carry listing from its entry list: the flat
+    * single `_CARRY` file up to [[carryShardTarget]] entries, the
+    * sharded manifest-list shape past it — size-bounded shards cut at
+    * CLUSTER boundaries (a cluster's entries never straddle shards, so
+    * range-overlap resolution is exact; one oversized cluster gets one
+    * oversized shard), then the tiny `_CARRY_LIST` naming each shard's
+    * range. Every write goes through the commit seam (kill-sweep
+    * crash points); all of it lands inside the still-unreferenced next
+    * generation, so a crash anywhere leaves only debris the conversion
+    * retry wipes ([[completeRebalanceSwapAsGeneration]] rebuilds
+    * `nextDir` from scratch) or vacuum reclaims. Stale listing state
+    * from a crashed prior attempt is wiped FIRST so `_CARRY_LIST` can
+    * only ever name shards this attempt wrote — and so the two shapes
+    * can never coexist (readers prefer `_CARRY`).
+    */
+  private[graft] def writeCarryListing(nextDir: String,
+                                       entries: Seq[String]): Unit = {
+    LayoutFs.delete(s"$nextDir/_CARRY")
+    LayoutFs.delete(s"$nextDir/_CARRY_LIST")
+    LayoutFs.deleteRecursively(s"$nextDir/_carry")
+    if (entries.length <= carryShardTarget) {
+      LayoutCommit.atomicWriteFile(s"$nextDir/_CARRY", entries.mkString("\n"))
+      return
+    }
+    val byCluster: Seq[(Int, Seq[String])] = entries
+      .groupBy(clusterOfCarryEntry).toSeq.sortBy(_._1)
+      .map { case (c, es) => (c, es.sorted) }
+    val shards = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Int, Seq[String])]
+    var lo = -1; var hi = -1
+    var buf = Vector.empty[String]
+    byCluster.foreach { case (cid, es) =>
+      if (buf.nonEmpty && buf.length + es.length > carryShardTarget) {
+        shards += ((lo, hi, buf)); buf = Vector.empty
+      }
+      if (buf.isEmpty) lo = cid
+      buf ++= es; hi = cid
+    }
+    if (buf.nonEmpty) shards += ((lo, hi, buf))
+    LayoutFs.mkdirs(s"$nextDir/_carry")
+    val listLines = shards.zipWithIndex.map { case ((l, h, es), i) =>
+      val name = f"shard-$i%05d.list"
+      LayoutCommit.atomicWriteFile(s"$nextDir/_carry/$name",
+        es.mkString("\n"))
+      s"$l\t$h\t$name\t${es.length}"
+    }
+    LayoutCommit.atomicWriteFile(s"$nextDir/_CARRY_LIST",
+      listLines.mkString("\n"))
   }
 
   private[graft] def clusterOfCarryEntry(e: String): Int =
@@ -355,6 +494,46 @@ object RabitqIndex {
     own ++ inherited
   }
 
+  /** [[buildCarryListing]] with the per-cluster FILE listings fanned out
+    * as Spark tasks — the driver does ONE listing (the cluster dirs)
+    * and a metadata-sized collect; the O(file-count) NameNode/object-
+    * store LIST round-trips run distributed, so listing-build wall-clock
+    * stays flat as the corpus grows (the r19 shape walked every file
+    * from the driver). Same entry set as the driver walk (spec-pinned).
+    * Only the PRIMARY swap path uses this — the crash-recovery
+    * conversion ([[completeRebalanceSwapAsGeneration]]) has no
+    * SparkSession by contract and keeps the driver walk.
+    */
+  private[graft] def buildCarryEntriesDistributed(
+      spark: SparkSession, dir: String, curName: String,
+      splitIds: Set[Int]): Seq[String] = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val rootPath = new org.apache.hadoop.fs.Path(s"$dir/$curName")
+    val fs = rootPath.getFileSystem(hconf)
+    val dirs: Seq[(String, String)] =
+      if (!fs.exists(rootPath)) Nil
+      else fs.listStatus(rootPath).toSeq
+        .filter(s => s.isDirectory &&
+          s.getPath.getName.startsWith("cluster_id=") &&
+          !splitIds.contains(
+            s.getPath.getName.stripPrefix("cluster_id=").toInt))
+        .map(s => (s.getPath.getName, fs.makeQualified(s.getPath).toString))
+    val own: Seq[String] =
+      if (dirs.isEmpty) Nil
+      else spark.sparkContext
+        .parallelize(dirs, math.max(1, math.min(64, dirs.length)))
+        .flatMap { case (name, qp) =>
+          val conf = new org.apache.hadoop.conf.Configuration()
+          val p = new org.apache.hadoop.fs.Path(qp)
+          p.getFileSystem(conf).listStatus(p).toSeq
+            .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+            .map(st => s"$curName/$name/${st.getPath.getName}")
+        }.collect().toSeq.sorted
+    val inherited = readCarry(dir, curName)
+      .filterNot(e => splitIds.contains(clusterOfCarryEntry(e)))
+    own ++ inherited
+  }
+
   /** The data scan of an already-resolved generation: its own directory
     * unioned with any files its `_CARRY` listing carries by reference.
     * Carried files are grouped by SOURCE generation and read with
@@ -366,21 +545,94 @@ object RabitqIndex {
     * read — the identical plan every existing pruning gate asserts.
     */
   private[graft] def scanOfGen(spark: SparkSession, dir: String,
-                               gen: String): DataFrame = {
+                               gen: String): DataFrame =
+    scanOfGen(spark, dir, gen, None)
+
+  /** [[scanOfGen]] with OPTIONAL cluster restriction: when `clusters` is
+    * given, carried files are materialized from only the manifest
+    * shards overlapping them ([[readCarryForClusters]]) — the planner
+    * never even lists the carried files of unprobed clusters, which at
+    * 100 TB is the difference between O(probed) and O(corpus-file-count)
+    * driver work per query. Restriction contract: the caller MUST still
+    * filter `cluster_id ∈ clusters` (the own-dir branch is a full
+    * directory read pruned by that filter, exactly as before).
+    */
+  private[graft] def scanOfGen(spark: SparkSession, dir: String,
+                               gen: String,
+                               clusters: Option[Set[Int]]): DataFrame = {
     val genName = LayoutFs.baseName(gen)
-    val carry = readCarry(dir, genName)
-    if (carry.isEmpty) return spark.read.parquet(gen)
-    val ownHasData = LayoutFs.list(gen)
+    val inprog = inProgressPrefixes(dir)
+    val carry0 = clusters.fold(readCarry(dir, genName))(cs =>
+      readCarryForClusters(dir, genName, cs))
+    // defensive: listings are built post-settle so they never name an
+    // uncommitted batch's files — but exclusion here is one string test
+    val carry = carry0.filterNot(e =>
+      excludedByInProgress(e.split('/').last, inprog))
+    def ownHasData = LayoutFs.list(gen)
       .filter(f => f.isDir && f.name.startsWith("cluster_id="))
       .exists(cd => LayoutFs.list(cd.path)
         .exists(f => !f.isDir && f.name.endsWith(".parquet")))
-    val own = if (ownHasData) Seq(spark.read.parquet(gen)) else Nil
+    // the OWN-directory branch: the plain directory read on the
+    // no-crash path (inprog empty — plan-identical to every pruning
+    // gate), an explicit file enumeration EXCLUDING uncommitted-batch
+    // files when a promoted-but-unmarked append exists (read-committed:
+    // the replay may sweep those files at any moment, and a racing
+    // reader must neither serve them nor hard-fail on their deletion)
+    def ownScan: DataFrame =
+      if (inprog.isEmpty) spark.read.parquet(gen)
+      else {
+        val files = LayoutFs.list(gen)
+          .filter(d => d.isDir && d.name.startsWith("cluster_id="))
+          .sortBy(_.name)
+          .flatMap(cd => LayoutFs.list(cd.path)
+            .filter(f => !f.isDir && f.name.endsWith(".parquet") &&
+              !excludedByInProgress(f.name, inprog))
+            .sortBy(_.name).map(_.path))
+        if (files.isEmpty) spark.read.parquet(gen)
+        else spark.read.option("basePath", gen).parquet(files: _*)
+      }
+    if (carry.isEmpty) {
+      // no carried files at all, or none within the restriction: the
+      // own-directory read — except a PURE-carry generation whose
+      // probed clusters hold zero carried files, where the own dir has
+      // nothing to infer a schema from; read one carried file for the
+      // schema and return its empty restriction
+      if (clusters.isEmpty || ownHasData) return ownScan
+      val anyEntry = (if (LayoutFs.isFile(s"$dir/$genName/_CARRY"))
+          readCarry(dir, genName).headOption
+        else readCarryShards(dir, genName).headOption
+          .flatMap(s => readShardEntries(dir, genName, s).headOption))
+        .getOrElse(return ownScan)
+      return spark.read
+        .option("basePath", s"$dir/${anyEntry.takeWhile(_ != '/')}")
+        .parquet(s"$dir/$anyEntry").limit(0)
+    }
+    val own = if (ownHasData) Seq(ownScan) else Nil
     val carried = carry.groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1)
       .map { case (srcGen, entries) =>
         spark.read.option("basePath", s"$dir/$srcGen")
           .parquet(entries.map(e => s"$dir/$e"): _*)
       }
     (own ++ carried).reduce(_.unionByName(_))
+  }
+
+  /** The tombstone-log scan of a generation with the same read-committed
+    * exclusion as [[scanOfGen]]: the log is an append target too, so a
+    * crashed delete batch's files are excluded (and safe from the
+    * replay's sweep racing this read). None when the log is empty or
+    * holds only uncommitted batches.
+    */
+  private[graft] def logScanOfGen(spark: SparkSession, dir: String,
+                                  gen: String): Option[DataFrame] = {
+    val p = logDirOfGen(dir, gen)
+    val inprog = inProgressPrefixes(dir)
+    val files = LayoutFs.list(p)
+      .filter(f => !f.isDir && f.name.endsWith(".parquet") &&
+        !excludedByInProgress(f.name, inprog))
+      .sortBy(_.name).map(_.path)
+    if (files.isEmpty) None
+    else if (inprog.isEmpty) Some(spark.read.parquet(p))
+    else Some(spark.read.option("basePath", p).parquet(files: _*))
   }
 
   /** Mark a generation as RETIRED (superseded by a compaction swap) —
@@ -670,6 +922,135 @@ object RabitqIndex {
       s"$dir/offsets_ids.ivecs")
   }
 
+  /** [[exportReferenceLayout]] WITHOUT the driver-side collect — the
+    * scale path the driver exporter's size-bound note names. The
+    * corpus-sized streams (`base.fvecs`, `x_binary_vec.u64vecs`,
+    * `factors.fvecs` payload, the id half of `offsets_ids.ivecs`) are
+    * encoded EXECUTOR-SIDE: the CSR-ordered frame (global range sort on
+    * (cluster_id, cds, vec_id) — the exact order the driver exporter
+    * collects in) is walked once per partition, each task writing its
+    * byte chunks to a staging dir through the Hadoop FileSystem API
+    * (works on local disk and on a shared fs alike), and the driver
+    * CONCATENATES chunks in partition order — streaming copy, O(1)
+    * driver memory. Record encoding is bit-identical to the driver
+    * exporter (same LE layout, same `VectorOps.rotate` arithmetic on
+    * the same inputs, same total order), spec-gated byte-for-byte.
+    * Model-sized files (`orthogonal`/`centroids`) reuse the driver
+    * writers. The per-cluster offsets come from a numClusters-row
+    * aggregate, never the corpus.
+    */
+  def exportReferenceLayoutDistributed(
+      spark: SparkSession, model: RabitqModel, index: DataFrame,
+      base: DataFrame, dir: String): Unit = {
+    import spark.implicits._
+    import graft.sources.Fvecs
+    import org.apache.hadoop.fs.Path
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val rootP = new Path(dir)
+    val rootFs = rootP.getFileSystem(hconf)
+    rootFs.mkdirs(rootP)
+
+    Fvecs.writeFvecs(
+      model.rotation.zipWithIndex.map { case (r, i) => (i.toLong, r.toSeq) }.toSeq
+        .toDF("vec_id", "vec"), s"$dir/orthogonal.fvecs")
+    Fvecs.writeFvecs(
+      model.centroids.zipWithIndex.map { case (c, i) => (i.toLong, c.toSeq) }.toSeq
+        .toDF("vec_id", "vec"), s"$dir/centroids.fvecs")
+
+    val staging = s"$dir/.export_chunks"
+    rootFs.delete(new Path(staging), true)
+    rootFs.mkdirs(new Path(staging))
+    val stagingQ = rootFs.makeQualified(new Path(staging)).toString
+    val bRot = spark.sparkContext.broadcast(model.rotation)
+    // CSR order, encoded per partition in one pass over the sorted rows
+    val chunkCounts: Array[(Int, Long)] = index
+      .join(base.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .select("vec_id", "cluster_id", "code", "factor_ip", "factor_ppc",
+        "error_bound", "cds", "embedding")
+      .orderBy(col("cluster_id"), col("cds"), col("vec_id"))
+      .rdd.mapPartitionsWithIndex { (pi, it) =>
+        import java.nio.{ByteBuffer, ByteOrder}
+        val conf = new org.apache.hadoop.conf.Configuration()
+        def open(tag: String) = {
+          val p = new Path(f"$stagingQ/part-$pi%05d-$tag.bin")
+          new java.io.BufferedOutputStream(p.getFileSystem(conf).create(p, true))
+        }
+        val (ob, oc, of, oi) = (open("base"), open("codes"), open("factors"), open("ids"))
+        var n = 0L
+        try {
+          it.foreach { r =>
+            val rot = graft.functions.VectorOps.rotate(bRot.value,
+              graft.functions.VectorOps.pad(
+                r.getAs[scala.collection.Seq[Float]]("embedding").toArray, 64))
+            val bb = ByteBuffer.allocate(4 + rot.length * 4)
+              .order(ByteOrder.LITTLE_ENDIAN)
+            bb.putInt(rot.length); rot.foreach(bb.putFloat)
+            ob.write(bb.array())
+            val code = r.getAs[scala.collection.Seq[Long]]("code")
+            val cb = ByteBuffer.allocate(4 + code.length * 8)
+              .order(ByteOrder.LITTLE_ENDIAN)
+            cb.putInt(code.length); code.foreach(cb.putLong)
+            oc.write(cb.array())
+            val fb = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+            fb.putFloat(r.getAs[Float]("factor_ip"))
+            fb.putFloat(r.getAs[Float]("factor_ppc"))
+            fb.putFloat(r.getAs[Float]("error_bound"))
+            fb.putFloat(r.getAs[Float]("cds"))
+            of.write(fb.array())
+            val ib = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+            ib.putInt(r.getAs[Long]("vec_id").toInt)
+            oi.write(ib.array())
+            n += 1
+          }
+        } finally { ob.close(); oc.close(); of.close(); oi.close() }
+        Iterator.single((pi, n))
+      }.collect().sortBy(_._1)
+    val n = chunkCounts.map(_._2).sum
+
+    def concat(tag: String, out: java.io.OutputStream): Unit = {
+      val buf = new Array[Byte](1 << 20)
+      chunkCounts.foreach { case (pi, cnt) =>
+        if (cnt > 0) {
+          val p = new Path(f"$stagingQ/part-$pi%05d-$tag.bin")
+          val in = p.getFileSystem(hconf).open(p)
+          try {
+            var r = in.read(buf)
+            while (r >= 0) { if (r > 0) out.write(buf, 0, r); r = in.read(buf) }
+          } finally in.close()
+        }
+      }
+    }
+    def withOut(path: String)(body: java.io.OutputStream => Unit): Unit = {
+      val out = new java.io.BufferedOutputStream(
+        rootFs.create(new Path(path), true))
+      try body(out) finally out.close()
+    }
+    withOut(s"$dir/base.fvecs")(concat("base", _))
+    withOut(s"$dir/x_binary_vec.u64vecs")(concat("codes", _))
+    withOut(s"$dir/factors.fvecs") { out =>
+      // ONE record: u32 header = 4·n floats, then the per-row quads
+      val hb = java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      hb.putInt((4L * n).toInt); out.write(hb.array())
+      concat("factors", out)
+    }
+    val k = model.params.numClusters
+    val sizes = new Array[Int](k)
+    index.groupBy("cluster_id").count().collect()
+      .foreach(r => sizes(r.getInt(0)) = r.getLong(1).toInt)
+    val offsets = sizes.scanLeft(0)(_ + _)
+    withOut(s"$dir/offsets_ids.ivecs") { out =>
+      val bb = java.nio.ByteBuffer
+        .allocate(4 + offsets.length * 4 + 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(offsets.length); offsets.foreach(bb.putInt)
+      bb.putInt(n.toInt) // header of the id record
+      out.write(bb.array())
+      concat("ids", out)
+    }
+    rootFs.delete(new Path(staging), true)
+  }
+
   /** What [[rebalanceIndex]] did: which clusters split into how many,
     * how many rows were re-encoded, and the before/after shape of the
     * size distribution. `movedRows` over the corpus size is the IO
@@ -855,7 +1236,7 @@ object RabitqIndex {
     // be mutated in place — replacing a split cluster's own dir leaves
     // its carried files still listed, resurrecting pre-split rows.
     val activeSelfContained =
-      readCarry(dir, LayoutFs.baseName(indexDataDir(dir))).isEmpty
+      !hasCarry(dir, LayoutFs.baseName(indexDataDir(dir)))
     val (movedRows, reencSizes) =
       if (LayoutCommit.renamesDirAtomically && activeSelfContained) {
         // IN-PLACE swap (IO ∝ skew — only split partition dirs move).
@@ -977,10 +1358,12 @@ object RabitqIndex {
     val reencSizes = reenc.groupBy("cluster_id").count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     // untouched clusters: by reference (one listing line per file — the
-    // seam primitive makes the write a kill-sweep point and, deployed,
-    // one atomic PUT); the tombstone log by copy (delete-volume-sized)
-    LayoutCommit.atomicWriteFile(s"$nextDir/_CARRY",
-      buildCarryListing(dir, curName, splitIds.toSet).mkString("\n"))
+    // seam-primitive writes are kill-sweep points and, deployed, atomic
+    // PUTs); the per-cluster file enumeration fans out as Spark tasks
+    // and the listing shards past carryShardTarget; the tombstone log
+    // goes by copy (delete-volume-sized)
+    writeCarryListing(nextDir,
+      buildCarryEntriesDistributed(spark, dir, curName, splitIds.toSet))
     tombstoneLogOfGenIfAny(dir, curName).foreach(logDir =>
       copyParquetFiles(logDir, logDirOfGen(dir, nextName)))
     model2.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
@@ -1067,7 +1450,7 @@ object RabitqIndex {
     val splitIds = LayoutFs.readString(commitF).split('\n')
       .map(_.trim).filter(_.nonEmpty).map(_.toInt).toSet
     if (!LayoutCommit.renamesDirAtomically ||
-        readCarry(dir, LayoutFs.baseName(indexDataDir(dir))).nonEmpty) {
+        hasCarry(dir, LayoutFs.baseName(indexDataDir(dir)))) {
       // a committed IN-PLACE staging being rolled forward either under
       // a commit impl with no atomic dir rename (a deployment migrated
       // to the object-store shape with a crashed swap in tow) or onto
@@ -1236,8 +1619,7 @@ object RabitqIndex {
     LayoutFs.list(s"$staging/index")
       .filter(f => f.isDir && f.name.startsWith("cluster_id="))
       .foreach(sd => copyParquetFiles(sd.path, s"$nextDir/${sd.name}"))
-    LayoutCommit.atomicWriteFile(s"$nextDir/_CARRY",
-      buildCarryListing(dir, curName, splitIds).mkString("\n"))
+    writeCarryListing(nextDir, buildCarryListing(dir, curName, splitIds))
     tombstoneLogOfGenIfAny(dir, curName).foreach(logDir =>
       copyParquetFiles(logDir, logDirOfGen(dir, nextName)))
     for (t <- Seq("centroids", "params"))
@@ -1565,13 +1947,21 @@ object RabitqIndex {
           if (k.isDir) {
             if (walk(k.path, s"$rel/${k.name}")) LayoutFs.delete(k.path)
             else empty = false
-          } else if (referenced.contains(s"$rel/${k.name}"))
+          } else if (referenced.contains(s"$rel/${k.name}") ||
+              k.name == "_RECLAIMED")
             empty = false
           else { bytes += k.length; n += 1; LayoutFs.delete(k.path) }
         }
         empty
       }
       walk(g.path, g.name)
+      // the generation is no longer resolvable AS a generation (its own
+      // listing and sidecars are gone) — mark it so [[loadAt]] refuses
+      // it instead of serving a partial snapshot; written AFTER the walk
+      // (idempotent under crash-retry: the re-walk skips the marker)
+      if (!LayoutFs.isFile(s"${g.path}/_RECLAIMED"))
+        LayoutCommit.atomicWriteFile(s"${g.path}/_RECLAIMED",
+          System.currentTimeMillis().toString)
       s"${g.path} (partial: $n unreferenced files — " +
         "carry-listed survivors retained)" -> bytes
     }
@@ -1657,7 +2047,15 @@ object RabitqIndex {
     loadOfGen(spark, dir, indexDataDir(dir))
 
   private def loadOfGen(spark: SparkSession, dir: String,
-                        gen: String): (RabitqModel, DataFrame) = {
+                        gen: String): (RabitqModel, DataFrame) =
+    (modelOfGen(spark, dir, gen), scanOfGen(spark, dir, gen))
+
+  /** The model HALF of [[load]]'s single-resolution read — for callers
+    * that must know the model (to enumerate probed clusters) BEFORE
+    * constructing the data scan ([[loadLiveProbed]]).
+    */
+  private[graft] def modelOfGen(spark: SparkSession, dir: String,
+                                gen: String): RabitqModel = {
     val p = spark.read.parquet(modelSidecarDir(dir, gen, "params")).head()
     val params = RabitqParams(p.getAs[Int]("dim"), p.getAs[Int]("pad_dim"),
       p.getAs[Int]("num_clusters"), p.getAs[Long]("seed"))
@@ -1670,8 +2068,35 @@ object RabitqIndex {
       .map(r => r.getAs[Seq[Float]]("centroid").toArray)
     // quadratic in the cluster growth — see scaledRerank's frontier note
     val ps = probeScale(dir, params.numClusters)
-    (RabitqModel(params, rotation, centroids, bias, rerankScale = ps * ps),
-      scanOfGen(spark, dir, gen))
+    RabitqModel(params, rotation, centroids, bias, rerankScale = ps * ps)
+  }
+
+  /** Single-resolution PROBE-PRUNED live read — the disk query paths'
+    * read: resolve the generation ONCE, load its model, let the caller
+    * derive the probed cluster ids from it, and return the live scan
+    * restricted to them. Carried files come from only the manifest
+    * shards overlapping the probed clusters ([[readCarryForClusters]]),
+    * so the planner's file index is ∝ probed data, not ∝ corpus file
+    * count; the `cluster_id ∈ probed` filter is already applied (it
+    * partition-prunes the own-dir branch exactly as before — the plan
+    * the pruning gates assert), and the generation's tombstone log is
+    * anti-joined out ([[loadLive]]'s contract). Result-identical to
+    * `loadLive` + the same filter: shards cover every cluster, and
+    * restriction + filter commute.
+    */
+  private[graft] def loadLiveProbed(
+      spark: SparkSession, dir: String,
+      probeOf: RabitqModel => Seq[Int]): (RabitqModel, Seq[Int], DataFrame) = {
+    val gen = indexDataDir(dir)
+    val genName = LayoutFs.baseName(gen)
+    val model = modelOfGen(spark, dir, gen)
+    val probed = probeOf(model)
+    val scan = scanOfGen(spark, dir, gen, Some(probed.toSet))
+      .filter(org.apache.spark.sql.functions.col("cluster_id")
+        .isin(probed: _*))
+    val live = logScanOfGen(spark, dir, genName).fold(scan)(log =>
+      scan.join(log.select("vec_id"), Seq("vec_id"), "left_anti"))
+    (model, probed, live)
   }
 
   /** [[load]] with the maintained-layout READ CONTRACT applied: if the
@@ -1690,10 +2115,49 @@ object RabitqIndex {
     // scan resolved, not a re-read of a possibly-republished MANIFEST
     val gen = indexDataDir(dir)
     val (model, index) = loadOfGen(spark, dir, gen)
-    val live = tombstoneLogOfGenIfAny(dir, LayoutFs.baseName(gen))
-      .fold(index)(delDir =>
-        index.join(spark.read.parquet(delDir).select("vec_id"),
-          Seq("vec_id"), "left_anti"))
+    val live = logScanOfGen(spark, dir, LayoutFs.baseName(gen))
+      .fold(index)(log =>
+        index.join(log.select("vec_id"), Seq("vec_id"), "left_anti"))
+    (model, live)
+  }
+
+  /** TIME TRAVEL: [[loadLive]] pinned to a NAMED generation — the
+    * active one, or a RETIRED generation still inside its retention
+    * window. The generation manifest makes this nearly free: a retired
+    * generation keeps its own `_CARRY` listing (or flat directory), its
+    * generation-local model sidecars, and its own tombstone log, and
+    * the refcounted vacuum keeps every file a RETAINED listing
+    * references alive — so the snapshot resolves exactly as it did
+    * while active, row for row, even after later rebalances rewrote
+    * the clusters it carries. Refused (IllegalStateException) when the
+    * generation was never published, has left the retention window
+    * (vacuum reclaimed it — fully, or partially with a `_RECLAIMED`
+    * marker), or does not exist; refusal is the contract, a partial
+    * snapshot is never served. Snapshot validity is bounded by the
+    * deployment's `retainMs` policy, exactly like Delta/Iceberg time
+    * travel.
+    */
+  def loadAt(spark: SparkSession, dir: String,
+             gen: String): (RabitqModel, DataFrame) = {
+    val genDir = s"$dir/$gen"
+    val active = LayoutFs.baseName(indexDataDir(dir))
+    def refuse(why: String) =
+      throw new IllegalStateException(
+        s"generation $gen is not resolvable under $dir: $why")
+    if (gen != active) {
+      if (!LayoutFs.isFile(s"$dir/_retired/$gen"))
+        refuse("neither active nor retired-retained (never published, " +
+          "or reclaimed past the retention window)")
+      if (!LayoutFs.isDirectory(genDir))
+        refuse("retired and already reclaimed")
+      if (LayoutFs.isFile(s"$genDir/_RECLAIMED"))
+        refuse("retired and partially reclaimed past the retention " +
+          "window — only its still-referenced files survive")
+    }
+    val model = modelOfGen(spark, dir, genDir)
+    val scan = scanOfGen(spark, dir, genDir)
+    val live = logScanOfGen(spark, dir, gen).fold(scan)(log =>
+      scan.join(log.select("vec_id"), Seq("vec_id"), "left_anti"))
     (model, live)
   }
 

@@ -311,9 +311,17 @@ object RabitqQuery {
                            nprobe: Int, topk: Int, rerank: Int,
                            selectivity: Option[Double] = None,
                            rerankScale: Option[Double] = None): DataFrame = {
-    // loadLive: respect an uncompacted maintainIndex tombstone log —
-    // plan-identical to a raw load when no log exists
-    val (model, index) = RabitqIndex.loadLive(spark, dir)
+    // selectivity: the catalog statistic, or the documented at-scale-
+    // avoid fallback — ONE measurement scan over the full live layout
+    // (it needs every cluster, so no probe pruning is possible there)
+    val sel = selectivity.getOrElse(
+      measuredSelectivity(RabitqIndex.loadLive(spark, dir)._2, pred))
+    // loadLiveProbed: single generation resolution, tombstone log
+    // respected, carried files materialized from only the manifest
+    // shards overlapping the (selectivity-widened) probed clusters
+    val (model, _, pruned0) = RabitqIndex.loadLiveProbed(spark, dir, m =>
+      probedClusterIds(m, queries,
+        widenedProbe(m.params.numClusters, nprobe, sel)))
     // budget adaptation for a rebalance-grown layout: the RERANK scales
     // by (k′/k0)² (model.rerankScale, populated at load from BUILT_K —
     // the measured loss is shortlist displacement, not coverage), or by
@@ -321,10 +329,8 @@ object RabitqQuery {
     // [[topKFromDisk]]); nprobe widens only for the filter's
     // selectivity, as before
     val rr = math.ceil(rerank * rerankScale.getOrElse(model.rerankScale)).toInt
-    val widened = widenedProbe(model.params.numClusters, nprobe,
-      selectivity.getOrElse(measuredSelectivity(index, pred)))
-    val probed = probedClusterIds(model, queries, widened)
-    val pruned = index.filter(col("cluster_id").isin(probed: _*)).filter(pred)
+    val widened = widenedProbe(model.params.numClusters, nprobe, sel)
+    val pruned = pruned0.filter(pred)
     fromProbes(pruned, base, queries, probesDf(spark, model, queries, widened),
       topk, rr)
   }
@@ -465,16 +471,19 @@ object RabitqQuery {
                    queries: DataFrame, nprobe: Int, topk: Int, rerank: Int,
                    pred: org.apache.spark.sql.Column = lit(true),
                    rerankScale: Option[Double] = None): DataFrame = {
-    // loadLive: respect an uncompacted maintainIndex tombstone log —
-    // plan-identical to a raw load when no log exists
-    val (model, index) = RabitqIndex.loadLive(spark, dir)
+    // loadLiveProbed: single generation resolution, tombstone log
+    // respected (plan-identical to a raw load when no log exists), and
+    // the scan materialized from only the carry-manifest shards
+    // overlapping the probed clusters — the planner never lists the
+    // carried files of unprobed clusters
+    val (model, _, pruned0) = RabitqIndex.loadLiveProbed(spark, dir,
+      m => probedClusterIds(m, queries, nprobe))
     // rebalance-grown layout: scale the RERANK budget by (k′/k0)²
     // (model.rerankScale, populated at load from BUILT_K — the measured
     // post-split loss is shortlist displacement, not probe coverage);
     // no-op pre-rebalance; per-call override above
     val rr = math.ceil(rerank * rerankScale.getOrElse(model.rerankScale)).toInt
-    val probed = probedClusterIds(model, queries, nprobe)
-    val pruned = index.filter(col("cluster_id").isin(probed: _*)).filter(pred)
+    val pruned = pruned0.filter(pred)
     fromProbes(pruned, base, queries, probesDf(spark, model, queries, nprobe), topk, rr)
   }
 

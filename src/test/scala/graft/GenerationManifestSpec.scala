@@ -328,6 +328,158 @@ class GenerationManifestSpec extends AnyFunSuite with BeforeAndAfterAll {
       "publish/retire/vacuum cycles + 1 carry-listed rebalance")
   }
 
+  test("crash × race: kills injected at the swept commit points WHILE " +
+      "the 3-reader hammer runs — every concurrent read is a complete " +
+      "generation, and recovery is the replay") {
+    // the kill sweep crashes single-threaded schedules; the hammer races
+    // readers against CLEAN churn. This is the product: a mutation cycle
+    // is crashed at a commit primitive (stride-sampled — exhaustiveness
+    // is the sweep's job, the RACE composition is this spec's), the dead
+    // holder's stale lease is re-manufactured, and the replay recovers —
+    // all while 3 readers continuously resolve and scan. Any torn read
+    // here is a real protocol bug the sweep alone cannot see.
+    import spark.implicits._
+    final class InjectedCrash extends RuntimeException("injected")
+    final class CrashingOps(inner: CommitOps, killAt: Int) extends CommitOps {
+      val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+      private def tick(): Unit =
+        if (calls.incrementAndGet() == killAt) throw new InjectedCrash
+      def atomicWriteFile(t: String, c: String): Unit = {
+        tick(); inner.atomicWriteFile(t, c) }
+      def atomicMoveFile(s: String, d: String): Unit = {
+        tick(); inner.atomicMoveFile(s, d) }
+      def atomicRenameDir(s: String, d: String): Unit = {
+        tick(); inner.atomicRenameDir(s, d) }
+      override def exclusiveCreate(p: String, c: String = ""): Boolean = {
+        tick(); inner.exclusiveCreate(p, c) }
+      override def renamesDirAtomically: Boolean = inner.renamesDirAtomically
+    }
+    val idxDir = java.nio.file.Files.createTempDirectory("crash_race").toString
+    val lowerHalf = emb.filter(element_at(col("embedding"), 1) < 0f)
+    val (model, _) = RabitqIndex.build(spark, lowerHalf, numClusters = 8, seed = 7L)
+    val s0 = emb.filter(col("vec_id") < 200)
+    RabitqIndex.save(spark, model,
+      RabitqIndex.appendVectors(spark, model, s0), idxDir)
+    val s0Ids = s0.select("vec_id").collect().map(_.getLong(0)).sorted
+    val embIds = emb.select("vec_id").collect().map(_.getLong(0)).sorted
+
+    // cycle i: append 30 fresh-id rows, tombstone 2 settled s0 ids,
+    // compact, rebalance every 3rd cycle, vacuum (long retention)
+    def cycleBatch(i: Int) =
+      emb.filter(col("vec_id") >= (200 + 30 * i) && col("vec_id") < (230 + 30 * i))
+        .select((col("vec_id") + 10000L * (i + 1)).as("vec_id"), col("embedding"))
+    def cycleDels(i: Int) = Seq(s0Ids(2 * i), s0Ids(2 * i + 1))
+    // every id ANY cycle may tombstone, fixed upfront: a del commits
+    // MID-cycle, so the reader's stable-core check must exclude all of
+    // them (the settled-del snapshot is only for the resurrection check,
+    // where lagging is conservative)
+    val maxCycles = 12
+    val allPossibleDels = (0 until maxCycles).flatMap(cycleDels).toSet
+    def cycle(i: Int): Unit = {
+      graft.streaming.IdempotentSink.appendBatch(
+        RabitqIndex.appendVectors(spark, model, cycleBatch(i)),
+        RabitqIndex.indexDataDir(idxDir), idxDir, "cx", i.toLong,
+        partitionCols = Seq("cluster_id"))
+      graft.streaming.IdempotentSink.appendBatch(
+        cycleDels(i).toDF("vec_id"),
+        RabitqIndex.tombstoneLogDir(idxDir), idxDir, "cx-del", i.toLong)
+      graft.streaming.VecsStream.compactIndex(spark, idxDir)
+      if (i % 3 == 2) {
+        val baseAll = emb.select("vec_id", "embedding")
+          .unionByName((0 to i).map(cycleBatch).reduce(_.unionByName(_)))
+        RabitqIndex.rebalanceIndex(spark, idxDir, baseAll, maxSizeFactor = 1.4)
+      }
+      RabitqIndex.vacuumIndex(idxDir, retainMs = 10L * 60 * 1000)
+      ()
+    }
+
+    @volatile var settled: (Set[Long], Set[Long]) = (s0Ids.toSet, Set.empty)
+    @volatile var mutatorDone = false
+    @volatile var mutatorErr: Option[Throwable] = None
+    val readerErrs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val nReads = new java.util.concurrent.atomic.AtomicInteger(0)
+    LayoutCommit.withOps(CondPutCommit) {
+      val readers = (1 to 3).map { rid =>
+        new Thread(() => {
+          try {
+            while (!mutatorDone) {
+              val (core, dels) = settled // BEFORE the resolve
+              val (_, live) = RabitqIndex.loadLive(spark, idxDir)
+              val ids = live.select("vec_id").collect().map(_.getLong(0))
+              nReads.incrementAndGet()
+              if (ids.length != ids.distinct.length)
+                readerErrs.add(s"r$rid: duplicated vec_ids in one read")
+              val set = ids.toSet
+              val missing = (core -- allPossibleDels) -- set
+              if (missing.nonEmpty)
+                readerErrs.add(s"r$rid: torn generation — settled core " +
+                  s"missing ${missing.take(5)}")
+              val res = set.intersect(dels)
+              if (res.nonEmpty)
+                readerErrs.add(s"r$rid: resurrected settled tombstones " +
+                  s"${res.take(5)}")
+            }
+          } catch {
+            case t: Throwable => readerErrs.add(s"r$rid: ${t.getMessage}")
+          }
+        }, s"crash-race-reader-$rid")
+      }
+      readers.foreach(_.start())
+      try {
+        // cycle 0 clean — counts the primitives of a representative cycle
+        val counter = new CrashingOps(CondPutCommit, killAt = 0)
+        LayoutCommit.withOps(counter)(cycle(0))
+        settled = (settled._1 ++ cycleBatch(0).select("vec_id").collect()
+          .map(_.getLong(0)), settled._2 ++ cycleDels(0))
+        val n = counter.calls.get()
+        assert(n >= 10, s"cycle made only $n primitive calls — vacuous")
+        // stride-sampled kill points, one crashed-and-replayed cycle each
+        val stride = math.max(1, n / 8)
+        var i = 1
+        (1 to n by stride).take(maxCycles - 1).foreach { killAt =>
+          val ops = new CrashingOps(CondPutCommit, killAt)
+          val crashed =
+            try { LayoutCommit.withOps(ops)(cycle(i)); false }
+            catch { case _: InjectedCrash => true }
+          if (crashed) {
+            // a real crash leaves the dead holder's lease held — put it
+            // back, stale, so recovery crosses the claim-elected break
+            // WHILE readers race it
+            val lock = new java.io.File(idxDir, "_maintenance.lock")
+            if (!lock.exists) {
+              java.nio.file.Files.writeString(lock.toPath, "dead-holder")
+              assert(lock.setLastModified(
+                System.currentTimeMillis() - 2L * 60 * 60 * 1000))
+            }
+            cycle(i) // recovery = the replay (next maintenance pass)
+          }
+          settled = (settled._1 ++ cycleBatch(i).select("vec_id").collect()
+            .map(_.getLong(0)), settled._2 ++ cycleDels(i))
+          i += 1
+        }
+      } catch { case t: Throwable => mutatorErr = Some(t) }
+      finally mutatorDone = true
+      readers.foreach(_.join(120000))
+      mutatorErr.foreach(t => fail(s"mutator failed: $t"))
+      assert(nReads.get() >= 10,
+        s"hammer is vacuous: only ${nReads.get()} reads completed")
+      assert(readerErrs.isEmpty,
+        s"${readerErrs.size} torn reads under crash+race:\n  " +
+          readerErrs.toArray.take(8).mkString("\n  "))
+      // final integrity: every settled row exactly once, dels terminal
+      val (_, fin) = RabitqIndex.loadLive(spark, idxDir)
+      val finIds = fin.select("vec_id").collect().map(_.getLong(0))
+      assert(finIds.length == finIds.distinct.length,
+        "final layout duplicated rows")
+      assert(finIds.toSet == settled._1 -- settled._2,
+        s"final live set wrong (missing=" +
+          s"${((settled._1 -- settled._2) -- finIds.toSet).take(5)}, " +
+          s"extra=${(finIds.toSet -- (settled._1 -- settled._2)).take(5)})")
+      info(s"crash×race: ${nReads.get()} clean concurrent reads across " +
+        s"the stride-sampled kill points")
+    }
+  }
+
   test("chained generations: a SECOND rebalance on a carry-listed " +
       "layout takes the generation shape even under POSIX (the in-place " +
       "guard) and flattens inherited entries across two source generations") {
@@ -383,6 +535,242 @@ class GenerationManifestSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ExactKnn.recall(res, truth, 10).head().getDouble(0) == 1.0,
       "full-probe search through chained carry generations must equal " +
         "brute force")
+  }
+
+  /** LayoutFs delegate recording every readString path — the probe for
+    * "a pruned read touches only the manifest shards it needs".
+    */
+  private final class RecordingFs(inner: LayoutFs) extends LayoutFs {
+    val reads = scala.collection.mutable.ArrayBuffer.empty[String]
+    def exists(p: String) = inner.exists(p)
+    def isFile(p: String) = inner.isFile(p)
+    def isDirectory(p: String) = inner.isDirectory(p)
+    def list(p: String) = inner.list(p)
+    def readString(p: String) = { reads.synchronized(reads += p); inner.readString(p) }
+    def lastModified(p: String) = inner.lastModified(p)
+    def setLastModified(p: String, ms: Long) = inner.setLastModified(p, ms)
+    def length(p: String) = inner.length(p)
+    def mkdirs(p: String) = inner.mkdirs(p)
+    def delete(p: String) = inner.delete(p)
+    def deleteRecursively(p: String) = inner.deleteRecursively(p)
+    def sizeOfDirectory(p: String) = inner.sizeOfDirectory(p)
+    def copyFile(s: String, d: String) = inner.copyFile(s, d)
+    def copyDirectory(s: String, d: String) = inner.copyDirectory(s, d)
+  }
+
+  test("sharded manifest: past carryShardTarget the listing splits into " +
+      "cluster-aligned size-bounded shards + a manifest list — full " +
+      "resolution unchanged, probe-pruned reads touch ONLY overlapping " +
+      "shards, the distributed builder equals the driver walk, and a " +
+      "retain-0 refcount vacuum keeps every listed file") {
+    val prevTarget = RabitqIndex.carryShardTarget
+    RabitqIndex.carryShardTarget = 2
+    try {
+      val (idxDir, _) = skewedLayout()
+      val beforeFiles = ownDataFiles(idxDir, "index")
+      val liveBefore = RabitqIndex.loadLive(spark, idxDir)._2
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      val rep = LayoutCommit.withOps(CondPutCommit) {
+        RabitqIndex.rebalanceIndex(spark, idxDir, emb, maxSizeFactor = 1.4)
+      }
+      assert(rep.numClustersAfter > rep.numClustersBefore,
+        "gate is vacuous: the skewed layout did not split")
+      val splitIds = rep.split.keySet
+      val untouched = beforeFiles.keySet.filterNot(p =>
+        splitIds.contains(RabitqIndex.clusterOfCarryEntry(p)))
+      assert(untouched.size > RabitqIndex.carryShardTarget,
+        "gate is vacuous: not enough carry entries to force sharding")
+
+      // 1. SHAPE: no flat file; ordered, disjoint, cluster-aligned,
+      // size-bounded shards whose counts match their files
+      assert(!new java.io.File(s"$idxDir/index-v2/_CARRY").exists,
+        "the sharded shape must not also write a flat _CARRY")
+      val shards = RabitqIndex.readCarryShards(idxDir, "index-v2")
+      assert(shards.size >= 3, s"expected >2 shards at target 2: $shards")
+      shards.sliding(2).foreach {
+        case Seq(a, b) => assert(a.hi < b.lo,
+          s"shard ranges must be ordered and disjoint: $a then $b")
+        case _ => ()
+      }
+      val clustersWithManyFiles = untouched
+        .groupBy(RabitqIndex.clusterOfCarryEntry).values.map(_.size).max
+      val byShardEntries = shards.map { s =>
+        val es = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"$idxDir/index-v2/_carry/${s.name}")))
+          .split('\n').map(_.trim).filter(_.nonEmpty).toSeq
+        assert(es.length == s.count, s"shard ${s.name} count lies")
+        assert(es.length <= math.max(RabitqIndex.carryShardTarget,
+          clustersWithManyFiles),
+          s"shard ${s.name} exceeds the size bound without an " +
+            s"oversized-cluster excuse: ${es.length}")
+        es.foreach { e =>
+          val c = RabitqIndex.clusterOfCarryEntry(e)
+          assert(c >= s.lo && c <= s.hi,
+            s"entry $e outside its shard's range [${s.lo},${s.hi}]")
+        }
+        es
+      }
+      // a cluster's entries never straddle shards
+      val shardOfCluster = scala.collection.mutable.Map.empty[Int, Int]
+      byShardEntries.zipWithIndex.foreach { case (es, i) =>
+        es.map(RabitqIndex.clusterOfCarryEntry).distinct.foreach { c =>
+          assert(!shardOfCluster.contains(c),
+            s"cluster $c straddles shards " +
+              s"${shardOfCluster.getOrElse(c, -1)} and $i")
+          shardOfCluster(c) = i
+        }
+      }
+
+      // 2. full resolution identical to the flat shape's contract
+      assert(RabitqIndex.readCarry(idxDir, "index-v2").toSet == untouched,
+        "sharded readCarry must resolve exactly the untouched files")
+
+      // 3. the distributed builder and the driver walk agree
+      assert(RabitqIndex.buildCarryEntriesDistributed(
+          spark, idxDir, "index", splitIds).toSet ==
+        RabitqIndex.buildCarryListing(idxDir, "index", splitIds).toSet,
+        "distributed carry enumeration diverged from the driver walk")
+
+      // 4. LAZY RESOLUTION: a single-cluster restriction reads only the
+      // one shard covering it; the disk query path goes through the
+      // same restricted read and its result matches the in-memory path
+      // over the full live scan (restriction + filter commute)
+      val probeCluster = byShardEntries.head
+        .map(RabitqIndex.clusterOfCarryEntry).head
+      val rec = new RecordingFs(PosixFs)
+      val restricted = LayoutFs.withFs(rec)(
+        RabitqIndex.readCarryForClusters(idxDir, "index-v2", Set(probeCluster)))
+      assert(restricted.toSet ==
+        untouched.filter(e =>
+          RabitqIndex.clusterOfCarryEntry(e) == probeCluster),
+        "restricted resolution returned the wrong entries")
+      val shardReads = rec.reads.filter(_.contains("/_carry/"))
+      assert(shardReads.size == 1 &&
+        shardReads.head.endsWith(shards.head.name),
+        s"a one-cluster restriction must read exactly its one " +
+          s"overlapping shard (read: $shardReads)")
+      val qs = ExactKnn.queriesFromEmbeddings(emb, 5)
+      val qsNarrow = ExactKnn.queriesFromEmbeddings(emb, 2)
+      val rec2 = new RecordingFs(PosixFs)
+      val disk = LayoutFs.withFs(rec2)(
+        RabitqQuery.topKFromDisk(spark, idxDir, emb, qsNarrow,
+          nprobe = 1, topk = 5, rerank = 64)
+          .select("query_id", "neighbor_id", "rank").collect())
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val diskShardReads = rec2.reads.filter(_.contains("/_carry/")).distinct
+      assert(diskShardReads.size < shards.size,
+        s"the probe-pruned disk read touched every shard " +
+          s"(${diskShardReads.size} of ${shards.size}) — resolution is " +
+          "not lazy")
+      val (m2, live) = RabitqIndex.loadLive(spark, idxDir)
+      val mem = RabitqQuery.topK(spark, m2, live, emb, qsNarrow,
+        nprobe = 1, topk = 5, rerank = 64)
+        .select("query_id", "neighbor_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(disk == mem,
+        "probe-pruned disk read diverged from the in-memory path")
+
+      // 5. refcount vacuum on the sharded shape: retain-0 keeps every
+      // listed file, the live set survives intact
+      RabitqIndex.vacuumIndex(idxDir, retainMs = 0L)
+      RabitqIndex.readCarry(idxDir, "index-v2").foreach(e =>
+        assert(new java.io.File(s"$idxDir/$e").isFile,
+          s"retain-0 vacuum reclaimed a listed file: $e"))
+      val idsAfter = RabitqIndex.loadLive(spark, idxDir)._2
+        .select("vec_id").collect().map(_.getLong(0))
+      assert(idsAfter.length == idsAfter.distinct.length)
+      assert(idsAfter.toSet == liveBefore, "vacuum changed the live set")
+
+      // 6. CHAINED inheritance from a sharded listing: a second
+      // rebalance flattens surviving sharded entries into ITS listing
+      val (m2b, _) = RabitqIndex.load(spark, idxDir)
+      val extra = emb.filter(element_at(col("embedding"), 1) >= 0f)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      graft.streaming.IdempotentSink.appendBatch(
+        RabitqIndex.appendVectors(spark, m2b, extra),
+        RabitqIndex.indexDataDir(idxDir), idxDir, "shard_cg", 0L,
+        partitionCols = Seq("cluster_id"))
+      val base2 = emb.select("vec_id", "embedding").unionByName(extra)
+      val rep2 = RabitqIndex.rebalanceIndex(spark, idxDir, base2,
+        maxSizeFactor = 1.4)
+      assert(rep2.numClustersAfter > rep2.numClustersBefore,
+        "gate is vacuous: the re-skewed layout did not split again")
+      assert(RabitqIndex.indexDataDir(idxDir) == s"$idxDir/index-v3")
+      val carry3 = RabitqIndex.readCarry(idxDir, "index-v3")
+      assert(carry3.map(_.takeWhile(_ != '/')).toSet.size >= 2,
+        "chained sharded listing must reference both source generations")
+      carry3.foreach(e => assert(new java.io.File(s"$idxDir/$e").isFile,
+        s"chained carry entry vanished: $e"))
+      val (m3, live3) = RabitqIndex.loadLive(spark, idxDir)
+      val ids3 = live3.select("vec_id").collect().map(_.getLong(0))
+      assert(ids3.length == ids3.distinct.length, "chained union duplicated rows")
+      assert(ids3.toSet == base2.select("vec_id").collect()
+        .map(_.getLong(0)).toSet)
+      val truth3 = ExactKnn.l2TopK(base2, qs, 10)
+      val res3 = RabitqQuery.topK(spark, m3, live3, base2, qs,
+        m3.params.numClusters, 10, 1000000)
+      assert(ExactKnn.recall(res3, truth3, 10).head().getDouble(0) == 1.0,
+        "full-probe search through chained sharded generations must " +
+          "equal brute force")
+    } finally RabitqIndex.carryShardTarget = prevTarget
+  }
+
+  test("time travel: loadAt resolves a retired generation inside its " +
+      "retention window row-for-row equal to its pre-swap content — " +
+      "isolated from later appends — and refuses it once vacuum " +
+      "reclaims past the window") {
+    val (idxDir, _) = skewedLayout()
+    val pre = spark.read.parquet(s"$idxDir/index")
+      .select("vec_id", "cluster_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    LayoutCommit.withOps(CondPutCommit) {
+      val rep = RabitqIndex.rebalanceIndex(spark, idxDir, emb, maxSizeFactor = 1.4)
+      assert(rep.numClustersAfter > rep.numClustersBefore)
+      // a maintenance pass INSIDE the window must not disturb the snapshot
+      RabitqIndex.vacuumIndex(idxDir)
+      ()
+    }
+    assert(RabitqIndex.indexDataDir(idxDir) == s"$idxDir/index-v2")
+    // content churn AFTER the retirement: an append into the active
+    // generation must be invisible to the snapshot
+    val (mLive, _) = RabitqIndex.load(spark, idxDir)
+    val extra = emb.limit(20)
+      .select((col("vec_id") + 3000000L).as("vec_id"), col("embedding"))
+    graft.streaming.IdempotentSink.appendBatch(
+      RabitqIndex.appendVectors(spark, mLive, extra),
+      RabitqIndex.indexDataDir(idxDir), idxDir, "tt", 0L,
+      partitionCols = Seq("cluster_id"))
+    val (m0, snap) = RabitqIndex.loadAt(spark, idxDir, "index")
+    assert(m0.params.numClusters == 8,
+      "the snapshot must carry the RETIRED generation's model, not the " +
+        "grown one")
+    val got = snap.select("vec_id", "cluster_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got == pre,
+      s"retired-generation snapshot diverged from its pre-swap content " +
+        s"(missing=${(pre -- got).take(3)}, extra=${(got -- pre).take(3)})")
+    // the active generation resolves through the same entry point and
+    // sees the append
+    val (_, liveAt) = RabitqIndex.loadAt(spark, idxDir, "index-v2")
+    assert(liveAt.filter(col("vec_id") >= 3000000L).count() == 20)
+    // never-published generations are refused
+    intercept[IllegalStateException](
+      RabitqIndex.loadAt(spark, idxDir, "index-v9"))
+    // past the window: vacuum partially reclaims the expired retired
+    // generation (its files stay while referenced) and the snapshot is
+    // REFUSED, never partially served
+    RabitqIndex.vacuumIndex(idxDir, retainMs = 0L)
+    assert(new java.io.File(s"$idxDir/index").isDirectory,
+      "gate is vacuous: expected a partial reclaim (referenced files " +
+        "must survive)")
+    intercept[IllegalStateException](
+      RabitqIndex.loadAt(spark, idxDir, "index"))
+    // and the live read is untouched by all of it
+    val ids = RabitqIndex.loadLive(spark, idxDir)._2
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(ids.length == ids.distinct.length)
+    assert(ids.toSet == pre.map(_._1) ++ extra.select("vec_id")
+      .collect().map(_.getLong(0)))
   }
 
   test("per-call rerankScale override: the disk entry point's override " +

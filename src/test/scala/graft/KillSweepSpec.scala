@@ -177,6 +177,13 @@ class KillSweepSpec extends AnyFunSuite with BeforeAndAfterAll {
       "two full lifecycle schedules recovers to an intact layout on replay " +
       "(>= 50 schedules)") {
     var totalSchedules = 0
+    // exercise the SHARDED manifest shape: with the target lowered, the
+    // generation-versioned rebalance writes `_carry/shard-*.list` +
+    // `_CARRY_LIST` through the seam — each write becomes an enumerated
+    // kill point, so the sweep covers the round-20 write points too
+    val prevShardTarget = RabitqIndex.carryShardTarget
+    RabitqIndex.carryShardTarget = 8
+    try {
     // both schedule orders × both deployment shapes: PosixCommit drives
     // the in-place rebalance swap (_COMMIT + roll-forward renames),
     // CondPutCommit drives the generation-versioned one (unreferenced
@@ -223,6 +230,7 @@ class KillSweepSpec extends AnyFunSuite with BeforeAndAfterAll {
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
       }
     }
+    } finally RabitqIndex.carryShardTarget = prevShardTarget
     assert(totalSchedules >= 50,
       s"sweep covered only $totalSchedules schedules — add kill points")
     info(s"kill-point sweep: $totalSchedules schedules green")

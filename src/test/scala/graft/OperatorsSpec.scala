@@ -2648,6 +2648,27 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mapIds.length == n && mapIds.toSet.size == n.toInt, "map_ids not a permutation")
   }
 
+  test("exportReferenceLayoutDistributed: byte-identical to the driver " +
+      "exporter, zero staging debris") {
+    val (model, index) = RabitqIndex.build(spark, emb, numClusters = 8, seed = 1L)
+    val d1 = java.nio.file.Files.createTempDirectory("ref_drv").toString
+    val d2 = java.nio.file.Files.createTempDirectory("ref_dist").toString
+    RabitqIndex.exportReferenceLayout(spark, model, index, emb, d1)
+    RabitqIndex.exportReferenceLayoutDistributed(spark, model, index, emb, d2)
+    for (f <- Seq("orthogonal.fvecs", "centroids.fvecs", "base.fvecs",
+        "factors.fvecs", "x_binary_vec.u64vecs", "offsets_ids.ivecs")) {
+      val a = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$d1/$f"))
+      val b = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$d2/$f"))
+      assert(a.length == b.length && java.util.Arrays.equals(a, b),
+        s"$f diverges between the driver and distributed exporters " +
+          s"(${a.length} vs ${b.length} bytes)")
+    }
+    assert(!new java.io.File(s"$d2/.export_chunks").exists,
+      "the distributed exporter left its chunk staging behind")
+  }
+
   // ---------------- sessionize -----------------------------------------
   test("sessionize splits on gap > threshold") {
     import spark.implicits._
