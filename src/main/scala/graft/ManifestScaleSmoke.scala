@@ -68,6 +68,35 @@ object ManifestScaleSmoke {
         .map(cd => LayoutFs.list(cd.path)
           .count(f => !f.isDir && f.name.endsWith(".parquet"))).sum
 
+    // opt-in EXPORT mode ("export" arg): the reference-layout exporter's
+    // scale point — encode all n rows and export through the DISTRIBUTED
+    // path (executor-side chunk encode + driver streaming concat; byte
+    // identity vs the driver exporter is spec-gated at fixture scale,
+    // this measures the corpus-sized run the driver collect could not do)
+    if (args.contains("export")) {
+      val (modelE, _) = RabitqIndex.buildSampled(spark, base, k,
+        sampleN = 200000L, seed = 42L)
+      val encAll = RabitqIndex.appendVectors(spark, modelE, base)
+      val outDir = TempDirs.create("graft_export_smoke_") + "/ref"
+      val (_, expSec) = timed {
+        RabitqIndex.exportReferenceLayoutDistributed(
+          spark, modelE, encAll, base, outDir)
+      }
+      val bytes = Seq("orthogonal.fvecs", "centroids.fvecs", "base.fvecs",
+        "factors.fvecs", "x_binary_vec.u64vecs", "offsets_ids.ivecs")
+        .map(f => f -> LayoutFs.length(s"$outDir/$f"))
+      val expectedBase = n * (4L + 4L * modelE.params.padDim)
+      require(bytes.toMap.apply("base.fvecs") == expectedBase,
+        s"base.fvecs size ${bytes.toMap.apply("base.fvecs")} != " +
+          s"$expectedBase (n x (4 + 4 x padDim))")
+      require(!LayoutFs.isDirectory(s"$outDir/.export_chunks"),
+        "export staging left behind")
+      println(f"[manifest-smoke] export n=$n distributed_sec=$expSec%.1f " +
+        bytes.map { case (f, b) => s"$f=$b" }.mkString(" "))
+      spark.stop()
+      return
+    }
+
     // skewed layout: model fit on half the natural clusters, the other
     // half appended after — piles into boundary clusters, so the
     // rebalance splits a minority and carries the majority
