@@ -562,16 +562,6 @@ object RabitqIndex {
                                clusters: Option[Set[Int]]): DataFrame = {
     val genName = LayoutFs.baseName(gen)
     val inprog = inProgressPrefixes(dir)
-    val carry0 = clusters.fold(readCarry(dir, genName))(cs =>
-      readCarryForClusters(dir, genName, cs))
-    // defensive: listings are built post-settle so they never name an
-    // uncommitted batch's files — but exclusion here is one string test
-    val carry = carry0.filterNot(e =>
-      excludedByInProgress(e.split('/').last, inprog))
-    def ownHasData = LayoutFs.list(gen)
-      .filter(f => f.isDir && f.name.startsWith("cluster_id="))
-      .exists(cd => LayoutFs.list(cd.path)
-        .exists(f => !f.isDir && f.name.endsWith(".parquet")))
     // the OWN-directory branch: the plain directory read on the
     // no-crash path (inprog empty — plan-identical to every pruning
     // gate), an explicit file enumeration EXCLUDING uncommitted-batch
@@ -591,6 +581,21 @@ object RabitqIndex {
         if (files.isEmpty) spark.read.parquet(gen)
         else spark.read.option("basePath", gen).parquet(files: _*)
       }
+    // carry-free generation (the common case, two metadata probes):
+    // the plain own-dir read, with none of the listing resolution or
+    // the ownHasData walk below — the probed disk path must cost the
+    // same here as the r19 loadLive read did
+    if (!hasCarry(dir, genName)) return ownScan
+    val carry0 = clusters.fold(readCarry(dir, genName))(cs =>
+      readCarryForClusters(dir, genName, cs))
+    // defensive: listings are built post-settle so they never name an
+    // uncommitted batch's files — but exclusion here is one string test
+    val carry = carry0.filterNot(e =>
+      excludedByInProgress(e.split('/').last, inprog))
+    def ownHasData = LayoutFs.list(gen)
+      .filter(f => f.isDir && f.name.startsWith("cluster_id="))
+      .exists(cd => LayoutFs.list(cd.path)
+        .exists(f => !f.isDir && f.name.endsWith(".parquet")))
     if (carry.isEmpty) {
       // no carried files at all, or none within the restriction: the
       // own-directory read — except a PURE-carry generation whose
@@ -2086,11 +2091,21 @@ object RabitqIndex {
     */
   private[graft] def loadLiveProbed(
       spark: SparkSession, dir: String,
-      probeOf: RabitqModel => Seq[Int]): (RabitqModel, Seq[Int], DataFrame) = {
+      probeOf: (RabitqModel, () => DataFrame) => Seq[Int])
+      : (RabitqModel, Seq[Int], DataFrame) = {
     val gen = indexDataDir(dir)
     val genName = LayoutFs.baseName(gen)
     val model = modelOfGen(spark, dir, gen)
-    val probed = probeOf(model)
+    // the FULL live scan of the SAME resolved generation, built only if
+    // the probe derivation asks for it (the measured-selectivity
+    // fallback) — never a second MANIFEST resolution or model load
+    def fullLive(): DataFrame = {
+      val s = scanOfGen(spark, dir, gen)
+      logScanOfGen(spark, dir, genName).fold(s)(log =>
+        s.join(log.select(org.apache.spark.sql.functions.col("vec_id")),
+          Seq("vec_id"), "left_anti"))
+    }
+    val probed = probeOf(model, () => fullLive())
     val scan = scanOfGen(spark, dir, gen, Some(probed.toSet))
       .filter(org.apache.spark.sql.functions.col("cluster_id")
         .isin(probed: _*))

@@ -311,17 +311,20 @@ object RabitqQuery {
                            nprobe: Int, topk: Int, rerank: Int,
                            selectivity: Option[Double] = None,
                            rerankScale: Option[Double] = None): DataFrame = {
-    // selectivity: the catalog statistic, or the documented at-scale-
-    // avoid fallback — ONE measurement scan over the full live layout
-    // (it needs every cluster, so no probe pruning is possible there)
-    val sel = selectivity.getOrElse(
-      measuredSelectivity(RabitqIndex.loadLive(spark, dir)._2, pred))
     // loadLiveProbed: single generation resolution, tombstone log
     // respected, carried files materialized from only the manifest
-    // shards overlapping the (selectivity-widened) probed clusters
-    val (model, _, pruned0) = RabitqIndex.loadLiveProbed(spark, dir, m =>
-      probedClusterIds(m, queries,
-        widenedProbe(m.params.numClusters, nprobe, sel)))
+    // shards overlapping the (selectivity-widened) probed clusters.
+    // Selectivity: the catalog statistic, or the documented at-scale-
+    // avoid fallback — ONE measurement scan over the full live scan of
+    // the SAME resolved generation (it needs every cluster, so no probe
+    // pruning is possible there; the thunk avoids a second model load)
+    var sel = Double.NaN
+    val (model, _, pruned0) = RabitqIndex.loadLiveProbed(spark, dir,
+      (m, fullLive) => {
+        sel = selectivity.getOrElse(measuredSelectivity(fullLive(), pred))
+        probedClusterIds(m, queries,
+          widenedProbe(m.params.numClusters, nprobe, sel))
+      })
     // budget adaptation for a rebalance-grown layout: the RERANK scales
     // by (k′/k0)² (model.rerankScale, populated at load from BUILT_K —
     // the measured loss is shortlist displacement, not coverage), or by
@@ -477,7 +480,7 @@ object RabitqQuery {
     // overlapping the probed clusters — the planner never lists the
     // carried files of unprobed clusters
     val (model, _, pruned0) = RabitqIndex.loadLiveProbed(spark, dir,
-      m => probedClusterIds(m, queries, nprobe))
+      (m, _) => probedClusterIds(m, queries, nprobe))
     // rebalance-grown layout: scale the RERANK budget by (k′/k0)²
     // (model.rerankScale, populated at load from BUILT_K — the measured
     // post-split loss is shortlist displacement, not probe coverage);
