@@ -109,6 +109,17 @@ object Bench {
       m.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val totalWarm = if (warm.nonEmpty) warm.values.sum else 0.0
+    // ADJUDICATED total: the raw cold sum with each rerun outlier's cold
+    // sample replaced by its same-run rerun. The raw `value` stays the
+    // primary, round-comparable metric; `value_adjudicated` is the
+    // host-contention-corrected reading of the SAME run (three straight
+    // rounds the raw artifact carried single-query contention outliers
+    // that committed same-code pairs then adjudicated away — this field
+    // makes the artifact carry that correction itself).
+    val totalAdj =
+      if (results.nonEmpty)
+        results.map { case (n, v) => rerunned.getOrElse(n, v) }.sum
+      else 0.0
     // "sf0.1" → 0.1; the dir path itself goes in the file, not the line
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
     // The consumer keeps only the LAST ~2000 chars of stdout, so the line
@@ -122,9 +133,11 @@ object Bench {
     val rerunShort = rerunned.map { case (k, v) => k.takeWhile(_ != '_') -> v }
     val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
       s""""queries":${js(shortKeyed)},"total_warm":${fmt(totalWarm)},""" +
+      s""""value_adjudicated":${fmt(totalAdj)},""" +
       s""""reruns":${js(rerunShort)},"load":[${fmt(loadStart)},${fmt(loadEnd)}],"sf":$sfNum}"""
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":${js(results)},""" +
-      s""""total_warm":$totalWarm,"queries_warm":${js(warm)},"warm_runs":$warmRuns,""" +
+      s""""total_warm":$totalWarm,"value_adjudicated":$totalAdj,""" +
+      s""""queries_warm":${js(warm)},"warm_runs":$warmRuns,""" +
       s""""warm_passes":[${warmPasses.map(js).mkString(",")}],""" +
       s""""reruns":${js(rerunned)},"load_cold":${js(loadCold.toMap)},""" +
       s""""load_start":${fmt(loadStart)},"load_end":${fmt(loadEnd)},""" +

@@ -822,11 +822,23 @@ object SparkEntry {
       // oracle turns both invariants into hash checks.
       val (model, index) = annIndex(s, dir)
       val base = T(s, dir, "embeddings"); val qs = annQueries(s, dir)
-      val mem = RabitqQuery.topK(s, model, index, base, qs,
-        nprobe = 8, topk = 10, rerank = 100).select("query_id", "neighbor_id", "rank")
-      val disk = RabitqQuery.topKFromDisk(s, diskIndex(s, dir), base, qs,
-        nprobe = 8, topk = 10, rerank = 100).select("query_id", "neighbor_id", "rank")
-      val truth = ExactKnn.l2TopK(base, qs, 10)
+      // the q99 pattern: each leg's ≤ |q|·k result materializes ONCE
+      // (localCheckpoint) — `mem` otherwise re-runs its whole ANN
+      // pipeline in both exceptAll directions AND the recall join (3×
+      // the work for zero invariant strength), and the three legs are
+      // independent, so their jobs submit from three threads and the
+      // scheduler interleaves their stages across the cores
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val Seq(mem, disk, truth) = Await.result(Future.sequence(Seq(
+        Future(RabitqQuery.topK(s, model, index, base, qs,
+          nprobe = 8, topk = 10, rerank = 100)
+          .select("query_id", "neighbor_id", "rank").localCheckpoint(true)),
+        Future(RabitqQuery.topKFromDisk(s, diskIndex(s, dir), base, qs,
+          nprobe = 8, topk = 10, rerank = 100)
+          .select("query_id", "neighbor_id", "rank").localCheckpoint(true)),
+        Future(ExactKnn.l2TopK(base, qs, 10).localCheckpoint(true)))),
+        scala.concurrent.duration.Duration(10, "min"))
       val consistent = mem.exceptAll(disk).union(disk.exceptAll(mem))
         .agg(count(lit(1)).as("n_diff"))
         .select((col("n_diff") === 0).cast("long").as("paths_consistent"))

@@ -93,31 +93,45 @@ object BpeTrain {
     */
   def learn(spark: SparkSession, docs: DataFrame, numMerges: Int,
             minFreq: Long = 2L): Result = {
-    def weightedAgg(df: DataFrame) =
+    def weighted(df: DataFrame): Long =
       df.agg(coalesce(sum(col("freq") * size(col("syms"))), lit(0L)).as("total"))
-    def weighted(df: DataFrame): Long = weightedAgg(df).head().getLong(0)
+        .head().getLong(0)
     var words = wordCounts(docs)
       .select(col("freq"), charSymbols(col("word")).as("syms")).localCheckpoint()
+    // the weighted symbol total obeys Σ_w freq·len = Σ_pairs cnt + Σ_w freq
+    // (freq·len = freq·(len−1) + freq, and single-symbol words contribute
+    // 0 pairs), and Σ_w freq never changes across merges — so computing it
+    // ONCE lets every iteration read the current total off the pair table
+    // it already aggregates, replacing the former crossJoin'd second scan
+    // of the word table with an `observe` on the same single pass
+    val sumFreq = words.agg(coalesce(sum(col("freq")), lit(0L)))
+      .head().getLong(0)
     var initial = 0L
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     val steps = scala.collection.mutable.ArrayBuffer.empty[Long]
     var done = false
     var iter = 0
     while (!done && merges.length < numMerges) {
-      // ONE collect per iteration: the winning pair AND the current
-      // weighted symbol total (the total observed here is the state
-      // AFTER the previous merge — per-step bookkeeping for free)
+      // ONE collect per iteration: the winning pair, with Σ cnt riding as
+      // an observed metric on the same pass (the total observed here is
+      // the state AFTER the previous merge — per-step bookkeeping for
+      // free). The checkpoint of the merged table is LAZY: it
+      // materializes inside the next iteration's collect instead of as a
+      // separate job, and still truncates the lineage at that point.
+      val obs = new org.apache.spark.sql.Observation()
       val stat = pairCounts(words)
+        .observe(obs, coalesce(sum(col("cnt")), lit(0L)).as("sum_cnt"))
         .orderBy(col("cnt").desc, col("pair_left"), col("pair_right"))
-        .limit(1).crossJoin(weightedAgg(words)).collect()
-      val totalNow = if (stat.isEmpty) weighted(words) else stat(0).getLong(3)
+        .limit(1).collect()
+      val totalNow = obs.get("sum_cnt").asInstanceOf[Long] + sumFreq
       if (iter == 0) initial = totalNow else steps += totalNow
       if (stat.isEmpty || stat(0).getLong(2) < minFreq) done = true
       else {
         val (l, r, c) = (stat(0).getString(0), stat(0).getString(1), stat(0).getLong(2))
         merges += Merge(merges.length, l, r, c)
         words = words.select(col("freq"),
-          TextExpressions.mergePair(col("syms"), l, r).as("syms")).localCheckpoint()
+          TextExpressions.mergePair(col("syms"), l, r).as("syms"))
+          .localCheckpoint(false)
       }
       iter += 1
     }

@@ -230,6 +230,17 @@ object LayoutFs {
   def baseName(path: String): String =
     path.substring(path.lastIndexOf('/') + 1)
 
+  /** Parent directory of a path, preserving the parent-of-root
+    * ("/x" → "/") and bare-relative-name ("x" → ".") edge cases — the
+    * shared guard for the streams' (dir, glob) split, which previously
+    * threw StringIndexOutOfBoundsException on a slash-free single-file
+    * path.
+    */
+  def parent(path: String): String = {
+    val i = path.lastIndexOf('/')
+    if (i < 0) "." else if (i == 0) "/" else path.substring(0, i)
+  }
+
   /** Run `body` with `fs` active — a TEST seam with [[LayoutCommit
     * .withOps]]'s exact contract (specs only; process-global volatile
     * swap, serialized by the lock).

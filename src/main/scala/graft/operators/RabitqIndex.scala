@@ -60,6 +60,22 @@ case class RabitqModel(
   */
 object RabitqIndex {
 
+  /** Run independent driver-side actions concurrently (guide §2.6
+    * "overlap independent jobs"): the model-sidecar reads/writes are
+    * three tiny single-task jobs whose cost is per-job latency, not
+    * compute — running them from a small thread pool overlaps that
+    * latency. Spark's scheduler handles concurrent jobs natively; any
+    * failure rethrows to the caller exactly as the sequential code did.
+    */
+  private[graft] def inParallel[A, B, C](fa: => A, fb: => B, fc: => C): (A, B, C) = {
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val (fut1, fut2) = (Future(fa), Future(fb))
+    val c = fc
+    (Await.result(fut1, Duration.Inf), Await.result(fut2, Duration.Inf), c)
+  }
+
   /** Seeded random orthogonal rotation (B2): QR of a Gaussian matrix with
     * column signs fixed by diag(R) > 0 so Q is unique.
     * (Reference: `/root/reference/src/utils.rs:16-20`, unseeded.)
@@ -88,6 +104,7 @@ object RabitqIndex {
     * re-converts the parquet).
     */
   def build(spark: SparkSession, base: DataFrame, numClusters: Int, seed: Long): (RabitqModel, DataFrame) = {
+    spark.sparkContext.setJobDescription("rabitq: kmeans fit")
     val withVec = base.select(col("vec_id"), col("embedding"))
       .withColumn("features", array_to_vector(col("embedding")))
       .cache()
@@ -518,14 +535,17 @@ object RabitqIndex {
           !splitIds.contains(
             s.getPath.getName.stripPrefix("cluster_id=").toInt))
         .map(s => (s.getPath.getName, fs.makeQualified(s.getPath).toString))
+    // executor tasks must see the DRIVER's hadoop conf (s3a credentials,
+    // endpoints), not a bare `new Configuration()` of classpath defaults
+    val bConf = org.apache.spark.graft.SerHadoopConf
+      .broadcast(spark.sparkContext, hconf)
     val own: Seq[String] =
       if (dirs.isEmpty) Nil
       else spark.sparkContext
         .parallelize(dirs, math.max(1, math.min(64, dirs.length)))
         .flatMap { case (name, qp) =>
-          val conf = new org.apache.hadoop.conf.Configuration()
           val p = new org.apache.hadoop.fs.Path(qp)
-          p.getFileSystem(conf).listStatus(p).toSeq
+          p.getFileSystem(bConf.value.conf).listStatus(p).toSeq
             .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
             .map(st => s"$curName/$name/${st.getPath.getName}")
         }.collect().toSeq.sorted
@@ -571,15 +591,24 @@ object RabitqIndex {
     def ownScan: DataFrame =
       if (inprog.isEmpty) spark.read.parquet(gen)
       else {
-        val files = LayoutFs.list(gen)
+        val all = LayoutFs.list(gen)
           .filter(d => d.isDir && d.name.startsWith("cluster_id="))
           .sortBy(_.name)
           .flatMap(cd => LayoutFs.list(cd.path)
-            .filter(f => !f.isDir && f.name.endsWith(".parquet") &&
-              !excludedByInProgress(f.name, inprog))
-            .sortBy(_.name).map(_.path))
-        if (files.isEmpty) spark.read.parquet(gen)
-        else spark.read.option("basePath", gen).parquet(files: _*)
+            .filter(f => !f.isDir && f.name.endsWith(".parquet"))
+            .sortBy(_.name))
+        val files = all
+          .filterNot(f => excludedByInProgress(f.name, inprog)).map(_.path)
+        if (files.nonEmpty) spark.read.option("basePath", gen).parquet(files: _*)
+        else if (all.isEmpty) spark.read.parquet(gen)
+        else
+          // 'no committed files' ≠ 'no files': when the exclusion emptied
+          // a non-empty listing, EVERY parquet file here belongs to a
+          // promoted-but-uncommitted batch — a full-directory read would
+          // serve exactly those rows (and race the replay's sweep), so
+          // serve a schema-only empty frame instead (one excluded footer
+          // read for the schema, zero data rows — the pure-carry shape)
+          spark.read.option("basePath", gen).parquet(all.head.path).limit(0)
       }
     // carry-free generation (the common case, two metadata probes):
     // the plain own-dir read, with none of the listing resolution or
@@ -713,6 +742,7 @@ object RabitqIndex {
     */
   def save(spark: SparkSession, model: RabitqModel, index: DataFrame, dir: String): Unit = {
     import spark.implicits._
+    spark.sparkContext.setJobDescription(s"rabitq: save $dir")
     index.write.mode("overwrite").partitionBy("cluster_id").parquet(s"$dir/index")
     LayoutFs.delete(s"$dir/MANIFEST")
     LayoutFs.list(dir)
@@ -726,16 +756,21 @@ object RabitqIndex {
       .filter(f => !f.isDir &&
         (f.name == "MANIFEST.tmp" || f.name == "BUILT_K"))
       .foreach(f => LayoutFs.delete(f.path))
-    model.rotation.zipWithIndex.map { case (r, i) => (i, r.toSeq) }.toSeq
-      .toDF("row_id", "row").coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/rotation")
-    model.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("cluster_id", "centroid").coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/centroids")
-    Seq((model.params.dim, model.params.padDim, model.params.numClusters,
-         model.params.seed, model.bias.toSeq))
-      .toDF("dim", "pad_dim", "num_clusters", "seed", "bias").coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/params")
+    // the three model sidecars are independent tiny single-task writes —
+    // overlap them (inParallel) so the save pays one write latency, not
+    // three; data-first crash ordering is preserved (index wrote above)
+    inParallel(
+      model.rotation.zipWithIndex.map { case (r, i) => (i, r.toSeq) }.toSeq
+        .toDF("row_id", "row").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/rotation"),
+      model.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cluster_id", "centroid").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/centroids"),
+      Seq((model.params.dim, model.params.padDim, model.params.numClusters,
+           model.params.seed, model.bias.toSeq))
+        .toDF("dim", "pad_dim", "num_clusters", "seed", "bias").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dir/params"))
+    ()
   }
 
   /** Incremental maintenance: encode NEW vectors against the existing
@@ -967,17 +1002,38 @@ object RabitqIndex {
     rootFs.mkdirs(new Path(staging))
     val stagingQ = rootFs.makeQualified(new Path(staging)).toString
     val bRot = spark.sparkContext.broadcast(model.rotation)
-    // CSR order, encoded per partition in one pass over the sorted rows
-    val chunkCounts: Array[(Int, Long)] = index
+    // executor tasks must see the DRIVER's hadoop conf (s3a credentials,
+    // endpoints — the deployed object-store scale this path targets), not
+    // a bare `new Configuration()` of classpath defaults
+    val bConf = org.apache.spark.graft.SerHadoopConf
+      .broadcast(spark.sparkContext, hconf)
+    // u32 headers: the reference layout's fvecs/ivecs record headers and
+    // ids are 32-bit — fail FAST past the format's capacity instead of
+    // writing corrupt headers (this is the path advertised as the one
+    // the driver collect could not scale to, so it hits the limit first)
+    val maxIdRow = base.agg(max(col("vec_id"))).head()
+    val maxId = if (maxIdRow.isNullAt(0)) 0L else maxIdRow.getLong(0)
+    require(maxId <= Int.MaxValue,
+      s"reference layout stores u32 row ids; max vec_id $maxId overflows")
+    // CSR order, encoded per partition in one pass over the sorted rows.
+    // Chunk names carry the TASK ATTEMPT id: with task retries or
+    // speculative execution two live attempts of one partition would
+    // otherwise write the same file concurrently (corrupting the chunk
+    // after the winner's count was collected); attempt-unique names make
+    // each attempt's output private, the collected rows name the winning
+    // attempt's files, and loser files vanish with the staging dir.
+    val chunkCounts: Array[(Int, Long, Long)] = index
       .join(base.select(col("vec_id"), col("embedding")), Seq("vec_id"))
       .select("vec_id", "cluster_id", "code", "factor_ip", "factor_ppc",
         "error_bound", "cds", "embedding")
       .orderBy(col("cluster_id"), col("cds"), col("vec_id"))
       .rdd.mapPartitionsWithIndex { (pi, it) =>
         import java.nio.{ByteBuffer, ByteOrder}
-        val conf = new org.apache.hadoop.conf.Configuration()
+        val conf = bConf.value.conf
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
         def open(tag: String) = {
-          val p = new Path(f"$stagingQ/part-$pi%05d-$tag.bin")
+          val p = new Path(f"$stagingQ/part-$pi%05d-$attempt-$tag.bin")
           new java.io.BufferedOutputStream(p.getFileSystem(conf).create(p, true))
         }
         val (ob, oc, of, oi) = (open("base"), open("codes"), open("factors"), open("ids"))
@@ -1008,15 +1064,15 @@ object RabitqIndex {
             n += 1
           }
         } finally { ob.close(); oc.close(); of.close(); oi.close() }
-        Iterator.single((pi, n))
+        Iterator.single((pi, n, attempt))
       }.collect().sortBy(_._1)
     val n = chunkCounts.map(_._2).sum
 
     def concat(tag: String, out: java.io.OutputStream): Unit = {
       val buf = new Array[Byte](1 << 20)
-      chunkCounts.foreach { case (pi, cnt) =>
+      chunkCounts.foreach { case (pi, cnt, attempt) =>
         if (cnt > 0) {
-          val p = new Path(f"$stagingQ/part-$pi%05d-$tag.bin")
+          val p = new Path(f"$stagingQ/part-$pi%05d-$attempt-$tag.bin")
           val in = p.getFileSystem(hconf).open(p)
           try {
             var r = in.read(buf)
@@ -1030,6 +1086,9 @@ object RabitqIndex {
         rootFs.create(new Path(path), true))
       try body(out) finally out.close()
     }
+    require(4L * n <= Int.MaxValue,
+      s"reference layout's factors.fvecs header is u32 = 4·n floats; " +
+        s"n=$n overflows it — the format caps at n ≈ 536M rows")
     withOut(s"$dir/base.fvecs")(concat("base", _))
     withOut(s"$dir/x_binary_vec.u64vecs")(concat("codes", _))
     withOut(s"$dir/factors.fvecs") { out =>
@@ -1133,6 +1192,7 @@ object RabitqIndex {
     graft.streaming.IdempotentSink.settleInProgress(dir,
       Seq(indexDataDir(dir), tombstoneLogDir(dir)))
     val (model, index) = load(spark, dir)
+    spark.sparkContext.setJobDescription(s"rebalance: sizes $dir")
     val live = tombstoneLogIfAny(dir).fold(index)(delDir =>
       index.join(spark.read.parquet(delDir).select("vec_id"),
         Seq("vec_id"), "left_anti"))
@@ -1158,9 +1218,17 @@ object RabitqIndex {
     // rewrite. A mismatched base must abort the rebalance loudly instead
     // (the Serve.withLabels discipline). The check scans only the split
     // members, so its cost stays ∝ skew.
+    // persisted: the split members are read THREE times below (coverage
+    // check, fit sample, re-encode) — without the cache each pass re-runs
+    // the index⋈base join; with it the join runs once and the two later
+    // passes read ∝-skew cached rows (MEMORY_AND_DISK, so an enormous
+    // split spills instead of OOMing)
     val members = live.filter(col("cluster_id").isin(splitIds.map(Int.box): _*))
       .select("vec_id", "cluster_id")
       .join(base.select("vec_id", "embedding"), Seq("vec_id"), "left_outer")
+      .persist()
+    try {
+    spark.sparkContext.setJobDescription(s"rebalance: base coverage $dir")
     val missingBase = members.filter(col("embedding").isNull).count()
     require(missingBase == 0L,
       s"$missingBase live index rows in the clusters to split have no vec_id in " +
@@ -1175,6 +1243,7 @@ object RabitqIndex {
     val rateCol = rates.foldLeft(lit(1000000L)) { case (acc, (c, r)) =>
       when(col("cluster_id") === c, lit(r)).otherwise(acc)
     }
+    spark.sparkContext.setJobDescription(s"rebalance: split fit $dir")
     val bRot = spark.sparkContext.broadcast(model.rotation)
     val bSplitK = spark.sparkContext.broadcast(splitK)
     // per-cluster Lloyd over the (id-sorted) rotated fit sample — one
@@ -1258,6 +1327,7 @@ object RabitqIndex {
         // this process dies mid-swap). No state ever exists where
         // re-encoded rows are lost.
         val staging = s"$dir/_rebalance_staging"
+        spark.sparkContext.setJobDescription(s"rebalance: reencode+swap $dir")
         LayoutFs.deleteRecursively(staging) // pre-commit debris
         // hash-partition on the destination cluster before the partitioned
         // write (the compactRewrite consolidation): ~one part file per
@@ -1267,16 +1337,20 @@ object RabitqIndex {
           .write.mode("overwrite").partitionBy("cluster_id")
           .parquet(s"$staging/index")
         val reenc = spark.read.parquet(s"$staging/index")
-        val moved = reenc.count()
-        val sizes2 = reenc.groupBy("cluster_id").count().collect()
-          .map(r => r.getInt(0) -> r.getLong(1)).toMap
-        centroids2.zipWithIndex.map { case (cen, i) => (i, cen.toSeq) }.toSeq
-          .toDF("cluster_id", "centroid").coalesce(1)
-          .write.mode("overwrite").parquet(s"$staging/centroids")
-        Seq((model2.params.dim, model2.params.padDim, model2.params.numClusters,
-             model2.params.seed, model2.bias.toSeq))
-          .toDF("dim", "pad_dim", "num_clusters", "seed", "bias").coalesce(1)
-          .write.mode("overwrite").parquet(s"$staging/params")
+        // one pass over the staged files: per-cluster sizes, moved = Σ
+        // (the former separate count() re-read the same files); the two
+        // sidecar writes are independent of it — overlap all three
+        val (_, _, sizes2) = inParallel(
+          centroids2.zipWithIndex.map { case (cen, i) => (i, cen.toSeq) }.toSeq
+            .toDF("cluster_id", "centroid").coalesce(1)
+            .write.mode("overwrite").parquet(s"$staging/centroids"),
+          Seq((model2.params.dim, model2.params.padDim, model2.params.numClusters,
+               model2.params.seed, model2.bias.toSeq))
+            .toDF("dim", "pad_dim", "num_clusters", "seed", "bias").coalesce(1)
+            .write.mode("overwrite").parquet(s"$staging/params"),
+          reenc.groupBy("cluster_id").count().collect()
+            .map(r => r.getInt(0) -> r.getLong(1)).toMap)
+        val moved = sizes2.values.sum
         // the marker names the SPLIT clusters (their dirs are replaced
         // wholesale; every other destination merges) and is itself staged +
         // atomically renamed — a torn marker can never misclassify a dir
@@ -1300,6 +1374,7 @@ object RabitqIndex {
       reencSizes.map { case (c, n) => c -> ((sizes -- splitIds).getOrElse(c, 0L) + n) }
     RebalanceReport(k0, centroids2.length, splitK, movedRows,
       maxBefore, if (after.isEmpty) 0L else after.values.max)
+    } finally members.unpersist()
   }
 
   /** The OBJECT-STORE rebalance swap — taken when the active
@@ -1669,10 +1744,14 @@ object RabitqIndex {
         .map(s => (c, fs.makeQualified(s.getPath).toString))
     } ++ carried
     if (files.isEmpty) return Some(Array.empty)
+    // executor tasks must see the DRIVER's hadoop conf (s3a credentials,
+    // endpoints), not a bare `new Configuration()` of classpath defaults
+    val bConf = org.apache.spark.graft.SerHadoopConf
+      .broadcast(spark.sparkContext, hconf)
     val sizes = spark.sparkContext
       .parallelize(files, math.max(1, math.min(64, files.length)))
       .mapPartitions { it =>
-        val conf = new org.apache.hadoop.conf.Configuration()
+        val conf = bConf.value.conf
         it.map { case (c, p) =>
           val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
             new org.apache.hadoop.fs.Path(p), conf)
@@ -2061,16 +2140,19 @@ object RabitqIndex {
     */
   private[graft] def modelOfGen(spark: SparkSession, dir: String,
                                 gen: String): RabitqModel = {
-    val p = spark.read.parquet(modelSidecarDir(dir, gen, "params")).head()
+    // three independent tiny single-task reads — overlap them (inParallel)
+    // so a model load pays one job latency, not three
+    val (p, rotation, centroids) = inParallel(
+      spark.read.parquet(modelSidecarDir(dir, gen, "params")).head(),
+      spark.read.parquet(s"$dir/rotation")
+        .orderBy("row_id").collect()
+        .map(r => r.getAs[Seq[Float]]("row").toArray),
+      spark.read.parquet(modelSidecarDir(dir, gen, "centroids"))
+        .orderBy("cluster_id").collect()
+        .map(r => r.getAs[Seq[Float]]("centroid").toArray))
     val params = RabitqParams(p.getAs[Int]("dim"), p.getAs[Int]("pad_dim"),
       p.getAs[Int]("num_clusters"), p.getAs[Long]("seed"))
     val bias = p.getAs[Seq[Float]]("bias").toArray
-    val rotation = spark.read.parquet(s"$dir/rotation")
-      .orderBy("row_id").collect()
-      .map(r => r.getAs[Seq[Float]]("row").toArray)
-    val centroids = spark.read.parquet(modelSidecarDir(dir, gen, "centroids"))
-      .orderBy("cluster_id").collect()
-      .map(r => r.getAs[Seq[Float]]("centroid").toArray)
     // quadratic in the cluster growth — see scaledRerank's frontier note
     val ps = probeScale(dir, params.numClusters)
     RabitqModel(params, rotation, centroids, bias, rerankScale = ps * ps)

@@ -33,7 +33,7 @@ object DocsStream {
   def distinctFingerprints(spark: SparkSession, path: String, queryName: String): DataFrame = {
     val (dir, glob) =
       if (graft.operators.LayoutFs.isFile(path))
-        (path.substring(0, path.lastIndexOf('/')),
+        (graft.operators.LayoutFs.parent(path),
           graft.operators.LayoutFs.baseName(path))
       else (path, "*")
     val q = spark.readStream
@@ -84,7 +84,7 @@ object DocsStream {
     import graft.operators.Dedup
     val (dir, glob) =
       if (graft.operators.LayoutFs.isFile(path))
-        (path.substring(0, path.lastIndexOf('/')),
+        (graft.operators.LayoutFs.parent(path),
           graft.operators.LayoutFs.baseName(path))
       else (path, "*")
     val reader0 = spark.readStream

@@ -66,7 +66,7 @@ object EventsStream {
   def windowedCountsStream(spark: SparkSession, path: String, minutes: Int): DataFrame = {
     val (dir, glob) =
       if (graft.operators.LayoutFs.isFile(path))
-        (path.substring(0, path.lastIndexOf('/')),
+        (graft.operators.LayoutFs.parent(path),
           graft.operators.LayoutFs.baseName(path))
       else (path, "*")
     val raw = spark.readStream

@@ -75,6 +75,7 @@ object IdempotentSink {
     LayoutFs.mkdirs(s"$commitRoot/_commits/$queryName")
     LayoutCommit.exclusiveCreate(inprog)
     val staging = s"$commitRoot/_staging/$prefix"
+    df.sparkSession.sparkContext.setJobDescription(s"sink: stage $prefix")
     val w0 = df.write.mode("overwrite")
     val w = if (partitionCols.nonEmpty) w0.partitionBy(partitionCols: _*) else w0
     w.parquet(staging)

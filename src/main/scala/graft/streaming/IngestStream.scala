@@ -94,7 +94,7 @@ object IngestStream {
 
     val (dir, glob) =
       if (graft.operators.LayoutFs.isFile(path))
-        (path.substring(0, path.lastIndexOf('/')),
+        (graft.operators.LayoutFs.parent(path),
           graft.operators.LayoutFs.baseName(path))
       else (path, "*")
     val reader0 = spark.readStream.schema(docsSchema)
@@ -109,18 +109,28 @@ object IngestStream {
       // move): a replayed micro-batch must not double-append survivors
       // or index rows
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val (survivors, batchVecs) = curateBatch(batch, historyDocs,
+        val (survivors0, _) = curateBatch(batch, historyDocs,
           embLookup, histSets, histBands, histAssigned, cluster, bloom,
           cosineThreshold, shingleN, simThreshold)
+        // the four-stage conjunction is the expensive part of the batch
+        // (it scans the static history sides); when the index leg is on,
+        // BOTH sinks need the survivor set — persist it so the
+        // conjunction runs ONCE per batch (the survivors sink's staged
+        // write materializes the cache; the index leg then reads the
+        // day-batch-sized cached rows instead of re-running every stage)
+        val survivors =
+          if (indexInto.isDefined) survivors0.persist() else survivors0
         IdempotentSink.appendBatch(
           survivors.select(col("doc_id"), col("n_chars")),
           outDir, workDir, queryName, batchId)
         // q114 leg: exactly the shipped docs become searchable — their
         // vectors encode with the FROZEN model and append executor-side
         // into the saved cluster_id-partitioned index layout (resolved
-        // through the MANIFEST — the active generation)
+        // through the MANIFEST — the active generation). The survivors'
+        // vectors are looked up directly (survivors ⊆ post-minhash ids,
+        // so this equals the former batchVecs ⋈ survivors semi-join).
         indexInto.foreach { case (model, idxDir) =>
-          val survVecs = batchVecs
+          val survVecs = embLookup
             .join(broadcast(survivors.select(col("doc_id").as("vec_id"))),
               Seq("vec_id"), "left_semi")
           IdempotentSink.appendBatch(
@@ -128,6 +138,8 @@ object IngestStream {
             RabitqIndex.indexDataDir(idxDir), idxDir, s"$queryName-idx",
             batchId, partitionCols = Seq("cluster_id"))
         }
+        if (indexInto.isDefined) survivors.unpersist()
+        ()
       }
       .trigger(Trigger.AvailableNow())
       .start()

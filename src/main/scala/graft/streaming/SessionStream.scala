@@ -32,7 +32,7 @@ object SessionStream {
 
     val (dir, glob) =
       if (graft.operators.LayoutFs.isFile(path))
-        (path.substring(0, path.lastIndexOf('/')),
+        (graft.operators.LayoutFs.parent(path),
           graft.operators.LayoutFs.baseName(path))
       else (path, "*")
 
