@@ -39,6 +39,11 @@ val jdk17AddOpens = Seq(
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
+  // let dev.ludovic.netlib (MLlib's BLAS provider, bundled with Spark)
+  // load its VectorBLAS implementation — without the incubator module the
+  // k-means fit falls back to scalar F2J ("Failed to load implementation
+  // from: dev.ludovic.netlib.blas.VectorBLAS" on every bench run)
+  "--add-modules=jdk.incubator.vector",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
