@@ -54,6 +54,17 @@ object ProfBench {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir).count()
       val totalMs = (System.nanoTime() - t0) / 1e6
+      // the listener bus delivers asynchronously: drain it before
+      // summarizing, or tail JobEnd events are missed (dur -1) and the
+      // attribution this tool exists for is skewed. Poll until every
+      // recorded job has an end, bounded at 2s.
+      locally {
+        import scala.jdk.CollectionConverters._
+        val deadline = System.currentTimeMillis() + 2000
+        while (order.asScala.exists(_.end == 0L) &&
+               System.currentTimeMillis() < deadline)
+          Thread.sleep(20)
+      }
       val recs = {
         import scala.jdk.CollectionConverters._
         order.asScala.toSeq.sortBy(_.start)

@@ -160,6 +160,28 @@ object SparkEntry {
 
   private val streamCounter = new AtomicInteger(0)
 
+  // shared STATIC sides of the q112/q114 ingest gates (history band
+  // index + cluster-assigned history embeddings) — both gates drive the
+  // same standing corpus (docs/emb % 3 == 0), the same centroids and the
+  // same shingle params by construction, so the setup builds once per sf
+  // dir and the second gate's stream-setup jobs vanish (guide §5; the
+  // historyBloom/annIndex cache pattern). Built lazily by whichever gate
+  // runs first — the build stays inside a timed query, it just stops
+  // being paid twice.
+  private val ingestStaticsCache = scala.collection.concurrent.TrieMap
+    .empty[String, graft.streaming.IngestStream.IngestStatics]
+  private def ingestStatics(s: SparkSession,
+                            dir: String): graft.streaming.IngestStream.IngestStatics =
+    ingestStaticsCache.getOrElseUpdate(dir, {
+      val emb = T(s, dir, "embeddings")
+      val centroids = emb.filter(col("vec_id") % 62 === 0)
+        .orderBy(col("vec_id")).limit(8)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      graft.streaming.IngestStream.buildStatics(s,
+        T(s, dir, "documents").filter(col("doc_id") % 3 === 0),
+        emb.filter(col("vec_id") % 3 === 0), centroids, shingleN = 3)
+    })
+
   // one-time bucketed ingest per sf dir (q79): orders + lineitem written
   // bucketed AND sorted on the order key — paid once per session, after
   // which every orders⋈lineitem equi-join is exchange-free on both sides.
@@ -1697,9 +1719,20 @@ object SparkEntry {
       // two-sided bound per step — greedy application merges ⌊chain/2⌋
       // of each overlapping run, so freq/2 ≤ removed ≤ freq.
       val docs = T(s, dir, "documents")
+      // the gate's three legs are INDEPENDENT computations — two
+      // deterministic training runs plus the q110 top pair — that ran
+      // sequentially; each is a chain of tiny vocabulary-sized jobs
+      // separated by driver latency, so overlapping the chains from
+      // threads (guide §2.6, the q48 pattern) fills those gaps without
+      // changing any leg's result (training is deterministic — that
+      // equality IS the gate)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val futR2 = Future(BpeTrain.learn(s, docs, numMerges = 20))
+      val futTop = Future(BpeTrain.pairStats(docs, 1).collect()(0))
       val r1 = BpeTrain.learn(s, docs, numMerges = 20)
-      val r2 = BpeTrain.learn(s, docs, numMerges = 20)
-      val top = BpeTrain.pairStats(docs, 1).collect()(0)
+      val r2 = Await.result(futR2, scala.concurrent.duration.Duration(10, "min"))
+      val top = Await.result(futTop, scala.concurrent.duration.Duration(10, "min"))
       val firstOk = r1.merges.nonEmpty &&
         r1.merges.head.left == top.getString(0) &&
         r1.merges.head.right == top.getString(1) &&
@@ -1740,7 +1773,8 @@ object SparkEntry {
         emb, centroids, historyBloom(s, dir),
         cosineThreshold = 0.4, shingleN = 3, simThreshold = 0.5,
         tmp, s"ingest_stream_${streamCounter.incrementAndGet()}",
-        maxFilesPerTrigger = Some(1))
+        maxFilesPerTrigger = Some(1),
+        statics = Some(ingestStatics(s, dir)))
         .orderBy(col("doc_id"))
     }),
     "q113_stream_index" -> ((s, dir) => {
@@ -1798,7 +1832,8 @@ object SparkEntry {
         cosineThreshold = 0.4, shingleN = 3, simThreshold = 0.5,
         tmp, s"ingest_index_stream_${streamCounter.incrementAndGet()}",
         maxFilesPerTrigger = Some(1),
-        indexInto = Some((model, s"$tmp/idx")))
+        indexInto = Some((model, s"$tmp/idx")),
+        statics = Some(ingestStatics(s, dir)))
       val (m2, idx2) = RabitqIndex.load(s, s"$tmp/idx")
       val baseFinal = histEmb.unionByName(
         emb.join(surv.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi"),

@@ -64,16 +64,32 @@ object RabitqIndex {
     * "overlap independent jobs"): the model-sidecar reads/writes are
     * three tiny single-task jobs whose cost is per-job latency, not
     * compute — running them from a small thread pool overlaps that
-    * latency. Spark's scheduler handles concurrent jobs natively; any
-    * failure rethrows to the caller exactly as the sequential code did.
+    * latency. Spark's scheduler handles concurrent jobs natively.
+    *
+    * Failure semantics: ALL three computations settle (success or
+    * failure) before the first error rethrows — a detached future still
+    * writing a LIVE sidecar dir (save() writes `$dir/rotation` etc.
+    * directly) must never outlive the call, or a caller that catches
+    * the error and retries could race its own zombie write. The await
+    * is bounded (30 min, far above any sane sidecar IO) instead of
+    * infinite: a write hung on a flaky object store fails the op loudly
+    * rather than wedging maintenance forever while the lease breaker
+    * hands the layout to a second mutator. On that timeout the hung
+    * computation cannot be cancelled (no kill seam for a blocked Spark
+    * action) — the TimeoutException documents that the op must be
+    * treated as crashed, exactly like a process kill at the same point
+    * (every caller's crash protocol already covers it).
     */
   private[graft] def inParallel[A, B, C](fa: => A, fb: => B, fc: => C): (A, B, C) = {
     import scala.concurrent.{Await, Future, ExecutionContext}
-    import scala.concurrent.duration.Duration
+    import scala.concurrent.duration._
     implicit val ec: ExecutionContext = ExecutionContext.global
     val (fut1, fut2) = (Future(fa), Future(fb))
-    val c = fc
-    (Await.result(fut1, Duration.Inf), Await.result(fut2, Duration.Inf), c)
+    val cTry = scala.util.Try(fc)
+    val limit = 30.minutes
+    val r1 = scala.util.Try(Await.result(fut1, limit))
+    val r2 = scala.util.Try(Await.result(fut2, limit))
+    (r1.get, r2.get, cTry.get)
   }
 
   /** Seeded random orthogonal rotation (B2): QR of a Gaussian matrix with
@@ -588,7 +604,7 @@ object RabitqIndex {
     // files when a promoted-but-unmarked append exists (read-committed:
     // the replay may sweep those files at any moment, and a racing
     // reader must neither serve them nor hard-fail on their deletion)
-    def ownScan: DataFrame =
+    def ownScanAttempt(retries: Int): DataFrame =
       if (inprog.isEmpty) spark.read.parquet(gen)
       else {
         val all = LayoutFs.list(gen)
@@ -607,9 +623,20 @@ object RabitqIndex {
           // promoted-but-uncommitted batch — a full-directory read would
           // serve exactly those rows (and race the replay's sweep), so
           // serve a schema-only empty frame instead (one excluded footer
-          // read for the schema, zero data rows — the pure-carry shape)
-          spark.read.option("basePath", gen).parquet(all.head.path).limit(0)
+          // read for the schema, zero data rows — the pure-carry shape).
+          // The schema read races the replay's SWEEP of that very file
+          // (its deletion is the uncommitted-batch contract): on a
+          // vanished-file failure re-list and retry — after the sweep
+          // the listing is either empty (plain dir read) or holds the
+          // re-promoted attempt's fresh files
+          try spark.read.option("basePath", gen).parquet(all.head.path).limit(0)
+          catch {
+            case _: Exception if retries > 0 &&
+                !LayoutFs.isFile(all.head.path) =>
+              ownScanAttempt(retries - 1)
+          }
       }
+    def ownScan: DataFrame = ownScanAttempt(retries = 3)
     // carry-free generation (the common case, two metadata probes):
     // the plain own-dir read, with none of the listing resolution or
     // the ownHasData walk below — the probed disk path must cost the
@@ -1182,22 +1209,50 @@ object RabitqIndex {
 
   private[graft] def rebalanceUnlocked(
       spark: SparkSession, dir: String, base: DataFrame,
-      maxSizeFactor: Double, fitSampleCap: Long): RebalanceReport = {
+      maxSizeFactor: Double, fitSampleCap: Long,
+      known: Option[(RabitqModel, Map[Int, Long])] = None,
+      recovered: Boolean = false): RebalanceReport = {
     import spark.implicits._
-    completeRebalanceSwap(dir) // finish a predecessor's crashed swap first
-    // settle crashed uncommitted appends BEFORE reading the layout: a
-    // promoted-but-unmarked batch would otherwise be re-encoded into
-    // consolidated files (losing its prefix names) and then re-appended
-    // whole by the stream's replay — duplicates
-    graft.streaming.IdempotentSink.settleInProgress(dir,
-      Seq(indexDataDir(dir), tombstoneLogDir(dir)))
-    val (model, index) = load(spark, dir)
+    if (!recovered) {
+      completeRebalanceSwap(dir) // finish a predecessor's crashed swap first
+      // settle crashed uncommitted appends BEFORE reading the layout: a
+      // promoted-but-unmarked batch would otherwise be re-encoded into
+      // consolidated files (losing its prefix names) and then re-appended
+      // whole by the stream's replay — duplicates. `recovered = true` is
+      // the maintenanceLoop's contract: the pass already completed the
+      // swap and settled appends ONCE under the same held lease.
+      graft.streaming.IdempotentSink.settleInProgress(dir,
+        Seq(indexDataDir(dir), tombstoneLogDir(dir)))
+    }
+    // `known` threads the maintenance pass's one measurement through
+    // (model + LIVE per-cluster sizes — both invariant across the
+    // compaction that may have run in between: the rewrite preserves
+    // exactly the live rows with their cluster_id and copies the model
+    // sidecars verbatim), replacing this phase's own model load and
+    // full-scan size count. The data scan below still resolves the
+    // CURRENT generation — only the measurement is reused.
+    val gen = indexDataDir(dir)
+    val model = known.map(_._1).getOrElse(modelOfGen(spark, dir, gen))
+    val index = scanOfGen(spark, dir, gen)
+    val live = tombstoneLogOfGenIfAny(dir, LayoutFs.baseName(gen))
+      .fold(index)(delDir =>
+        index.join(spark.read.parquet(delDir).select("vec_id"),
+          Seq("vec_id"), "left_anti"))
     spark.sparkContext.setJobDescription(s"rebalance: sizes $dir")
-    val live = tombstoneLogIfAny(dir).fold(index)(delDir =>
-      index.join(spark.read.parquet(delDir).select("vec_id"),
-        Seq("vec_id"), "left_anti"))
-    val sizes = live.groupBy("cluster_id").count().collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val sizes = known.map(_._2).getOrElse {
+      // with no tombstone log the live sizes are pure footer metadata
+      // (guide §6 — zero data pages), exactly describeIndex's fast path;
+      // crashed-append debris present (in-progress batches) or a
+      // partitionless layout falls back to the committed scan
+      val footer =
+        if (tombstoneLogOfGenIfAny(dir, LayoutFs.baseName(gen)).isEmpty &&
+            inProgressPrefixes(dir).isEmpty)
+          clusterSizesFromFooters(spark, dir, gen)
+        else None
+      footer.fold(
+        live.groupBy("cluster_id").count().collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toMap)(_.toMap)
+    }
     val total = sizes.values.sum
     val k0 = model.centroids.length
     val mean = total.toDouble / k0
@@ -2274,15 +2329,36 @@ object RabitqIndex {
     * frame is the cluster count, never the corpus. The serving tier's
     * /describe reads the cached frame instead and is per-call cheap.
     */
-  def describeIndex(spark: SparkSession, dir: String,
-                    maxSizeFactor: Double = 1.5,
-                    footerFastPath: Boolean = true): DataFrame = {
-    import spark.implicits._
+  /** The health snapshot [[describeIndex]] renders, kept structured so a
+    * maintenance pass can consume the SAME measurement the report was
+    * built from: `VecsStream.maintenanceLoop` previously re-derived the
+    * model and the per-cluster live sizes inside each phase (describe →
+    * compact → rebalance each re-resolved the generation and re-scanned
+    * the layout under the one held lease); threading this through runs
+    * the measurement once per pass (guide §1.2 run fewer passes — and at
+    * corpus scale, one set of object-store LIST calls instead of three).
+    */
+  private[graft] final case class IndexHealth(
+      gen: String, model: RabitqModel,
+      nRows: Long, nTomb: Long, sizes: Array[(Int, Long)]) {
+    def nLive: Long = sizes.map(_._2).sum
+    def maxSize: Long = if (sizes.isEmpty) 0L else sizes.map(_._2).max
+    def meanSize: Double = nLive.toDouble / model.params.numClusters
+    def debt: Double = if (nRows == 0) 0.0 else nTomb.toDouble / nRows
+    def oversized(maxSizeFactor: Double): Int = {
+      val mean = meanSize
+      sizes.count { case (_, s) =>
+        s > maxSizeFactor * mean && math.ceil(s / mean) >= 2 }
+    }
+  }
+
+  private[graft] def indexHealth(spark: SparkSession, dir: String,
+                                 footerFastPath: Boolean = true): IndexHealth = {
     // single generation resolution (the load() discipline): model, data
     // scan, log, and footer listing all from ONE MANIFEST read
     val gen = indexDataDir(dir)
-    val (model, index) = loadOfGen(spark, dir, gen)
-    val log = tombstoneLogOfGenIfAny(dir, LayoutFs.baseName(gen))
+    val genName = LayoutFs.baseName(gen)
+    val log = tombstoneLogOfGenIfAny(dir, genName)
     // FOOTER fast path: with no tombstone log, every statistic here is a
     // row count per cluster_id= partition — parquet footers carry those
     // exactly, so read ONLY file metadata (one tiny distributed pass,
@@ -2293,26 +2369,41 @@ object RabitqIndex {
       if (footerFastPath && log.isEmpty)
         clusterSizesFromFooters(spark, dir, gen)
       else None
-    val (nRows, nTomb, sizes) = footerSizes match {
-      case Some(fs) => (fs.map(_._2).sum, 0L, fs)
+    footerSizes match {
+      case Some(fs) =>
+        IndexHealth(gen, modelOfGen(spark, dir, gen), fs.map(_._2).sum, 0L, fs)
       case None =>
-        val nRows = index.count()
+        val (model, index) = loadOfGen(spark, dir, gen)
         val tomb = log.map(delDir =>
           spark.read.parquet(delDir).select("vec_id").distinct())
-        val nTomb = tomb.map(_.count()).getOrElse(0L)
         val live = tomb.map(t => index.join(t, Seq("vec_id"), "left_anti"))
           .getOrElse(index)
-        (nRows, nTomb, live.groupBy("cluster_id").count().collect()
-          .map(r => r.getInt(0) -> r.getLong(1)))
+        // three INDEPENDENT actions — physical row count, tombstone
+        // count, live per-cluster sizes — overlapped (guide §2.6). The
+        // physical count comes from parquet footers (zero data pages)
+        // when the layout is clean of crashed appends; footers list
+        // every file, so with in-progress batches present fall back to
+        // the committed scan's count (read-committed visibility).
+        val (nRowsOpt, nTomb, sizes) = inParallel(
+          if (footerFastPath && inProgressPrefixes(dir).isEmpty)
+            clusterSizesFromFooters(spark, dir, gen).map(_.map(_._2).sum)
+          else None,
+          tomb.map(_.count()).getOrElse(0L),
+          live.groupBy("cluster_id").count().collect()
+            .map(r => r.getInt(0) -> r.getLong(1)))
+        IndexHealth(gen, model, nRowsOpt.getOrElse(index.count()), nTomb, sizes)
     }
-    val nLive = sizes.map(_._2).sum
-    val maxSize = if (sizes.isEmpty) 0L else sizes.map(_._2).max
-    val mean = nLive.toDouble / model.params.numClusters
-    val oversized = sizes.count { case (_, s) =>
-      s > maxSizeFactor * mean && math.ceil(s / mean) >= 2 }
-    Seq((model.params.numClusters, nRows, nLive, nTomb,
-        if (nRows == 0) 0.0 else nTomb.toDouble / nRows,
-        maxSize, mean, if (mean == 0) 0.0 else maxSize / mean,
+  }
+
+  def describeIndex(spark: SparkSession, dir: String,
+                    maxSizeFactor: Double = 1.5,
+                    footerFastPath: Boolean = true): DataFrame = {
+    import spark.implicits._
+    val h = indexHealth(spark, dir, footerFastPath)
+    val oversized = h.oversized(maxSizeFactor)
+    val mean = h.meanSize
+    Seq((h.model.params.numClusters, h.nRows, h.nLive, h.nTomb, h.debt,
+        h.maxSize, mean, if (mean == 0) 0.0 else h.maxSize / mean,
         oversized, oversized > 0))
       .toDF("num_clusters", "n_rows", "n_live", "n_tombstones",
         "tombstone_debt", "max_cluster_size", "mean_cluster_size",

@@ -250,19 +250,24 @@ object VecsStream {
   def compactIndex(spark: SparkSession, idxDir: String): Unit =
     RabitqIndex.withLayoutLock(idxDir)(compactUnlocked(spark, idxDir))
 
-  private[graft] def compactUnlocked(spark: SparkSession, idxDir: String): Unit = {
-    // finish a predecessor's crashed-but-committed rebalance swap first:
-    // compacting a mid-swap layout would rewrite a generation missing
-    // the split clusters' rows
-    RabitqIndex.completeRebalanceSwap(idxDir)
-    // settle crashed uncommitted appends BEFORE the rewrite reads the
-    // layout: a promoted-but-unmarked batch would be folded into
-    // consolidated files (losing its prefix names) and then re-appended
-    // whole by the stream's replay — duplicates. Swept rows are re-staged
-    // in full by the replay, so nothing is lost. Live batches can't be
-    // mid-promote here (the promote takes the lease we hold).
-    IdempotentSink.settleInProgress(idxDir,
-      Seq(RabitqIndex.indexDataDir(idxDir), RabitqIndex.tombstoneLogDir(idxDir)))
+  private[graft] def compactUnlocked(spark: SparkSession, idxDir: String,
+                                     recovered: Boolean = false): Unit = {
+    if (!recovered) {
+      // finish a predecessor's crashed-but-committed rebalance swap first:
+      // compacting a mid-swap layout would rewrite a generation missing
+      // the split clusters' rows
+      RabitqIndex.completeRebalanceSwap(idxDir)
+      // settle crashed uncommitted appends BEFORE the rewrite reads the
+      // layout: a promoted-but-unmarked batch would be folded into
+      // consolidated files (losing its prefix names) and then re-appended
+      // whole by the stream's replay — duplicates. Swept rows are re-staged
+      // in full by the replay, so nothing is lost. Live batches can't be
+      // mid-promote here (the promote takes the lease we hold).
+      // `recovered = true` is the maintenanceLoop's contract: the pass
+      // already did both ONCE under the same held lease.
+      IdempotentSink.settleInProgress(idxDir,
+        Seq(RabitqIndex.indexDataDir(idxDir), RabitqIndex.tombstoneLogDir(idxDir)))
+    }
     // presence judged by DATA files, not the directory: the streamed del
     // leg creates its (possibly forever-empty) target dir unconditionally
     if (RabitqIndex.tombstoneLogIfAny(idxDir).isEmpty) return
@@ -345,18 +350,30 @@ object VecsStream {
       // vacuum first: a crashed prior cycle's debris (unreferenced
       // generations, dead staging) must not ride along forever — pure
       // file metadata, no jobs; retired generations inside the retention
-      // window survive (in-flight readers may still hold them)
+      // window survive (in-flight readers may still hold them). The
+      // vacuum also completes any committed rebalance swap.
       val vac = RabitqIndex.vacuumUnlocked(idxDir, retainMs)
-      val d = RabitqIndex.describeIndex(spark, idxDir, maxSizeFactor).head()
+      // settle crashed uncommitted appends ONCE for the whole pass (the
+      // phases previously each re-ran the swap-completion and the settle,
+      // re-listing the layout three times under the same held lease)
+      IdempotentSink.settleInProgress(idxDir,
+        Seq(RabitqIndex.indexDataDir(idxDir), RabitqIndex.tombstoneLogDir(idxDir)))
+      // ONE measurement for the whole pass: the health snapshot below is
+      // what describeIndex renders, and the phases consume it directly —
+      // the model and the LIVE per-cluster sizes are both invariant
+      // across the compaction (the rewrite preserves exactly the live
+      // rows and copies the model sidecars), so the rebalance phase needs
+      // no re-load and no re-count (guide §1.2 run fewer passes).
+      val h = RabitqIndex.indexHealth(spark, idxDir)
       val compacted =
-        if (d.getAs[Double]("tombstone_debt") >= debtThreshold &&
-            d.getAs[Long]("n_tombstones") > 0L) {
-          compactUnlocked(spark, idxDir); true
+        if (h.debt >= debtThreshold && h.nTomb > 0L) {
+          compactUnlocked(spark, idxDir, recovered = true); true
         } else false
       val rebalanced =
-        if (d.getAs[Boolean]("needs_rebalance"))
+        if (h.oversized(maxSizeFactor) > 0)
           Some(RabitqIndex.rebalanceUnlocked(spark, idxDir, base,
-            maxSizeFactor, fitSampleCap = 100000L))
+            maxSizeFactor, fitSampleCap = 100000L,
+            known = Some((h.model, h.sizes.toMap)), recovered = true))
         else None
       MaintenanceReport(compacted, rebalanced, vac)
     }
