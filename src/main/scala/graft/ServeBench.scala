@@ -31,10 +31,18 @@ object ServeBench {
     // plan per request instead of the hot tier (the path that scales
     // past driver RAM); this is the leg the per-request model-broadcast
     // memoization exists for.
+    // "sharded": serve over a SHARDED-MANIFEST layout — a generation
+    // published by the object-store (CondPut) rebalance whose untouched
+    // clusters ride as carry-manifest shards (carryShardTarget lowered so
+    // the small corpus takes the sharded listing shape, the
+    // ManifestScaleSmoke construction). The timed load runs after one
+    // /reload over that layout: the row proves the serving tier resolves
+    // a sharded generation and measures no regression vs the plain band.
     val mode = if (args.length > 3) args(3) else ""
     val mutate = mode == "mutate"
     val filtered = mode == "filtered"
     val sparkEngine = mode == "spark"
+    val sharded = mode == "sharded"
 
     // point-query serving tier: single-row query batches make AQE's
     // per-stage re-planning and wide shuffles pure overhead — a static
@@ -103,6 +111,41 @@ object ServeBench {
         val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
         require(resp.statusCode() == 200, s"status ${resp.statusCode()}: ${resp.body()}")
         System.nanoTime() - t0
+      }
+      if (sharded) {
+        import graft.operators.{CondPutCommit, LayoutCommit, LayoutFs, RabitqIndex}
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select("vec_id", "embedding")
+        // q116's skew construction: fit on the lower halfspace, append the
+        // upper — appends pile into boundary clusters, so the rebalance
+        // splits a minority and CARRIES the majority by reference
+        val lower = element_at(col("embedding"), 1) < 0f
+        val (model, index0) = RabitqIndex.build(spark, emb.filter(lower), 16, 42L)
+        val dir = java.nio.file.Files
+          .createTempDirectory("servebench_sharded").toString + "/idx"
+        RabitqIndex.save(spark, model, index0, dir)
+        RabitqIndex.appendVectors(spark, model, emb.filter(!lower))
+          .write.mode("append").partitionBy("cluster_id").parquet(s"$dir/index")
+        // small-corpus file counts would keep the flat `_CARRY` shape at
+        // the deployed 4096 target; lowering it puts this run in the same
+        // sharded-manifest regime the default produces at 100 TB
+        val savedTarget = RabitqIndex.carryShardTarget
+        RabitqIndex.carryShardTarget = 8
+        try {
+          val rep = LayoutCommit.withOps(CondPutCommit) {
+            RabitqIndex.rebalanceIndex(spark, dir, emb, maxSizeFactor = 1.4)
+          }
+          require(rep.split.nonEmpty,
+            s"sharded-mode construction did not trigger a split ($rep)")
+          val gen = LayoutFs.baseName(RabitqIndex.indexDataDir(dir))
+          require(RabitqIndex.readCarryShards(dir, gen).nonEmpty,
+            "expected the sharded carry-manifest shape")
+        } finally RabitqIndex.carryShardTarget = savedTarget
+        val req = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/reload"))
+          .POST(HttpRequest.BodyPublishers.ofString(
+            s"""{"index_dir": "$dir", "base": "$sfDir/embeddings.parquet"}""")).build()
+        val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+        require(resp.statusCode() == 200, s"sharded reload failed: ${resp.body()}")
       }
       fire(0); fire(1) // warm the serving path before timing
 
@@ -192,7 +235,8 @@ object ServeBench {
       def pct(p: Double): Double = sorted((p * (sorted.length - 1)).round.toInt) / 1e6
       val mutTag = if (mutate) s""","reloads":${reloads.get()}"""
         else if (filtered) ""","mode":"filtered""""
-        else if (sparkEngine) ""","mode":"spark"""" else ""
+        else if (sparkEngine) ""","mode":"spark""""
+        else if (sharded) ""","mode":"sharded"""" else ""
       val failTag = Option(churnError.get())
         .map(e => s""","churn_failed":"${Serve.jsonEscape(
           s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")}"""")

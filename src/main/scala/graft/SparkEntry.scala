@@ -1665,17 +1665,9 @@ object SparkEntry {
       val emb = T(s, dir, "embeddings")
       val history = docs.filter(col("doc_id") % 3 === 0)
       val incoming = docs.filter(col("doc_id") % 3 =!= 0)
-      val afterExact = Dedup.incrementalNew(history, incoming, historyBloom(s, dir))
-      val afterMinhash = Dedup.incrementalMinhashNew(history, afterExact,
-        n = 3, simThreshold = 0.5)
       val centroids = emb.filter(col("vec_id") % 62 === 0)
         .orderBy(col("vec_id")).limit(8)
         .select(col("vec_id").as("cid"), col("embedding").as("ce"))
-      val semSurvivors = Curation.incrementalSemanticDedup(s,
-        emb.filter(col("vec_id") % 3 === 0),
-        emb.filter(col("vec_id") % 3 =!= 0),
-        centroids, threshold = 0.4)
-        .select(col("vec_id").as("doc_id"))
       // anti-join the semantically MATCHED ids (incoming embeddings ∖
       // survivors), not semi-join the survivors: a doc with no vector
       // in the embeddings table cannot match and must SURVIVE this
@@ -1683,9 +1675,32 @@ object SparkEntry {
       // semantics. The semi-join formulation silently dropped every
       // no-embedding doc, caught by the sf0.1 verify where documents
       // outnumber embeddings 5000:2000 (at sf0.01 they're 1:1).
-      val semDropped = emb.filter(col("vec_id") % 3 =!= 0)
+      def semDroppedPlan = emb.filter(col("vec_id") % 3 =!= 0)
         .select(col("vec_id").as("doc_id"))
-        .join(semSurvivors, Seq("doc_id"), "left_anti")
+        .join(Curation.incrementalSemanticDedup(s,
+          emb.filter(col("vec_id") % 3 === 0),
+          emb.filter(col("vec_id") % 3 =!= 0),
+          centroids, threshold = 0.4)
+          .select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_anti")
+      // the semantic leg (embedding-space) is INDEPENDENT of the
+      // text-space exact+minhash chain, which materializes eagerly
+      // (incrementalMinhashNew checkpoints its result): compute the
+      // dropped-id set on a thread while that chain runs (guide §2.6),
+      // then attach it with the same broadcast anti-join. Under the
+      // plan-dump's lazyPlans mode nothing materializes, so the full
+      // lazy plan stays inspectable — and identical to the sequential
+      // formulation.
+      val lazyPlans = sys.props.get("graft.dedup.lazyPlans").contains("true")
+      val futSem =
+        if (lazyPlans) None
+        else Some(scala.concurrent.Future(semDroppedPlan.localCheckpoint(true))(
+          scala.concurrent.ExecutionContext.global))
+      val afterExact = Dedup.incrementalNew(history, incoming, historyBloom(s, dir))
+      val afterMinhash = Dedup.incrementalMinhashNew(history, afterExact,
+        n = 3, simThreshold = 0.5)
+      val semDropped = futSem.fold(semDroppedPlan)(f =>
+        scala.concurrent.Await.result(f,
+          scala.concurrent.duration.Duration(10, "min")))
       afterMinhash.join(broadcast(semDropped), Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("n_chars"))
         .orderBy(col("doc_id"))
@@ -1932,26 +1947,40 @@ object SparkEntry {
       val upper = element_at(col("embedding"), 1) >= 0f
       val (model, index0) = RabitqIndex.build(s,
         emb.filter(element_at(col("embedding"), 1) < 0f), NumClusters, Seed)
-      RabitqIndex.save(s, model, index0, s"$tmp/idx")
       def opsFile(adds: DataFrame, delPred: Column, path: String): Unit =
         adds.select(lit("add").as("op"), col("vec_id"), col("embedding"))
           .unionByName(emb.filter(delPred)
             .select(lit("del").as("op"), col("vec_id"),
               lit(null).cast("array<float>").as("embedding")))
           .repartition(2).write.parquet(path)
-      opsFile(emb.filter(upper && col("vec_id") % 2 === 0),
-        col("vec_id") % 11 === 4, s"$tmp/in1")
+      // each phase's ops-file write is INDEPENDENT of the layout op that
+      // precedes its stream (save / rebalance) — overlap them (guide
+      // §2.6). Started only AFTER build() returns: overlapping a write
+      // onto the k-means fit was A/B-measured slower in a prior round
+      // (the fit saturates the cores); save and rebalance are tiny-job
+      // latency-bound, so the write backfills their idle capacity. The
+      // streams start only after BOTH legs complete — the file set and
+      // the layout are bit-identical to the sequential order, and the
+      // gate's logical set is batching-invariant by contract anyway.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val futIn1 = Future(opsFile(emb.filter(upper && col("vec_id") % 2 === 0),
+        col("vec_id") % 11 === 4, s"$tmp/in1"))
+      RabitqIndex.save(s, model, index0, s"$tmp/idx")
+      Await.result(futIn1, Duration(10, "min"))
       graft.streaming.VecsStream.maintainIndex(s, s"$tmp/in1", s"$tmp/idx",
         s"$tmp/ckpt1", model,
         s"lifecycle_p1_${streamCounter.incrementAndGet()}",
         maxFilesPerTrigger = Some(1))
+      val futIn2 = Future(opsFile(emb.filter(upper && col("vec_id") % 2 === 1),
+        col("vec_id") % 13 === 6, s"$tmp/in2"))
       val report = RabitqIndex.rebalanceIndex(s, s"$tmp/idx", emb,
         maxSizeFactor = 1.4)
       require(report.split.nonEmpty,
         s"lifecycle gate is vacuous: rebalance was a no-op ($report)")
       val (m2, _) = RabitqIndex.load(s, s"$tmp/idx")
-      opsFile(emb.filter(upper && col("vec_id") % 2 === 1),
-        col("vec_id") % 13 === 6, s"$tmp/in2")
+      Await.result(futIn2, Duration(10, "min"))
       graft.streaming.VecsStream.maintainIndex(s, s"$tmp/in2", s"$tmp/idx",
         s"$tmp/ckpt2", m2,
         s"lifecycle_p2_${streamCounter.incrementAndGet()}",
@@ -2253,13 +2282,21 @@ object SparkEntry {
       val lower = element_at(col("embedding"), 1) < 0f
       val (model, index0) = RabitqIndex.build(s, emb.filter(lower),
         NumClusters, Seed)
-      RabitqIndex.save(s, model, index0, s"$tmp/idx")
-      emb.filter(!lower)
+      // ops-file write ∥ save (guide §2.6, the q117 pattern): started
+      // after build() so nothing rides on the k-means fit; the stream
+      // starts only after both complete — file set and layout identical
+      // to the sequential order
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val futIn = Future(emb.filter(!lower)
         .select(lit("add").as("op"), col("vec_id"), col("embedding"))
         .unionByName(emb.filter(col("vec_id") % 6 === 1)
           .select(lit("del").as("op"), col("vec_id"),
             lit(null).cast("array<float>").as("embedding")))
-        .repartition(2).write.parquet(s"$tmp/in")
+        .repartition(2).write.parquet(s"$tmp/in"))
+      RabitqIndex.save(s, model, index0, s"$tmp/idx")
+      Await.result(futIn, Duration(10, "min"))
       graft.streaming.VecsStream.maintainIndex(s, s"$tmp/in", s"$tmp/idx",
         s"$tmp/ckpt", model,
         s"maint_loop_${streamCounter.incrementAndGet()}",

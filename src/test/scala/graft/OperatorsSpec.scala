@@ -3619,6 +3619,38 @@ class OperatorsSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("SparkEntry.entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("rebalanceUnlocked with a threaded health snapshot (the fused " +
+      "maintenance pass) equals the self-measuring rebalance") {
+    import org.apache.spark.sql.functions.element_at
+    // q116's skew construction, built once, saved into two identical dirs
+    val (model, index0) = RabitqIndex.build(spark,
+      emb.filter(element_at(col("embedding"), 1) < 0f), numClusters = 8, seed = 11L)
+    def mk(): String = {
+      val d = java.nio.file.Files.createTempDirectory("rebal_known").toString
+      RabitqIndex.save(spark, model, index0, d)
+      RabitqIndex.appendVectors(spark, model,
+          emb.filter(element_at(col("embedding"), 1) >= 0f))
+        .write.mode("append").partitionBy("cluster_id").parquet(s"$d/index")
+      d
+    }
+    val dA = mk(); val dB = mk()
+    // the self-measuring path (loads the model, counts its own sizes)
+    val repA = RabitqIndex.rebalanceIndex(spark, dA, emb, maxSizeFactor = 1.4)
+    assert(repA.split.nonEmpty, s"construction must trigger a split ($repA)")
+    // the fused maintenanceLoop path: ONE health measurement, threaded in
+    val h = RabitqIndex.indexHealth(spark, dB)
+    val repB = RabitqIndex.withLayoutLock(dB)(
+      RabitqIndex.rebalanceUnlocked(spark, dB, emb, maxSizeFactor = 1.4,
+        fitSampleCap = 100000L, known = Some((h.model, h.sizes.toMap)),
+        recovered = true))
+    assert(repA == repB, s"threaded-snapshot rebalance diverged: $repA != $repB")
+    def rows(d: String) = RabitqIndex.loadLive(spark, d)._2
+      .select("vec_id", "cluster_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq
+    assert(rows(dA) == rows(dB),
+      "threaded-snapshot rebalance must produce the identical layout")
+  }
 }
 
 /** Test access to SparkEntry's private table loader semantics. */
