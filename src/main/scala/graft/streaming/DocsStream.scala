@@ -30,29 +30,35 @@ object DocsStream {
   /** Run the dedup stream to completion over a static dir (AvailableNow,
     * memory sink) and return the distinct-fingerprint frame.
     */
-  def distinctFingerprints(spark: SparkSession, path: String, queryName: String): DataFrame = {
+  def distinctFingerprints(spark: SparkSession, path: String, queryName: String,
+                           stateParts: Int = 4): DataFrame = {
     val (dir, glob) =
       if (graft.operators.LayoutFs.isFile(path))
         (graft.operators.LayoutFs.parent(path),
           graft.operators.LayoutFs.baseName(path))
       else (path, "*")
-    val q = spark.readStream
-      .schema(docsSchema)
-      .option("pathGlobFilter", glob)
-      .parquet(dir)
-      .select(md5(col("text")).as("fp"))
-      .withColumn("ts", current_timestamp())
-      .withWatermark("ts", "1 hour")
-      .dropDuplicatesWithinWatermark("fp")
-      .select("fp")
-      .writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(queryName)
+    // state = first-seen fingerprints in the watermark horizon; scope the
+    // store width for the drive (StreamConf) instead of paying the full
+    // session shuffle width in per-batch store commits
+    StreamConf.withStateParts(spark, stateParts) {
+      val q = spark.readStream
+        .schema(docsSchema)
+        .option("pathGlobFilter", glob)
+        .parquet(dir)
+        .select(md5(col("text")).as("fp"))
+        .withColumn("ts", current_timestamp())
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("fp")
+        .select("fp")
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(queryName)
+    }
   }
 
   /** Streaming incremental ingest — the continuous counterpart of
@@ -80,7 +86,8 @@ object DocsStream {
                       expectedHistoryDocs: Long, fpp: Double, queryName: String,
                       where: Column = lit(true),
                       bloom: Option[Option[Column]] = None,
-                      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+                      maxFilesPerTrigger: Option[Int] = None,
+                      stateParts: Int = 4): DataFrame = {
     import graft.operators.Dedup
     val (dir, glob) =
       if (graft.operators.LayoutFs.isFile(path))
@@ -116,19 +123,24 @@ object DocsStream {
         fps.filter(!mightContain)
           .unionByName(fps.filter(mightContain).join(histFps, Seq("fp"), "left_anti"))
     }
-    val q = newFps
-      .withColumn("ts", current_timestamp())
-      .withWatermark("ts", "1 hour")
-      .dropDuplicatesWithinWatermark("fp")
-      .select("fp")
-      .writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(queryName)
+    // scope the state-store width for the drive (StreamConf): the only
+    // stateful exchange is the dropDuplicatesWithinWatermark below — the
+    // bloom filter and the broadcast anti-join shuffle nothing
+    StreamConf.withStateParts(spark, stateParts) {
+      val q = newFps
+        .withColumn("ts", current_timestamp())
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("fp")
+        .select("fp")
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(queryName)
+    }
   }
 
   /** The q95 stream-vs-batch parity gate in ONE tagged-union shuffle:

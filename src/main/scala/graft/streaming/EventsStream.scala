@@ -87,15 +87,20 @@ object EventsStream {
     * materialized result. `complete` output mode ⇒ all windows present
     * regardless of watermark progress (deterministic for tests/oracle).
     */
-  def runOnce(spark: SparkSession, path: String, minutes: Int, queryName: String): DataFrame = {
-    val q = windowedCountsStream(spark, path, minutes)
-      .writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(queryName)
+  def runOnce(spark: SparkSession, path: String, minutes: Int, queryName: String,
+              stateParts: Int = 4): DataFrame = {
+    // state = one row per (window, event_type) — a few thousand rows;
+    // scope the store width to that, not the session's shuffle width
+    StreamConf.withStateParts(spark, stateParts) {
+      val q = windowedCountsStream(spark, path, minutes)
+        .writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(queryName)
+    }
   }
 }

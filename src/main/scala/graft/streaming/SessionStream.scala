@@ -110,15 +110,20 @@ object SessionStream {
     * still open at end-of-data remain in state — compare against the batch
     * sessionizer with the last session per user excluded).
     */
-  def runOnce(spark: SparkSession, path: String, gapMinutes: Int, queryName: String): DataFrame = {
-    val q = sessionizeStream(spark, path, gapMinutes)
-      .writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(queryName)
+  def runOnce(spark: SparkSession, path: String, gapMinutes: Int, queryName: String,
+              stateParts: Int = 4): DataFrame = {
+    // state = one open session per user in the watermark horizon; scope
+    // the store width to that cardinality, not the session shuffle width
+    StreamConf.withStateParts(spark, stateParts) {
+      val q = sessionizeStream(spark, path, gapMinutes)
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(queryName)
+    }
   }
 }
