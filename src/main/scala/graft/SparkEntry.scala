@@ -1789,7 +1789,8 @@ object SparkEntry {
         cosineThreshold = 0.4, shingleN = 3, simThreshold = 0.5,
         tmp, s"ingest_stream_${streamCounter.incrementAndGet()}",
         maxFilesPerTrigger = Some(1),
-        statics = Some(ingestStatics(s, dir)))
+        statics = if (sys.env.get("SPARK_GRAFT_SHARE_STATICS").contains("false"))
+          None else Some(ingestStatics(s, dir)))
         .orderBy(col("doc_id"))
     }),
     "q113_stream_index" -> ((s, dir) => {
@@ -1848,7 +1849,8 @@ object SparkEntry {
         tmp, s"ingest_index_stream_${streamCounter.incrementAndGet()}",
         maxFilesPerTrigger = Some(1),
         indexInto = Some((model, s"$tmp/idx")),
-        statics = Some(ingestStatics(s, dir)))
+        statics = if (sys.env.get("SPARK_GRAFT_SHARE_STATICS").contains("false"))
+          None else Some(ingestStatics(s, dir)))
       val (m2, idx2) = RabitqIndex.load(s, s"$tmp/idx")
       val baseFinal = histEmb.unionByName(
         emb.join(surv.select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi"),
