@@ -43,6 +43,22 @@ object Bench {
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     def loadavg: Double = osBean.getSystemLoadAverage
+    // cumulative CPU-STEAL jiffies (/proc/stat cpu line, field 8 after the
+    // label): on a VM the hypervisor can take cores away in bursts that
+    // guest loadavg NEVER sees — round-22 measured steal spiking to
+    // 74–180% of busy jiffies mid-run while loadavg read ~1.5, inflating
+    // whole bench phases. Recording the cumulative counter per cold query
+    // (additive artifact field, stdout line and `value` untouched) lets a
+    // reader attribute an outlier to stolen CPU from the artifact itself,
+    // the way load_cold already works for guest-visible contention.
+    // -1 when /proc/stat is unavailable (non-Linux).
+    def stealJiffies: Long = try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try src.getLines().find(_.startsWith("cpu "))
+        .map(_.trim.split("\\s+")).filter(_.length > 8).map(_(8).toLong)
+        .getOrElse(-1L)
+      finally src.close()
+    } catch { case _: Throwable => -1L }
     def timeOne(name: String): Double = {
       val t0 = System.nanoTime()
       try { selected(name)(spark, sfDir).count() } catch { case t: Throwable =>
@@ -62,13 +78,17 @@ object Bench {
     // same-code pairs — the artifact now records the contention evidence
     // itself
     val loadStart = loadavg
+    val stealStart = stealJiffies
     val loadCold = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val stealCold = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = selected.keys.map { n =>
       loadCold(n) = loadavg
+      stealCold(n) = stealJiffies.toDouble
       n -> timeOne(n)
     }.toMap
     val warmRuns = sys.env.get("SPARK_GRAFT_WARM_RUNS").flatMap(_.toIntOption)
       .filter(_ >= 1).getOrElse(3)
+    val stealWarm = scala.collection.mutable.ArrayBuffer.empty[Long]
     val warmPasses = (1 to warmRuns).map { _ =>
       // let the ContextCleaner reclaim dropped localCheckpoint/persist
       // blocks and stopped-stream state from the previous pass before
@@ -77,6 +97,7 @@ object Bench {
       // queries (observed warm totals rising 54.8 → 59.1 → 60.6 s)
       System.gc()
       Thread.sleep(500)
+      stealWarm += stealJiffies
       once()
     }
     def median(xs: Seq[Double]): Double = {
@@ -141,6 +162,9 @@ object Bench {
       s""""warm_passes":[${warmPasses.map(js).mkString(",")}],""" +
       s""""reruns":${js(rerunned)},"load_cold":${js(loadCold.toMap)},""" +
       s""""load_start":${fmt(loadStart)},"load_end":${fmt(loadEnd)},""" +
+      s""""steal_cold":${js(stealCold.toMap)},""" +
+      s""""steal_warm_passes":[${stealWarm.mkString(",")}],""" +
+      s""""steal_start":$stealStart,"steal_end":$stealJiffies,""" +
       s""""sf":$sfNum,"sf_dir":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
